@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A bundle of named queries plus their DuckDB oracle SQL.
+  * SparkEntry merges all modules; keys must be globally unique.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}
+
+/** Shared helpers that keep Spark results bit-identical to the DuckDB oracle.
+  *
+  * Floating-point SUMs are order-dependent; Spark and DuckDB aggregate in
+  * different orders. We therefore do per-row arithmetic in DOUBLE (IEEE-754
+  * deterministic for identical expressions), cast each row to an exact
+  * DECIMAL, SUM exactly, and cast the final value back to DOUBLE. Both
+  * engines then produce the identical double.
+  */
+object OracleSafe {
+  /** Exact deterministic sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  /** Exact deterministic average of a double expression. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(25, 6))).cast("double") / count(c))
+
+  /** DuckDB-side equivalents (string SQL fragments). */
+  def dsumSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(25,6))) AS DOUBLE)"
+  def davgSql(e: String): String =
+    s"(CAST(sum(CAST(($e) AS DECIMAL(25,6))) AS DOUBLE) / count($e))"
+}
