@@ -1,0 +1,162 @@
+package graft.cep
+
+/** Pattern-matching (CEP / MATCH_RECOGNIZE) engine over per-key,
+  * time-ordered event sequences — a from-scratch build of the semantics
+  * of the reference's CEP library (flink-libraries/flink-cep/.../nfa/NFA.java:86,
+  * pattern API .../pattern/Pattern.java, SQL StreamExecMatch.java:89).
+  *
+  * Supported surface (round 1):
+  *   - steps with Once / Optional / OneOrMore(greedy) quantifiers
+  *   - Strict (`next`) and Relaxed (`followedBy`, skip-till-next)
+  *     contiguity per step
+  *   - `within` time bound (match discarded when
+  *     time(last) - time(first) >= within, matching Flink's pruning)
+  *   - after-match skip: NoSkip (every start index may begin a match)
+  *     or SkipPastLast (MATCH_RECOGNIZE default: resume after the last
+  *     consumed event)
+  *
+  * The matcher is a deterministic leftmost-greedy backtracking scan —
+  * equivalent to the NFA on these quantifiers, and easy to reason about
+  * for oracle queries. It is pure per-sequence logic: callers partition
+  * by key and feed time-sorted events, so it parallelizes per key both
+  * in batch (flatMapGroups) and streaming (flatMapGroupsWithState).
+  */
+object Nfa {
+
+  sealed trait Quantifier
+  object Quantifier {
+    case object Once extends Quantifier
+    case object Optional extends Quantifier
+    case object OneOrMore extends Quantifier
+  }
+
+  sealed trait Contiguity
+  object Contiguity {
+    /** `next` — the step must match the immediately following event. */
+    case object Strict extends Contiguity
+    /** `followedBy` — skip non-matching events until the step matches. */
+    case object Relaxed extends Contiguity
+  }
+
+  sealed trait AfterMatch
+  object AfterMatch {
+    case object NoSkip extends AfterMatch
+    case object SkipPastLast extends AfterMatch
+  }
+
+  final case class Step[T](
+      name: String,
+      pred: T => Boolean,
+      quantifier: Quantifier = Quantifier.Once,
+      contiguity: Contiguity = Contiguity.Strict)
+
+  final case class Pattern[T](
+      steps: Vector[Step[T]],
+      withinMicros: Option[Long] = None,
+      afterMatch: AfterMatch = AfterMatch.SkipPastLast)
+
+  /** One match: step name -> events bound to it (OneOrMore binds many). */
+  final case class Match[T](bindings: Vector[(String, Vector[T])]) {
+    def first(step: String): T = bindings.find(_._1 == step).get._2.head
+    def last(step: String): T = bindings.find(_._1 == step).get._2.last
+  }
+
+  /** Run the pattern over one key's time-sorted events. */
+  def run[T](events: IndexedSeq[T], time: T => Long, pattern: Pattern[T]): Vector[Match[T]] = {
+    val out = Vector.newBuilder[Match[T]]
+    var i = 0
+    while (i < events.length) {
+      matchFrom(events, time, pattern, i) match {
+        case Some((m, lastIdx)) =>
+          out += m
+          i = pattern.afterMatch match {
+            case AfterMatch.SkipPastLast => lastIdx + 1
+            case AfterMatch.NoSkip       => i + 1
+          }
+        case None => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Try to match with the first step's first event at exactly `start`.
+    * Returns the match and the index of the last consumed event.
+    */
+  private def matchFrom[T](events: IndexedSeq[T], time: T => Long,
+                           pattern: Pattern[T], start: Int): Option[(Match[T], Int)] = {
+    val startTime = time(events(start))
+    def withinOk(idx: Int): Boolean = pattern.withinMicros match {
+      case Some(w) => time(events(idx)) - startTime < w
+      case None    => true
+    }
+
+    // Recursive greedy matcher with backtracking. `stepIdx` = current step,
+    // `pos` = next candidate event index, `prev` = index of last bound event.
+    def go(stepIdx: Int, pos: Int, prev: Int,
+           acc: Vector[(String, Vector[T])]): Option[(Match[T], Int)] = {
+      if (stepIdx == pattern.steps.length) return Some((Match(acc), prev))
+      val step = pattern.steps(stepIdx)
+      val strict = step.contiguity == Contiguity.Strict || (stepIdx == 0)
+
+      // Candidate start positions for this step's first event.
+      var p = pos
+      while (p < events.length && withinOk(p)) {
+        val hit = step.pred(events(p))
+        if (hit) {
+          // Greedily extend for OneOrMore: bind the longest contiguous
+          // (per this step's contiguity) run, then backtrack shorter.
+          val runIdx = collectRun(events, step, p, time, withinOk)
+          var take = runIdx.length
+          val minTake = 1
+          while (take >= minTake) {
+            val bound = runIdx.take(take)
+            val res = go(stepIdx + 1, bound.last + 1, bound.last,
+              acc :+ (step.name -> bound.map(events(_)).toVector))
+            if (res.isDefined) return res
+            if (step.quantifier == Quantifier.OneOrMore) take -= 1 else take = 0
+          }
+          if (strict) {
+            // Strict step failed at the required position: try Optional skip,
+            // else the whole prefix fails.
+            return if (step.quantifier == Quantifier.Optional)
+              go(stepIdx + 1, pos, prev, acc)
+            else None
+          }
+        } else if (strict) {
+          return if (step.quantifier == Quantifier.Optional)
+            go(stepIdx + 1, pos, prev, acc)
+          else None
+        }
+        p += 1
+      }
+      // Ran out of events (or within expired) without matching this step.
+      if (step.quantifier == Quantifier.Optional) go(stepIdx + 1, pos, prev, acc)
+      else None
+    }
+
+    def firstStepStarts: Boolean = pattern.steps.head.pred(events(start))
+    if (!firstStepStarts) None
+    else go(0, start, start - 1, Vector.empty)
+  }
+
+  /** Longest run of events satisfying `step` starting at `from`
+    * (contiguous for Strict; gap-skipping for Relaxed stays bounded to
+    * contiguous for OneOrMore — Flink's looping states consume
+    * contiguously unless followedByAny, which is out of scope).
+    * Returns bound indices (length 1 for non-looping quantifiers).
+    */
+  private def collectRun[T](events: IndexedSeq[T], step: Step[T], from: Int,
+                            time: T => Long, withinOk: Int => Boolean): IndexedSeq[Int] = {
+    step.quantifier match {
+      case Quantifier.OneOrMore =>
+        var idx = from
+        val buf = IndexedSeq.newBuilder[Int]
+        while (idx < events.length && withinOk(idx) && step.pred(events(idx))) {
+          buf += idx
+          idx += 1
+        }
+        buf.result()
+      case _ => IndexedSeq(from)
+    }
+  }
+}

@@ -1,0 +1,347 @@
+package graft.operators
+
+import graft.{OracleSafe, QueryModule, Tables}
+import graft.cep.Nfa
+import graft.cep.Nfa.{AfterMatch, Contiguity, Pattern, Quantifier, Step}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Event record used by the typed CEP queries. */
+case class Ev(event_id: Long, tus: Long, user_id: Long, event_type: String)
+
+/** Batch-checkable parity suite for the reference's event-time streaming
+  * operators (SURVEY.md §2.4 window aggs, §2.5 streaming OVER, §2.6
+  * rank/dedup, §2.3 interval/temporal joins, §2.10 CEP). Each query runs
+  * the same operator library that the streaming layer uses, on the
+  * `events` table, with a DuckDB oracle. The genuinely streaming
+  * (stateful, watermark-driven) executions of the same operators live in
+  * graft.streaming and are covered by ScalaTest specs.
+  */
+object EventTimeParity extends QueryModule {
+  import OracleSafe._
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling window aggregate (GROUP BY TUMBLE / window TVF).
+    "w01_tumble_agg" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(WindowOps.tumble(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("win.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Hopping window aggregate (HOP: 30 min size, 10 min slide).
+    "w02_hop_agg" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(WindowOps.hop(col("ts"), "30 minutes", "10 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("win.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Session window aggregate per user (10-minute gap).
+    "w03_session_agg" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(WindowOps.session(col("ts"), "10 minutes").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("win.start")).as("sess_start_us"),
+          unix_micros(col("win.end")).as("sess_end_us"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
+    // CUMULATE window aggregate (step 1h, max 4h) — no Spark built-in.
+    "w04_cumulate_agg" -> { (s, dir) =>
+      WindowOps.cumulate(ev(s, dir), col("ts"), 3600L, 14400L)
+        .groupBy(col("win_start"), col("win_end"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("win_start", "win_end", "event_type")
+    },
+
+    // Count-tumbling windows (50 events per user in event-time order).
+    "w05_count_windows" -> { (s, dir) =>
+      WindowOps.countTumble(ev(s, dir),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), 50)
+        .groupBy(col("user_id"), col("win_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "win_id")
+    },
+
+    // Deduplication keep-first by (user, type) in event-time order.
+    "d01_dedup_keep_first" -> { (s, dir) =>
+      Dedup.keepFirst(ev(s, dir),
+          Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // Deduplication keep-last (upsert semantics, batch view).
+    "d02_dedup_keep_last" -> { (s, dir) =>
+      Dedup.keepLast(ev(s, dir),
+          Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // Interval join: purchases within 30 min after a click, same user.
+    "j01_interval_join" -> { (s, dir) =>
+      val e = ev(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("user_id"), col("event_type"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tus").as("ctus"), col("user_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("tus").as("ptus"),
+          col("user_id").as("p_user"))
+      c.join(p, col("user_id") === col("p_user")
+          && col("ptus") > col("ctus")
+          && col("ptus") <= col("ctus") + lit(1800000000L))
+        .select(col("click_id"), col("purchase_id"),
+          (col("ptus") - col("ctus")).as("gap_us"))
+        .orderBy("click_id", "purchase_id")
+    },
+
+    // Event-time as-of (temporal) join: each purchase matched to the
+    // latest click of the same user at or before it.
+    "j02_asof_join" -> { (s, dir) =>
+      val e = ev(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("user_id"),
+        col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val clicks0 = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tus"), col("value").as("click_value"))
+      val clicks = Dedup.keepLast(clicks0,
+        Seq(col("user_id"), col("tus")), Seq(col("click_id")))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "tus", "tus",
+          Seq("click_id", "click_value"))
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_value").as("click_value"))
+        .orderBy("purchase_id")
+    },
+
+    // Streaming-OVER parity: time-range bounded preceding aggregate
+    // (RowTimeRangeBoundedPrecedingFunction semantics, batch view).
+    "o01_over_time_range" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-1800000000L, 0)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          sum(col("value").cast(DecimalType(25, 6))).over(w)
+            .cast("double").as("win_sum"),
+          count(lit(1)).over(w).as("win_n"))
+        .orderBy("user_id", "tus", "event_id")
+    },
+
+    // CEP strict contiguity: view -> click -> purchase, immediately
+    // consecutive in the user's event sequence, within 1 hour.
+    "m01_cep_strict" -> { (s, dir) =>
+      import s.implicits._
+      val ds = ev(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("user_id"), col("event_type")).as[Ev]
+      val pat = Pattern[Ev](Vector(
+        Step("v", (_: Ev).event_type == "view"),
+        Step("c", (_: Ev).event_type == "click"),
+        Step("p", (_: Ev).event_type == "purchase")),
+        withinMicros = Some(3600000000L),
+        afterMatch = AfterMatch.SkipPastLast)
+      ds.groupByKey(_.user_id)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.tus, e.event_id))
+          Nfa.run[Ev](evs, _.tus, pat).iterator.map { m =>
+            (uid, m.first("v").event_id, m.first("c").event_id,
+              m.first("p").event_id, m.first("v").tus)
+          }
+        }
+        .toDF("user_id", "view_id", "click_id", "purchase_id", "view_tus")
+        .orderBy("user_id", "view_tus")
+    },
+
+    // CEP relaxed contiguity (followedBy): each signup's first purchase
+    // within 24h, skipping unrelated events; NoSkip after-match.
+    "m02_cep_followed_by" -> { (s, dir) =>
+      import s.implicits._
+      val ds = ev(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("user_id"), col("event_type")).as[Ev]
+      val pat = Pattern[Ev](Vector(
+        Step("s", (_: Ev).event_type == "signup"),
+        Step("p", (_: Ev).event_type == "purchase",
+          contiguity = Contiguity.Relaxed)),
+        withinMicros = Some(86400000000L),
+        afterMatch = AfterMatch.NoSkip)
+      ds.groupByKey(_.user_id)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.tus, e.event_id))
+          Nfa.run[Ev](evs, _.tus, pat).iterator.map { m =>
+            (uid, m.first("s").event_id, m.first("p").event_id,
+              m.first("p").tus - m.first("s").tus)
+          }
+        }
+        .toDF("user_id", "signup_id", "purchase_id", "gap_us")
+        .orderBy("user_id", "signup_id")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "w01_tumble_agg" -> s"""
+      SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win_start,
+             event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "w02_hop_agg" -> s"""
+      SELECT win_start, event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM (
+        SELECT (CAST(floor(epoch_us(ts)/600000000) AS BIGINT) - t.k) * 600 AS win_start,
+               event_type, value
+        FROM events, unnest([0, 1, 2]) AS t(k))
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type""",
+
+    "w03_session_agg" -> s"""
+      WITH e AS (
+        SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+      marked AS (
+        SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w >= 600000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      grouped AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, min(tus) AS sess_start_us,
+             max(tus) + 600000000 AS sess_end_us,
+             count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM grouped
+      GROUP BY user_id, sid
+      ORDER BY user_id, sess_start_us""",
+
+    "w04_cumulate_agg" -> s"""
+      SELECT win_start, win_end, event_type, count(1) AS n,
+             ${dsumSql("value")} AS sum_value
+      FROM (
+        SELECT CAST(floor(epoch_us(ts)/14400000000)*14400 AS BIGINT) AS win_start,
+               CAST(floor(epoch_us(ts)/14400000000)*14400 AS BIGINT) + t.k*3600 AS win_end,
+               event_type, value, epoch_us(ts) AS tus
+        FROM events, unnest([1, 2, 3, 4]) AS t(k))
+      WHERE tus < win_end * 1000000
+      GROUP BY win_start, win_end, event_type
+      ORDER BY win_start, win_end, event_type""",
+
+    "w05_count_windows" -> s"""
+      SELECT user_id, win_id, count(1) AS n, ${dsumSql("value")} AS sum_value,
+             min(event_id) AS first_event
+      FROM (
+        SELECT user_id, event_id, value,
+               CAST(floor((row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - 1) / 50) AS BIGINT) AS win_id
+        FROM events)
+      GROUP BY user_id, win_id
+      ORDER BY user_id, win_id""",
+
+    "d01_dedup_keep_first" -> """
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type""",
+
+    "d02_dedup_keep_last" -> """
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type""",
+
+    "j01_interval_join" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type FROM events),
+           c AS (SELECT event_id AS click_id, tus AS ctus, user_id FROM e
+                 WHERE event_type = 'click'),
+           p AS (SELECT event_id AS purchase_id, tus AS ptus, user_id FROM e
+                 WHERE event_type = 'purchase')
+      SELECT click_id, purchase_id, ptus - ctus AS gap_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ptus > c.ctus AND p.ptus <= c.ctus + 1800000000
+      ORDER BY click_id, purchase_id""",
+
+    "j02_asof_join" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value
+                 FROM events),
+           p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+           c0 AS (SELECT event_id AS click_id, user_id, tus, value AS click_value
+                  FROM e WHERE event_type = 'click'),
+           c AS (SELECT click_id, user_id, tus, click_value FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id, tus
+                                                ORDER BY click_id DESC) AS rn
+                   FROM c0)
+                 WHERE rn = 1)
+      SELECT p.event_id AS purchase_id, p.user_id, p.tus,
+             c.click_id, c.click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.tus >= c.tus
+      ORDER BY purchase_id""",
+
+    "o01_over_time_range" -> """
+      SELECT user_id, event_id, tus,
+        CAST(sum(CAST(value AS DECIMAL(25,6)))
+             OVER (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS win_sum,
+        count(1) OVER (PARTITION BY user_id ORDER BY tus
+                       RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS win_n
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      ORDER BY user_id, tus, event_id""",
+
+    "m01_cep_strict" -> """
+      SELECT user_id, view_id, click_id, purchase_id, view_tus FROM (
+        SELECT user_id, event_id AS view_id, event_type, tus AS view_tus,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_id, 1) OVER w AS click_id,
+               lead(event_type, 2) OVER w AS t2,
+               lead(event_id, 2) OVER w AS purchase_id,
+               lead(tus, 2) OVER w AS tus2
+        FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        AND tus2 - view_tus < 3600000000
+      ORDER BY user_id, view_tus""",
+
+    "m02_cep_followed_by" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type FROM events),
+           s AS (SELECT event_id AS signup_id, tus AS stus, user_id FROM e
+                 WHERE event_type = 'signup'),
+           p AS (SELECT event_id AS purchase_id, tus AS ptus, user_id FROM e
+                 WHERE event_type = 'purchase')
+      SELECT user_id, signup_id, purchase_id, gap_us FROM (
+        SELECT s.user_id, s.signup_id, p.purchase_id,
+               p.ptus - s.stus AS gap_us,
+               row_number() OVER (PARTITION BY s.user_id, s.signup_id
+                                  ORDER BY p.ptus, p.purchase_id) AS rn
+        FROM s JOIN p ON s.user_id = p.user_id
+          AND (p.ptus > s.stus OR (p.ptus = s.stus AND p.purchase_id > s.signup_id))
+          AND p.ptus - s.stus < 86400000000)
+      WHERE rn = 1
+      ORDER BY user_id, signup_id"""
+  )
+}

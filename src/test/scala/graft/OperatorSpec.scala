@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, WindowOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the custom operator library on tiny inline tables
+  * (mirrors the reference's per-operator ITCase style, FIXTURES.md §B1).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("cumulate assigns growing step windows within the max window") {
+    // base window [0, 14400); event at t=4000s lands in steps ending 7200, 10800, 14400
+    val df = Seq((1L, 4000L)).toDF("id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = WindowOps.cumulate(df, col("ts"), 3600L, 14400L)
+      .select("win_start", "win_end").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((0L, 7200L), (0L, 10800L), (0L, 14400L)))
+  }
+
+  test("dedup keepFirst / keepLast pick the right rows") {
+    val df = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, "z")).toDF("k", "t", "v")
+    val first = Dedup.keepFirst(df, Seq(col("k")), Seq(col("t")))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    val last = Dedup.keepLast(df, Seq(col("k")), Seq(col("t")))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(first == Map(1L -> "x", 2L -> "z"))
+    assert(last == Map(1L -> "y", 2L -> "z"))
+  }
+
+  test("asOf matches latest right row at or before left time, null before any") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("rv"))
+      .select(col("lv"), col("asof.rv")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map("l0" -> None, "l1" -> Some("r10"), "l2" -> Some("r15")))
+  }
+
+  test("countTumble chunks rows per key in order") {
+    val df = Seq.tabulate(7)(i => (1L, i.toLong)).toDF("k", "t")
+    val out = WindowOps.countTumble(df, Seq(col("k")), Seq(col("t")), 3)
+      .groupBy("win_id").count().as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 1L))
+  }
+}
