@@ -19,6 +19,12 @@ trait QueryModule {
   * deterministic for identical expressions), cast each row to an exact
   * DECIMAL, SUM exactly, and cast the final value back to DOUBLE. Both
   * engines then produce the identical double.
+  *
+  * Constraint: keep |sum| * 10^6 below 2^53 (i.e. |sum| < ~9e9). Above
+  * that the final decimal→double conversion takes different rounding
+  * paths (Spark: one correctly-rounded conversion; DuckDB: int128→double
+  * then a division by 10^scale — two roundings) and can differ by 1 ulp.
+  * Pre-scale large-magnitude inputs (see AggregatesSuite a04).
   */
 object OracleSafe {
   /** Exact deterministic sum of a double expression. */

@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.EventTimeParity
+    operators.EventTimeParity,
+    operators.FunctionsSuite,
+    operators.AggregatesSuite
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

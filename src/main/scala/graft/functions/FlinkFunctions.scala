@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar functions the reference declares but Spark lacks (SURVEY.md §2.9
+  * gap list; reference surface BuiltInFunctionDefinitions.java, runtime
+  * bodies flink-table-runtime .../functions/SqlFunctionUtils.java).
+  * Implemented as native Catalyst expressions (codegen where it matters)
+  * rather than Scala UDFs so they stay inside whole-stage codegen.
+  */
+object FlinkFunctions {
+
+  /** HASH_CODE(string): Java String.hashCode, 32-bit. */
+  case class HashCode(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      v.asInstanceOf[UTF8String].toString.hashCode
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"($c).toString().hashCode()")
+    override protected def withNewChildInternal(c: Expression): HashCode = copy(c)
+    override def prettyName: String = "hash_code"
+  }
+
+  /** SPLIT_INDEX(str, sep, index): index-th (0-based) piece after
+    * splitting by the literal separator; null when out of range.
+    */
+  case class SplitIndex(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(str: Any, sep: Any, idx: Any): Any = {
+      val parts = str.asInstanceOf[UTF8String].toString
+        .split(java.util.regex.Pattern.quote(sep.asInstanceOf[UTF8String].toString), -1)
+      val i = idx.asInstanceOf[Int]
+      if (i >= 0 && i < parts.length) UTF8String.fromString(parts(i)) else null
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, (str, sep, idx) => {
+        val parts = ctx.freshName("parts")
+        s"""
+           |String[] $parts = ($str).toString().split(
+           |  java.util.regex.Pattern.quote(($sep).toString()), -1);
+           |if ($idx >= 0 && $idx < $parts.length) {
+           |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($parts[$idx]);
+           |} else {
+           |  ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): SplitIndex = copy(f, s, t)
+    override def prettyName: String = "split_index"
+  }
+
+  sealed abstract class CharClassCheck extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = BooleanType
+    protected def check(s: String): Boolean
+    override def nullSafeEval(v: Any): Any = check(v.asInstanceOf[UTF8String].toString)
+  }
+
+  /** IS_ALPHA(str): every char a letter; false for empty. */
+  case class IsAlpha(child: Expression) extends CharClassCheck {
+    override protected def check(s: String): Boolean =
+      s.nonEmpty && s.forall(Character.isLetter)
+    override protected def withNewChildInternal(c: Expression): IsAlpha = copy(c)
+    override def prettyName: String = "is_alpha"
+  }
+
+  /** IS_DIGIT(str): every char a decimal digit; false for empty. */
+  case class IsDigit(child: Expression) extends CharClassCheck {
+    override protected def check(s: String): Boolean =
+      s.nonEmpty && s.forall(Character.isDigit)
+    override protected def withNewChildInternal(c: Expression): IsDigit = copy(c)
+    override def prettyName: String = "is_digit"
+  }
+
+  /** IS_DECIMAL(str): parseable as a decimal number. */
+  case class IsDecimal(child: Expression) extends CharClassCheck {
+    override protected def check(s: String): Boolean =
+      try { new java.math.BigDecimal(s); true } catch { case _: NumberFormatException => false }
+    override protected def withNewChildInternal(c: Expression): IsDecimal = copy(c)
+    override def prettyName: String = "is_decimal"
+  }
+
+  // Column wrappers.
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def hash_code(c: Column): Column = column(HashCode(expression(c)))
+  def split_index(str: Column, sep: Column, idx: Column): Column =
+    column(SplitIndex(expression(str), expression(sep), expression(idx)))
+  def is_alpha(c: Column): Column = column(IsAlpha(expression(c)))
+  def is_digit(c: Column): Column = column(IsDigit(expression(c)))
+  def is_decimal(c: Column): Column = column(IsDecimal(expression(c)))
+
+  /** Register all gap functions for the SQL surface. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hash_code", es => HashCode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("split_index", es => SplitIndex(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("is_alpha", es => IsAlpha(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_digit", es => IsDigit(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")
+  }
+
+  /** Translate a Flink/SimpleDateFormat-style DATE_FORMAT pattern to the
+    * Spark 3+ (java.time DateTimeFormatter) dialect. The common tokens
+    * (y M d H m s S E a) coincide; the differing ones are mapped here.
+    */
+  def translateDatePattern(sdf: String): String =
+    sdf
+      .replace("u", "e") // SDF day-number-of-week → DTF localized day-of-week
+      .replace("ZZ", "xx")
+}

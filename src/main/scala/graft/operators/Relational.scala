@@ -231,7 +231,7 @@ object Relational extends QueryModule {
     // UNNEST / lateral: explode words of p_type with position.
     "q16_unnest_words" -> { (s, dir) =>
       Tables.load(s, dir, "part")
-        .select(col("p_partkey"), posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
         .groupBy(col("word")).agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"))
         .orderBy("word")
     },
@@ -452,8 +452,8 @@ object Relational extends QueryModule {
 
     "q16_unnest_words" -> """
       SELECT word, count(1) AS n, min(pos) AS min_pos FROM (
-        SELECT CAST(unnest(range(len(string_split(p_type, ' ')))) AS INT) AS pos,
-               unnest(string_split(p_type, ' ')) AS word
+        SELECT CAST(unnest(range(len(string_split(p_name, ' ')))) AS INT) AS pos,
+               unnest(string_split(p_name, ' ')) AS word
         FROM part)
       GROUP BY word
       ORDER BY word""",

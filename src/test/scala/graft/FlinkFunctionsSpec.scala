@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.FlinkFunctions
+import graft.functions.FlinkFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FlinkFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("gap expressions evaluate correctly (interpreted + codegen paths)") {
+    val df = Seq("a#b#c", "123", "abc", "").toDF("s")
+    val got = df.select(col("s"),
+      split_index(col("s"), lit("#"), lit(1)).as("si"),
+      is_alpha(col("s")).as("al"),
+      is_digit(col("s")).as("dg"),
+      is_decimal(col("s")).as("dc"),
+      hash_code(col("s")).as("hc"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getInt(5)))).toMap
+    val byKey = got
+    assert(byKey("a#b#c") == (Some("b"), false, false, false, "a#b#c".hashCode))
+    assert(byKey("123") == (None, false, true, true, "123".hashCode))
+    assert(byKey("abc") == (None, true, false, false, "abc".hashCode))
+    assert(byKey("") == (None, false, false, false, 0))
+  }
+
+  test("gap functions are usable from SQL after registration") {
+    FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT split_index('x,y,z', ',', 2) AS a, hash_code('abc') AS b, " +
+        "is_alpha('Graft') AS c, is_digit('42') AS d, is_decimal('-4e2') AS e")
+      .collect().head
+    assert(r.getString(0) == "z" && r.getInt(1) == 96354
+      && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+  }
+
+  test("split_index survives whole-stage codegen over many rows") {
+    val n = spark.range(1000)
+      .select(split_index(concat(lit("p#"), col("id")), lit("#"), lit(1)).as("v"))
+      .filter(col("v") === "500").count()
+    assert(n == 1)
+  }
+}
