@@ -10,7 +10,9 @@ object SparkEntry {
     operators.Relational,
     operators.EventTimeParity,
     operators.FunctionsSuite,
-    operators.AggregatesSuite
+    operators.AggregatesSuite,
+    operators.TextPipelineSuite,
+    operators.SimilaritySuite
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

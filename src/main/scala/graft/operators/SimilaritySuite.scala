@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Media payload metadata produced by the (stubbed) decoder. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                     channels: Int, format: String)
+
+/** Similarity search over `embeddings` (array<float>, dim 64) and
+  * multimodal-column plumbing over binary payloads. Brute-force cosine is
+  * the exact baseline (oracle-checked); sign-random-projection buckets
+  * are the at-scale candidate-pruning path (rows-only check — the
+  * hyperplanes are engine-internal). The "image decode" is a clearly
+  * marked deterministic stub (no codec libs in this container): the
+  * Spark-side plumbing — binary column, typed mapPartitions batch shape,
+  * metadata struct schema — is real and oracle-checked.
+  */
+object SimilaritySuite extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine near-dup pairs (threshold 0.4), norms computed once.
+    "te01_cosine_pairs" -> { (s, dir) =>
+      VectorOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact ANN baseline: brute-force top-5 for every 25th vector.
+    "te02_ann_topk" -> { (s, dir) =>
+      val all = Tables.load(s, dir, "embeddings")
+      val queries = all.filter(col("vec_id") % 25 === 0)
+      VectorOps.bruteForceTopK(queries, all, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // At-scale ANN path: SRP-LSH bucketing (12 bits), top-3 within
+    // bucket per query. No SQL oracle (rows-only): the bucket hash is
+    // engine-internal; correctness of the scoring is covered by te02.
+    "te03_ann_srp_lsh" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 12))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          VectorOps.toDouble(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id"), col("bucket"),
+        VectorOps.toDouble(col("embedding")).as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, Seq("bucket")).where(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv"))
+          / (VectorOps.norm(col("qv")) * VectorOps.norm(col("cv"))), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("query_id"), col("vec_id"), col("bucket"), col("cos"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
+    // Embedding-cosine near-dup dedup: connected pairs above 0.45 keep
+    // the lower id as representative (one-hop union: keep_id = min peer).
+    "te04_embedding_neardup" -> { (s, dir) =>
+      val pairs = VectorOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.45)
+      pairs.select(col("id_b").as("vec_id"), col("id_a").as("peer"))
+        .groupBy(col("vec_id")).agg(min(col("peer")).as("keep_id"))
+        .orderBy("vec_id")
+    },
+
+    // Multimodal: binary payload + typed mapPartitions decode stub →
+    // metadata struct (schema/batching real; decode deterministic fake).
+    "mm01_decode_meta" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // STUB decoder: real systems call an image codec here
+          // (mapInPandas/JNI); dims derived deterministically from size.
+          val n = bytes.length
+          MediaMeta(id, n,
+            width = 64 + n % 576,
+            height = 48 + (n * 7) % 432,
+            channels = 3,
+            format = (n % 3) match {
+              case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+            })
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // Multimodal: frame sampling for "video" payloads (every 30th frame
+    // of n_bytes%240 frames) with frame timestamps.
+    "mm02_frame_sample" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text").cast("binary")) % 240).as("n_frames"))
+        .where(col("n_frames") > 0)
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(30))).as("frame_idx"))
+        .withColumn("frame_ts", round(col("frame_idx") / 24.0, 6))
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "te01_cosine_pairs" -> """
+      WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings)
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+            (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      WHERE cos >= 0.4
+      ORDER BY id_a, id_b""",
+
+    "te02_ann_topk" -> """
+      WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]),
+            (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS cos
+        FROM n q JOIN n c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+      SELECT query_id, vec_id, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    "te04_embedding_neardup" -> """
+      WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+              (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.45)
+      SELECT id_b AS vec_id, min(id_a) AS keep_id
+      FROM pairs
+      GROUP BY id_b
+      ORDER BY vec_id""",
+
+    "mm01_decode_meta" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        CAST(64 + octet_length(encode(text)) % 576 AS INT) AS width,
+        CAST(48 + (octet_length(encode(text)) * 7) % 432 AS INT) AS height,
+        3 AS channels,
+        CASE octet_length(encode(text)) % 3
+          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      FROM documents
+      ORDER BY doc_id""",
+
+    "mm02_frame_sample" -> """
+      SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+             CAST(frame_idx AS INT) AS frame_idx,
+             round(frame_idx / 24.0, 6) AS frame_ts
+      FROM (
+        SELECT doc_id, octet_length(encode(text)) % 240 AS n_frames,
+               unnest(range(0, octet_length(encode(text)) % 240, 30)) AS frame_idx
+        FROM documents
+        WHERE octet_length(encode(text)) % 240 > 0)
+      ORDER BY doc_id, frame_idx"""
+  )
+}

@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over `documents` (BASELINE.json north
+  * star): exact + near-duplicate detection (n-gram Jaccard, MinHash-LSH,
+  * SimHash), language id, quality scoring, token counting, document
+  * fingerprinting. The MinHash-LSH query must produce exactly the same
+  * pair set as the exact all-pairs query (LSH params give ~100% recall
+  * at the threshold; both verify candidates with true Jaccard), so both
+  * share one exact-Jaccard oracle.
+  */
+object TextPipelineSuite extends QueryModule {
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("words", TextOps.words(col("text")))
+      .withColumn("shingles", TextOps.wordNgrams(col("words"), 3))
+
+  /** DuckDB equivalent of words/shingles used by several oracles. */
+  private val shingleCte = """
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [] END AS shingles
+          FROM w)"""
+
+  private val exactJaccardSql = s"""
+    WITH $shingleCte,
+    e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+    sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+              FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+    ORDER BY id_a, id_b"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash (hash-groupBy; scales by shuffling on
+    // the 128-bit digest).
+    "td01_dedup_exact" -> { (s, dir) =>
+      Dedup.exactByContent(Tables.load(s, dir, "documents"),
+          col("doc_id"), Seq(lower(col("text"))))
+        .select(col("content_hash"), col("keep_id"), col("n_dups"))
+        .orderBy("content_hash")
+    },
+
+    // Exact all-pairs word-3-gram Jaccard ≥ 0.8 (inverted-index join).
+    "td02_ngram_jaccard" -> { (s, dir) =>
+      TextOps.allPairsJaccard(docsWithShingles(s, dir), "doc_id", "shingles", 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-verified —
+    // must equal td02's result (same oracle).
+    "td03_minhash_lsh" -> { (s, dir) =>
+      TextOps.minhashLshPairs(docsWithShingles(s, dir), "doc_id", "shingles", 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash (60-bit) near-dups, hamming ≤ 3, pigeonhole-banded join.
+    "td04_simhash" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("words", TextOps.words(col("text")))
+      val sim = TextOps.simhash60(docs, "doc_id", "words")
+      TextOps.simhashPairs(sim, "doc_id", 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Language id: marker-word scores, deterministic argmax.
+    "td05_langid" -> { (s, dir) =>
+      val en = Seq("the", "a", "of", "and", "to")
+      val de = Seq("der", "die", "das", "und", "ist")
+      val fr = Seq("le", "la", "et", "les", "des")
+      val es = Seq("el", "los", "las", "y", "es")
+      def score(ws: Seq[String]) =
+        size(filter(col("words"), w => w.isin(ws.map(x => x: Any): _*)))
+      Tables.load(s, dir, "documents")
+        .withColumn("words", TextOps.words(col("text")))
+        .select(col("doc_id"), col("lang"),
+          score(en).as("s_en"), score(de).as("s_de"),
+          score(fr).as("s_fr"), score(es).as("s_es"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .withColumn("match_label", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/punct/duplication ratios + composite.
+    "td06_quality" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("words", TextOps.words(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          size(col("words")).as("n_words"),
+          round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+            / length(col("text")), 6).as("punct_ratio"),
+          round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            / length(col("text")), 6).as("digit_ratio"),
+          round(size(array_distinct(col("words"))) / size(col("words")), 6)
+            .as("uniq_ratio"))
+        .withColumn("quality_score",
+          round(lit(0.4) * col("uniq_ratio")
+            + lit(0.3) * least(lit(1.0), col("n_words") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("punct_ratio")), 6))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace, alpha-regex, numeric, BPE-ish estimate.
+    "td07_tokens" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.words(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("alpha_tokens"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("num_tokens"),
+          ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint (sorted distinct tokens → md5), grouped.
+    "td08_fingerprint" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("fp", md5(array_join(
+          array_sort(array_distinct(TextOps.words(col("text")))), " ")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fp")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "td01_dedup_exact" -> """
+      SELECT md5(lower(text)) AS content_hash,
+             min(doc_id) AS keep_id, count(1) AS n_dups
+      FROM documents
+      GROUP BY 1
+      ORDER BY content_hash""",
+
+    "td02_ngram_jaccard" -> exactJaccardSql,
+    "td03_minhash_lsh" -> exactJaccardSql,
+
+    "td04_simhash" -> """
+      WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+                  FROM documents),
+      wh AS (SELECT doc_id,
+               list_reduce(list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS wh
+             FROM wd),
+      bits AS (SELECT doc_id, j,
+                 sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM wh, unnest(range(0, 60)) AS t(j)
+               GROUP BY doc_id, j),
+      sh AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""",
+
+    "td05_langid" -> """
+      WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      sc AS (SELECT doc_id, lang,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS s_en,
+               len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+               len(list_filter(words, x -> x IN ('el','los','las','y','es'))) AS s_es
+             FROM w)
+      SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS predicted,
+        (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END) = lang AS match_label
+      FROM sc
+      ORDER BY doc_id""",
+
+    "td06_quality" -> """
+      WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      m AS (SELECT doc_id,
+              length(text) AS n_chars_calc,
+              len(words) AS n_words,
+              round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                * 1.0 / length(text), 6) AS punct_ratio,
+              round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                * 1.0 / length(text), 6) AS digit_ratio,
+              round(len(list_distinct(words)) * 1.0 / len(words), 6) AS uniq_ratio
+            FROM w)
+      SELECT *,
+        round(0.4 * uniq_ratio + 0.3 * least(1.0, n_words / 100.0)
+          + 0.3 * (1.0 - punct_ratio), 6) AS quality_score
+      FROM m
+      ORDER BY doc_id""",
+
+    "td07_tokens" -> """
+      SELECT doc_id,
+        len(string_split(lower(text), ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        len(regexp_extract_all(text, '[0-9]+')) AS num_tokens,
+        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents
+      ORDER BY doc_id""",
+
+    "td08_fingerprint" -> """
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp,
+             min(doc_id) AS keep_id, count(1) AS n_docs
+      FROM documents
+      GROUP BY 1
+      ORDER BY fp"""
+  )
+}
