@@ -1,0 +1,219 @@
+package graft.streaming
+
+import graft.cep.Nfa
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A changelog row in the reference's RowKind vocabulary (+I/-U/+U/-D) —
+  * SURVEY.md §1.1: changelogs are modeled as an ordinary column.
+  */
+case class Change[T](kind: String, rank: Int, value: T)
+case class DedupChange[T](kind: String, value: T)
+case class WindowResult[K](key: K, winId: Long, count: Long, sum: Double)
+case class AsOfMatch[L, R](left: L, right: Option[R])
+
+/** Stateful streaming operators on flatMapGroupsWithState — the
+  * genuinely custom layer (SURVEY.md §7.2-6) mirroring the reference's
+  * streaming specialties:
+  *
+  *  - streamingTopN: per-key bounded Top-N state with per-rank upsert
+  *    emission (semantics of flink-table-runtime
+  *    .../rank/UpdatableTopNFunction.java / AppendOnlyTopNFunction.java)
+  *  - keepLastDedup: keep-last-row upserts
+  *    (.../deduplicate/ProcTimeDeduplicateKeepLastRowFunction.java:32)
+  *  - eventTimeSorted: watermark-driven ordered emission
+  *    (.../sort/RowTimeSortOperator.java)
+  *  - countTumbleAgg: count-tumbling windows
+  *    (flink-streaming-java .../assigners/CountTumblingWindowAssigner)
+  *  - temporalJoin: event-time as-of join with versioned right-side state
+  *    (.../join/temporal/TemporalRowTimeJoinOperator.java:78)
+  *  - cepStream: watermark-driven NFA pattern matching
+  *    (flink-libraries/flink-cep .../nfa/NFA.java:86)
+  *
+  * State per key is bounded (Top-N keeps n rows; watermark-driven
+  * operators evict below the watermark), so executors scale horizontally
+  * with the key space — no driver-side state anywhere.
+  */
+object StatefulOps {
+
+  /** Streaming Top-N per key. Emits rank changes as +I (new rank) / +U
+    * (rank content replaced). `lessThan` orders "better first".
+    * Use with OutputMode.Update sinks.
+    */
+  def streamingTopN[K, T](ds: Dataset[T], n: Int, keyFn: T => K,
+                          lessThan: (T, T) => Boolean)
+                         (implicit ek: Encoder[K], ec: Encoder[Change[T]]): Dataset[Change[T]] = {
+    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val merged = (old ++ rows).sortWith(lessThan).take(n)
+          state.update(merged)
+          val changes = merged.zipWithIndex.flatMap { case (v, i) =>
+            old.lift(i) match {
+              case Some(prev) if prev == v => None
+              case Some(_)                 => Some(Change("+U", i + 1, v))
+              case None                    => Some(Change("+I", i + 1, v))
+            }
+          }
+          changes.iterator
+      }
+  }
+
+  /** Keep-last deduplication per key: emits -U for the displaced row and
+    * +I/+U for the new winner. `newer(a, b)` = a supersedes b.
+    */
+  def keepLastDedup[K, T](ds: Dataset[T], keyFn: T => K,
+                          newer: (T, T) => Boolean)
+                         (implicit ek: Encoder[K], ec: Encoder[DedupChange[T]]): Dataset[DedupChange[T]] = {
+    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val old = state.getOption.getOrElse(Seq.empty).headOption
+          val best = (old.toSeq ++ rows).reduceLeft((a, b) => if (newer(b, a)) b else a)
+          state.update(Seq(best))
+          old match {
+            case None                      => Iterator(DedupChange("+I", best))
+            case Some(p) if p == best      => Iterator.empty
+            case Some(p)                   =>
+              Iterator(DedupChange("-U", p), DedupChange("+U", best))
+          }
+      }
+  }
+
+  /** Event-time ordered emission: buffers rows per key and releases them
+    * sorted once the watermark passes their timestamp. Requires
+    * `withWatermark` upstream; emits in Append mode.
+    */
+  def eventTimeSorted[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long)
+                           (implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] = {
+    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Seq.empty) ++ rows
+          val (ready, pending) = buf.partition(t => tsMs(t) <= wm)
+          if (pending.nonEmpty) {
+            state.update(pending)
+            state.setTimeoutTimestamp(wm + 1)
+          } else if (state.exists) state.remove()
+          ready.sortBy(tsMs).iterator
+      }
+  }
+
+  /** Count-tumbling window aggregate: every `size` rows per key (arrival
+    * order) emit (key, winId, count, sum). Partial windows stay in state.
+    */
+  def countTumbleAgg[K, T](ds: Dataset[T], size: Int, keyFn: T => K,
+                           valueFn: T => Double)
+                          (implicit ek: Encoder[K], ew: Encoder[WindowResult[K]]): Dataset[WindowResult[K]] = {
+    implicit val se: Encoder[(Long, Long, Double)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Long, Long, Double)]) =>
+          var (winId, cnt, acc) = state.getOption.getOrElse((0L, 0L, 0.0))
+          val out = Seq.newBuilder[WindowResult[K]]
+          rows.foreach { t =>
+            cnt += 1; acc += valueFn(t)
+            if (cnt == size) {
+              out += WindowResult(key, winId, cnt, acc)
+              winId += 1; cnt = 0; acc = 0.0
+            }
+          }
+          state.update((winId, cnt, acc))
+          out.result().iterator
+      }
+  }
+
+  /** Tagged input for the two-stream temporal join (Spark stateful ops
+    * are single-input; union both sides — the standard pattern). Carries
+    * its own event-time column: typed maps drop watermark metadata, so
+    * the watermark is re-declared on the tagged union.
+    */
+  case class TaggedInput[L, R](ts: java.sql.Timestamp, left: Option[L], right: Option[R])
+
+  /** Event-time temporal (as-of) join: for each left row, the latest
+    * right version with ts(right) <= ts(left), emitted once the
+    * watermark passes the left row's time (so the right side is
+    * complete up to it). Right versions below the minimum pending left
+    * time are evicted — bounded state.
+    */
+  def temporalJoin[K, L, R](left: Dataset[L], right: Dataset[R],
+                            keyL: L => K, keyR: R => K,
+                            tsLMs: L => Long, tsRMs: R => Long,
+                            watermarkDelay: String = "0 seconds")
+                           (implicit ek: Encoder[K], eti: Encoder[TaggedInput[L, R]],
+                            em: Encoder[AsOfMatch[L, R]]): Dataset[AsOfMatch[L, R]] = {
+    implicit val se: Encoder[(Seq[L], Seq[R])] = Encoders.kryo[(Seq[L], Seq[R])]
+    val tagged = left
+      .map(l => TaggedInput[L, R](new java.sql.Timestamp(tsLMs(l)), Some(l), None))
+      .union(right.map(r => TaggedInput[L, R](new java.sql.Timestamp(tsRMs(r)), None, Some(r))))
+      .withWatermark("ts", watermarkDelay)
+    tagged.groupByKey(t => t.left.map(keyL).getOrElse(keyR(t.right.get)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[TaggedInput[L, R]], state: GroupState[(Seq[L], Seq[R])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (pendL, versR) = state.getOption.getOrElse((Seq.empty[L], Seq.empty[R]))
+          rows.foreach { t =>
+            t.left.foreach(l => pendL :+= l)
+            t.right.foreach(r => versR :+= r)
+          }
+          val (ready, stillPend) = pendL.partition(l => tsLMs(l) <= wm)
+          val sortedR = versR.sortBy(tsRMs)
+          val out = ready.sortBy(tsLMs).map { l =>
+            val t = tsLMs(l)
+            AsOfMatch(l, sortedR.takeWhile(r => tsRMs(r) <= t).lastOption)
+          }
+          // Evict right versions no longer reachable: keep the latest
+          // version at or below the horizon and everything after it.
+          val horizon = (stillPend.map(tsLMs) :+ wm).min
+          val (below, above) = sortedR.partition(r => tsRMs(r) <= horizon)
+          val kept = below.takeRight(1) ++ above
+          if (stillPend.nonEmpty || kept.nonEmpty) {
+            state.update((stillPend, kept))
+            state.setTimeoutTimestamp(wm + 1)
+          } else if (state.exists) state.remove()
+          out.iterator
+      }
+  }
+
+  /** Streaming CEP: buffers events per key, and on each watermark
+    * advance runs the NFA over the mature (ts <= watermark) prefix in
+    * event-time order. Supports SkipPastLast patterns: consumed events
+    * are dropped; unmatched mature events older than the pattern's
+    * `within` horizon are evicted (they can no longer start a match
+    * that involves unseen data).
+    */
+  def cepStream[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
+                      pattern: Nfa.Pattern[T])
+                     (implicit ek: Encoder[K]): Dataset[Nfa.Match[T]] = {
+    require(pattern.afterMatch == Nfa.AfterMatch.SkipPastLast,
+      "streaming CEP supports SkipPastLast (MATCH_RECOGNIZE default)")
+    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    implicit val e1: Encoder[Nfa.Match[T]] = Encoders.kryo[Nfa.Match[T]]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Seq.empty) ++ rows
+          val (mature, immature) = buf.partition(t => tsMs(t) <= wm)
+          val sorted = mature.sortBy(tsMs).toIndexedSeq
+          val matches = Nfa.run[T](sorted, t => tsMs(t) * 1000L, pattern)
+          // Drop consumed events; keep unmatched ones still inside the
+          // `within` horizon (could pair with future events).
+          val consumed = matches.flatMap(_.bindings.flatMap(_._2)).toSet
+          val horizon = pattern.withinMicros.map(wm - _ / 1000L).getOrElse(Long.MinValue)
+          val keep = sorted.filterNot(consumed.contains)
+            .filter(t => tsMs(t) > horizon) ++ immature
+          if (keep.nonEmpty) {
+            state.update(keep)
+            state.setTimeoutTimestamp(wm + 1)
+          } else if (state.exists) state.remove()
+          matches.iterator
+      }
+  }
+}

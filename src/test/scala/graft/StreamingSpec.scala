@@ -1,0 +1,181 @@
+package graft
+
+import graft.cep.Nfa
+import graft.streaming._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+case class SEv(k: Long, ts: java.sql.Timestamp, v: Double, tag: String)
+
+/** MemoryStream-driven tests for the stateful streaming operators
+  * (mirrors the reference's harness-driven operator tests, SURVEY §5.3).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("streamingTopN emits per-rank inserts and updates") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.streamingTopN[Long, SEv](
+      in.toDS(), 2, _.k, (a, b) => a.v > b.v)
+    val q = out.writeStream.format("memory").queryName("topn")
+      .outputMode("update").start()
+    in.addData(SEv(1, ts(1), 10.0, "a"), SEv(1, ts(2), 5.0, "b"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(3), 7.0, "c")) // displaces rank 2
+    runToCompletion(q)
+    val rows = spark.table("topn").as[Change[SEv]].collect()
+    val batch1 = rows.filter(_.kind == "+I").map(c => (c.rank, c.value.tag)).toSet
+    assert(batch1 == Set((1, "a"), (2, "b")))
+    val upd = rows.filter(_.kind == "+U")
+    assert(upd.map(c => (c.rank, c.value.tag)).toSet == Set((2, "c")))
+  }
+
+  test("keepLastDedup emits -U/+U changelog on replacement") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.keepLastDedup[Long, SEv](
+      in.toDS(), _.k, (a, b) => a.ts.getTime > b.ts.getTime)
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("update").start()
+    in.addData(SEv(1, ts(10), 1.0, "old"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(20), 2.0, "new"), SEv(1, ts(5), 0.0, "stale"))
+    runToCompletion(q)
+    val rows = spark.table("dedup").as[DedupChange[SEv]].collect()
+    assert(rows.map(r => (r.kind, r.value.tag)).toSeq ==
+      Seq(("+I", "old"), ("-U", "old"), ("+U", "new")))
+  }
+
+  test("eventTimeSorted releases rows in order as the watermark advances") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "15 seconds")
+    val out = StatefulOps.eventTimeSorted[Long, SEv](
+      wmarked, _.k, _.ts.getTime)
+    val q = out.writeStream.format("memory").queryName("etsort")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(30), 3.0, "c"), SEv(1, ts(10), 1.0, "a"))
+    q.processAllAvailable() // wm -> 15: releases a only
+    in.addData(SEv(1, ts(20), 2.0, "b")) // not late (wm 15), buffered
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(100), 9.0, "z")) // wm -> 85: releases b, c in order
+    runToCompletion(q)
+    val got = spark.table("etsort").as[SEv].collect().map(_.tag).toSeq
+    // z stays pending at the final watermark; note rows below the
+    // watermark at arrival are dropped by the framework (late data).
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("countTumbleAgg emits full windows and holds partials") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.countTumbleAgg[Long, SEv](in.toDS(), 3, _.k, _.v)
+    val q = out.writeStream.format("memory").queryName("cnw")
+      .outputMode("append").start()
+    in.addData(SEv(7, ts(1), 1.0, ""), SEv(7, ts(2), 2.0, ""))
+    q.processAllAvailable()
+    in.addData(SEv(7, ts(3), 3.0, ""), SEv(7, ts(4), 4.0, ""))
+    runToCompletion(q)
+    val rows = spark.table("cnw").as[WindowResult[Long]].collect()
+    assert(rows.toSeq == Seq(WindowResult(7L, 0L, 3L, 6.0)))
+  }
+
+  test("temporalJoin matches left rows to latest right version at or before") {
+    val lIn = MemoryStream[SEv]
+    val rIn = MemoryStream[SEv]
+    val out = StatefulOps.temporalJoin[Long, SEv, SEv](
+      lIn.toDS(), rIn.toDS(), _.k, _.k, _.ts.getTime, _.ts.getTime)
+    val q = out.writeStream.format("memory").queryName("tj")
+      .outputMode("append").start()
+    rIn.addData(SEv(1, ts(10), 100.0, "v1"), SEv(1, ts(20), 200.0, "v2"))
+    lIn.addData(SEv(1, ts(15), 0.0, "probe15"), SEv(1, ts(25), 0.0, "probe25"),
+      SEv(1, ts(5), 0.0, "probe5"))
+    q.processAllAvailable()
+    lIn.addData(SEv(1, ts(99), 0.0, "flush")) // advance watermark
+    rIn.addData(SEv(1, ts(99), 0.0, "rflush"))
+    runToCompletion(q)
+    val rows = spark.table("tj").as[AsOfMatch[SEv, SEv]].collect()
+      .map(m => m.left.tag -> m.right.map(_.tag)).toMap
+    assert(rows("probe5") == None)
+    assert(rows("probe15") == Some("v1"))
+    assert(rows("probe25") == Some("v2"))
+  }
+
+  test("cepStream detects patterns across micro-batches") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a"),
+      Step("b", (_: SEv).tag == "b")),
+      withinMicros = Some(60L * 1000000L),
+      afterMatch = AfterMatch.SkipPastLast)
+    val out = StatefulOps.cepStream[Long, SEv](wmarked, _.k, _.ts.getTime, pat)
+      .map(m => (m.first("a").ts.getTime / 1000, m.first("b").ts.getTime / 1000))
+    val q = out.writeStream.format("memory").queryName("cep")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 0, "a"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(11), 0, "b")) // completes pattern once mature
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x")) // advance watermark past 11
+    runToCompletion(q)
+    val got = spark.table("cep").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)))
+  }
+
+  test("built-in parity: watermarked tumbling window aggregate (append)") {
+    val in = MemoryStream[SEv]
+    val agg = in.toDS().withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("k"), col("window.start").cast("long").as("ws"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(11), 1.0, ""), SEv(1, ts(13), 2.0, ""))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(40), 1.0, "")) // watermark 35 closes [10,20)
+    runToCompletion(q)
+    val rows = spark.table("winagg").as[(Long, Long, Long, Double)].collect()
+    assert(rows.toSet == Set((1L, 10L, 2L, 3.0)))
+  }
+
+  test("built-in parity: streaming dropDuplicates keep-first") {
+    val in = MemoryStream[SEv]
+    val out = in.toDS().withWatermark("ts", "10 seconds")
+      .dropDuplicates("k")
+    val q = out.writeStream.format("memory").queryName("ddup")
+      .outputMode("append").start()
+    in.addData(SEv(5, ts(1), 1.0, "first"))
+    q.processAllAvailable()
+    in.addData(SEv(5, ts(2), 2.0, "dup"))
+    runToCompletion(q)
+    val rows = spark.table("ddup").as[SEv].collect()
+    assert(rows.map(_.tag).toSeq == Seq("first"))
+  }
+
+  test("built-in parity: stream-stream interval join with watermarks") {
+    val lIn = MemoryStream[SEv]
+    val rIn = MemoryStream[SEv]
+    val l = lIn.toDS().withWatermark("ts", "5 seconds").as("l")
+    val r = rIn.toDS().withWatermark("ts", "5 seconds").as("r")
+    val joined = l.join(r,
+      expr("l.k = r.k AND r.ts > l.ts AND r.ts <= l.ts + interval 10 seconds"))
+      .select(col("l.tag").as("lt"), col("r.tag").as("rt"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    lIn.addData(SEv(1, ts(10), 0, "L10"))
+    rIn.addData(SEv(1, ts(15), 0, "R15"), SEv(1, ts(25), 0, "R25"))
+    runToCompletion(q)
+    val rows = spark.table("ssj").as[(String, String)].collect().toSet
+    assert(rows == Set(("L10", "R15")))
+  }
+}
