@@ -12,7 +12,8 @@ object SparkEntry {
     operators.FunctionsSuite,
     operators.AggregatesSuite,
     operators.TextPipelineSuite,
-    operators.SimilaritySuite
+    operators.SimilaritySuite,
+    operators.MiscParity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

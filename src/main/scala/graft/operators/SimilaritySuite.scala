@@ -106,32 +106,44 @@ object SimilaritySuite extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "te01_cosine_pairs" -> """
-      WITH n AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               sqrt(list_reduce(list_transform(
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
-                 (a, b) -> a + b)) AS nrm
-        FROM embeddings)
-      SELECT id_a, id_b, cos FROM (
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
-            (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
-        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+               CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, cos FROM (
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id)
       WHERE cos >= 0.4
       ORDER BY id_a, id_b""",
 
     "te02_ann_topk" -> """
-      WITH n AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               sqrt(list_reduce(list_transform(
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
-                 (a, b) -> a + b)) AS nrm
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
         FROM embeddings),
-      scored AS (
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-          round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]),
-            (x, y) -> x + y) / (q.nrm * c.nrm), 6) AS cos
-        FROM n q JOIN n c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
       SELECT query_id, vec_id, cos, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, vec_id) AS INT) AS rk
@@ -140,18 +152,23 @@ object SimilaritySuite extends QueryModule {
       ORDER BY query_id, rk""",
 
     "te04_embedding_neardup" -> """
-      WITH n AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               sqrt(list_reduce(list_transform(
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
-                 (a, b) -> a + b)) AS nrm
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
         FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
       pairs AS (
         SELECT id_a, id_b FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
-              (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
-          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots JOIN norms na ON id_a = na.vec_id
+                    JOIN norms nb ON id_b = nb.vec_id)
         WHERE cos >= 0.45)
       SELECT id_b AS vec_id, min(id_a) AS keep_id
       FROM pairs

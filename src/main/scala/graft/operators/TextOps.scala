@@ -22,15 +22,43 @@ object TextOps {
         i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature columns mh0..mh{k-1} per id, from exploded shingles.
-    * Permutation i is xxhash64(shingle, i) — k independent 64-bit hashes.
+  /** Distinct (id, shingle) pairs — the preferred at-scale form: built
+    * from posexplode + window `lead`, so every operator is codegen'd
+    * (the array/lambda form above evaluates interpreted, which is both
+    * slower and single-threaded when the source is one file). The
+    * window shuffle also spreads per-doc work across the cluster.
     */
-  def minhashSignature(docs: DataFrame, idCol: String, shinglesCol: String,
-                       numPerms: Int): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
-    val aggs = (0 until numPerms).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"mh$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = docs
+      .select(col(idCol).as("id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col("id") +: col("w") +:
+        (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    withLeads
+      .where(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col("id"), concat_ws(" ", parts: _*).as("sh"))
+      .distinct()
   }
+
+  /** (id, sh) index from a shingle-array column (array form adapter). */
+  def explodeShingles(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("sh"))
+
+  /** MinHash signature columns mh0..mh{k-1} per id from an (id, sh)
+    * index. Permutation i is xxhash64(shingle, i) — k independent
+    * 64-bit hashes, computed in one codegen'd aggregate pass.
+    */
+  def minhashSignatureIdx(idx: DataFrame, numPerms: Int): DataFrame = {
+    val aggs = (0 until numPerms).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
+    idx.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSignature(docs: DataFrame, idCol: String, shinglesCol: String,
+                       numPerms: Int): DataFrame =
+    minhashSignatureIdx(explodeShingles(docs, idCol, shinglesCol), numPerms)
+      .withColumnRenamed("id", idCol)
 
   /** LSH banding: one row per (id, band, bandHash). With r rows per band
     * and b = numPerms/r bands, a pair with Jaccard J collides with
@@ -55,28 +83,41 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact Jaccard for given pairs, from per-doc shingle arrays. */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    shinglesCol: String): DataFrame = {
-    val sa = docs.select(col(idCol).as("id_a"), col(shinglesCol).as("__sa"))
-    val sb = docs.select(col(idCol).as("id_b"), col(shinglesCol).as("__sb"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
-      .withColumn("jaccard", col("__inter") /
-        (size(col("__sa")) + size(col("__sb")) - col("__inter")))
-      .drop("__sa", "__sb", "__inter")
+  /** Exact Jaccard for given pairs, via the exploded inverted index.
+    * Sizes and intersections come from aggregations (materialized through
+    * the shuffle), so the shingle-building expression is evaluated once
+    * per document — never inlined into per-pair predicates, which would
+    * turn candidate filtering quadratic in interpreted expression evals.
+    */
+  def jaccardVerifyIdx(pairs: DataFrame, idx: DataFrame): DataFrame = {
+    // Join on the 64-bit shingle hash, not the string: long join keys
+    // are far cheaper to shuffle/compare and collisions are ~p²/2^65.
+    val e = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(e.select(col("id").as("id_a"), col("sh").as("__sha")).hint("shuffle_hash"), "id_a")
+      .join(e.select(col("id").as("__idb"), col("sh").as("__shb")).hint("shuffle_hash"),
+        col("id_b") === col("__idb") && col("__sha") === col("__shb"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", coalesce(col("inter"), lit(0L)) /
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact all-pairs Jaccard ≥ threshold via inverted shingle index
     * (one shuffle on shingle, one on the pair key). The exact baseline;
     * at very large scale prefer minhashLshPairs which prunes candidates.
     */
-  def allPairsJaccard(docs: DataFrame, idCol: String, shinglesCol: String,
-                      threshold: Double): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"), explode(col(shinglesCol)).as("sh"))
-    val sizes = docs.select(col(idCol).as("id"), size(col(shinglesCol)).as("n"))
-    val inter = exploded.select(col("sh"), col("id").as("id_a"))
-      .join(exploded.select(col("sh"), col("id").as("id_b")), "sh")
+  def allPairsJaccardIdx(idx: DataFrame, threshold: Double): DataFrame = {
+    val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // Never broadcast the inverted index: both sides are corpus-sized.
+    val inter = exploded.select(col("sh"), col("id").as("id_a")).hint("shuffle_hash")
+      .join(exploded.select(col("sh"), col("id").as("id_b")).hint("shuffle_hash"), "sh")
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
@@ -90,20 +131,34 @@ object TextOps {
   /** MinHash-LSH near-dup pairs: LSH candidates, exact-verified at the
     * threshold. Same result set as allPairsJaccard at far lower cost.
     */
+  def minhashLshPairsIdx(idx: DataFrame, threshold: Double,
+                         numPerms: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignatureIdx(idx, numPerms)
+    val cands = candidatePairs(lshBands(sig, "id", numPerms, rowsPerBand), "id")
+    jaccardVerifyIdx(cands, idx).where(col("jaccard") >= threshold)
+  }
+
+  // Array-column adapters (tests / small inputs).
+  def allPairsJaccard(docs: DataFrame, idCol: String, shinglesCol: String,
+                      threshold: Double): DataFrame =
+    allPairsJaccardIdx(explodeShingles(docs, idCol, shinglesCol), threshold)
+
   def minhashLshPairs(docs: DataFrame, idCol: String, shinglesCol: String,
                       threshold: Double, numPerms: Int = 64,
-                      rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(docs, idCol, shinglesCol, numPerms)
-    val cands = candidatePairs(lshBands(sig, idCol, numPerms, rowsPerBand), idCol)
-    jaccardVerify(cands, docs, idCol, shinglesCol)
-      .where(col("jaccard") >= threshold)
-  }
+                      rowsPerBand: Int = 2): DataFrame =
+    minhashLshPairsIdx(explodeShingles(docs, idCol, shinglesCol), threshold,
+      numPerms, rowsPerBand)
 
   /** 60-bit SimHash per doc over distinct words (word hash = first 15 hex
     * chars of md5, so the oracle can recompute it).
     */
   def simhash60(docs: DataFrame, idCol: String, wordsCol: String): DataFrame =
-    docs.select(col(idCol), explode(array_distinct(col(wordsCol))).as("w"))
+    simhash60Idx(
+      docs.select(col(idCol), explode(array_distinct(col(wordsCol))).as("w")), idCol)
+
+  /** SimHash from a distinct (id, w) words index (preferred form). */
+  def simhash60Idx(wordsIdx: DataFrame, idCol: String): DataFrame =
+    wordsIdx
       .withColumn("wh", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
       .withColumn("j", explode(sequence(lit(0), lit(59))))
       .withColumn("bitval",

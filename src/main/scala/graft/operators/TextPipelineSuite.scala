@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextPipelineSuite extends QueryModule {
 
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingle) index — window-lead construction keeps every
+    * operator codegen'd and spreads per-doc work across cores (the
+    * source parquet is a single file → 1 partition).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    TextOps.shingleIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+
+  /** (doc_id, w) exploded words (with duplicates), parallelized. */
+  private def wordsIdx(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .withColumn("words", TextOps.words(col("text")))
-      .withColumn("shingles", TextOps.wordNgrams(col("words"), 3))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .repartition(col("doc_id"))
 
   /** DuckDB equivalent of words/shingles used by several oracles. */
   private val shingleCte = """
@@ -56,7 +64,7 @@ object TextPipelineSuite extends QueryModule {
 
     // Exact all-pairs word-3-gram Jaccard ≥ 0.8 (inverted-index join).
     "td02_ngram_jaccard" -> { (s, dir) =>
-      TextOps.allPairsJaccard(docsWithShingles(s, dir), "doc_id", "shingles", 0.8)
+      TextOps.allPairsJaccardIdx(shingles(s, dir), 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
     },
@@ -64,7 +72,7 @@ object TextPipelineSuite extends QueryModule {
     // MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-verified —
     // must equal td02's result (same oracle).
     "td03_minhash_lsh" -> { (s, dir) =>
-      TextOps.minhashLshPairs(docsWithShingles(s, dir), "doc_id", "shingles", 0.8)
+      TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
@@ -72,27 +80,26 @@ object TextPipelineSuite extends QueryModule {
 
     // SimHash (60-bit) near-dups, hamming ≤ 3, pigeonhole-banded join.
     "td04_simhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("words", TextOps.words(col("text")))
-      val sim = TextOps.simhash60(docs, "doc_id", "words")
+      val sim = TextOps.simhash60Idx(wordsIdx(s, dir).distinct(), "doc_id")
       TextOps.simhashPairs(sim, "doc_id", 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
     },
 
-    // Language id: marker-word scores, deterministic argmax.
+    // Language id: marker-word scores (codegen'd conditional sums over
+    // the exploded words index), deterministic argmax.
     "td05_langid" -> { (s, dir) =>
       val en = Seq("the", "a", "of", "and", "to")
       val de = Seq("der", "die", "das", "und", "ist")
       val fr = Seq("le", "la", "et", "les", "des")
       val es = Seq("el", "los", "las", "y", "es")
       def score(ws: Seq[String]) =
-        size(filter(col("words"), w => w.isin(ws.map(x => x: Any): _*)))
-      Tables.load(s, dir, "documents")
-        .withColumn("words", TextOps.words(col("text")))
-        .select(col("doc_id"), col("lang"),
-          score(en).as("s_en"), score(de).as("s_de"),
+        sum(when(col("w").isin(ws.map(x => x: Any): _*), 1).otherwise(0)).cast("int")
+      val scores = wordsIdx(s, dir).groupBy(col("doc_id"))
+        .agg(score(en).as("s_en"), score(de).as("s_de"),
           score(fr).as("s_fr"), score(es).as("s_es"))
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(scores, "doc_id")
         .withColumn("predicted",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
             && col("s_en") >= col("s_es"), "en")
@@ -103,19 +110,22 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Quality scoring: length/punct/duplication ratios + composite.
+    // Quality scoring: length/punct/duplication ratios + composite
+    // (distinct-word stats from the exploded index — no array lambdas).
     "td06_quality" -> { (s, dir) =>
+      val wstats = wordsIdx(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("nu"))
       Tables.load(s, dir, "documents")
-        .withColumn("words", TextOps.words(col("text")))
+        .repartition(col("doc_id"))
+        .join(wstats, "doc_id")
         .select(col("doc_id"),
           length(col("text")).as("n_chars_calc"),
-          size(col("words")).as("n_words"),
+          col("nw").cast("int").as("n_words"),
           round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
             / length(col("text")), 6).as("punct_ratio"),
           round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
             / length(col("text")), 6).as("digit_ratio"),
-          round(size(array_distinct(col("words"))) / size(col("words")), 6)
-            .as("uniq_ratio"))
+          round(col("nu") / col("nw"), 6).as("uniq_ratio"))
         .withColumn("quality_score",
           round(lit(0.4) * col("uniq_ratio")
             + lit(0.3) * least(lit(1.0), col("n_words") / 100.0)
@@ -126,6 +136,7 @@ object TextPipelineSuite extends QueryModule {
     // Token counting: whitespace, alpha-regex, numeric, BPE-ish estimate.
     "td07_tokens" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           size(TextOps.words(col("text"))).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("alpha_tokens"),
@@ -134,11 +145,11 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Document fingerprint (sorted distinct tokens → md5), grouped.
+    // Document fingerprint (sorted distinct tokens → md5), grouped —
+    // built by aggregation (collect_set + sort once per doc).
     "td08_fingerprint" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .withColumn("fp", md5(array_join(
-          array_sort(array_distinct(TextOps.words(col("text")))), " ")))
+      wordsIdx(s, dir).groupBy(col("doc_id"))
+        .agg(md5(array_join(array_sort(collect_set(col("w"))), " ")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("fp")

@@ -7,47 +7,85 @@ import org.apache.spark.sql.expressions.Window
 /** Embedding-vector primitives for similarity search over an
   * `array<float>` column: exact cosine (brute-force baseline) and a
   * sign-random-projection LSH bucketing for the at-scale path.
-  * Dot products fold left-to-right in double precision (deterministic,
-  * and reproducible by the oracle's list_sum/list_transform).
+  *
+  * Dots and norms are computed on the exploded (id, dim, x) index with
+  * exact scaled-integer accumulation: results are independent of
+  * aggregation order (so distributed partial aggregation is safe AND
+  * bit-reproducible by the oracle), and the whole plan stays in
+  * whole-stage codegen — per-pair higher-order-function folds are
+  * interpreted and turn quadratic at pair scope.
   */
 object VectorOps {
 
+  /** Exact order-independent accumulation of small doubles: scale to
+    * integer picometer-ish units (1e12), floor, sum as LONG (codegen
+    * vectorized — Decimal128 sums are ~50x slower at this volume), and
+    * rescale. Deterministic in any aggregation order, reproducible in
+    * DuckDB with the same floor/scale expression. Valid while
+    * |term| * 1e12 < 2^63 / n_terms — fine for unit-ish embedding
+    * components.
+    */
+  private def scaledSum(c: Column): Column =
+    sum(floor(c * lit(1e12)).cast("long")).cast("double") / lit(1e12)
+
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Per-pair fold versions (sequential, deterministic) — for small
+    * candidate sets (e.g. within an LSH bucket) and tests.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity of two double vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** All pairs (id_a < id_b) with cosine ≥ threshold — exact brute force,
-    * norms computed once per vector. O(n²) in pairs: the correctness
-    * baseline; use lshBuckets to prune at scale.
+  /** Exploded (id, d, x) view of a vector column. */
+  def explodeVec(df: DataFrame, idCol: String, vecCol: String,
+                 idAlias: String): DataFrame =
+    df.select(col(idCol).as(idAlias),
+      posexplode(toDouble(col(vecCol))).as(Seq("d", "x")))
+
+  /** Per-vector L2 norms (exact decimal accumulation). */
+  def norms(df: DataFrame, idCol: String, vecCol: String,
+            idAlias: String): DataFrame =
+    explodeVec(df, idCol, vecCol, idAlias)
+      .groupBy(col(idAlias))
+      .agg(sqrt(scaledSum(col("x") * col("x"))).as("nrm"))
+
+  import graft.functions.VectorExpressions.dot_scaled
+
+  private def scaledToDouble(c: Column): Column = c.cast("double") / lit(1e12)
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold — exact brute
+    * force: pair join + one codegen'd dot-product loop per pair
+    * (DotScaledLong). Inherently O(n²); the correctness baseline — use
+    * srpBucket to prune candidates at scale.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val n = vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(scaledToDouble(dot_scaled(col("v"), col("v")))))
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Exact top-k neighbors for each query vector (brute force + window). */
+  /** Exact top-k neighbors per query vector (pair join + native dot). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", sqrt(scaledToDouble(dot_scaled(col("qv"), col("qv")))))
     val c = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+      .withColumn("cn", sqrt(scaledToDouble(dot_scaled(col("cv"), col("cv")))))
     val scored = q.join(c, col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv"))) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -63,7 +101,6 @@ object VectorOps {
     */
   def srpBucket(vec: Column, dim: Int, nbits: Int): Column = {
     val bits = (0 until nbits).map { bIdx =>
-      // hyperplane component h_{bIdx,d} in {-1,+1} from a fixed hash
       val proj = (0 until dim).map { d =>
         when(pmod(xxhash64(lit(bIdx * 7919 + d)), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)) * element_at(vec, d + 1).cast("double")

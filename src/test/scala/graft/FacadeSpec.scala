@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.LookupJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.atomic.AtomicInteger
+
+object LookupCounter {
+  val probes = new AtomicInteger(0)
+}
+
+class FacadeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("table environment registers tables, watermarks, and gap functions") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    val q1 = env.sqlQuery(
+      "SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY 1")
+    assert(q1.count() > 0)
+    assert(env.declaredWatermark("events").contains(("ts", "10 minutes")))
+    // gap functions available in SQL through the façade
+    val r = env.executeSql("SELECT split_index(c_name, '#', 1) AS id FROM customer LIMIT 1")
+    assert(r.columns.sameElements(Array("id")))
+    // watermark injection resolves (on batch frames Spark elides the
+    // node — it only takes effect in streaming mode, like the reference)
+    assert(env.fromWithWatermark("events").columns.contains("ts"))
+  }
+
+  test("lookup join probes once per distinct key within a partition (LRU cache)") {
+    LookupCounter.probes.set(0)
+    val ds = spark.range(100).as[Long].map(i => (i, i % 5)) // 5 distinct keys
+      .repartition(1)
+    val out = LookupJoin.lookup[(Long, Long), Long, String](
+      ds, _._2,
+      () => k => { LookupCounter.probes.incrementAndGet(); Some(s"v$k") },
+      cacheSize = 10)
+    val rows = out.collect()
+    assert(rows.length == 100)
+    assert(rows.forall { case ((_, k), v) => v.contains(s"v$k") })
+    assert(LookupCounter.probes.get() == 5) // cache absorbed the rest
+  }
+
+  test("lookup join LRU evicts beyond capacity") {
+    LookupCounter.probes.set(0)
+    // keys cycle 0..9 twice with cache of 5 → evictions force re-probes
+    val ds = spark.createDataset((0 until 20).map(i => (i.toLong, (i % 10).toLong)))
+      .repartition(1)
+    LookupJoin.lookup[(Long, Long), Long, String](
+      ds, _._2,
+      () => k => { LookupCounter.probes.incrementAndGet(); Some(s"v$k") },
+      cacheSize = 5).collect()
+    assert(LookupCounter.probes.get() > 10) // misses beyond first pass
+  }
+}
