@@ -13,7 +13,8 @@ object SparkEntry {
     operators.AggregatesSuite,
     operators.TextPipelineSuite,
     operators.SimilaritySuite,
-    operators.MiscParity
+    operators.MiscParity,
+    operators.ExtraParity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.cep.Nfa
+import graft.cep.Nfa.{AfterMatch, Pattern, Quantifier, Step}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional inventory items: CEP OneOrMore quantifier (greedy looping
+  * state — flink-cep Pattern.oneOrMore), URL/map scalar functions
+  * (PARSE_URL, STR_TO_MAP — FlinkSqlOperatorTable), and batch
+  * iterations (DataSet.iterate / IterativeDataSet parity, SURVEY §2.10)
+  * as driver-looped label propagation producing near-dup connected
+  * components.
+  */
+object ExtraParity extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CEP: one-or-more consecutive errors immediately followed by a view
+    // (greedy OneOrMore + strict contiguity + within bound).
+    "m03_cep_one_or_more" -> { (s, dir) =>
+      import s.implicits._
+      val ds = Tables.load(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("user_id"), col("event_type")).as[Ev]
+      val pat = Pattern[Ev](Vector(
+        Step("e", (_: Ev).event_type == "error", quantifier = Quantifier.OneOrMore),
+        Step("v", (_: Ev).event_type == "view")),
+        withinMicros = Some(7200L * 1000000L),
+        afterMatch = AfterMatch.SkipPastLast)
+      ds.groupByKey(_.user_id)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.tus, e.event_id))
+          Nfa.run[Ev](evs, _.tus, pat).iterator.map { m =>
+            val errs = m.bindings.find(_._1 == "e").get._2
+            (uid, errs.head.event_id, errs.size, m.first("v").event_id)
+          }
+        }
+        .toDF("user_id", "first_err", "n_errs", "view_id")
+        .orderBy("user_id", "first_err")
+    },
+
+    // PARSE_URL / STR_TO_MAP over constructed URLs.
+    "f09_url_map" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .withColumn("url", concat(lit("https://shop.example.com/c/"),
+          col("c_custkey"), lit("?seg="), col("c_mktsegment"), lit("&v=1")))
+        .withColumn("kv", concat(lit("seg:"), col("c_mktsegment"),
+          lit(",key:"), col("c_custkey")))
+        .select(col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg_param"),
+          str_to_map(col("kv"), lit(","), lit(":")).getItem("seg").as("seg_map"),
+          str_to_map(col("kv"), lit(","), lit(":")).getItem("key").as("key_map"),
+          size(map_keys(str_to_map(col("kv"), lit(","), lit(":")))).as("n_keys"))
+        .orderBy("c_custkey")
+    },
+
+    // Batch iteration: connected components over the near-dup pair graph
+    // (label propagation to a fixpoint; driver-side loop like the
+    // reference's bulk iteration, per-iteration work fully distributed).
+    "it01_connected_components" -> { (s, dir) =>
+      val idx = TextOps.shingleIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+      val pairs = TextOps.allPairsJaccardIdx(idx, 0.8)
+        .select(col("id_a"), col("id_b"))
+      // localCheckpoint truncates lineage each round — without it the
+      // plan (and per-iteration planning cost) grows with the iteration
+      // count, which dominates the driver loop.
+      val edges = pairs
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .localCheckpoint()
+      val nodes = edges.select(col("id_a").as("id")).distinct()
+      var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val propagated = edges
+          .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"), "id_b")
+          .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("pl"))
+        val next = labels.join(propagated, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.orderBy("id")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "m03_cep_one_or_more" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'error' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'error'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1
+        FROM g GROUP BY user_id, run_id),
+      -- The NFA's within-clock starts at the bound run's FIRST event, so
+      -- a too-old run prefix is dropped and the longest within-compliant
+      -- suffix (still ending at the view) matches.
+      matches AS (
+        SELECT r.user_id, r.run_id, r.p1, nxt.event_id AS view_id, nxt.tus AS vtus
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+        WHERE nxt.event_type = 'view')
+      SELECT m.user_id,
+             arg_min(g.event_id, g.pos) AS first_err,
+             CAST(m.p1 - min(g.pos) + 1 AS INT) AS n_errs,
+             m.view_id
+      FROM matches m
+      JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
+      WHERE m.vtus - g.tus < 7200000000
+      GROUP BY m.user_id, m.run_id, m.p1, m.view_id
+      ORDER BY m.user_id, first_err""",
+
+    "f09_url_map" -> """
+      SELECT c_custkey,
+        'shop.example.com' AS host,
+        '/c/' || c_custkey AS path,
+        'seg=' || c_mktsegment || '&v=1' AS query,
+        c_mktsegment AS seg_param,
+        c_mktsegment AS seg_map,
+        CAST(c_custkey AS VARCHAR) AS key_map,
+        2 AS n_keys
+      FROM customer
+      ORDER BY c_custkey""",
+
+    "it01_connected_components" -> """
+      WITH RECURSIVE
+      base AS (
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [] END AS shingles
+              FROM w),
+        e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+        sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                  FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM base
+        UNION SELECT id_b, id_a FROM base),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      nodes AS (SELECT DISTINCT a AS id FROM edges)
+      SELECT n.id, least(n.id, min(r.b)) AS label
+      FROM nodes n LEFT JOIN reach r ON r.a = n.id
+      GROUP BY n.id
+      ORDER BY n.id"""
+  )
+}
