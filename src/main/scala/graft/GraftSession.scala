@@ -20,6 +20,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long then convert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${sys.props.getOrElse("user.name", "u")}")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

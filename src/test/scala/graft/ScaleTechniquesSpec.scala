@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.streaming.GraftStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale techniques: skew salting, bucketed co-located joins, and the
+  * typed DataStream veneer (SURVEY §2.12, §4.2).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = spark.range(1000)
+      .select(col("id"), when(col("id") % 10 === 0, col("id") % 7)
+        .otherwise(lit(42L)).as("k"))
+    val right = Seq.tabulate(50)(i => (i.toLong, s"dim$i")).toDF("k", "v")
+    val plain = left.join(right, "k").select("id", "v")
+      .as[(Long, String)].collect().toSet
+    val salted = SkewJoin.saltedInner(left, right, "k", col("id"), 8)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val j = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    val plan = j.queryExecution.executedPlan.toString
+    // co-located buckets: the join itself needs no shuffle of either side
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"))
+    assert(j.count() > 0)
+  }
+
+  test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
+    val out = GraftStream(spark.range(100).as[Long])
+      .map(i => (i % 5, i))
+      .filter(_._2 % 2 == 0)
+      .keyBy(_._1)
+      .reduce((a, b) => (a._1, a._2 + b._2))
+      .collect().toMap.map { case (k, v) => k -> v._2 }
+    // sum of even numbers 0..98 grouped by i%5
+    val expect = (0L until 100L).filter(_ % 2 == 0).groupBy(_ % 5)
+      .map { case (k, vs) => k -> vs.sum }
+    assert(out == expect)
+  }
+}

@@ -162,6 +162,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.tag).toSeq == Seq("first"))
   }
 
+  test("built-in parity: streaming session window aggregate") {
+    val in = MemoryStream[SEv]
+    val agg = in.toDS().withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("session_window.start").cast("long").as("ss"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(1), 0, ""), SEv(1, ts(5), 0, ""), SEv(1, ts(30), 0, ""))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(100), 0, "")) // watermark closes both sessions
+    runToCompletion(q)
+    val rows = spark.table("sess").as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 1L, 2L), (1L, 30L, 1L)))
+  }
+
+  test("exactly-once: restart from checkpoint produces no duplicates") {
+    val in = MemoryStream[SEv]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    def start() = in.toDS().select(col("k"), col("v")).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(SEv(1, ts(1), 1.0, "a"))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // resumes from the same checkpoint
+    in.addData(SEv(2, ts(2), 2.0, "b"))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0))) // no replayed duplicates
+  }
+
   test("built-in parity: stream-stream interval join with watermarks") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
