@@ -14,7 +14,8 @@ object SparkEntry {
     operators.TextPipelineSuite,
     operators.SimilaritySuite,
     operators.MiscParity,
-    operators.ExtraParity
+    operators.ExtraParity,
+    operators.MoreParity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

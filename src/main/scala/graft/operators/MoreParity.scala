@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{OracleSafe, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Remaining parity details: full ranking-function set (§2.5),
+  * collection/array function matrix (§2.9 collection category), and
+  * explicit left/right outer joins (§2.3).
+  */
+object MoreParity extends QueryModule {
+  import OracleSafe._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // percent_rank / cume_dist / ntile / dense_rank / nth-style first.
+    "q21_rank_functions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("drk"),
+          round(percent_rank().over(w), 8).as("prk"),
+          round(cume_dist().over(w), 8).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Array/collection function matrix (scalar outputs for comparison).
+    "f10_array_funcs" -> { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .withColumn("ws", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          size(col("ws")).as("n"),
+          array_contains(col("ws"), "red").as("has_red"),
+          array_position(col("ws"), "red").cast("int").as("pos_red"),
+          element_at(col("ws"), 1).as("first_word"),
+          element_at(col("ws"), -1).as("last_word"),
+          array_join(array_sort(col("ws")), "|").as("sorted_words"),
+          array_max(col("ws")).as("max_word"),
+          array_min(col("ws")).as("min_word"),
+          size(array_distinct(flatten(array(col("ws"), col("ws"))))).as("n_uniq"),
+          array_join(array_repeat(col("p_brand"), 2), ",").as("brand2"),
+          array_join(slice(col("ws"), 1, 1), "").as("sliced"))
+        .orderBy("p_partkey")
+    },
+
+    // Explicit LEFT / RIGHT outer joins with null-producing sides.
+    "q22_outer_joins" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 4000.0)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_rich"))
+      val left = n.join(sup, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_rich"), lit(0L)).as("n_rich"))
+      val right = sup.join(n, col("s_nationkey") === col("n_nationkey"), "right")
+        .select(col("n_nationkey").as("rk"),
+          coalesce(col("n_rich"), lit(0L)).as("r_rich"))
+      left.join(right, col("n_nationkey") === col("rk"))
+        .select(col("n_nationkey"), col("n_name"), col("n_rich"), col("r_rich"))
+        .orderBy("n_nationkey")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q21_rank_functions" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(dense_rank() OVER w AS INT) AS drk,
+        round(percent_rank() OVER w, 8) AS prk,
+        round(cume_dist() OVER w, 8) AS cd,
+        CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "f10_array_funcs" -> """
+      SELECT p_partkey,
+        CAST(len(ws) AS INT) AS n,
+        list_contains(ws, 'red') AS has_red,
+        CAST(coalesce(list_position(ws, 'red'), 0) AS INT) AS pos_red,
+        ws[1] AS first_word,
+        ws[-1] AS last_word,
+        array_to_string(list_sort(ws), '|') AS sorted_words,
+        list_max(ws) AS max_word,
+        list_min(ws) AS min_word,
+        CAST(len(list_distinct(list_concat(ws, ws))) AS INT) AS n_uniq,
+        p_brand || ',' || p_brand AS brand2,
+        ws[1] AS sliced
+      FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS ws FROM part)
+      ORDER BY p_partkey""",
+
+    "q22_outer_joins" -> """
+      WITH sup AS (
+        SELECT s_nationkey, count(1) AS n_rich FROM supplier
+        WHERE s_acctbal > 4000.0 GROUP BY s_nationkey),
+      l AS (
+        SELECT n_nationkey, n_name, coalesce(n_rich, 0) AS n_rich
+        FROM nation LEFT JOIN sup ON n_nationkey = s_nationkey),
+      r AS (
+        SELECT n_nationkey AS rk, coalesce(n_rich, 0) AS r_rich
+        FROM sup RIGHT JOIN nation ON s_nationkey = n_nationkey)
+      SELECT n_nationkey, n_name, n_rich, r_rich
+      FROM l JOIN r ON n_nationkey = rk
+      ORDER BY n_nationkey"""
+  )
+}
