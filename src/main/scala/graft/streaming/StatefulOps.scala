@@ -181,6 +181,37 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OVER aggregate: per-key event-time-ordered running fold
+    * (ROWS UNBOUNDED PRECEDING) — semantics of the reference's
+    * RowTimeRowsUnboundedPrecedingFunction (flink-table-runtime
+    * .../over/AbstractRowTimeUnboundedPrecedingOver.java:286): buffer
+    * rows until the watermark passes them, then emit in time order with
+    * the running accumulator carried in state.
+    */
+  def eventTimeRunningAgg[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
+                                zero: Double, add: (Double, T) => Double)
+                               (implicit ek: Encoder[K],
+                                eo: Encoder[(K, T, Double)]): Dataset[(K, T, Double)] = {
+    implicit val se: Encoder[(Seq[T], Double)] = Encoders.kryo[(Seq[T], Double)]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Double)]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (buf, acc) = state.getOption.getOrElse((Seq.empty[T], zero))
+          buf ++= rows
+          val (ready, pending) = buf.partition(t => tsMs(t) <= wm)
+          val out = ready.sortBy(tsMs).map { t =>
+            acc = add(acc, t)
+            (key, t, acc)
+          }
+          if (pending.nonEmpty) {
+            state.update((pending, acc))
+            state.setTimeoutTimestamp(wm + 1)
+          } else state.update((Seq.empty, acc)) // keep the accumulator
+          out.iterator
+      }
+  }
+
   /** Streaming CEP: buffers events per key, and on each watermark
     * advance runs the NFA over the mature (ts <= watermark) prefix in
     * event-time order. Supports SkipPastLast patterns: consumed events

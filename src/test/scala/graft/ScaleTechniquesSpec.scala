@@ -30,6 +30,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    // in-memory catalog forgets tables between runs but their warehouse
+    // directories persist — clear both
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (p.exists()) org.apache.commons.io.FileUtils.deleteDirectory(p)
+    }
     o.write.mode("overwrite").bucketBy(4, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("orders_b")
     li.write.mode("overwrite").bucketBy(4, "l_orderkey")

@@ -162,6 +162,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.tag).toSeq == Seq("first"))
   }
 
+  test("eventTimeRunningAgg emits ordered running sums across batches") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    val out = StatefulOps.eventTimeRunningAgg[Long, SEv](
+      wmarked, _.k, _.ts.getTime, 0.0, (acc, e) => acc + e.v)
+      .map { case (k, e, acc) => (k, e.tag, acc) }
+    val q = out.writeStream.format("memory").queryName("runagg")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(20), 2.0, "b"), SEv(1, ts(10), 1.0, "a"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(30), 3.0, "c")) // watermark 20 released a,b; c pending
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(99), 9.0, "z")) // releases c, then z at final watermark
+    runToCompletion(q)
+    val got = spark.table("runagg").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 1.0), (1L, "b", 3.0), (1L, "c", 6.0), (1L, "z", 15.0)))
+  }
+
   test("built-in parity: streaming session window aggregate") {
     val in = MemoryStream[SEv]
     val agg = in.toDS().withWatermark("ts", "0 seconds")
