@@ -45,6 +45,33 @@ object MoreParity extends QueryModule {
         .orderBy("p_partkey")
     },
 
+    // LIKE / ILIKE / RLIKE / SIMILAR operator matrix.
+    "f11_like_regexp" -> { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_name").like("%red%").as("has_red"),
+          col("p_name").like("s_all%").as("sml"),
+          (!col("p_name").like("%bolt")).as("not_bolt"),
+          col("p_brand").ilike("BRAND#1%").as("b1"),
+          col("p_name").rlike("^[a-z]+ (ring|bolt)$").as("ring_or_bolt"),
+          regexp_like(col("p_type"), lit("^(ECONOMY|STANDARD)$")).as("econ_std"))
+        .orderBy("p_partkey")
+    },
+
+    // IN-subquery (rewritten to semi join) + HAVING clause.
+    "q23_in_subquery_having" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT o_custkey, count(1) AS n_orders,
+               ${OracleSafe.dsumSql("o_totalprice")} AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000.0)
+        GROUP BY o_custkey
+        HAVING count(1) >= 12
+        ORDER BY o_custkey
+      """)
+    },
+
     // Explicit LEFT / RIGHT outer joins with null-producing sides.
     "q22_outer_joins" -> { (s, dir) =>
       val n = Tables.load(s, dir, "nation")
@@ -89,6 +116,26 @@ object MoreParity extends QueryModule {
         ws[1] AS sliced
       FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS ws FROM part)
       ORDER BY p_partkey""",
+
+    "f11_like_regexp" -> """
+      SELECT p_partkey,
+        p_name LIKE '%red%' AS has_red,
+        p_name LIKE 's_all%' AS sml,
+        p_name NOT LIKE '%bolt' AS not_bolt,
+        p_brand ILIKE 'BRAND#1%' AS b1,
+        regexp_matches(p_name, '^[a-z]+ (ring|bolt)$') AS ring_or_bolt,
+        regexp_matches(p_type, '^(ECONOMY|STANDARD)$') AS econ_std
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q23_in_subquery_having" -> s"""
+      SELECT o_custkey, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000.0)
+      GROUP BY o_custkey
+      HAVING count(1) >= 12
+      ORDER BY o_custkey""",
 
     "q22_outer_joins" -> """
       WITH sup AS (

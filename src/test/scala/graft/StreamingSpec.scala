@@ -213,6 +213,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0), (2L, 2.0))) // no replayed duplicates
   }
 
+  test("built-in parity: stream-static join (broadcast state pattern)") {
+    val in = MemoryStream[SEv]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val out = in.toDS().join(broadcast(dim), Seq("k"), "left")
+      .select(col("tag"), col("tier"))
+    val q = out.writeStream.format("memory").queryName("ssj2")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(1), 0, "e1"), SEv(9, ts(2), 0, "e9"))
+    runToCompletion(q)
+    val rows = spark.table("ssj2").as[(String, Option[String])].collect().toMap
+    assert(rows == Map("e1" -> Some("gold"), "e9" -> None))
+  }
+
   test("built-in parity: stream-stream interval join with watermarks") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
