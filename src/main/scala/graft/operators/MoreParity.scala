@@ -72,6 +72,20 @@ object MoreParity extends QueryModule {
       """)
     },
 
+    // Window Top-N (§2.6 WindowRankProcessor): top-2 events by value
+    // per (user, 1h tumbling window).
+    "wt01_window_topn" -> { (s, dir) =>
+      val w = Window.partitionBy(col("win"), col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("win",
+          unix_timestamp(WindowOps.tumble(col("ts"), "1 hour").getField("start")))
+        .select(col("win"), col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .orderBy("win", "user_id", "rn")
+    },
+
     // Explicit LEFT / RIGHT outer joins with null-producing sides.
     "q22_outer_joins" -> { (s, dir) =>
       val n = Tables.load(s, dir, "nation")
@@ -136,6 +150,17 @@ object MoreParity extends QueryModule {
       GROUP BY o_custkey
       HAVING count(1) >= 12
       ORDER BY o_custkey""",
+
+    "wt01_window_topn" -> """
+      SELECT win, user_id, event_id, value, rn FROM (
+        SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win,
+               user_id, event_id, value,
+               row_number() OVER (
+                 PARTITION BY CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT), user_id
+                 ORDER BY value DESC, event_id) AS rn
+        FROM events)
+      WHERE rn <= 2
+      ORDER BY win, user_id, rn""",
 
     "q22_outer_joins" -> """
       WITH sup AS (
