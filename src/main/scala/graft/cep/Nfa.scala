@@ -62,13 +62,21 @@ object Nfa {
   }
 
   /** Run the pattern over one key's time-sorted events. */
-  def run[T](events: IndexedSeq[T], time: T => Long, pattern: Pattern[T]): Vector[Match[T]] = {
-    val out = Vector.newBuilder[Match[T]]
+  def run[T](events: IndexedSeq[T], time: T => Long, pattern: Pattern[T]): Vector[Match[T]] =
+    runIndexed(events, time, pattern).map(_._1)
+
+  /** Like [[run]], but pairs each match with the index of its last
+    * consumed event — streaming callers use this to decide whether a
+    * trailing match could still extend past the watermark.
+    */
+  def runIndexed[T](events: IndexedSeq[T], time: T => Long,
+                    pattern: Pattern[T]): Vector[(Match[T], Int)] = {
+    val out = Vector.newBuilder[(Match[T], Int)]
     var i = 0
     while (i < events.length) {
       matchFrom(events, time, pattern, i) match {
         case Some((m, lastIdx)) =>
-          out += m
+          out += ((m, lastIdx))
           i = pattern.afterMatch match {
             case AfterMatch.SkipPastLast => lastIdx + 1
             case AfterMatch.NoSkip       => i + 1
@@ -139,10 +147,15 @@ object Nfa {
     else go(0, start, start - 1, Vector.empty)
   }
 
-  /** Longest run of events satisfying `step` starting at `from`
-    * (contiguous for Strict; gap-skipping for Relaxed stays bounded to
-    * contiguous for OneOrMore — Flink's looping states consume
-    * contiguously unless followedByAny, which is out of scope).
+  /** Longest run of events satisfying `step` starting at `from`.
+    * OneOrMore always consumes contiguously, i.e. the implemented loop
+    * semantics equal Flink's `oneOrMore().consecutive().greedy()`
+    * (flink-cep .../pattern/Quantifier.java: STRICT inner consuming).
+    * Flink's DEFAULT for oneOrMore is relaxed inner consumption
+    * (SKIP_TILL_NEXT — non-matching events may sit between loop
+    * iterations); that wider surface is intentionally unsupported here,
+    * regardless of the step's own `contiguity` (which only governs how
+    * the loop's FIRST event relates to the previous step).
     * Returns bound indices (length 1 for non-looping quantifiers).
     */
   private def collectRun[T](events: IndexedSeq[T], step: Step[T], from: Int,

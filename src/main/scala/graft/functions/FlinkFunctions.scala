@@ -112,9 +112,31 @@ object FlinkFunctions {
   /** Translate a Flink/SimpleDateFormat-style DATE_FORMAT pattern to the
     * Spark 3+ (java.time DateTimeFormatter) dialect. The common tokens
     * (y M d H m s S E a) coincide; the differing ones are mapped here.
+    * Tokenizes the pattern — runs of one letter, 'quoted literals', and
+    * other chars — so a literal quoted 'u'/'Z' is never rewritten.
     */
-  def translateDatePattern(sdf: String): String =
-    sdf
-      .replace("u", "e") // SDF day-number-of-week → DTF localized day-of-week
-      .replace("ZZ", "xx")
+  def translateDatePattern(sdf: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sdf.length) {
+      val c = sdf.charAt(i)
+      if (c == '\'') { // quoted literal: copy through the closing quote
+        val end = sdf.indexOf('\'', i + 1)
+        val stop = if (end < 0) sdf.length - 1 else end
+        out.append(sdf.substring(i, stop + 1))
+        i = stop + 1
+      } else if (c.isLetter) { // token: run of the same letter
+        var j = i
+        while (j < sdf.length && sdf.charAt(j) == c) j += 1
+        val run = j - i
+        (c, run) match {
+          case ('u', _) => out.append("e" * run) // SDF day-number-of-week → DTF localized day-of-week
+          case ('Z', 2) => out.append("xx") // SDF RFC822 zone ZZ → DTF +HHMM
+          case _ => out.append(c.toString * run)
+        }
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 }

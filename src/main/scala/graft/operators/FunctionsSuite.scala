@@ -224,7 +224,7 @@ object FunctionsSuite extends QueryModule {
 
     "f04_json_funcs" -> """
       SELECT event_type, count(1) AS n,
-        sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         count(json_extract_string(props, '$.missing')) AS n_missing,
         min(json_extract_string(props, '$.k')) AS min_k_str
       FROM events

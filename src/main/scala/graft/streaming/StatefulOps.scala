@@ -218,6 +218,15 @@ object StatefulOps {
     * are dropped; unmatched mature events older than the pattern's
     * `within` horizon are evicted (they can no longer start a match
     * that involves unseen data).
+    *
+    * A trailing match whose final step could still extend — a greedy
+    * OneOrMore whose run ends exactly at the last mature event, or an
+    * Optional left unbound there — is WITHHELD (its events stay in
+    * state) until a later mature event terminates the run or the
+    * `within` horizon makes extension impossible. This mirrors Flink's
+    * NFA, which keeps looping/optional final states open
+    * (flink-cep .../nfa/NFA.java:86 advanceTime/computeNextStates)
+    * rather than finalizing them at the watermark.
     */
   def cepStream[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
                       pattern: Nfa.Pattern[T])
@@ -226,6 +235,7 @@ object StatefulOps {
       "streaming CEP supports SkipPastLast (MATCH_RECOGNIZE default)")
     implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
     implicit val e1: Encoder[Nfa.Match[T]] = Encoders.kryo[Nfa.Match[T]]
+    val lastStep = pattern.steps.last
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
@@ -233,9 +243,27 @@ object StatefulOps {
           val buf = state.getOption.getOrElse(Seq.empty) ++ rows
           val (mature, immature) = buf.partition(t => tsMs(t) <= wm)
           val sorted = mature.sortBy(tsMs).toIndexedSeq
-          val matches = Nfa.run[T](sorted, t => tsMs(t) * 1000L, pattern)
-          // Drop consumed events; keep unmatched ones still inside the
-          // `within` horizon (could pair with future events).
+          val indexed = Nfa.runIndexed[T](sorted, t => tsMs(t) * 1000L, pattern)
+          // The last match is provisional iff it consumed up to the last
+          // mature event, its final step could bind more (greedy loop, or
+          // optional still unbound), and a future event (ts > wm) could
+          // still fall inside `within` of the match's first event.
+          val emitted = indexed.lastOption match {
+            case Some((m, lastIdx))
+                if lastIdx == sorted.length - 1 &&
+                  (lastStep.quantifier == Nfa.Quantifier.OneOrMore ||
+                    (lastStep.quantifier == Nfa.Quantifier.Optional &&
+                      !m.bindings.exists(_._1 == lastStep.name))) &&
+                  pattern.withinMicros.forall { w =>
+                    val firstMicros = tsMs(m.bindings.head._2.head) * 1000L
+                    wm * 1000L - firstMicros < w // an event at ts>wm could extend
+                  } =>
+              indexed.init
+            case _ => indexed
+          }
+          val matches = emitted.map(_._1)
+          // Drop consumed events; keep unmatched ones (and any withheld
+          // match's events) still inside the `within` horizon.
           val consumed = matches.flatMap(_.bindings.flatMap(_._2)).toSet
           val horizon = pattern.withinMicros.map(wm - _ / 1000L).getOrElse(Long.MinValue)
           val keep = sorted.filterNot(consumed.contains)

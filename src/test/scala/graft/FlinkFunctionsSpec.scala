@@ -38,6 +38,18 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
   }
 
+  test("translateDatePattern maps tokens but never quoted literals") {
+    assert(FlinkFunctions.translateDatePattern("yyyy-MM-dd HH:mm:ss")
+      == "yyyy-MM-dd HH:mm:ss")
+    assert(FlinkFunctions.translateDatePattern("u") == "e")
+    assert(FlinkFunctions.translateDatePattern("uu E ZZ") == "ee E xx")
+    // quoted literals pass through untouched
+    assert(FlinkFunctions.translateDatePattern("'UTC' u") == "'UTC' e")
+    assert(FlinkFunctions.translateDatePattern("'u and Z' yyyy") == "'u and Z' yyyy")
+    // Z runs other than ZZ keep their SDF spelling
+    assert(FlinkFunctions.translateDatePattern("Z") == "Z")
+  }
+
   test("split_index survives whole-stage codegen over many rows") {
     val n = spark.range(1000)
       .select(split_index(concat(lit("p#"), col("id")), lit("#"), lit(1)).as("v"))

@@ -132,6 +132,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((10L, 11L)))
   }
 
+  test("cepStream holds a trailing greedy OneOrMore open across watermarks") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a", Quantifier.OneOrMore)),
+      withinMicros = Some(60L * 1000000L),
+      afterMatch = AfterMatch.SkipPastLast)
+    val out = StatefulOps.cepStream[Long, SEv](wmarked, _.k, _.ts.getTime, pat)
+      .map(m => m.bindings.head._2.map(_.ts.getTime / 1000).mkString(","))
+    val q = out.writeStream.format("memory").queryName("cepgreedy")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 0, "a"))
+    q.processAllAvailable() // a@10 mature once wm advances — but run may extend
+    in.addData(SEv(1, ts(11), 0, "a")) // wm=10: a@10 mature, match must stay open
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x")) // wm=11: both a's mature, still extendable...
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(300), 0, "x")) // wm=200: x@200 breaks the run → finalize
+    runToCompletion(q)
+    // Flink's greedy looping state emits ONE maximal match [a10, a11],
+    // not [a10] + [a11] finalized prematurely at each watermark.
+    val got = spark.table("cepgreedy").as[String].collect().toSeq
+    assert(got == Seq("10,11"))
+  }
+
   test("built-in parity: watermarked tumbling window aggregate (append)") {
     val in = MemoryStream[SEv]
     val agg = in.toDS().withWatermark("ts", "5 seconds")
