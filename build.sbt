@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A multi-query run (Bench/Verify) generates thousands of whole-stage
+  // codegen classes; the JDK default 240m code cache fills mid-run, the
+  // JIT shuts off, and every later query runs interpreted (10-100x
+  // slower). Size it so codegen stays compiled for the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )
+// Bench prints its result as ONE JSON line on stdout. Two sbt behaviors
+// corrupt that for consumers: the logger wraps forked-process output in
+// "[info] " lines, and a trailing "[success] Total time: ..." line lands
+// after the JSON. Pass output through raw and suppress the banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false

@@ -75,18 +75,29 @@ object ExtraParity extends QueryModule {
       var labels = nodes.withColumn("label", col("id")).localCheckpoint()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      val maxIter = 25
+      while (changed > 0 && iter < maxIter) {
+        // One round = neighbor-min propagation + pointer doubling
+        // (label <- label-of-label), so convergence takes O(log diameter)
+        // rounds instead of O(diameter) — the large-star/small-star idea.
         val propagated = edges
           .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"), "id_b")
           .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("pl"))
-        val next = labels.join(propagated, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
+        val stepped = labels.join(propagated, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
+        val next = stepped.join(
+            stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
+          .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
+        // Convergence check reads the just-materialized checkpoint —
+        // no extra join against the previous labels.
+        changed = next.filter(col("label") =!= col("old")).count()
+        labels = next.select(col("id"), col("label"))
         iter += 1
       }
+      require(changed == 0,
+        s"connected components did not converge in $maxIter rounds ($changed labels still moving)")
       labels.orderBy("id")
     }
   )

@@ -40,18 +40,27 @@ object SimilaritySuite extends QueryModule {
     // bucket per query. No SQL oracle (rows-only): the bucket hash is
     // engine-internal; correctness of the scoring is covered by te02.
     "te03_ann_srp_lsh" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dot_scaled
+      // v/nrm/bucket materialized through a repartition exchange so the
+      // interpreted transform lambda isn't re-inlined per candidate pair
+      // and the bucket join parallelizes (same pattern as cosinePairs).
       val e = Tables.load(s, dir, "embeddings")
-        .withColumn("bucket", VectorOps.srpBucket(col("embedding"), 64, 12))
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"),
+          VectorOps.srpBucket(col("embedding"), 64, 12).as("bucket"))
+        .withColumn("nrm",
+          sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
+        .repartition(s.sparkContext.defaultParallelism)
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"), col("bucket"),
-          VectorOps.toDouble(col("embedding")).as("qv"))
+          col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id"), col("bucket"),
-        VectorOps.toDouble(col("embedding")).as("cv"))
+        col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       q.join(c, Seq("bucket")).where(col("query_id") =!= col("vec_id"))
-        .withColumn("cos", round(VectorOps.dot(col("qv"), col("cv"))
-          / (VectorOps.norm(col("qv")) * VectorOps.norm(col("cv"))), 6))
+        .withColumn("cos", round(
+          (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
+            / (col("qn") * col("cn")), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
         .select(col("query_id"), col("vec_id"), col("bucket"), col("cos"), col("rk"))
         .orderBy("query_id", "rk")

@@ -58,18 +58,35 @@ object VectorOps {
 
   private def scaledToDouble(c: Column): Column = c.cast("double") / lit(1e12)
 
+  /** (id, v: array<double>, nrm) with the cast and norm MATERIALIZED
+    * through a round-robin shuffle. Two jobs done by one exchange:
+    * the interpreted `transform` lambda can't be re-inlined into
+    * downstream per-pair predicates (it's evaluated once per row, on
+    * the map side), and the stream side of the pair join gets
+    * `defaultParallelism` partitions instead of one-per-parquet-file —
+    * a single small file would otherwise serialize the whole O(n²)
+    * pair scan onto one core.
+    */
+  private def prepped(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(scaledToDouble(dot_scaled(col("v"), col("v")))))
+      .repartition(parallelism)
+  }
+
   /** All pairs (id_a < id_b) with cosine ≥ threshold — exact brute
     * force: pair join + one codegen'd dot-product loop per pair
     * (DotScaledLong). Inherently O(n²); the correctness baseline — use
-    * srpBucket to prune candidates at scale.
+    * srpBucket to prune candidates at scale. The right side is
+    * broadcast once (with v/nrm precomputed); the left streams with
+    * full parallelism, so pair work is evenly spread across executors.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val n = vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(scaledToDouble(dot_scaled(col("v"), col("v")))))
+    val n = prepped(vecs, idCol, vecCol)
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(
         scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
@@ -79,11 +96,11 @@ object VectorOps {
   /** Exact top-k neighbors per query vector (pair join + native dot). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(scaledToDouble(dot_scaled(col("qv"), col("qv")))))
-    val c = corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(scaledToDouble(dot_scaled(col("cv"), col("cv")))))
-    val scored = q.join(c, col("query_id") =!= col("vec_id"))
+    val q = prepped(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = prepped(corpus, idCol, vecCol)
+      .select(col("id").as("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(
         scaledToDouble(dot_scaled(col("qv"), col("cv"))) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
