@@ -62,7 +62,7 @@ object ExtraParity extends QueryModule {
     // (label propagation to a fixpoint; driver-side loop like the
     // reference's bulk iteration, per-iteration work fully distributed).
     "it01_connected_components" -> { (s, dir) =>
-      val idx = TextOps.shingleIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+      val idx = TextOps.shingleHashIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
       val pairs = TextOps.allPairsJaccardIdx(idx, 0.8)
         .select(col("id_a"), col("id_b"))
       // localCheckpoint truncates lineage each round — without it the

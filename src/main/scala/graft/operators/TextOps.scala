@@ -28,17 +28,41 @@ object TextOps {
     * slower and single-threaded when the source is one file). The
     * window shuffle also spreads per-doc work across the cluster.
     */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleCols(docs, idCol, textCol, n) { parts =>
+      concat_ws(" ", parts: _*).as("sh")
+    }
+
+  /** Distinct (id, sh: bigint) pairs, sh = xxhash64 of the string
+    * shingle — the at-scale form: hashing BEFORE the distinct keeps the
+    * wide shingle strings out of the distinct shuffle and every
+    * downstream join/aggregate, which then move fixed-width longs only.
+    * Collision risk ~p²/2^65 — the same tolerance jaccardVerifyIdx
+    * already accepts.
+    */
+  def shingleHashIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleCols(docs, idCol, textCol, n) { parts =>
+      xxhash64(concat_ws(" ", parts: _*)).as("sh")
+    }
+
+  private def shingleCols(docs: DataFrame, idCol: String, textCol: String, n: Int)(
+      shingle: Seq[Column] => Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
+    // Round-robin repartition before the explode: the source is often a
+    // handful of parquet files, and without it the whole scan+explode
+    // map side serializes onto one task per file.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val withLeads = docs
-      .select(col(idCol).as("id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w")))
       .select(col("id") +: col("w") +:
         (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
     val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
     withLeads
       .where(parts.map(_.isNotNull).reduce(_ && _))
-      .select(col("id"), concat_ws(" ", parts: _*).as("sh"))
+      .select(col("id"), shingle(parts))
       .distinct()
   }
 
@@ -133,9 +157,14 @@ object TextOps {
     */
   def minhashLshPairsIdx(idx: DataFrame, threshold: Double,
                          numPerms: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignatureIdx(idx, numPerms)
+    // The index feeds four distinct subtrees (signature aggregate, both
+    // sides of the intersection join, sizes); materialize it once so the
+    // shingle construction isn't recomputed per consumer — at corpus
+    // scale that is 4x the scan+explode+window cost.
+    val mat = idx.localCheckpoint()
+    val sig = minhashSignatureIdx(mat, numPerms)
     val cands = candidatePairs(lshBands(sig, "id", numPerms, rowsPerBand), "id")
-    jaccardVerifyIdx(cands, idx).where(col("jaccard") >= threshold)
+    jaccardVerifyIdx(cands, mat).where(col("jaccard") >= threshold)
   }
 
   // Array-column adapters (tests / small inputs).

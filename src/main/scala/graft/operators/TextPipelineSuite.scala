@@ -19,7 +19,7 @@ object TextPipelineSuite extends QueryModule {
     * source parquet is a single file → 1 partition).
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    TextOps.shingleIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+    TextOps.shingleHashIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
 
   /** (doc_id, w) exploded words (with duplicates), parallelized. */
   private def wordsIdx(s: SparkSession, dir: String): DataFrame =
