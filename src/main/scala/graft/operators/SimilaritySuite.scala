@@ -66,6 +66,15 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // IVF ANN: 16 cells (deterministic centroids = first 16 vectors),
+    // nprobe=2, exact re-rank in probed cells — fully oracle-checked,
+    // unlike the engine-internal SRP buckets of te03.
+    "te05_ann_ivf" -> { (s, dir) =>
+      VectorOps.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", _ % 25 === 0, nlist = 16, nprobe = 2, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Embedding-cosine near-dup dedup: connected pairs above 0.45 keep
     // the lower id as representative (one-hop union: keep_id = min peer).
     "te04_embedding_neardup" -> { (s, dir) =>
@@ -154,6 +163,50 @@ object SimilaritySuite extends QueryModule {
         FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
                   JOIN norms nc ON dots.vec_id = nc.vec_id)
       SELECT query_id, vec_id, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    "te05_ann_ivf" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 2 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id, cl.cell
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE p.query_id <> cl.vec_id),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id, cand.cell,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, cell,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, cell, cos, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, vec_id) AS INT) AS rk
         FROM scored)

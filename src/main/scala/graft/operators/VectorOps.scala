@@ -93,6 +93,50 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
+    * to its nearest-centroid cell; a query probes only its `nprobe`
+    * nearest cells and re-ranks exactly inside them, touching
+    * ~nprobe/nlist of the corpus instead of all of it. Centroids are
+    * the first `nlist` corpus vectors — deterministic, so the whole
+    * operator is oracle-checkable; a production fit would k-means a
+    * sample instead, with the identical plan shape. Scale anatomy:
+    * assignment = crossJoin against BROADCAST centroids (nlist×dim
+    * floats — tiny) + one shuffle by id for the per-vector argmax;
+    * search = the tiny probe list broadcast against the cell-keyed
+    * corpus, so the corpus is never reshuffled. The cell id is the
+    * natural partitioning/bucketing key for a stored IVF index.
+    *
+    * `isQuery` receives the id column and selects the query subset.
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column => Column, nlist: Int, nprobe: Int,
+              k: Int): DataFrame = {
+    val e = prepped(vecs, idCol, vecCol)
+    val cent = e.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cosc").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("cosc", round(
+        scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("cosc"))
+      .withColumn("crk", row_number().over(wAssign))
+    val cells = ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("cell"),
+        col("v").as("cv2"), col("nrm").as("cn2"))
+    val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv2"))) / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
+  }
+
   /** Exact top-k neighbors per query vector (pair join + native dot). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {

@@ -61,4 +61,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 3L)) == 0.0)
   }
+
+  test("IVF top-k probing ALL cells equals brute-force top-k") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 40L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val nlist = 4
+    val ivf = VectorOps.ivfTopK(df, "vec_id", "embedding",
+        _ % 10 === 0, nlist, nprobe = nlist, k = 3)
+      .select("query_id", "vec_id", "cos", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(
+        df.filter(col("vec_id") % 10 === 0), df, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf == brute)
+  }
 }
