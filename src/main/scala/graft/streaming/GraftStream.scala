@@ -6,9 +6,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Thin typed veneer matching the reference's DataStream/KeyedStream
   * surface (SURVEY §2.12: DataStream.map/flatMap/filter/process/union/
-  * keyBy; KeyedStream.reduce/process) over Dataset[T]. Works identically
-  * on batch and streaming Datasets — the reference's batch/stream
-  * unification falls out of Spark's shared Dataset API.
+  * connect/keyBy/rebalance/global/partitionCustom/coGroup;
+  * KeyedStream.reduce/sum/minBy/maxBy/process) over Dataset[T]. Interval
+  * joins live in StatefulOps/the range-predicate join (§2.3). Works
+  * identically on batch and streaming Datasets — the reference's
+  * batch/stream unification falls out of Spark's shared Dataset API.
+  * Each method is a direct delegation: the veneer adds API familiarity,
+  * never a second execution path.
   */
 class GraftStream[T](val ds: Dataset[T]) {
   def map[U: Encoder](f: T => U): GraftStream[U] = new GraftStream(ds.map(f))
@@ -23,12 +27,48 @@ class GraftStream[T](val ds: Dataset[T]) {
   def keyBy[K: Encoder](f: T => K): KeyedGraftStream[K, T] =
     new KeyedGraftStream(ds.groupByKey(f))
   def rebalance(n: Int): GraftStream[T] = new GraftStream(ds.repartition(n))
+  /** DataStream.global — everything to one partition (use sparingly). */
+  def global(): GraftStream[T] = new GraftStream(ds.coalesce(1))
+  /** DataStream.partitionCustom — co-locate rows by a key function. */
+  def partitionCustom[K: Encoder](n: Int, f: T => K)(
+      implicit e: Encoder[T]): GraftStream[T] = {
+    import org.apache.spark.sql.functions.col
+    val tagged = ds.map(t => (f(t), t))(
+      org.apache.spark.sql.Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[T]]))
+    new GraftStream(tagged.repartition(n, col("_1")).map(_._2))
+  }
+  /** DataStream.connect: two differently-typed streams processed by one
+    * downstream function — the reference's CoProcess modeled as a tagged
+    * union (SURVEY §2.10 connected-streams mapping). Encoded as an
+    * Option pair rather than Either: Spark's encoder framework can
+    * reconstruct concrete products only, not the abstract Either.
+    */
+  def connect[U](other: GraftStream[U])(
+      implicit e: Encoder[(Option[T], Option[U])]): GraftStream[(Option[T], Option[U])] =
+    new GraftStream(
+      ds.map(t => (Option(t), Option.empty[U]))
+        .union(other.ds.map(u => (Option.empty[T], Option(u)))))
+  /** DataStream.coGroup: per-key grouped pairing of two streams. */
+  def coGroup[U, K: Encoder, R: Encoder](other: GraftStream[U])(
+      thisKey: T => K, otherKey: U => K)(
+      f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): Dataset[R] =
+    ds.groupByKey(thisKey).cogroup(other.ds.groupByKey(otherKey))(f)
 }
 
 /** KeyedStream surface: reduce / aggregates / keyed process functions. */
 class KeyedGraftStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
   def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
     kv.reduceGroups(f)
+
+  /** KeyedStream.minBy/maxBy/sum-style field aggregates as typed
+    * reductions (lt = "less than" comparator; num = numeric projection).
+    */
+  def minBy(lt: (T, T) => Boolean)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
+    kv.reduceGroups((a: T, b: T) => if (lt(a, b)) a else b)
+  def maxBy(lt: (T, T) => Boolean)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
+    kv.reduceGroups((a: T, b: T) => if (lt(a, b)) b else a)
+  def sum(num: T => Double)(implicit e: Encoder[(K, Double)]): Dataset[(K, Double)] =
+    kv.mapGroups((k, it) => (k, it.map(num).sum))
 
   def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): Dataset[U] =
     kv.mapGroups(f)

@@ -65,4 +65,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .map { case (k, vs) => k -> vs.sum }
     assert(out == expect)
   }
+
+  test("DataStream veneer: connect/coGroup/minBy/maxBy/sum/partitionCustom") {
+    import spark.implicits._
+    val a = GraftStream(Seq(1L, 2L, 3L, 4L).toDS())
+    val b = GraftStream(Seq("x2", "y3").toDS())
+    // connect = tagged union feeding one downstream function
+    val connected = a.connect(b)
+      .map { case (l, r) => l.map(n => s"n$n").getOrElse(s"s${r.get}") }
+      .ds.collect().toSet
+    assert(connected == Set("n1", "n2", "n3", "n4", "sx2", "sy3"))
+    // coGroup pairs per-key groups of differently-typed streams
+    val cg = a.coGroup(b)(_ % 2, s => s.drop(1).toLong % 2) {
+      (k, xs, ys) => Iterator.single((k, xs.size, ys.size))
+    }.collect().toSet
+    assert(cg == Set((0L, 2, 1), (1L, 2, 1)))
+    val keyed = GraftStream(Seq((1L, 10.0), (1L, 30.0), (2L, 5.0)).toDS())
+      .keyBy(_._1)
+    assert(keyed.minBy((x, y) => x._2 < y._2).collect().toMap
+      .view.mapValues(_._2).toMap == Map(1L -> 10.0, 2L -> 5.0))
+    assert(keyed.maxBy((x, y) => x._2 < y._2).collect().toMap
+      .view.mapValues(_._2).toMap == Map(1L -> 30.0, 2L -> 5.0))
+    assert(keyed.sum(_._2).collect().toMap == Map(1L -> 40.0, 2L -> 5.0))
+    val parts = a.partitionCustom(2, _ % 2).ds.rdd.getNumPartitions
+    assert(parts == 2)
+  }
 }
