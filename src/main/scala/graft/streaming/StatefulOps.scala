@@ -104,6 +104,27 @@ object StatefulOps {
       }
   }
 
+  /** Flink `sideOutputLateData` parity (flink-streaming-java
+    * WindowedStream.java:124): Spark's stateful operators silently drop
+    * watermark-late rows; this pass-through TAGS them instead — route
+    * `_1 == false` into the main pipeline and `_1 == true` to a
+    * late-data sink. Stateless (no buffering): lateness is judged
+    * against the watermark at arrival, like Flink's
+    * WindowOperator.isElementLate. Place it BEFORE the dropping
+    * operator, on the already-watermarked stream.
+    */
+  def sideOutputLate[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long)
+                          (implicit ek: Encoder[K],
+                           eo: Encoder[(Boolean, T)]): Dataset[(Boolean, T)] = {
+    implicit val sb: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+          val wm = state.getCurrentWatermarkMs()
+          rows.map(t => (wm > 0 && tsMs(t) <= wm, t))
+      }
+  }
+
   /** Count-tumbling window aggregate: every `size` rows per key (arrival
     * order) emit (key, winId, count, sum). Partial windows stay in state.
     */

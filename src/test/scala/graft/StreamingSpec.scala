@@ -132,6 +132,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((10L, 11L)))
   }
 
+  test("sideOutputLate tags watermark-late rows instead of dropping them") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "5 seconds")
+    val out = StatefulOps.sideOutputLate[Long, SEv](wmarked, _.k, _.ts.getTime)
+      .map { case (late, e) => (late, e.ts.getTime / 1000) }
+    val q = out.writeStream.format("memory").queryName("latetags")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 0, "a")) // wm still 0 after this batch
+    q.processAllAvailable()            // wm -> 10-5 = 5
+    in.addData(SEv(1, ts(30), 0, "b")) // on-time (30 > 5); wm -> 25
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(8), 0, "late"),  // 8 <= 25: late
+               SEv(1, ts(26), 0, "ok"))   // 26 > 25: on-time
+    runToCompletion(q)
+    val got = spark.table("latetags").as[(Boolean, Long)].collect().toSet
+    assert(got == Set((false, 10L), (false, 30L), (true, 8L), (false, 26L)))
+  }
+
   test("cepStream holds a trailing greedy OneOrMore open across watermarks") {
     import Nfa._
     val in = MemoryStream[SEv]
