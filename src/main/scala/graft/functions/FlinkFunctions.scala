@@ -99,6 +99,26 @@ object FlinkFunctions {
   def is_digit(c: Column): Column = column(IsDigit(expression(c)))
   def is_decimal(c: Column): Column = column(IsDecimal(expression(c)))
 
+  import org.apache.spark.sql.catalyst.expressions.{Coalesce, GetJsonObject, IsNotNull}
+
+  /** JSON_EXISTS(json, path) — SQL:2016 subset (reference
+    * BuiltInFunctionDefinitions.java:1510): true iff the path resolves.
+    * Deviation: a JSON null value is indistinguishable from a missing
+    * path (get_json_object collapses both to SQL NULL).
+    */
+  def json_exists(json: Column, path: Column): Column =
+    column(IsNotNull(GetJsonObject(expression(json), expression(path))))
+
+  /** JSON_VALUE(json, path [, default]) — extract a scalar as string;
+    * `default` replaces the NULL ON EMPTY / null result
+    * (BuiltInFunctionDefinitions.java:1531 DEFAULT ... ON EMPTY).
+    */
+  def json_value(json: Column, path: Column): Column =
+    column(GetJsonObject(expression(json), expression(path)))
+  def json_value(json: Column, path: Column, default: Column): Column =
+    column(Coalesce(Seq(
+      GetJsonObject(expression(json), expression(path)), expression(default))))
+
   /** Register all gap functions for the SQL surface. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -107,6 +127,13 @@ object FlinkFunctions {
     reg.createOrReplaceTempFunction("is_alpha", es => IsAlpha(es.head), "built-in")
     reg.createOrReplaceTempFunction("is_digit", es => IsDigit(es.head), "built-in")
     reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")
+    reg.createOrReplaceTempFunction("json_exists",
+      es => IsNotNull(GetJsonObject(es(0), es(1))), "built-in")
+    reg.createOrReplaceTempFunction("json_value",
+      es =>
+        if (es.length >= 3) Coalesce(Seq(GetJsonObject(es(0), es(1)), es(2)))
+        else GetJsonObject(es(0), es(1)),
+      "built-in")
   }
 
   /** Translate a Flink/SimpleDateFormat-style DATE_FORMAT pattern to the

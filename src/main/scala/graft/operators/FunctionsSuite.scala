@@ -100,7 +100,11 @@ object FunctionsSuite extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("k_int").cast("long")).as("sum_k"),
           count(col("missing")).as("n_missing"),
-          min(col("k_str")).as("min_k_str"))
+          min(col("k_str")).as("min_k_str"),
+          sum(when(graft.functions.FlinkFunctions.json_exists(
+            col("props"), lit("$.k")), 1L).otherwise(0L)).as("n_k_exists"),
+          min(graft.functions.FlinkFunctions.json_value(
+            col("props"), lit("$.missing"), lit("dflt"))).as("jv_default"))
         .orderBy("event_type")
     },
 
@@ -226,7 +230,10 @@ object FunctionsSuite extends QueryModule {
       SELECT event_type, count(1) AS n,
         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         count(json_extract_string(props, '$.missing')) AS n_missing,
-        min(json_extract_string(props, '$.k')) AS min_k_str
+        min(json_extract_string(props, '$.k')) AS min_k_str,
+        CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_exists,
+        min(coalesce(json_extract_string(props, '$.missing'), 'dflt')) AS jv_default
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",

@@ -38,6 +38,18 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
   }
 
+  test("json_value / json_exists registered for SQL with default-on-empty") {
+    FlinkFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT json_exists('{"a":1}', '$.a'),
+             json_exists('{"a":1}', '$.b'),
+             json_value('{"a":"x"}', '$.a'),
+             json_value('{"a":"x"}', '$.b', 'dflt')
+    """).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "x" && r.getString(3) == "dflt")
+  }
+
   test("translateDatePattern maps tokens but never quoted literals") {
     assert(FlinkFunctions.translateDatePattern("yyyy-MM-dd HH:mm:ss")
       == "yyyy-MM-dd HH:mm:ss")
