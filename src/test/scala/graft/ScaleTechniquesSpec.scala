@@ -53,6 +53,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .where(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("Scan parquet")).getOrElse("")
+    // predicate pushed into the reader, not evaluated post-scan only
+    assert(scan.contains("PushedFilters:") && scan.contains("GreaterThan(l_quantity"))
+    // column pruning: the 16-column table is read as exactly 2 columns
+    val readSchema = scan.split("ReadSchema:").last
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"))
+  }
+
   test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
     val out = GraftStream(spark.range(100).as[Long])
       .map(i => (i % 5, i))
