@@ -13,6 +13,9 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // Flink-dialect gap functions ride in via SparkSessionExtensions,
+      // so spark.sql("... split_index(...) ...") works out of the box.
+      .withExtensions(graft.functions.FlinkFunctions.injectAll)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -119,22 +119,38 @@ object FlinkFunctions {
     column(Coalesce(Seq(
       GetJsonObject(expression(json), expression(path)), expression(default))))
 
-  /** Register all gap functions for the SQL surface. */
+  /** Name → expression builder for every gap function. */
+  private val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hash_code" -> (es => HashCode(es.head)),
+    "split_index" -> (es => SplitIndex(es(0), es(1), es(2))),
+    "is_alpha" -> (es => IsAlpha(es.head)),
+    "is_digit" -> (es => IsDigit(es.head)),
+    "is_decimal" -> (es => IsDecimal(es.head)),
+    "json_exists" -> (es => IsNotNull(GetJsonObject(es(0), es(1)))),
+    "json_value" -> (es =>
+      if (es.length >= 3) Coalesce(Seq(GetJsonObject(es(0), es(1)), es(2)))
+      else GetJsonObject(es(0), es(1))),
+  )
+
+  /** Register all gap functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hash_code", es => HashCode(es.head), "built-in")
-    reg.createOrReplaceTempFunction("split_index", es => SplitIndex(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("is_alpha", es => IsAlpha(es.head), "built-in")
-    reg.createOrReplaceTempFunction("is_digit", es => IsDigit(es.head), "built-in")
-    reg.createOrReplaceTempFunction("is_decimal", es => IsDecimal(es.head), "built-in")
-    reg.createOrReplaceTempFunction("json_exists",
-      es => IsNotNull(GetJsonObject(es(0), es(1))), "built-in")
-    reg.createOrReplaceTempFunction("json_value",
-      es =>
-        if (es.length >= 3) Coalesce(Seq(GetJsonObject(es(0), es(1)), es(2)))
-        else GetJsonObject(es(0), es(1)),
-      "built-in")
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** SparkSessionExtensions hook — the idiomatic injection point; wired
+    * into every GraftSession so the SQL surface always has the dialect.
+    */
+  def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    sqlBuilders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          getClass.getCanonicalName, name),
+        b))
+    }
 
   /** Translate a Flink/SimpleDateFormat-style DATE_FORMAT pattern to the
     * Spark 3+ (java.time DateTimeFormatter) dialect. The common tokens

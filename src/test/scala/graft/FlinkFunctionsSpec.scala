@@ -38,6 +38,16 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
   }
 
+  test("gap functions ride SparkSessionExtensions into fresh sessions") {
+    // newSession() gets a fresh SessionState: temp-function registration
+    // would be lost, extension-injected functions re-apply.
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT split_index('a#b#c', '#', 2), json_value('{"a":1}', '$.a')""")
+      .collect().head
+    assert(r.getString(0) == "c" && r.getString(1) == "1")
+  }
+
   test("json_value / json_exists registered for SQL with default-on-empty") {
     FlinkFunctions.registerAll(spark)
     val r = spark.sql("""
