@@ -150,6 +150,36 @@ object StatefulOps {
       }
   }
 
+  /** Count-sliding window aggregate — Flink `countWindow(size, slide)`
+    * (flink-streaming-java .../assigners/CountSlidingWindowAssigner:
+    * GlobalWindows + CountEvictor(size) + CountTrigger(slide)): every
+    * `slide` rows per key emit (key, winId, count, sum) over the last
+    * `size` rows (fewer while the buffer warms up). State per key is
+    * bounded at `size` values.
+    */
+  def countSlideAgg[K, T](ds: Dataset[T], size: Int, slide: Int, keyFn: T => K,
+                          valueFn: T => Double)
+                         (implicit ek: Encoder[K], ew: Encoder[WindowResult[K]]): Dataset[WindowResult[K]] = {
+    implicit val se: Encoder[(Long, Long, Seq[Double])] =
+      Encoders.kryo[(Long, Long, Seq[Double])]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Long, Long, Seq[Double])]) =>
+          var (winId, sinceFire, buf) = state.getOption.getOrElse((0L, 0L, Seq.empty[Double]))
+          val out = Seq.newBuilder[WindowResult[K]]
+          rows.foreach { t =>
+            buf = (buf :+ valueFn(t)).takeRight(size)
+            sinceFire += 1
+            if (sinceFire == slide) {
+              out += WindowResult(key, winId, buf.size.toLong, buf.sum)
+              winId += 1; sinceFire = 0
+            }
+          }
+          state.update((winId, sinceFire, buf))
+          out.result().iterator
+      }
+  }
+
   /** Tagged input for the two-stream temporal join (Spark stateful ops
     * are single-input; union both sides — the standard pattern). Carries
     * its own event-time column: typed maps drop watermark metadata, so

@@ -88,6 +88,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(WindowResult(7L, 0L, 3L, 6.0)))
   }
 
+  test("countSlideAgg fires every slide rows over the last size rows") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.countSlideAgg[Long, SEv](in.toDS(), 3, 2, _.k, _.v)
+    val q = out.writeStream.format("memory").queryName("cnsw")
+      .outputMode("append").start()
+    in.addData((1 to 4).map(i => SEv(7, ts(i), i.toDouble, "")): _*)
+    q.processAllAvailable()
+    in.addData((5 to 7).map(i => SEv(7, ts(i), i.toDouble, "")): _*)
+    runToCompletion(q)
+    val rows = spark.table("cnsw").as[WindowResult[Long]].collect().toSeq
+    // fires at rows 2 ([1,2]), 4 ([2,3,4]), 6 ([4,5,6]); row 7 pending
+    assert(rows == Seq(
+      WindowResult(7L, 0L, 2L, 3.0),
+      WindowResult(7L, 1L, 3L, 9.0),
+      WindowResult(7L, 2L, 3L, 15.0)))
+  }
+
   test("temporalJoin matches left rows to latest right version at or before") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
