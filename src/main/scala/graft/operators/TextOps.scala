@@ -137,7 +137,10 @@ object TextOps {
     * at very large scale prefer minhashLshPairs which prunes candidates.
     */
   def allPairsJaccardIdx(idx: DataFrame, threshold: Double): DataFrame = {
+    // Three consumers (sizes + both self-join sides): materialize once
+    // instead of re-running the shingle pipeline per consumer.
     val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
+      .localCheckpoint()
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Never broadcast the inverted index: both sides are corpus-sized.
     val inter = exploded.select(col("sh"), col("id").as("id_a")).hint("shuffle_hash")
