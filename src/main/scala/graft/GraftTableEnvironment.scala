@@ -65,6 +65,47 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     // events is the stream table (FIXTURES.md): declare its watermark.
     watermarkDecl.getOrElseUpdate("events", ("ts", "10 minutes"))
   }
+
+  /** TableEnvironment.createStatementSet parity (TableEnvironmentImpl
+    * .java:685): batch several INSERTs and execute them together.
+    */
+  def createStatementSet(): GraftStatementSet = new GraftStatementSet(this)
+}
+
+/** Multi-sink pipeline: collect INSERT statements / (df, target) pairs,
+  * run them all on execute(). The reference compiles a statement set
+  * into ONE job DAG with shared subtrees; Spark executes one job per
+  * sink — pass shared inputs through `shareScan` (persist + unpersist
+  * around execute) to avoid recomputing a common scan per sink, which
+  * is the same physical effect at the cost of a materialization.
+  */
+class GraftStatementSet private[graft] (env: GraftTableEnvironment) {
+  private val inserts = mutable.Buffer[() => Unit]()
+  private val shared = mutable.Buffer[DataFrame]()
+
+  /** INSERT INTO/OVERWRITE ... SELECT ... — deferred until execute(). */
+  def addInsertSql(sql: String): this.type = {
+    inserts += (() => { env.spark.sql(sql); () })
+    this
+  }
+
+  /** Insert a DataFrame into a saved table (append). */
+  def addInsert(targetTable: String, df: DataFrame): this.type = {
+    inserts += (() => df.write.mode("append").saveAsTable(targetTable))
+    this
+  }
+
+  /** Mark a DataFrame as shared across sinks: persisted before the
+    * inserts run, unpersisted after.
+    */
+  def shareScan(df: DataFrame): DataFrame = { shared += df; df }
+
+  /** Run all collected inserts (shared inputs materialized once). */
+  def execute(): Unit = {
+    shared.foreach(_.persist())
+    try inserts.foreach(_.apply())
+    finally { shared.foreach(_.unpersist()); inserts.clear(); shared.clear() }
+  }
 }
 
 object GraftTableEnvironment {

@@ -29,6 +29,27 @@ class FacadeSpec extends AnyFunSuite {
     assert(env.fromWithWatermark("events").columns.contains("ts"))
   }
 
+  test("statement set runs multiple inserts off one shared scan") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    Seq("sink_a", "sink_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (p.exists()) org.apache.commons.io.FileUtils.deleteDirectory(p)
+    }
+    val ss = env.createStatementSet()
+    val base = ss.shareScan(
+      env.from("lineitem").groupBy("l_returnflag").count())
+    base.createOrReplaceTempView("flag_counts")
+    ss.addInsertSql("CREATE TABLE sink_a AS SELECT * FROM flag_counts WHERE count > 0")
+      .addInsertSql("CREATE TABLE sink_b AS SELECT sum(count) AS total FROM flag_counts")
+      .execute()
+    assert(spark.table("sink_a").count() == base.count())
+    assert(spark.table("sink_b").as[Long].head() ==
+      env.from("lineitem").count())
+  }
+
   test("lookup join probes once per distinct key within a partition (LRU cache)") {
     LookupCounter.probes.set(0)
     val ds = spark.range(100).as[Long].map(i => (i, i % 5)) // 5 distinct keys
