@@ -188,18 +188,24 @@ object TextOps {
     simhash60Idx(
       docs.select(col(idCol), explode(array_distinct(col(wordsCol))).as("w")), idCol)
 
-  /** SimHash from a distinct (id, w) words index (preferred form). */
-  def simhash60Idx(wordsIdx: DataFrame, idCol: String): DataFrame =
+  /** SimHash from a distinct (id, w) words index (preferred form).
+    * One aggregation pass: 60 conditional ±1 sums (one per bit) with
+    * map-side partial aggregation, instead of exploding every word 60×
+    * through two shuffles — same integer sums, so bit-identical.
+    */
+  def simhash60Idx(wordsIdx: DataFrame, idCol: String): DataFrame = {
+    val sums = (0 until 60).map { j =>
+      sum(when(shiftright(col("wh"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j")
+    }
+    val bits = (0 until 60).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
     wordsIdx
       .withColumn("wh", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .withColumn("bitval",
-        when(expr("(wh >> j) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("bitval")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, via the
     * pigeonhole banded join: split the 60-bit hash into 4 15-bit chunks;
