@@ -59,6 +59,21 @@ object EventTimeParity extends QueryModule {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // Session windows with a per-row DYNAMIC gap (click/view cool off in
+    // 5 minutes, the rest in 15) — Flink's withDynamicGap.
+    "w06_session_dynamic_gap" -> { (s, dir) =>
+      val gap = when(col("event_type").isin("click", "view"), lit("5 minutes"))
+        .otherwise(lit("15 minutes"))
+      ev(s, dir)
+        .groupBy(WindowOps.sessionDynamic(col("ts"), gap).as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("win.start")).as("sess_start_us"),
+          unix_micros(col("win.end")).as("sess_end_us"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
     // CUMULATE window aggregate (step 1h, max 4h) — no Spark built-in.
     "w04_cumulate_agg" -> { (s, dir) =>
       WindowOps.cumulate(ev(s, dir), col("ts"), 3600L, 14400L)
@@ -230,6 +245,29 @@ object EventTimeParity extends QueryModule {
         FROM marked)
       SELECT user_id, min(tus) AS sess_start_us,
              max(tus) + 600000000 AS sess_end_us,
+             count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM grouped
+      GROUP BY user_id, sid
+      ORDER BY user_id, sess_start_us""",
+
+    "w06_session_dynamic_gap" -> s"""
+      WITH e AS (
+        SELECT user_id, value, epoch_us(ts) AS tus,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN 300000000 ELSE 900000000 END AS gap
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN max(tus + gap) OVER wprev IS NULL
+                         OR tus >= max(tus + gap) OVER wprev
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW wprev AS (PARTITION BY user_id ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      grouped AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, min(tus) AS sess_start_us,
+             max(tus + gap) AS sess_end_us,
              count(1) AS n, ${dsumSql("value")} AS sum_value
       FROM grouped
       GROUP BY user_id, sid

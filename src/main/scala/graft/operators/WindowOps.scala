@@ -28,6 +28,13 @@ object WindowOps {
   /** Session window column with a fixed inactivity gap. */
   def session(ts: Column, gap: String): Column = session_window(ts, gap)
 
+  /** Session window with a per-row DYNAMIC gap (Flink
+    * SessionWindowTimeGapExtractor / EventTimeSessionWindows
+    * .withDynamicGap): `gap` is an interval-string expression evaluated
+    * per element; overlapping per-row sessions merge.
+    */
+  def sessionDynamic(ts: Column, gap: Column): Column = session_window(ts, gap)
+
   /** CUMULATE windows (Flink window TVF): windows share an epoch-aligned
     * `maxSize` base; each row lands in every step-expanded window
     * [base, base + k*step) that contains it, k = 1..maxSize/step.
