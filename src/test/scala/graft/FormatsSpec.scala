@@ -31,6 +31,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("orc round-trip preserves values") {
+    src.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    val a = src.orderBy("n_nationkey").select("n_name").as[String].collect().toSeq
+    val b = back.orderBy("n_nationkey").select("n_name").as[String].collect().toSeq
+    assert(a == b)
+  }
+
+  test("text source reads lines, text sink writes them") {
+    src.select(col("n_name")).write.mode("overwrite").text(s"$dir/txt")
+    val back = spark.read.text(s"$dir/txt")
+    assert(back.as[String].collect().sorted.toSeq ==
+      src.select("n_name").as[String].collect().sorted.toSeq)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", to_date(col("ts")))

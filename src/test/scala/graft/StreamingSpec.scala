@@ -287,6 +287,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("e1" -> Some("gold"), "e9" -> None))
   }
 
+  test("built-in parity: streaming window join (same tumbling window + key)") {
+    val lIn = MemoryStream[SEv]
+    val rIn = MemoryStream[SEv]
+    val l = lIn.toDS().withWatermark("ts", "5 seconds")
+      .select(window(col("ts"), "10 seconds").as("win"), col("k"), col("tag").as("lt"))
+    val r = rIn.toDS().withWatermark("ts", "5 seconds")
+      .select(window(col("ts"), "10 seconds").as("win"), col("k"), col("tag").as("rt"))
+    val q = l.join(r, Seq("win", "k"))
+      .select(col("lt"), col("rt"))
+      .writeStream.format("memory").queryName("swj").outputMode("append").start()
+    lIn.addData(SEv(1, ts(11), 0, "L11"), SEv(1, ts(21), 0, "L21"))
+    rIn.addData(SEv(1, ts(13), 0, "R13"), SEv(2, ts(14), 0, "R14"),
+      SEv(1, ts(33), 0, "R33"))
+    runToCompletion(q)
+    // only same-window same-key pairs: [10,20) k=1 → (L11,R13)
+    val rows = spark.table("swj").as[(String, String)].collect().toSet
+    assert(rows == Set(("L11", "R13")))
+  }
+
   test("built-in parity: stream-stream interval join with watermarks") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
