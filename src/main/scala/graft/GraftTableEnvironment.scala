@@ -70,6 +70,38 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     * .java:685): batch several INSERTs and execute them together.
     */
   def createStatementSet(): GraftStatementSet = new GraftStatementSet(this)
+
+  /** StreamTableEnvironment.fromChangelogStream parity (Flink 1.14
+    * flink-table-api-java-bridge .../StreamTableEnvironment.java):
+    * interpret a DataFrame carrying a `__rowkind` column (+I/-U/+U/-D)
+    * as a changelog and register its NORMALIZED current state — latest
+    * version per primary key, deleted keys dropped — as a view.
+    */
+  def fromChangelogStream(name: String, df: DataFrame, primaryKey: Seq[String],
+                          versionOrder: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    // -U rows are dropped first (DropUpdateBefore): a retraction is
+    // always superseded by its +U twin at the same version, so it can
+    // never be final state — and removing it keeps keep-last
+    // deterministic when both share the version key.
+    val retractFree = graft.operators.ChangelogOps
+      .dropUpdateBefore(df, col("__rowkind"))
+    val norm = graft.operators.ChangelogOps
+      .normalize(retractFree, primaryKey.map(col), versionOrder.map(col), col("__rowkind"))
+      .drop("__rowkind")
+    createTemporaryView(name, norm, primaryKey = primaryKey)
+  }
+
+  /** StreamTableEnvironment.toChangelogStream parity: emit a table's
+    * rows with their row kind. An append table is an insert-only
+    * changelog (+I on every row); updating results carry their kinds
+    * from the streaming side (StatefulOps.keepLastDedup emits -U/+U).
+    */
+  def toChangelogStream(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (df.columns.contains("__rowkind")) df
+    else df.select(lit("+I").as("__rowkind") +: df.columns.map(col): _*)
+  }
 }
 
 /** Multi-sink pipeline: collect INSERT statements / (df, target) pairs,

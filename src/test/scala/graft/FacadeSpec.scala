@@ -50,6 +50,24 @@ class FacadeSpec extends AnyFunSuite {
       env.from("lineitem").count())
   }
 
+  test("fromChangelogStream registers normalized state; toChangelogStream tags kinds") {
+    val env = GraftTableEnvironment.create(spark)
+    val log = Seq(
+      ("+I", 1L, "a", 1L), ("+I", 2L, "b", 1L),
+      ("-U", 1L, "a", 2L), ("+U", 1L, "a2", 2L),
+      ("+I", 3L, "c", 1L), ("-D", 2L, "b", 2L))
+      .toDF("__rowkind", "id", "v", "ver")
+    env.fromChangelogStream("state", log, Seq("id"), Seq("ver"))
+    val state = spark.table("state").select("id", "v")
+      .as[(Long, String)].collect().toSet
+    // latest version per key; key 2 deleted
+    assert(state == Set((1L, "a2"), (3L, "c")))
+    assert(env.primaryKey("state") == Seq("id"))
+    val out = env.toChangelogStream(spark.table("state"))
+    assert(out.columns.head == "__rowkind")
+    assert(out.select("__rowkind").distinct().as[String].collect().toSeq == Seq("+I"))
+  }
+
   test("lookup join probes once per distinct key within a partition (LRU cache)") {
     LookupCounter.probes.set(0)
     val ds = spark.range(100).as[Long].map(i => (i, i % 5)) // 5 distinct keys

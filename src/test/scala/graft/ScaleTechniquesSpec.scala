@@ -53,6 +53,16 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("dimension join picks broadcast hash join (plan shape)") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val c = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("filter and projection reach the parquet scan (pushdown + pruning)") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .where(col("l_quantity") > 30)
