@@ -10,6 +10,39 @@ class NfaSpec extends AnyFunSuite {
   private def run(p: Pattern[E], evs: E*): Vector[Match[E]] =
     Nfa.run(evs.toIndexedSeq, (_: E).t, p)
 
+  test("property: match invariants hold on random streams") {
+    import org.scalacheck.{Gen, Prop}
+    def allSpan(m: Match[E]): Long = {
+      val ts = m.bindings.flatMap(_._2).map(_.t)
+      ts.max - ts.min
+    }
+    def isSorted(xs: Seq[Long]): Boolean = xs == xs.sorted
+    val types = Gen.oneOf("a", "b", "x")
+    val streams = Gen.listOf(types).map(_.zipWithIndex.map {
+      case (ty, i) => E(i.toLong * 2, ty) // strictly increasing times
+    })
+    val p = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a", Quantifier.OneOrMore),
+      Step("b", (_: E).typ == "b", contiguity = Contiguity.Relaxed)),
+      withinMicros = Some(10L), afterMatch = AfterMatch.SkipPastLast)
+    val prop = Prop.forAll(streams) { evs =>
+      val ms = Nfa.run(evs.toIndexedSeq, (_: E).t, p)
+      val allBound = ms.flatMap(_.bindings.flatMap(_._2))
+      // 1. bindings satisfy their step predicates
+      ms.forall(m => m.bindings.forall { case (name, bound) =>
+        bound.forall(e => if (name == "a") e.typ == "a" else e.typ == "b") }) &&
+      // 2. within bound: last - first < 10 micros (strictly less)
+      ms.forall(m => allSpan(m) < 10L) &&
+      // 3. SkipPastLast: no event consumed twice
+      allBound.size == allBound.distinct.size &&
+      // 4. matches are time-ordered and internally ordered
+      ms.forall(m => isSorted(m.bindings.flatMap(_._2).map(_.t)))
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("strict 3-step sequence matches consecutive events only") {
     val p = pat(
       Step("a", _.typ == "a"), Step("b", _.typ == "b"), Step("c", _.typ == "c"))
