@@ -62,13 +62,19 @@ class KeyedGraftStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
 
   /** KeyedStream.minBy/maxBy/sum-style field aggregates as typed
     * reductions (lt = "less than" comparator; num = numeric projection).
+    * Reductions get map-side partial aggregation; on ties minBy/maxBy
+    * keep an arbitrary element (Flink keeps the first-arrived — arrival
+    * order is not defined for a distributed batch group).
     */
   def minBy(lt: (T, T) => Boolean)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
     kv.reduceGroups((a: T, b: T) => if (lt(a, b)) a else b)
   def maxBy(lt: (T, T) => Boolean)(implicit e: Encoder[(K, T)]): Dataset[(K, T)] =
     kv.reduceGroups((a: T, b: T) => if (lt(a, b)) b else a)
-  def sum(num: T => Double)(implicit e: Encoder[(K, Double)]): Dataset[(K, Double)] =
-    kv.mapGroups((k, it) => (k, it.map(num).sum))
+  def sum(num: T => Double)(implicit e: Encoder[(K, Double)]): Dataset[(K, Double)] = {
+    implicit val d: Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    kv.mapValues(num).reduceGroups(_ + _)
+  }
 
   def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): Dataset[U] =
     kv.mapGroups(f)
