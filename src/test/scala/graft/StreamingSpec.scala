@@ -287,6 +287,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("e1" -> Some("gold"), "e9" -> None))
   }
 
+  test("watermark drop metric records late rows in streaming aggregates") {
+    val in = MemoryStream[SEv]
+    val agg = in.toDS().withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k")).count()
+    val q = agg.writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(100), 0, "a"))
+    q.processAllAvailable() // watermark -> 95
+    in.addData(SEv(1, ts(10), 0, "late")) // far below the watermark
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped >= 1, "late row should be dropped AND counted by the framework")
+  }
+
   test("built-in parity: streaming window join (same tumbling window + key)") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
