@@ -15,7 +15,8 @@ object SparkEntry {
     operators.SimilaritySuite,
     operators.MiscParity,
     operators.ExtraParity,
-    operators.MoreParity
+    operators.MoreParity,
+    operators.DsParity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
