@@ -87,6 +87,78 @@ object Nfa {
     out.result()
   }
 
+  /** Like [[run]], but also reports TIMED-OUT PARTIAL matches — the
+    * flink-cep timeout surface (PatternStream.select with a timeout
+    * tag; .../nfa/NFA.java advanceTime pruning + a
+    * TimedOutPartialMatchHandler). A partial is reported for a start
+    * event whose first step matched, no complete match exists from it,
+    * and the `within` window has conclusively expired inside the data
+    * (time(last event) - time(start) >= within). Its bindings are the
+    * greedy non-backtracking step prefix. Patterns without `within`
+    * never time out.
+    */
+  def runWithTimeouts[T](events: IndexedSeq[T], time: T => Long,
+                         pattern: Pattern[T]): (Vector[Match[T]], Vector[Match[T]]) = {
+    val out = Vector.newBuilder[Match[T]]
+    val timeouts = Vector.newBuilder[Match[T]]
+    val endTime = if (events.nonEmpty) time(events.last) else Long.MinValue
+    var i = 0
+    while (i < events.length) {
+      matchFrom(events, time, pattern, i) match {
+        case Some((m, lastIdx)) =>
+          out += m
+          i = pattern.afterMatch match {
+            case AfterMatch.SkipPastLast => lastIdx + 1
+            case AfterMatch.NoSkip       => i + 1
+          }
+        case None =>
+          if (pattern.withinMicros.exists(w =>
+              pattern.steps.head.pred(events(i)) && endTime - time(events(i)) >= w)) {
+            val partial = greedyPrefix(events, time, pattern, i)
+            if (partial.nonEmpty) timeouts += Match(partial)
+          }
+          i += 1
+      }
+    }
+    (out.result(), timeouts.result())
+  }
+
+  /** Greedy, non-backtracking prefix binding for timeout reporting:
+    * bind steps left to right until one fails; empty when no step (or
+    * every step) binds — a full binding is a match, not a timeout.
+    */
+  private def greedyPrefix[T](events: IndexedSeq[T], time: T => Long,
+                              pattern: Pattern[T], start: Int): Vector[(String, Vector[T])] = {
+    val startTime = time(events(start))
+    def withinOk(idx: Int): Boolean = pattern.withinMicros match {
+      case Some(w) => time(events(idx)) - startTime < w
+      case None    => true
+    }
+    var acc = Vector.empty[(String, Vector[T])]
+    var pos = start
+    var stepIdx = 0
+    var stuck = false
+    while (stepIdx < pattern.steps.length && !stuck) {
+      val step = pattern.steps(stepIdx)
+      val strict = step.contiguity == Contiguity.Strict || stepIdx == 0
+      var p = pos
+      if (!strict) {
+        while (p < events.length && withinOk(p) && !step.pred(events(p))) p += 1
+      }
+      if (p < events.length && withinOk(p) && step.pred(events(p))) {
+        val bound = collectRun(events, step, p, time, withinOk)
+        acc :+= step.name -> bound.map(events(_)).toVector
+        pos = bound.last + 1
+        stepIdx += 1
+      } else if (step.quantifier == Quantifier.Optional) {
+        stepIdx += 1
+      } else {
+        stuck = true
+      }
+    }
+    if (stepIdx == pattern.steps.length) Vector.empty else acc
+  }
+
   /** Try to match with the first step's first event at exactly `start`.
     * Returns the match and the index of the last consumed event.
     */

@@ -10,6 +10,28 @@ class NfaSpec extends AnyFunSuite {
   private def run(p: Pattern[E], evs: E*): Vector[Match[E]] =
     Nfa.run(evs.toIndexedSeq, (_: E).t, p)
 
+  test("runWithTimeouts reports expired partial matches with their prefix") {
+    val p = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a"),
+      Step("b", (_: E).typ == "b", contiguity = Contiguity.Relaxed)),
+      withinMicros = Some(10L))
+    // a@0 never finds its b; window [0,10) expires once time reaches 100
+    val (ms, touts) = Nfa.runWithTimeouts(
+      IndexedSeq(E(0, "a"), E(1, "x"), E(100, "c"), E(102, "a"), E(103, "b")),
+      (_: E).t, p)
+    assert(ms.size == 1 && ms.head.first("a").t == 102)
+    assert(touts.size == 1)
+    assert(touts.head.bindings == Vector("a" -> Vector(E(0, "a"))))
+    // not yet expired (last event inside the window) -> no timeout report
+    val (_, open) = Nfa.runWithTimeouts(
+      IndexedSeq(E(0, "a"), E(5, "x")), (_: E).t, p)
+    assert(open.isEmpty)
+    // no within bound -> never times out
+    val (_, never) = Nfa.runWithTimeouts(
+      IndexedSeq(E(0, "a"), E(999, "x")), (_: E).t, p.copy(withinMicros = None))
+    assert(never.isEmpty)
+  }
+
   test("property: match invariants hold on random streams") {
     import org.scalacheck.{Gen, Prop}
     def allSpan(m: Match[E]): Long = {
