@@ -1,0 +1,61 @@
+package graft.cep
+
+import graft.cep.Nfa._
+
+/** Fluent pattern-construction API mirroring the reference's CEP
+  * surface (flink-cep .../pattern/Pattern.java: begin/next/followedBy/
+  * oneOrMore/optional/consecutive/within/afterMatch...) over the
+  * [[Nfa]] core. Quantifier/contiguity calls modify the most recent
+  * step, exactly like the reference's builder.
+  *
+  * {{{
+  * val p = PatternDsl.begin[Ev]("start", _.kind == "a").oneOrMore
+  *   .followedBy("end", _.kind == "b")
+  *   .within(60.seconds)
+  *   .build
+  * }}}
+  */
+object PatternDsl {
+
+  def begin[T](name: String, pred: T => Boolean): Builder[T] =
+    new Builder(Vector(Step(name, pred)), None, AfterMatch.SkipPastLast)
+
+  final class Builder[T] private[PatternDsl] (
+      steps: Vector[Step[T]],
+      withinMicros: Option[Long],
+      afterMatch: AfterMatch) {
+
+    /** Strict contiguity — the next event must match (Pattern.next). */
+    def next(name: String, pred: T => Boolean): Builder[T] =
+      add(Step(name, pred, contiguity = Contiguity.Strict))
+
+    /** Relaxed contiguity — skip till next match (Pattern.followedBy). */
+    def followedBy(name: String, pred: T => Boolean): Builder[T] =
+      add(Step(name, pred, contiguity = Contiguity.Relaxed))
+
+    /** Loop the last step (consecutive+greedy — the implemented NFA
+      * subset; see Nfa.collectRun for the contract).
+      */
+    def oneOrMore: Builder[T] = amend(_.copy(quantifier = Quantifier.OneOrMore))
+
+    /** Make the last step optional. */
+    def optional: Builder[T] = amend(_.copy(quantifier = Quantifier.Optional))
+
+    /** Time bound: match span strictly less than `d`. */
+    def within(d: scala.concurrent.duration.FiniteDuration): Builder[T] =
+      new Builder(steps, Some(d.toMicros), afterMatch)
+
+    def afterMatchSkipPastLast: Builder[T] =
+      new Builder(steps, withinMicros, AfterMatch.SkipPastLast)
+
+    def afterMatchNoSkip: Builder[T] =
+      new Builder(steps, withinMicros, AfterMatch.NoSkip)
+
+    def build: Pattern[T] = Pattern(steps, withinMicros, afterMatch)
+
+    private def add(s: Step[T]): Builder[T] =
+      new Builder(steps :+ s, withinMicros, afterMatch)
+    private def amend(f: Step[T] => Step[T]): Builder[T] =
+      new Builder(steps.init :+ f(steps.last), withinMicros, afterMatch)
+  }
+}

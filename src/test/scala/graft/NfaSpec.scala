@@ -10,6 +10,25 @@ class NfaSpec extends AnyFunSuite {
   private def run(p: Pattern[E], evs: E*): Vector[Match[E]] =
     Nfa.run(evs.toIndexedSeq, (_: E).t, p)
 
+  test("PatternDsl builds the same pattern as the case-class form") {
+    import scala.concurrent.duration._
+    import graft.cep.PatternDsl
+    val dsl = PatternDsl.begin[E]("a", _.typ == "a").oneOrMore
+      .followedBy("b", _.typ == "b")
+      .within(10.micros)
+      .build
+    val explicit = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a", Quantifier.OneOrMore),
+      Step("b", (_: E).typ == "b", contiguity = Contiguity.Relaxed)),
+      withinMicros = Some(10L))
+    val evs = IndexedSeq(E(0, "a"), E(1, "a"), E(2, "b"), E(50, "a"), E(55, "b"))
+    val got = Nfa.run(evs, (_: E).t, dsl).map(_.bindings.map {
+      case (n, es) => n -> es.map(_.t) })
+    val want = Nfa.run(evs, (_: E).t, explicit).map(_.bindings.map {
+      case (n, es) => n -> es.map(_.t) })
+    assert(got == want && got.nonEmpty)
+  }
+
   test("runWithTimeouts reports expired partial matches with their prefix") {
     val p = Pattern[E](Vector(
       Step("a", (_: E).typ == "a"),
