@@ -99,14 +99,26 @@ object Nfa {
     */
   def runWithTimeouts[T](events: IndexedSeq[T], time: T => Long,
                          pattern: Pattern[T]): (Vector[Match[T]], Vector[Match[T]]) = {
-    val out = Vector.newBuilder[Match[T]]
+    val (ms, ts) = runIndexedWithTimeouts(events, time, pattern, None)
+    (ms.map(_._1), ts)
+  }
+
+  /** Single-pass scan returning (match, lastIdx) pairs plus timeouts.
+    * `nowMicros` overrides the expiry clock (streaming callers pass the
+    * watermark; batch defaults to the last event's time).
+    */
+  def runIndexedWithTimeouts[T](events: IndexedSeq[T], time: T => Long,
+                                pattern: Pattern[T], nowMicros: Option[Long])
+      : (Vector[(Match[T], Int)], Vector[Match[T]]) = {
+    val out = Vector.newBuilder[(Match[T], Int)]
     val timeouts = Vector.newBuilder[Match[T]]
-    val endTime = if (events.nonEmpty) time(events.last) else Long.MinValue
+    val endTime = nowMicros.getOrElse(
+      if (events.nonEmpty) time(events.last) else Long.MinValue)
     var i = 0
     while (i < events.length) {
       matchFrom(events, time, pattern, i) match {
         case Some((m, lastIdx)) =>
-          out += m
+          out += ((m, lastIdx))
           i = pattern.afterMatch match {
             case AfterMatch.SkipPastLast => lastIdx + 1
             case AfterMatch.NoSkip       => i + 1

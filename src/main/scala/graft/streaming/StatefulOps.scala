@@ -282,10 +282,25 @@ object StatefulOps {
   def cepStream[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
                       pattern: Nfa.Pattern[T])
                      (implicit ek: Encoder[K]): Dataset[Nfa.Match[T]] = {
+    implicit val e1: Encoder[Nfa.Match[T]] = Encoders.kryo[Nfa.Match[T]]
+    cepStreamWithTimeouts(ds, keyFn, tsMs, pattern)
+      .flatMap(r => if (r._1) None else Some(r._2))
+  }
+
+  /** [[cepStream]] plus the timeout side output (flink-cep
+    * TimedOutPartialMatchHandler / PatternStream timeout tag): emits
+    * (isTimeout, match). A timed-out partial — greedy step-prefix
+    * bindings of a start event whose `within` window the watermark has
+    * passed without a complete match — is reported exactly once, in the
+    * micro-batch where its start event crosses the eviction horizon.
+    */
+  def cepStreamWithTimeouts[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
+                                  pattern: Nfa.Pattern[T])
+                                 (implicit ek: Encoder[K]): Dataset[(Boolean, Nfa.Match[T])] = {
     require(pattern.afterMatch == Nfa.AfterMatch.SkipPastLast,
       "streaming CEP supports SkipPastLast (MATCH_RECOGNIZE default)")
     implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
-    implicit val e1: Encoder[Nfa.Match[T]] = Encoders.kryo[Nfa.Match[T]]
+    implicit val e1: Encoder[(Boolean, Nfa.Match[T])] = Encoders.kryo[(Boolean, Nfa.Match[T])]
     val lastStep = pattern.steps.last
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -294,7 +309,8 @@ object StatefulOps {
           val buf = state.getOption.getOrElse(Seq.empty) ++ rows
           val (mature, immature) = buf.partition(t => tsMs(t) <= wm)
           val sorted = mature.sortBy(tsMs).toIndexedSeq
-          val indexed = Nfa.runIndexed[T](sorted, t => tsMs(t) * 1000L, pattern)
+          val (indexed, touts) = Nfa.runIndexedWithTimeouts[T](
+            sorted, t => tsMs(t) * 1000L, pattern, Some(wm * 1000L))
           // The last match is provisional iff it consumed up to the last
           // mature event, its final step could bind more (greedy loop, or
           // optional still unbound), and a future event (ts > wm) could
@@ -323,7 +339,7 @@ object StatefulOps {
             state.update(keep)
             state.setTimeoutTimestamp(wm + 1)
           } else if (state.exists) state.remove()
-          matches.iterator
+          (matches.map((false, _)) ++ touts.map((true, _))).iterator
       }
   }
 }

@@ -167,6 +167,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((false, 10L), (false, 30L), (true, 8L), (false, 26L)))
   }
 
+  test("cepStreamWithTimeouts emits expired partial matches once") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a"),
+      Step("b", (_: SEv).tag == "b", contiguity = Contiguity.Relaxed)),
+      withinMicros = Some(60L * 1000000L))
+    val out = StatefulOps.cepStreamWithTimeouts[Long, SEv](
+        wmarked, _.k, _.ts.getTime, pat)
+      .map { case (isT, m) =>
+        (isT, m.bindings.map(b => b._1 + "@" + b._2.map(_.ts.getTime / 1000)
+          .mkString(",")).mkString(";")) }
+    val q = out.writeStream.format("memory").queryName("cepto")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 0, "a"))   // will never find its b
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x"))  // wm=10: a@10 mature, not expired
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(300), 0, "a"))  // wm=200: a@10 expired -> timeout
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(305), 0, "b"), SEv(1, ts(400), 0, "x"))
+    runToCompletion(q)                   // a@300,b@305 completes
+    val got = spark.table("cepto").as[(Boolean, String)].collect().toSeq
+    assert(got.count(_ == ((true, "a@10"))) == 1, s"got $got")
+    assert(got.contains((false, "a@300;b@305")))
+  }
+
   test("cepStream holds a trailing greedy OneOrMore open across watermarks") {
     import Nfa._
     val in = MemoryStream[SEv]
