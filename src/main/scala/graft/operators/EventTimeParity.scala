@@ -92,6 +92,23 @@ object EventTimeParity extends QueryModule {
         .orderBy("user_id", "win_id")
     },
 
+    // Count-sliding windows, batch form (fire every 25 events over the
+    // last 50, per user in event-time order) — CountSlidingWindowAssigner.
+    "w07_count_slide" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-49, 0)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sum_value",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+            .over(frame).cast("double"))
+        .where(col("rn") % 25 === 0)
+        .select(col("user_id"), col("rn").as("fire_at"),
+          least(col("rn"), lit(50)).as("n_in_win"), col("sum_value"))
+        .orderBy("user_id", "fire_at")
+    },
+
     // Deduplication keep-first by (user, type) in event-time order.
     "d01_dedup_keep_first" -> { (s, dir) =>
       Dedup.keepFirst(ev(s, dir),
@@ -249,6 +266,20 @@ object EventTimeParity extends QueryModule {
       FROM grouped
       GROUP BY user_id, sid
       ORDER BY user_id, sess_start_us""",
+
+    "w07_count_slide" -> """
+      SELECT user_id, rn AS fire_at,
+             CAST(CASE WHEN rn < 50 THEN rn ELSE 50 END AS INT) AS n_in_win,
+             sum_value
+      FROM (
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn,
+          CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_value
+        FROM events)
+      WHERE rn % 25 = 0
+      ORDER BY user_id, fire_at""",
 
     "w06_session_dynamic_gap" -> s"""
       WITH e AS (
