@@ -302,6 +302,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0), (2L, 2.0))) // no replayed duplicates
   }
 
+  test("exactly-once: custom stateful op (countTumbleAgg) survives restart") {
+    val in = MemoryStream[SEv]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ck2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out2").toString
+    def start() = StatefulOps.countTumbleAgg[Long, SEv](in.toDS(), 3, _.k, _.v)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(SEv(7, ts(1), 1.0, ""), SEv(7, ts(2), 2.0, ""))
+    q1.processAllAvailable(); q1.stop() // partial window (2 of 3) in state
+    val q2 = start() // state (winId, cnt=2, acc=3.0) must survive
+    in.addData(SEv(7, ts(3), 3.0, ""), SEv(7, ts(4), 4.0, ""))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir).as[WindowResult[Long]].collect().toSeq
+    // exactly one completed window [1,2,3], no duplicates, partial [4] held
+    assert(got == Seq(WindowResult(7L, 0L, 3L, 6.0)))
+  }
+
   test("built-in parity: stream-static join (broadcast state pattern)") {
     val in = MemoryStream[SEv]
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
