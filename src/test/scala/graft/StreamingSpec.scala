@@ -333,6 +333,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("e1" -> Some("gold"), "e9" -> None))
   }
 
+  test("allowed-lateness parity: update mode re-fires a window for late rows") {
+    // Flink: watermark = out-of-orderness, allowedLateness keeps window
+    // state and re-fires for late arrivals inside the bound. Spark: one
+    // watermark delay = out-of-orderness + lateness; update-mode sinks
+    // re-emit the refined window when a late-but-in-bound row lands.
+    val in = MemoryStream[SEv]
+    val agg = in.toDS().withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k")).count()
+      .select(col("window.start").cast("long").as("ws"), col("k"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("latefire")
+      .outputMode("update").start()
+    in.addData(SEv(1, ts(15), 0, "a"))
+    q.processAllAvailable() // window [10,20) fires with count 1
+    in.addData(SEv(1, ts(40), 0, "b")) // advances event time
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(12), 0, "late")) // late, inside the 60s bound
+    runToCompletion(q)
+    val fires = spark.table("latefire").as[(Long, Long, Long)].collect()
+      .filter(_._1 == 10L).map(_._3).toSeq
+    // the [10,20) window fired twice: count 1, then refined count 2
+    assert(fires == Seq(1L, 2L))
+  }
+
   test("watermark drop metric records late rows in streaming aggregates") {
     val in = MemoryStream[SEv]
     val agg = in.toDS().withWatermark("ts", "5 seconds")
