@@ -26,6 +26,21 @@ object MoreParity extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Correlated scalar subquery in the SELECT list, through the SQL
+    // string surface — Catalyst decorrelates it to an aggregate + outer
+    // join (the reference runs Calcite decorrelation rules, SURVEY §4.1).
+    "q24_scalar_subquery" -> { (s, dir) =>
+      Tables.load(s, dir, "part").createOrReplaceTempView("part")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT p_partkey, p_retailprice,
+          (SELECT count(1) FROM lineitem WHERE l_partkey = p_partkey) AS n_li,
+          (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+            WHERE l_partkey = p_partkey) AS max_qty
+        FROM part
+        ORDER BY p_partkey""")
+    },
+
     // Array/collection function matrix (scalar outputs for comparison).
     "f10_array_funcs" -> { (s, dir) =>
       Tables.load(s, dir, "part")
@@ -105,6 +120,14 @@ object MoreParity extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q24_scalar_subquery" -> """
+      SELECT p_partkey, p_retailprice,
+        (SELECT count(1) FROM lineitem WHERE l_partkey = p_partkey) AS n_li,
+        (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+          WHERE l_partkey = p_partkey) AS max_qty
+      FROM part
+      ORDER BY p_partkey""",
+
     "q21_rank_functions" -> """
       SELECT o_custkey, o_orderkey,
         CAST(dense_rank() OVER w AS INT) AS drk,
