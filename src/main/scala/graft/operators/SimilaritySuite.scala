@@ -75,6 +75,16 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // IVF with a k-means-FITTED quantizer (1 deterministic Lloyd
+    // iteration: exact-decimal means, id tie-breaks) — the fit itself is
+    // oracle-checked, not just the search.
+    "te06_ann_ivf_kmeans" -> { (s, dir) =>
+      VectorOps.ivfKmeansTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", _ % 25 === 0,
+          nlist = 16, nprobe = 2, k = 5, lloydIters = 1)
+        .orderBy("query_id", "rk")
+    },
+
     // Embedding-cosine near-dup dedup: connected pairs above 0.45 keep
     // the lower id as representative (one-hop union: keep_id = min peer).
     "te04_embedding_neardup" -> { (s, dir) =>
@@ -204,6 +214,74 @@ object SimilaritySuite extends QueryModule {
       scored AS (
         SELECT query_id, dots.vec_id AS vec_id, cell,
                round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, cell, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    "te06_ann_ivf_kmeans" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS vn
+        FROM ex GROUP BY vec_id),
+      cm0 AS (SELECT vec_id AS cell, d, x AS mx FROM ex WHERE vec_id < 16),
+      cn0 AS (
+        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
+        FROM cm0 GROUP BY cell),
+      a0 AS (
+        SELECT e.vec_id, cm0.cell,
+               CAST(sum(CAST(floor((e.x * cm0.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN cm0 ON e.d = cm0.d
+        GROUP BY 1, 2),
+      r0 AS (
+        SELECT a0.vec_id AS vec_id, a0.cell AS cell,
+               row_number() OVER (PARTITION BY a0.vec_id
+                 ORDER BY round(dot / (nv.vn * cn0.cn), 6) DESC, a0.cell) AS crk
+        FROM a0 JOIN norms nv ON a0.vec_id = nv.vec_id
+                JOIN cn0 ON a0.cell = cn0.cell),
+      cells0 AS (SELECT vec_id, cell FROM r0 WHERE crk = 1),
+      cm1 AS (
+        SELECT cell, d,
+               CAST(sum(CAST(e.x AS DECIMAL(25,6))) AS DOUBLE) / count(1) AS mx
+        FROM ex e JOIN cells0 c0 ON e.vec_id = c0.vec_id
+        GROUP BY cell, d),
+      cn1 AS (
+        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
+        FROM cm1 GROUP BY cell),
+      a1 AS (
+        SELECT e.vec_id, cm1.cell,
+               CAST(sum(CAST(floor((e.x * cm1.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN cm1 ON e.d = cm1.d
+        GROUP BY 1, 2),
+      r1 AS (
+        SELECT a1.vec_id AS vec_id, a1.cell AS cell,
+               row_number() OVER (PARTITION BY a1.vec_id
+                 ORDER BY round(dot / (nv.vn * cn1.cn), 6) DESC, a1.cell) AS crk
+        FROM a1 JOIN norms nv ON a1.vec_id = nv.vec_id
+                JOIN cn1 ON a1.cell = cn1.cell),
+      cells1 AS (SELECT vec_id, cell FROM r1 WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM r1
+                 WHERE crk <= 2 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id, cl.cell
+        FROM probes p JOIN cells1 cl USING (cell)
+        WHERE p.query_id <> cl.vec_id),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id, cand.cell,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, cell,
+               round(dot / (nq.vn * nc.vn), 6) AS cos
         FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
                   JOIN norms nc ON dots.vec_id = nc.vec_id)
       SELECT query_id, vec_id, cell, cos, rk FROM (

@@ -137,6 +137,80 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
   }
 
+  /** IVF with a FITTED coarse quantizer: `lloydIters` deterministic
+    * Lloyd iterations (init = first `nlist` vectors, assignment =
+    * argmax rounded cosine with cell-id tie-break, update = per-dim
+    * exact-decimal mean), then the te05-style probe + exact re-rank.
+    * Everything — including the k-means fit — is bit-reproducible by
+    * the DuckDB oracle because sums are exact (decimal / scaled-long)
+    * and ties are broken on ids. Built on the exploded (id, d, x) form:
+    * each assignment round is one shuffle-join on the dimension index
+    * and one aggregate, linear in corpus size; empty cells drop out of
+    * the mean like any groupBy.
+    */
+  def ivfKmeansTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                    isQuery: Column => Column, nlist: Int, nprobe: Int,
+                    k: Int, lloydIters: Int): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val ex = explodeVec(vecs, idCol, vecCol, "id").repartition(parallelism)
+      .localCheckpoint() // feeds every round + the re-rank: compute once
+    val nrm = norms(vecs, idCol, vecCol, "id")
+      .withColumnRenamed("nrm", "vn").localCheckpoint()
+
+    // Rounded-cosine assignment rank of every vector against the given
+    // exploded centroids (cell, d, mx) with norms (cell, cn).
+    def ranked(cm: DataFrame, cn: DataFrame): DataFrame = {
+      val dots = ex.join(cm, "d")
+        .groupBy(col("id"), col("cell"))
+        .agg(scaledSum(col("x") * col("mx")).as("dot"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(round(col("dot") / (col("vn") * col("cn")), 6).desc, col("cell"))
+      dots.join(nrm, "id").join(cn, "cell")
+        .withColumn("crk", row_number().over(w))
+    }
+    def centroidNorms(cm: DataFrame): DataFrame =
+      cm.groupBy(col("cell")).agg(sqrt(scaledSum(col("mx") * col("mx"))).as("cn"))
+
+    var cm = ex.where(col("id") < nlist)
+      .select(col("id").as("cell"), col("d"), col("x").as("mx"))
+    var iter = 0
+    while (iter < lloydIters) {
+      val cells = ranked(cm, centroidNorms(cm)).where(col("crk") === 1)
+        .select(col("id"), col("cell"))
+      // exact-decimal per-dimension mean — deterministic in any
+      // aggregation order, reproducible in SQL
+      cm = ex.join(cells, "id")
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double") / count(lit(1))).as("mx"))
+        .localCheckpoint()
+      iter += 1
+    }
+
+    val finalRank = ranked(cm, centroidNorms(cm))
+    val cells = finalRank.where(col("crk") === 1).select(col("id"), col("cell"))
+    val probes = finalRank.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cell"))
+    val cand = broadcast(probes)
+      .join(cells.select(col("id").as("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+    val pairDots = cand
+      .join(ex.select(col("id").as("query_id"), col("d"), col("x").as("qx")),
+        Seq("query_id"))
+      .join(ex.select(col("id").as("vec_id"), col("d"), col("x").as("cx")),
+        Seq("vec_id", "d"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(scaledSum(col("qx") * col("cx")).as("dot"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairDots
+      .join(nrm.select(col("id").as("query_id"), col("vn").as("qn")), "query_id")
+      .join(nrm.select(col("id").as("vec_id"), col("vn").as("cn2")), "vec_id")
+      .withColumn("cos", round(col("dot") / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
+  }
+
   /** Exact top-k neighbors per query vector (pair join + native dot). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {

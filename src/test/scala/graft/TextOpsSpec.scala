@@ -62,6 +62,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) == 0.0)
   }
 
+  test("IVF k-means with zero Lloyd iterations equals fixed-centroid IVF") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 40L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val fitted = VectorOps.ivfKmeansTopK(df, "vec_id", "embedding",
+        _ % 10 === 0, nlist = 4, nprobe = 2, k = 3, lloydIters = 0)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val fixed = VectorOps.ivfTopK(df, "vec_id", "embedding",
+        _ % 10 === 0, nlist = 4, nprobe = 2, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(fitted == fixed && fitted.nonEmpty)
+  }
+
   test("IVF top-k probing ALL cells equals brute-force top-k") {
     val rnd = new scala.util.Random(7)
     val df = (0L until 40L).map(i =>
