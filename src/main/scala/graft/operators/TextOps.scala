@@ -138,8 +138,13 @@ object TextOps {
     */
   def allPairsJaccardIdx(idx: DataFrame, threshold: Double): DataFrame = {
     // Three consumers (sizes + both self-join sides): materialize once
-    // instead of re-running the shingle pipeline per consumer.
+    // instead of re-running the shingle pipeline per consumer. Hash-
+    // partitioned by id so the materialization isn't AQE-coalesced onto
+    // a few tasks AND the sizes aggregate below reuses the partitioning
+    // (no shuffle).
+    val parallelism = idx.sparkSession.sparkContext.defaultParallelism
     val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
+      .repartition(parallelism, col("id"))
       .localCheckpoint()
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Never broadcast the inverted index: both sides are corpus-sized.
