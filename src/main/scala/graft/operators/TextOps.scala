@@ -168,8 +168,11 @@ object TextOps {
     // The index feeds four distinct subtrees (signature aggregate, both
     // sides of the intersection join, sizes); materialize it once so the
     // shingle construction isn't recomputed per consumer — at corpus
-    // scale that is 4x the scan+explode+window cost.
-    val mat = idx.localCheckpoint()
+    // scale that is 4x the scan+explode+window cost. Hash-partitioned by
+    // id: full-width materialization (no AQE coalescing) and the two
+    // per-id aggregates (signature, sizes) reuse the partitioning.
+    val parallelism = idx.sparkSession.sparkContext.defaultParallelism
+    val mat = idx.repartition(parallelism, col("id")).localCheckpoint()
     val sig = minhashSignatureIdx(mat, numPerms)
     val cands = candidatePairs(lshBands(sig, "id", numPerms, rowsPerBand), "id")
     jaccardVerifyIdx(cands, mat).where(col("jaccard") >= threshold)
