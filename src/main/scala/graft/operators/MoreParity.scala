@@ -73,6 +73,19 @@ object MoreParity extends QueryModule {
         .orderBy("p_partkey")
     },
 
+    // Bitwise operator matrix (§2.9 math/misc: BIN/HEX live in f02).
+    "f12_bitwise" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(col("l_linenumber").cast("bigint")).as("band"),
+          col("l_orderkey").bitwiseOR(col("l_linenumber").cast("bigint")).as("bor"),
+          col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("bigint")).as("bxor"),
+          shiftleft(col("l_orderkey"), 2).as("shl"),
+          shiftright(col("l_orderkey"), 1).as("shr"),
+          bit_count(col("l_orderkey")).as("bc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // IN-subquery (rewritten to semi join) + HAVING clause.
     "q23_in_subquery_having" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -120,6 +133,17 @@ object MoreParity extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "f12_bitwise" -> """
+      SELECT l_orderkey, l_linenumber,
+        l_orderkey & CAST(l_linenumber AS BIGINT) AS band,
+        l_orderkey | CAST(l_linenumber AS BIGINT) AS bor,
+        xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+        l_orderkey << 2 AS shl,
+        l_orderkey >> 1 AS shr,
+        CAST(bit_count(l_orderkey) AS INT) AS bc
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+
     "q24_scalar_subquery" -> """
       SELECT p_partkey, p_retailprice,
         (SELECT count(1) FROM lineitem WHERE l_partkey = p_partkey) AS n_li,
