@@ -103,6 +103,19 @@ object AggregatesSuite extends QueryModule {
 
     // Approximate distinct-count sketch (HLL) — no SQL oracle (sketches
     // differ per engine); rows-only check. Exact distinct alongside.
+    // IGNORE NULLS navigation — Flink's FIRST_VALUE/LAST_VALUE skip
+    // nulls by default; nulls synthesized via nullif.
+    "a08_ignore_nulls" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .withColumn("maybe", nullif(col("o_orderstatus"), lit("O")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("maybe"), ignoreNulls = true).over(wf).as("first_nn"),
+          last(col("maybe"), ignoreNulls = true).over(wf).as("last_nn"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     "a07_approx_distinct" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -115,6 +128,16 @@ object AggregatesSuite extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "a08_ignore_nulls" -> """
+      SELECT o_custkey, o_orderkey,
+        first_value(maybe IGNORE NULLS) OVER wf AS first_nn,
+        last_value(maybe IGNORE NULLS) OVER wf AS last_nn
+      FROM (SELECT o_custkey, o_orderkey, nullif(o_orderstatus, 'O') AS maybe
+            FROM orders)
+      WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
+
     "a01_first_last_value" -> """
       SELECT DISTINCT o_custkey,
         first_value(o_orderstatus) OVER w AS first_status,
