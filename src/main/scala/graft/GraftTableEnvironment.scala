@@ -19,11 +19,18 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   private val watermarkDecl = mutable.Map[String, (String, String)]()
   private val primaryKeys = mutable.Map[String, Seq[String]]()
 
-  /** DQL/DML/DDL passthrough to Spark SQL (gap functions registered). */
-  def executeSql(sql: String): DataFrame = spark.sql(sql)
+  /** DQL/DML/DDL passthrough to Spark SQL (gap functions registered).
+    * MATCH_RECOGNIZE clauses — which Spark SQL has no parser slot
+    * for — are split out and executed on the engine's NFA, mirroring
+    * the reference planner's StreamExecMatch node.
+    */
+  def executeSql(sql: String): DataFrame =
+    if (graft.cep.MatchRecognize.containsClause(sql))
+      graft.cep.MatchRecognize.rewriteAndRun(spark, sql)
+    else spark.sql(sql)
 
   /** Query returning a Table (reference Table == DataFrame here). */
-  def sqlQuery(sql: String): DataFrame = spark.sql(sql)
+  def sqlQuery(sql: String): DataFrame = executeSql(sql)
 
   /** Register a table, optionally with a watermark declaration
     * (CREATE TABLE ... WATERMARK FOR ts AS ts - INTERVAL d) and

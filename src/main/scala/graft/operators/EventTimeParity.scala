@@ -228,6 +228,31 @@ object EventTimeParity extends QueryModule {
         }
         .toDF("user_id", "signup_id", "purchase_id", "gap_us")
         .orderBy("user_id", "signup_id")
+    },
+
+    // SQL MATCH_RECOGNIZE surface (StreamExecMatch.java:89): the same
+    // NFA engine as m01-m03 but reached through the string syntax the
+    // reference's SQL planner exposes — one-or-more consecutive clicks
+    // (greedy) ending in a purchase, within 1 hour of the first click.
+    "m04_match_recognize" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m04_events")
+      env.sqlQuery("""
+        SELECT user_id, first_click_id, last_click_id, n_clicks,
+               purchase_id, first_click_tus
+        FROM m04_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(C.event_id) AS first_click_id,
+                   LAST(C.event_id) AS last_click_id, COUNT(C.event_id) AS n_clicks,
+                   P.event_id AS purchase_id, FIRST(C.tus) AS first_click_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C+ P) WITHIN INTERVAL '1' HOUR
+          DEFINE C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase'
+        ) ORDER BY user_id, first_click_tus, first_click_id""")
     }
   )
 
@@ -411,6 +436,45 @@ object EventTimeParity extends QueryModule {
           AND (p.ptus > s.stus OR (p.ptus = s.stus AND p.purchase_id > s.signup_id))
           AND p.ptus - s.stus < 86400000000)
       WHERE rn = 1
-      ORDER BY user_id, signup_id"""
+      ORDER BY user_id, signup_id""",
+
+    // Run-based reformulation of PATTERN (C+ P): maximal consecutive
+    // click runs ended by a purchase; the NFA's within-clock starts at
+    // the first BOUND click, so the match is the longest suffix of the
+    // run whose first click is within 1h of the purchase (same shape as
+    // m03's oracle). SKIP PAST LAST ROW can't create overlap (every row
+    // in a span is a bound click or the consumed purchase).
+    "m04_match_recognize" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'click'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1
+        FROM g GROUP BY user_id, run_id),
+      matches AS (
+        SELECT r.user_id, r.run_id, r.p1, nxt.event_id AS purchase_id,
+               nxt.tus AS ptus
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+        WHERE nxt.event_type = 'purchase')
+      SELECT m.user_id,
+             arg_min(g.event_id, g.pos) AS first_click_id,
+             arg_max(g.event_id, g.pos) AS last_click_id,
+             CAST(m.p1 - min(g.pos) + 1 AS BIGINT) AS n_clicks,
+             m.purchase_id,
+             min(g.tus) AS first_click_tus
+      FROM matches m
+      JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
+      WHERE m.ptus - g.tus < 3600000000
+      GROUP BY m.user_id, m.run_id, m.p1, m.purchase_id
+      ORDER BY m.user_id, first_click_tus, first_click_id"""
   )
 }
