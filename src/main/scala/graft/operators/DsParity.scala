@@ -4,6 +4,7 @@ import graft.{OracleSafe, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** TPC-DS-shaped query suite — the reference wires all 103 TPC-DS
   * queries as a correctness gate (SURVEY §5.4,
@@ -66,6 +67,89 @@ object DsParity extends QueryModule {
         .select(col("n_name"), col("y"), col("rev"), col("prev_rev"),
           (col("rev") - col("prev_rev")).as("delta"))
         .orderBy("n_name", "y")
+    },
+
+    // DS shape (q36/q86): ROLLUP with a grouping()-derived hierarchy
+    // level and rank WITHIN each level/parent group — exercises Expand +
+    // window-over-grouping-sets in one plan.
+    "ds04_rollup_rank" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      val r = base.rollup(col("n_name"), col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("rev"),
+          (grouping(col("n_name")) + grouping(col("c_mktsegment")))
+            .cast("int").as("lochierarchy"),
+          grouping(col("c_mktsegment")).cast("int").as("gseg"))
+      val w = Window
+        .partitionBy(col("lochierarchy"),
+          when(col("gseg") === 0, col("n_name")))
+        .orderBy(col("rev").desc,
+          coalesce(col("n_name"), lit("")), coalesce(col("c_mktsegment"), lit("")))
+      r.withColumn("rk", rank().over(w).cast("int"))
+        .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          col("lochierarchy"), col("rev"), col("rk"))
+        .orderBy(col("lochierarchy").desc, col("nation"), col("segment"))
+    },
+
+    // DS shape (q93): returned-merchandise analysis — conditional
+    // aggregation over the return flag per customer, HAVING on the
+    // conditional sum.
+    "ds05_returns" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          dsum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0.0))).as("ret_qty"),
+          dsum(col("l_quantity")).as("tot_qty"),
+          dsum(when(col("l_returnflag") === "R",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("ret_rev"),
+          count(lit(1)).as("n_items"))
+        .where(col("ret_qty") > 0.0)
+        .orderBy("o_custkey")
+    },
+
+    // DS shape (q34/q73): frequent-buyer cohort — per-customer order
+    // count in a date range, banded by HAVING, joined back to the
+    // dimension for attributes.
+    "ds06_order_cohort" -> { (s, dir) =>
+      val cnt = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt").between(4, 10))
+      cnt.join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("cnt"))
+        .orderBy(col("cnt").desc, col("c_custkey"))
+    },
+
+    // DS shape (q47): month-vs-year deviation — window aggregate over an
+    // aggregated CTE, filtering months that beat the yearly average.
+    // The comparison multiplies instead of dividing (rev*n > sum*1.1) so
+    // both engines evaluate identical double arithmetic on identical
+    // exact-decimal inputs.
+    "ds07_month_vs_year" -> { (s, dir) =>
+      val mo = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("n_name"), col("y"))
+      mo.withColumn("year_sum",
+          sum(col("rev").cast(DecimalType(25, 6))).over(w).cast("double"))
+        .withColumn("n_months", count(lit(1)).over(w))
+        .where(col("rev") * col("n_months") > col("year_sum") * 1.1)
+        .select(col("n_name"), col("y"), col("m"), col("rev"),
+          col("year_sum"), col("n_months"))
+        .orderBy("n_name", "y", "m")
     }
   )
 
@@ -109,6 +193,69 @@ object DsParity extends QueryModule {
       SELECT a.n_name AS n_name, a.y AS y, a.rev AS rev,
              b.rev AS prev_rev, a.rev - b.rev AS delta
       FROM yr a JOIN yr b ON a.n_name = b.n_name AND a.y = b.y + 1
-      ORDER BY n_name, y"""
+      ORDER BY n_name, y""",
+
+    "ds04_rollup_rank" -> s"""
+      WITH base AS (
+        SELECT n_name, c_mktsegment, o_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      r AS (
+        SELECT n_name, c_mktsegment, ${dsumSql("o_totalprice")} AS rev,
+               CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS INT) AS lochierarchy,
+               CAST(GROUPING(c_mktsegment) AS INT) AS gseg
+        FROM base GROUP BY ROLLUP (n_name, c_mktsegment))
+      SELECT coalesce(n_name, '(all)') AS nation,
+             coalesce(c_mktsegment, '(all)') AS segment,
+             lochierarchy, rev,
+             CAST(rank() OVER (
+               PARTITION BY lochierarchy, CASE WHEN gseg = 0 THEN n_name END
+               ORDER BY rev DESC, coalesce(n_name, ''), coalesce(c_mktsegment, ''))
+             AS INT) AS rk
+      FROM r
+      ORDER BY lochierarchy DESC, nation, segment""",
+
+    "ds05_returns" -> s"""
+      SELECT o_custkey,
+        ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS ret_qty,
+        ${dsumSql("l_quantity")} AS tot_qty,
+        ${dsumSql(
+          "CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+          AS ret_rev,
+        count(1) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+      HAVING ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} > 0.0
+      ORDER BY o_custkey""",
+
+    "ds06_order_cohort" -> """
+      WITH cnt AS (
+        SELECT o_custkey, count(1) AS cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+        HAVING count(1) BETWEEN 4 AND 10)
+      SELECT c_custkey, c_mktsegment, cnt
+      FROM cnt JOIN customer ON o_custkey = c_custkey
+      ORDER BY cnt DESC, c_custkey""",
+
+    "ds07_month_vs_year" -> s"""
+      WITH mo AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               ${dsumSql("o_totalprice")} AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate), month(o_orderdate)),
+      w AS (
+        SELECT *, CAST(sum(CAST(rev AS DECIMAL(25,6))) OVER win AS DOUBLE) AS year_sum,
+               count(1) OVER win AS n_months
+        FROM mo WINDOW win AS (PARTITION BY n_name, y))
+      SELECT n_name, y, m, rev, year_sum, n_months
+      FROM w WHERE rev * n_months > year_sum * 1.1
+      ORDER BY n_name, y, m"""
   )
 }
