@@ -129,6 +129,43 @@ object MoreParity extends QueryModule {
       left.join(right, col("n_nationkey") === col("rk"))
         .select(col("n_nationkey"), col("n_name"), col("n_rich"), col("r_rich"))
         .orderBy("n_nationkey")
+    },
+
+    // Window deduplication (§2.6, StreamExecWindowDeduplicate): keep the
+    // FIRST event per (1h tumbling window, user) — the window-TVF
+    // variant of dedup, a distinct ExecNode in the reference.
+    "wd01_window_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("win"), col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("win",
+          unix_timestamp(WindowOps.tumble(col("ts"), "1 hour").getField("start")))
+        .select(col("win"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("win"), col("user_id"), col("event_id"), col("tus"))
+        .orderBy("win", "user_id")
+    },
+
+    // LEFT OUTER interval join (§2.3 TimeIntervalJoin supports all outer
+    // variants): every click, with purchases within 30 min after it, or
+    // nulls (coalesced for deterministic compare) when none arrives.
+    "j03_interval_join_left" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events").select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("user_id"), col("event_type"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tus").as("ctus"), col("user_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("tus").as("ptus"),
+          col("user_id").as("p_user"))
+      c.join(p, col("user_id") === col("p_user")
+          && col("ptus") > col("ctus")
+          && col("ptus") <= col("ctus") + lit(1800000000L), "left")
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("ptus") - col("ctus"), lit(-1L)).as("gap_us"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -221,6 +258,30 @@ object MoreParity extends QueryModule {
         FROM sup RIGHT JOIN nation ON s_nationkey = n_nationkey)
       SELECT n_nationkey, n_name, n_rich, r_rich
       FROM l JOIN r ON n_nationkey = rk
-      ORDER BY n_nationkey"""
+      ORDER BY n_nationkey""",
+
+    "wd01_window_dedup" -> """
+      SELECT win, user_id, event_id, tus FROM (
+        SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win,
+               user_id, event_id, epoch_us(ts) AS tus,
+               row_number() OVER (
+                 PARTITION BY CAST(floor(epoch_us(ts)/3600000000) AS BIGINT), user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY win, user_id""",
+
+    "j03_interval_join_left" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type FROM events),
+      c AS (SELECT event_id AS click_id, tus AS ctus, user_id FROM e
+            WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, tus AS ptus, user_id FROM e
+            WHERE event_type = 'purchase')
+      SELECT c.click_id,
+             coalesce(p.purchase_id, -1) AS purchase_id,
+             coalesce(p.ptus - c.ctus, -1) AS gap_us
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        AND p.ptus > c.ctus AND p.ptus <= c.ctus + 1800000000
+      ORDER BY click_id, purchase_id"""
   )
 }

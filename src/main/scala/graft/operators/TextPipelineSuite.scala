@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data text pipeline over `documents` (BASELINE.json north
   * star): exact + near-duplicate detection (n-gram Jaccard, MinHash-LSH,
@@ -153,6 +154,19 @@ object TextPipelineSuite extends QueryModule {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("fp")
+    },
+
+    // Per-language quality quota — the curation step of a training-data
+    // pipeline: rank docs within each language by a quality proxy and
+    // keep the top 20. One shuffle on lang, window rank, filter.
+    "td09_language_quota" -> { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .orderBy("lang", "rn")
     }
   )
 
@@ -243,6 +257,15 @@ object TextPipelineSuite extends QueryModule {
              min(doc_id) AS keep_id, count(1) AS n_docs
       FROM documents
       GROUP BY 1
-      ORDER BY fp"""
+      ORDER BY fp""",
+
+    "td09_language_quota" -> """
+      SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY length(text) DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20
+      ORDER BY lang, rn"""
   )
 }
