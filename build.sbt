@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g is enough for any single query, but a ~90-query Bench run
+  // accumulates localCheckpoint blocks and window/agg spill buffers;
+  // on the 128GiB box a larger heap keeps late-suite queries from GC
+  // thrashing (the same late-alphabet degradation pattern as the
+  // code-cache issue below, but heap-shaped).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // A multi-query run (Bench/Verify) generates thousands of whole-stage
   // codegen classes; the JDK default 240m code cache fills mid-run, the
   // JIT shuts off, and every later query runs interpreted (10-100x

@@ -22,6 +22,11 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      // Queries that materialize through localCheckpoint leave their
+      // blocks pinned in storage memory; drop them so query N+1 isn't
+      // taxed for query N's working set.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       (name, dt, ok)
     }
     // Failed queries are reported as negative timings plus an errors

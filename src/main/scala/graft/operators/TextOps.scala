@@ -138,13 +138,12 @@ object TextOps {
     */
   def allPairsJaccardIdx(idx: DataFrame, threshold: Double): DataFrame = {
     // Three consumers (sizes + both self-join sides): materialize once
-    // instead of re-running the shingle pipeline per consumer. Hash-
-    // partitioned by id so the materialization isn't AQE-coalesced onto
-    // a few tasks AND the sizes aggregate below reuses the partitioning
-    // (no shuffle).
-    val parallelism = idx.sparkSession.sparkContext.defaultParallelism
+    // instead of re-running the shingle pipeline per consumer. No
+    // explicit repartition before the checkpoint: a full extra shuffle
+    // of the index costs more than it saves (measured ~1.5x on the
+    // whole query), and AQE only coalesces the materialization when the
+    // data is small enough that downstream reshuffles are cheap anyway.
     val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
-      .repartition(parallelism, col("id"))
       .localCheckpoint()
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Never broadcast the inverted index: both sides are corpus-sized.
@@ -168,11 +167,11 @@ object TextOps {
     // The index feeds four distinct subtrees (signature aggregate, both
     // sides of the intersection join, sizes); materialize it once so the
     // shingle construction isn't recomputed per consumer — at corpus
-    // scale that is 4x the scan+explode+window cost. Hash-partitioned by
-    // id: full-width materialization (no AQE coalescing) and the two
-    // per-id aggregates (signature, sizes) reuse the partitioning.
-    val parallelism = idx.sparkSession.sparkContext.defaultParallelism
-    val mat = idx.repartition(parallelism, col("id")).localCheckpoint()
+    // scale that is 4x the scan+explode+window cost. No explicit
+    // repartition before the checkpoint: the extra full shuffle of the
+    // index measured ~1.5x slower end-to-end, and the per-id aggregates
+    // reshuffle to their own key regardless.
+    val mat = idx.localCheckpoint()
     val sig = minhashSignatureIdx(mat, numPerms)
     val cands = candidatePairs(lshBands(sig, "id", numPerms, rowsPerBand), "id")
     jaccardVerifyIdx(cands, mat).where(col("jaccard") >= threshold)
