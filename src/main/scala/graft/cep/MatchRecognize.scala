@@ -289,11 +289,38 @@ object MatchRecognize {
 
   // ------------------------------------------------------------ executor
 
-  /** Run a parsed spec over a batch DataFrame. Output schema:
-    * partition columns (input types) then measures (referenced
-    * column's input type), one row per match.
+  /** Spec compiled against a concrete input schema: the prepared frame
+    * (with the lowered `__mr_time_us` event-time column), the NFA
+    * pattern over [[Row]], and the output-row builders.
     */
-  def run(df: DataFrame, spec: Spec): DataFrame = {
+  private final case class Compiled(
+      prepared: DataFrame,
+      pattern: Pattern[Row],
+      partIs: Seq[Int],
+      ordIs: Seq[Int],
+      timeI: Int,
+      measureFns: Seq[Match[Row] => Any],
+      outSchema: StructType) {
+    def key(r: Row): String =
+      partIs.map(i => String.valueOf(r.get(i))).mkString("")
+    def outputRow(m: Match[Row]): Row = {
+      val anchor = m.bindings.head._2.head
+      Row.fromSeq(partIs.map(anchor.get) ++ measureFns.map(_(m)))
+    }
+    val rowOrd: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        var k = 0
+        while (k < ordIs.length) {
+          val c = compareAny(a.get(ordIs(k)), b.get(ordIs(k)))
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+  }
+
+  private def compile(df: DataFrame, spec: Spec): Compiled = {
     val schema = df.schema
     val fieldIdx = schema.fieldNames.zipWithIndex.toMap
     def field(name: String): StructField = schema(schema.fieldIndex(name))
@@ -316,11 +343,7 @@ object MatchRecognize {
       case _                => col(ordCols.head).cast(LongType)
     }
     val prepared = df.withColumn("__mr_time_us", timeExpr)
-    val pSchema = prepared.schema
-    val pIdx = pSchema.fieldNames.zipWithIndex.toMap
-    val timeI = pIdx("__mr_time_us")
-    val ordIs = ordCols.map(pIdx)
-    val partIs = spec.partitionBy.map(pIdx)
+    val pIdx = prepared.schema.fieldNames.zipWithIndex.toMap
 
     val steps = spec.pattern.map { case (v, q) =>
       val pred = spec.defines.collectFirst {
@@ -347,28 +370,43 @@ object MatchRecognize {
       }
     }
 
-    val rowOrd: Ordering[Row] = new Ordering[Row] {
-      def compare(a: Row, b: Row): Int = {
-        var k = 0
-        while (k < ordIs.length) {
-          val c = compareAny(a.get(ordIs(k)), b.get(ordIs(k)))
-          if (c != 0) return c
-          k += 1
-        }
-        0
-      }
-    }
+    Compiled(prepared, pattern, spec.partitionBy.map(pIdx), ordCols.map(pIdx),
+      pIdx("__mr_time_us"), measureFns, outSchema)
+  }
 
-    import prepared.sparkSession.implicits._
-    prepared
-      .groupByKey(r => partIs.map(i => String.valueOf(r.get(i))).mkString(""))
+  /** Run a parsed spec over a batch DataFrame. Output schema:
+    * partition columns (input types) then measures (referenced
+    * column's input type), one row per match.
+    */
+  def run(df: DataFrame, spec: Spec): DataFrame = {
+    val c = compile(df, spec)
+    import c.prepared.sparkSession.implicits._
+    val timeI = c.timeI
+    c.prepared
+      .groupByKey(c.key _)
       .flatMapGroups { (_, it) =>
-        val evs = it.toIndexedSeq.sorted(rowOrd)
-        Nfa.run[Row](evs, _.getLong(timeI), pattern).iterator.map { m =>
-          val anchor = m.bindings.head._2.head
-          Row.fromSeq(partIs.map(anchor.get) ++ measureFns.map(_(m)))
-        }
-      }(Encoders.row(outSchema))
+        val evs = it.toIndexedSeq.sorted(c.rowOrd)
+        Nfa.run[Row](evs, _.getLong(timeI), c.pattern).iterator.map(c.outputRow)
+      }(Encoders.row(c.outSchema))
+  }
+
+  /** Run a parsed spec on an unbounded stream -- the reference's actual
+    * MATCH_RECOGNIZE execution mode (StreamExecMatch -> CepOperator).
+    * The input must be a STREAMING DataFrame with a watermark declared
+    * on the first ORDER BY column; matches emit once the watermark
+    * passes them, with greedy trailing matches held open exactly like
+    * [[graft.streaming.StatefulOps.cepStream]] (which this delegates
+    * to). Event-time resolution is milliseconds on this path (the
+    * stateful runtime's watermark clock); AFTER MATCH SKIP PAST LAST
+    * ROW only, per the streaming CEP contract.
+    */
+  def runStream(df: DataFrame, spec: Spec): DataFrame = {
+    val c = compile(df, spec)
+    val timeI = c.timeI
+    val matches = graft.streaming.StatefulOps.cepStream[String, Row](
+      c.prepared.as(Encoders.row(c.prepared.schema)),
+      c.key _, r => r.getLong(timeI) / 1000L, c.pattern)(Encoders.STRING)
+    matches.map(c.outputRow _)(Encoders.row(c.outSchema)).toDF()
   }
 
   private def compareAny(a: Any, b: Any): Int = (a, b) match {
@@ -416,7 +454,12 @@ object MatchRecognize {
     }
     require(close > open, "unbalanced MATCH_RECOGNIZE parens")
     val clause = sql.substring(open + 1, close)
-    val out = run(spark.table(table), parse(clause))
+    // Streaming views (registered with their watermark) route to the
+    // stateful NFA; batch views to the sort-per-group scan.
+    val input = spark.table(table)
+    val out =
+      if (input.isStreaming) runStream(input, parse(clause))
+      else run(input, parse(clause))
     val view = s"__mr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     out.createOrReplaceTempView(view)
     val rewritten = sql.substring(0, m.start) + s" FROM $view " + sql.substring(close + 1)

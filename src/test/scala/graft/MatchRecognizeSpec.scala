@@ -118,6 +118,40 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out(1).getString(1) == "a2" && out(1).getString(2) == "a2")
   }
 
+  test("runStream executes the clause on an unbounded stream via the SQL entry point") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, String, Long)]
+    val wmarked = in.toDF()
+      .toDF("ts", "k", "kind", "id")
+      .withWatermark("ts", "0 seconds")
+    val env = GraftTableEnvironment.create(spark)
+    env.createTemporaryView("mr_stream", wmarked)
+    val out = env.sqlQuery("""
+      SELECT k, a_id, b_id
+      FROM mr_stream MATCH_RECOGNIZE (
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES A.id AS a_id, B.id AS b_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+      )""")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("mr_stream_out")
+      .outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    in.addData((t(10), "u", "a", 1L))
+    q.processAllAvailable()
+    in.addData((t(11), "u", "b", 2L)) // completes the pattern once mature
+    q.processAllAvailable()
+    in.addData((t(300), "u", "x", 3L)) // watermark past 11s releases it
+    q.processAllAvailable(); q.processAllAvailable(); q.stop()
+    val got = spark.table("mr_stream_out").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("u", 1L, 2L)))
+  }
+
   test("undefined pattern variable matches any row") {
     val env = GraftTableEnvironment.create(spark)
     import spark.implicits._
