@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * flink-table-planner .../stream/sql/MatchRecognizeITCase.scala).
   *
   * Supported clause surface (the reference's 1.14 SQL subset, minus
-  * cross-variable DEFINE references and SKIP TO FIRST/LAST variable):
+  * cross-variable DEFINE references):
   *
   * {{{
   * SELECT ... FROM tbl MATCH_RECOGNIZE (
@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   *   ORDER BY ts [, tieBreak ...]
   *   MEASURES A.col AS a, FIRST(B.col) AS b0, LAST(B.col) AS b1
   *   [ONE ROW PER MATCH]
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *   PATTERN (A B+ C?) [WITHIN INTERVAL 'n' unit]
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
+  *    SKIP TO FIRST v | SKIP TO LAST v]
+  *   PATTERN (A B+ C? D{2} E{1,3}) [WITHIN INTERVAL 'n' unit]
   *   DEFINE A AS A.x = 'v' AND A.y > 3 [, B AS ...]
   * ) [AS alias]
   * }}}
@@ -124,9 +125,13 @@ object MatchRecognize {
 
     val measures = section("MEASURES").map(parseMeasures).getOrElse(Nil)
 
+    val skipFirstRe = "SKIP TO FIRST (\\w+)".r
+    val skipLastRe = "SKIP TO LAST (\\w+)".r
     val afterMatch = section("AFTER MATCH").map(_.toUpperCase.replaceAll("\\s+", " ")) match {
       case None | Some("SKIP PAST LAST ROW") => AfterMatch.SkipPastLast
       case Some("SKIP TO NEXT ROW")          => AfterMatch.NoSkip
+      case Some(skipFirstRe(v))              => AfterMatch.SkipToFirst(v)
+      case Some(skipLastRe(v))               => AfterMatch.SkipToLast(v)
       case Some(other) =>
         throw new IllegalArgumentException(s"unsupported AFTER MATCH SKIP strategy: $other")
     }
@@ -166,13 +171,18 @@ object MatchRecognize {
     val open = s.indexOf('(')
     val close = s.lastIndexOf(')')
     require(open >= 0 && close > open, s"malformed PATTERN: $s")
+    val timesRe = "(\\w+)\\{(\\d+)(?:,\\s*(\\d+))?\\}".r
     val vars = s.substring(open + 1, close).trim.split("\\s+").toSeq.filter(_.nonEmpty).map { tok =>
       if (tok.endsWith("+")) (tok.dropRight(1), Quantifier.OneOrMore: Quantifier)
       else if (tok.endsWith("?")) (tok.dropRight(1), Quantifier.Optional: Quantifier)
       else if (tok.endsWith("*"))
         throw new IllegalArgumentException(
           "ZeroOrMore (*) is unsupported — rewrite A* as an optional B? with B AS <A's define>")
-      else (tok, Quantifier.Once: Quantifier)
+      else tok match {
+        case timesRe(v, n, null) => (v, Quantifier.Times(n.toInt, n.toInt): Quantifier)
+        case timesRe(v, n, m2)   => (v, Quantifier.Times(n.toInt, m2.toInt): Quantifier)
+        case _                   => (tok, Quantifier.Once: Quantifier)
+      }
     }
     val withinRe = "(?i)WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+)".r
     val within = withinRe.findFirstMatchIn(s.substring(close + 1)).map { m =>

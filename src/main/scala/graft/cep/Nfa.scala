@@ -5,15 +5,16 @@ package graft.cep
   * of the reference's CEP library (flink-libraries/flink-cep/.../nfa/NFA.java:86,
   * pattern API .../pattern/Pattern.java, SQL StreamExecMatch.java:89).
   *
-  * Supported surface (round 1):
-  *   - steps with Once / Optional / OneOrMore(greedy) quantifiers
+  * Supported surface:
+  *   - steps with Once / Optional / OneOrMore(greedy) / Times(min,max)
+  *     quantifiers
   *   - Strict (`next`) and Relaxed (`followedBy`, skip-till-next)
   *     contiguity per step
   *   - `within` time bound (match discarded when
   *     time(last) - time(first) >= within, matching Flink's pruning)
-  *   - after-match skip: NoSkip (every start index may begin a match)
-  *     or SkipPastLast (MATCH_RECOGNIZE default: resume after the last
-  *     consumed event)
+  *   - after-match skip: NoSkip (every start index may begin a match),
+  *     SkipPastLast (MATCH_RECOGNIZE default: resume after the last
+  *     consumed event), SkipToFirst/SkipToLast(variable)
   *
   * The matcher is a deterministic leftmost-greedy backtracking scan —
   * equivalent to the NFA on these quantifiers, and easy to reason about
@@ -28,6 +29,13 @@ object Nfa {
     case object Once extends Quantifier
     case object Optional extends Quantifier
     case object OneOrMore extends Quantifier
+    /** Bounded repetition — Flink Pattern.times(from[, to]) / SQL
+      * `A{n}` / `A{n,m}`. Consumes consecutively, greedy from `max`
+      * down to `min` with backtracking, like OneOrMore.
+      */
+    final case class Times(min: Int, max: Int) extends Quantifier {
+      require(min >= 1 && max >= min, s"invalid times($min,$max)")
+    }
   }
 
   sealed trait Contiguity
@@ -42,6 +50,17 @@ object Nfa {
   object AfterMatch {
     case object NoSkip extends AfterMatch
     case object SkipPastLast extends AfterMatch
+    /** Resume at the FIRST event bound to `variable` (SQL AFTER MATCH
+      * SKIP TO FIRST v; flink-cep .../nfa/aftermatch/SkipToFirstStrategy).
+      * A target equal to the match's own start resumes one past the
+      * start instead (the set-based reference emits at most one match
+      * per start index, so this is the scan equivalent, not a loop).
+      * An unbound variable falls back to skip-past-last (the
+      * reference's non-throwing miss behavior).
+      */
+    final case class SkipToFirst(variable: String) extends AfterMatch
+    /** Resume at the LAST event bound to `variable`. */
+    final case class SkipToLast(variable: String) extends AfterMatch
   }
 
   final case class Step[T](
@@ -77,15 +96,40 @@ object Nfa {
       matchFrom(events, time, pattern, i) match {
         case Some((m, lastIdx)) =>
           out += ((m, lastIdx))
-          i = pattern.afterMatch match {
-            case AfterMatch.SkipPastLast => lastIdx + 1
-            case AfterMatch.NoSkip       => i + 1
-          }
+          i = nextStart(events, pattern, m, i, lastIdx)
         case None => i += 1
       }
     }
     out.result()
   }
+
+  /** Resume index after a match at `start..lastIdx` per the pattern's
+    * after-match strategy.
+    */
+  private def nextStart[T](events: IndexedSeq[T], pattern: Pattern[T],
+                           m: Match[T], start: Int, lastIdx: Int): Int =
+    pattern.afterMatch match {
+      case AfterMatch.SkipPastLast   => lastIdx + 1
+      case AfterMatch.NoSkip         => start + 1
+      case AfterMatch.SkipToFirst(v) => skipTo(events, m, v, start, lastIdx, first = true)
+      case AfterMatch.SkipToLast(v)  => skipTo(events, m, v, start, lastIdx, first = false)
+    }
+
+  private def skipTo[T](events: IndexedSeq[T], m: Match[T], v: String,
+                        start: Int, lastIdx: Int, first: Boolean): Int =
+    m.bindings.find(_._1.equalsIgnoreCase(v)).map(_._2) match {
+      case None => lastIdx + 1 // variable left unbound (optional) — miss
+      case Some(es) =>
+        val target = (if (first) es.head else es.last).asInstanceOf[AnyRef]
+        var i = start
+        while (i <= lastIdx && (events(i).asInstanceOf[AnyRef] ne target)) i += 1
+        if (i > lastIdx) lastIdx + 1
+        // The reference's skip strategies operate on the SET of computed
+        // matches (one per start index at most), so a skip target equal
+        // to the current start can't re-emit — the scan equivalent is
+        // "resume at the target, but always make progress".
+        else math.max(i, start + 1)
+    }
 
   /** Like [[run]], but also reports TIMED-OUT PARTIAL matches — the
     * flink-cep timeout surface (PatternStream.select with a timeout
@@ -119,10 +163,7 @@ object Nfa {
       matchFrom(events, time, pattern, i) match {
         case Some((m, lastIdx)) =>
           out += ((m, lastIdx))
-          i = pattern.afterMatch match {
-            case AfterMatch.SkipPastLast => lastIdx + 1
-            case AfterMatch.NoSkip       => i + 1
-          }
+          i = nextStart(events, pattern, m, i, lastIdx)
         case None =>
           if (pattern.withinMicros.exists(w =>
               pattern.steps.head.pred(events(i)) && endTime - time(events(i)) >= w)) {
@@ -158,10 +199,16 @@ object Nfa {
         while (p < events.length && withinOk(p) && !step.pred(events(p))) p += 1
       }
       if (p < events.length && withinOk(p) && step.pred(events(p))) {
-        val bound = collectRun(events, step, p, time, withinOk)
-        acc :+= step.name -> bound.map(events(_)).toVector
-        pos = bound.last + 1
-        stepIdx += 1
+        val run = collectRun(events, step, p, time, withinOk)
+        val (bound, minLen) = step.quantifier match {
+          case Quantifier.Times(n, mx) => (run.take(mx), n)
+          case _                       => (run, 1)
+        }
+        if (bound.length >= minLen) {
+          acc :+= step.name -> bound.map(events(_)).toVector
+          pos = bound.last + 1
+          stepIdx += 1
+        } else stuck = true
       } else if (step.quantifier == Quantifier.Optional) {
         stepIdx += 1
       } else {
@@ -195,17 +242,25 @@ object Nfa {
       while (p < events.length && withinOk(p)) {
         val hit = step.pred(events(p))
         if (hit) {
-          // Greedily extend for OneOrMore: bind the longest contiguous
-          // (per this step's contiguity) run, then backtrack shorter.
+          // Greedily extend looping quantifiers: bind the longest
+          // contiguous run (capped at Times.max), then backtrack
+          // shorter, down to the quantifier's minimum.
           val runIdx = collectRun(events, step, p, time, withinOk)
-          var take = runIdx.length
-          val minTake = 1
+          val (maxTake, minTake) = step.quantifier match {
+            case Quantifier.OneOrMore    => (runIdx.length, 1)
+            case Quantifier.Times(n, mx) => (math.min(runIdx.length, mx), n)
+            case _                       => (runIdx.length, 1)
+          }
+          var take = maxTake
           while (take >= minTake) {
             val bound = runIdx.take(take)
             val res = go(stepIdx + 1, bound.last + 1, bound.last,
               acc :+ (step.name -> bound.map(events(_)).toVector))
             if (res.isDefined) return res
-            if (step.quantifier == Quantifier.OneOrMore) take -= 1 else take = 0
+            step.quantifier match {
+              case Quantifier.OneOrMore | _: Quantifier.Times => take -= 1
+              case _                                          => take = 0
+            }
           }
           if (strict) {
             // Strict step failed at the required position: try Optional skip,
@@ -245,7 +300,7 @@ object Nfa {
   private def collectRun[T](events: IndexedSeq[T], step: Step[T], from: Int,
                             time: T => Long, withinOk: Int => Boolean): IndexedSeq[Int] = {
     step.quantifier match {
-      case Quantifier.OneOrMore =>
+      case Quantifier.OneOrMore | _: Quantifier.Times =>
         var idx = from
         val buf = IndexedSeq.newBuilder[Int]
         while (idx < events.length && withinOk(idx) && step.pred(events(idx))) {

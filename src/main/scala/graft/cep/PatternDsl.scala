@@ -41,6 +41,16 @@ object PatternDsl {
     /** Make the last step optional. */
     def optional: Builder[T] = amend(_.copy(quantifier = Quantifier.Optional))
 
+    /** Repeat the last step exactly `n` times (Pattern.times(n)). */
+    def times(n: Int): Builder[T] = times(n, n)
+
+    /** Repeat the last step `min` to `max` times, greedy
+      * (Pattern.times(from, to)); consecutive consumption like
+      * oneOrMore.
+      */
+    def times(min: Int, max: Int): Builder[T] =
+      amend(_.copy(quantifier = Quantifier.Times(min, max)))
+
     /** Time bound: match span strictly less than `d`. */
     def within(d: scala.concurrent.duration.FiniteDuration): Builder[T] =
       new Builder(steps, Some(d.toMicros), afterMatch)
@@ -50,6 +60,18 @@ object PatternDsl {
 
     def afterMatchNoSkip: Builder[T] =
       new Builder(steps, withinMicros, AfterMatch.NoSkip)
+
+    /** Resume the scan at the first event bound to `variable`
+      * (AfterMatchSkipStrategy.skipToFirst).
+      */
+    def afterMatchSkipToFirst(variable: String): Builder[T] =
+      new Builder(steps, withinMicros, AfterMatch.SkipToFirst(variable))
+
+    /** Resume the scan at the last event bound to `variable`
+      * (AfterMatchSkipStrategy.skipToLast).
+      */
+    def afterMatchSkipToLast(variable: String): Builder[T] =
+      new Builder(steps, withinMicros, AfterMatch.SkipToLast(variable))
 
     def build: Pattern[T] = Pattern(steps, withinMicros, afterMatch)
 

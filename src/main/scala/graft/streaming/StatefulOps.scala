@@ -315,12 +315,17 @@ object StatefulOps {
           // mature event, its final step could bind more (greedy loop, or
           // optional still unbound), and a future event (ts > wm) could
           // still fall inside `within` of the match's first event.
+          def couldExtend(m: Nfa.Match[T]): Boolean = lastStep.quantifier match {
+            case Nfa.Quantifier.OneOrMore => true
+            case Nfa.Quantifier.Times(_, mx) => // bound fewer than max: still open
+              m.bindings.find(_._1 == lastStep.name).map(_._2.size).getOrElse(0) < mx
+            case Nfa.Quantifier.Optional => !m.bindings.exists(_._1 == lastStep.name)
+            case _ => false
+          }
           val emitted = indexed.lastOption match {
             case Some((m, lastIdx))
                 if lastIdx == sorted.length - 1 &&
-                  (lastStep.quantifier == Nfa.Quantifier.OneOrMore ||
-                    (lastStep.quantifier == Nfa.Quantifier.Optional &&
-                      !m.bindings.exists(_._1 == lastStep.name))) &&
+                  couldExtend(m) &&
                   pattern.withinMicros.forall { w =>
                     val firstMicros = tsMs(m.bindings.head._2.head) * 1000L
                     wm * 1000L - firstMicros < w // an event at ts>wm could extend

@@ -60,9 +60,21 @@ class MatchRecognizeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MatchRecognize.parse("PATTERN (A) DEFINE A AS A.x = 1")) // no ORDER BY
     intercept[IllegalArgumentException](MatchRecognize.parse(
-      "ORDER BY t AFTER MATCH SKIP TO LAST A PATTERN (A B)"))
+      "ORDER BY t AFTER MATCH SKIP TO SOMEWHERE PATTERN (A B)"))
     intercept[IllegalArgumentException](MatchRecognize.parse(
       "ORDER BY t PATTERN (A B) DEFINE B AS A.x = 1")) // cross-variable
+  }
+
+  test("times and skip-to strategies parse") {
+    import graft.cep.Nfa.AfterMatch
+    val s = MatchRecognize.parse(
+      "ORDER BY t AFTER MATCH SKIP TO LAST B PATTERN (A{2} B{1,3} C)")
+    assert(s.pattern == Seq(
+      "A" -> Quantifier.Times(2, 2), "B" -> Quantifier.Times(1, 3),
+      "C" -> Quantifier.Once))
+    assert(s.afterMatch == AfterMatch.SkipToLast("B"))
+    assert(MatchRecognize.parse("ORDER BY t AFTER MATCH SKIP TO FIRST A PATTERN (A+ B)")
+      .afterMatch == AfterMatch.SkipToFirst("A"))
   }
 
   test("end-to-end through the table environment SQL entry point") {

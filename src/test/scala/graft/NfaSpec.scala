@@ -143,4 +143,60 @@ class NfaSpec extends AnyFunSuite {
     val ms = run(p, E(1, "a"), E(2, "a"), E(3, "b"))
     assert(ms.map(m => (m.first("a").t, m.first("b").t)) == Vector((1L, 3L), (2L, 3L)))
   }
+
+  test("times(n) binds exactly n consecutive events") {
+    val p = pat(
+      Step("a", _.typ == "a", Quantifier.Times(2, 2)),
+      Step("b", _.typ == "b"))
+    // 3 a's then b: from a1 the pair (a1,a2) leaves a3 before b — no
+    // match from that start; the scan then starts at a2 and (a2,a3)+b4
+    // matches. Exactly-n never binds more than n.
+    val shifted = run(p, E(1, "a"), E(2, "a"), E(3, "a"), E(4, "b"))
+    assert(shifted.size == 1 &&
+      shifted.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(2L, 3L))
+    val ms = run(p, E(1, "a"), E(2, "a"), E(3, "b"))
+    assert(ms.size == 1 &&
+      ms.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L, 2L))
+    assert(run(p, E(1, "a"), E(2, "b")).isEmpty) // only one a: below min
+  }
+
+  test("times(min,max) is greedy with backtracking") {
+    val p = pat(
+      Step("a", _.typ == "a", Quantifier.Times(1, 3)),
+      Step("b", _.typ == "b"))
+    // 4 a's then b: from a1 the cap (3) leaves a4 before b and shorter
+    // takes leave other a's — no match from a1; the scan finds the
+    // greedy cap-width match starting at a2.
+    val shifted = run(p, E(1, "a"), E(2, "a"), E(3, "a"), E(4, "a"), E(5, "b"))
+    assert(shifted.size == 1 &&
+      shifted.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(2L, 3L, 4L))
+    val ms = run(p, E(1, "a"), E(2, "a"), E(3, "a"), E(4, "b"))
+    assert(ms.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L, 2L, 3L))
+  }
+
+  test("skipToLast re-scans from the last bound event (overlapping matches)") {
+    // a+ b with SkipToLast(a) on [a1 a2 b3]: match1 = [a1,a2]+b3, then
+    // resume AT a2 (not past b3) -> match2 = [a2]+b3. SkipPastLast by
+    // contrast would emit match1 only.
+    val p = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a", Quantifier.OneOrMore),
+      Step("b", (_: E).typ == "b")),
+      afterMatch = AfterMatch.SkipToLast("a"))
+    val ms = run(p, E(1, "a"), E(2, "a"), E(3, "b"))
+    assert(ms.map(m => m.bindings.find(_._1 == "a").get._2.map(_.t)) ==
+      Vector(Vector(1L, 2L), Vector(2L)))
+    val past = run(p.copy(afterMatch = AfterMatch.SkipPastLast),
+      E(1, "a"), E(2, "a"), E(3, "b"))
+    assert(past.size == 1)
+  }
+
+  test("skipToFirst of the leading variable still makes progress") {
+    // a+ with SkipToFirst(a): target == match start; the scan resumes
+    // one past it (the set-based reference emits one match per start).
+    val p = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a", Quantifier.OneOrMore)),
+      afterMatch = AfterMatch.SkipToFirst("a"))
+    val ms = run(p, E(1, "a"), E(2, "a"))
+    assert(ms.map(_.bindings.head._2.map(_.t)) == Vector(Vector(1L, 2L), Vector(2L)))
+  }
 }
