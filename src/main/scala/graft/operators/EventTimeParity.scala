@@ -59,6 +59,19 @@ object EventTimeParity extends QueryModule {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // Tumbling window with an alignment offset (Flink
+    // TumblingEventTimeWindows.of(size, offset)): 1h windows starting
+    // at :15 past the hour.
+    "w08_tumble_offset" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(WindowOps.tumble(col("ts"), "1 hour", "15 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("win.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Session windows with a per-row DYNAMIC gap (click/view cool off in
     // 5 minutes, the rest in 15) — Flink's withDynamicGap.
     "w06_session_dynamic_gap" -> { (s, dir) =>
@@ -259,6 +272,14 @@ object EventTimeParity extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "w01_tumble_agg" -> s"""
       SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win_start,
+             event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "w08_tumble_offset" -> s"""
+      SELECT CAST(floor((epoch_us(ts) - 900000000)/3600000000)*3600 + 900 AS BIGINT)
+               AS win_start,
              event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
       FROM events
       GROUP BY 1, 2

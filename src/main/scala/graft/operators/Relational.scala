@@ -293,6 +293,23 @@ object Relational extends QueryModule {
           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         ORDER BY o_orderkey
       """)
+    },
+
+    // TPC-H Q15 shape: aggregated revenue view + equality against its
+    // own global max (scalar aggregate broadcast back over the view).
+    "q25_top_supplier" -> { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
     }
   )
 
@@ -501,6 +518,19 @@ object Relational extends QueryModule {
       WHERE EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "q25_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey"""
   )
 }

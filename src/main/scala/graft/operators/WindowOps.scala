@@ -22,6 +22,13 @@ object WindowOps {
   /** Tumbling window column, epoch-aligned: struct(start, end). */
   def tumble(ts: Column, size: String): Column = window(ts, size)
 
+  /** Tumbling window with an alignment offset (Flink
+    * TumblingEventTimeWindows.of(size, offset) — window boundaries are
+    * shifted by `offset` from the epoch alignment).
+    */
+  def tumble(ts: Column, size: String, offset: String): Column =
+    window(ts, size, size, offset)
+
   /** Hopping (sliding) window column: struct(start, end). */
   def hop(ts: Column, size: String, slide: String): Column = window(ts, size, slide)
 

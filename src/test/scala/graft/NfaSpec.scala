@@ -84,6 +84,39 @@ class NfaSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: times(min,max) bindings respect bounds and contiguity") {
+    import org.scalacheck.{Gen, Prop}
+    val types = Gen.oneOf("a", "b", "x")
+    val streams = Gen.listOf(types).map(_.zipWithIndex.map {
+      case (ty, i) => E(i.toLong, ty)
+    })
+    val bounds = for {
+      min <- Gen.choose(1, 3); extra <- Gen.choose(0, 2)
+    } yield (min, min + extra)
+    val prop = Prop.forAll(streams, bounds) { case (evs, (mn, mx)) =>
+      val p = Pattern[E](Vector(
+        Step("a", (_: E).typ == "a", Quantifier.Times(mn, mx)),
+        Step("b", (_: E).typ == "b")),
+        afterMatch = AfterMatch.SkipPastLast)
+      val ms = Nfa.run(evs.toIndexedSeq, (_: E).t, p)
+      ms.forall { m =>
+        val as = m.bindings.find(_._1 == "a").get._2.map(_.t)
+        val b = m.bindings.find(_._1 == "b").get._2.head.t
+        // count within [min,max]; a-run consecutive; b directly follows
+        as.size >= mn && as.size <= mx &&
+          as.zip(as.tail).forall { case (x, y) => y == x + 1 } &&
+          b == as.last + 1
+      } && {
+        // no event consumed twice under SkipPastLast
+        val bound = ms.flatMap(_.bindings.flatMap(_._2))
+        bound.size == bound.distinct.size
+      }
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("strict 3-step sequence matches consecutive events only") {
     val p = pat(
       Step("a", _.typ == "a"), Step("b", _.typ == "b"), Step("c", _.typ == "c"))
