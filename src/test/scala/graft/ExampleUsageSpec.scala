@@ -39,6 +39,32 @@ class ExampleUsageSpec extends AnyFunSuite {
       (1L to 100L).filter(_ % 2 == 0).sum.toDouble)
   }
 
+  test("example: MATCH_RECOGNIZE through the SQL surface") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    spark.table("events")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"))
+      .createOrReplaceTempView("ex_events")
+    // The reference's MATCH_RECOGNIZE string syntax, verbatim.
+    val funnels = env.sqlQuery("""
+      SELECT user_id, first_click, n_clicks, purchase
+      FROM ex_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY tus, event_id
+        MEASURES FIRST(C.event_id) AS first_click,
+                 COUNT(C.event_id) AS n_clicks,
+                 P.event_id AS purchase
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (C+ P) WITHIN INTERVAL '1' HOUR
+        DEFINE C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+      )""")
+    assert(funnels.columns.toSeq ==
+      Seq("user_id", "first_click", "n_clicks", "purchase"))
+    assert(funnels.count() >= 0) // runs end-to-end on the tiny sf
+  }
+
   test("example: CEP with the fluent pattern builder") {
     import scala.concurrent.duration._
     case class Ev(t: Long, kind: String)
