@@ -143,54 +143,85 @@ object VectorOps {
     * exact-decimal mean), then the te05-style probe + exact re-rank.
     * Everything — including the k-means fit — is bit-reproducible by
     * the DuckDB oracle because sums are exact (decimal / scaled-long)
-    * and ties are broken on ids. Built on the exploded (id, d, x) form:
-    * each assignment round is one shuffle-join on the dimension index
-    * and one aggregate, linear in corpus size; empty cells drop out of
-    * the mean like any groupBy.
+    * and ties are broken on ids.
+    *
+    * Centroids live on the DRIVER between rounds (nlist×dims doubles —
+    * tiny), exactly like Spark MLlib's KMeans: each assignment round is
+    * a broadcast map-only pass over the vectors instead of an N×nlist
+    * shuffle-join blowup, and each update round is one shuffle of the
+    * exploded index. The closure replicates the exploded-form
+    * expressions bit for bit (floor-scaled long dots, HALF_UP
+    * round(.,6), cell-id tie-breaks), so results are unchanged — the
+    * oracle gate checks this at sf0.01.
     */
   def ivfKmeansTopK(vecs: DataFrame, idCol: String, vecCol: String,
                     isQuery: Column => Column, nlist: Int, nprobe: Int,
                     k: Int, lloydIters: Int): DataFrame = {
     val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
     val ex = explodeVec(vecs, idCol, vecCol, "id").repartition(parallelism)
-      .localCheckpoint() // feeds every round + the re-rank: compute once
+      .localCheckpoint() // feeds the mean updates + the re-rank
     val nrm = norms(vecs, idCol, vecCol, "id")
       .withColumnRenamed("nrm", "vn").localCheckpoint()
+    // (id, arr, vn) — the map-side assignment input.
+    val varr = vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("arr"))
+      .join(nrm, "id").repartition(parallelism).localCheckpoint()
 
-    // Rounded-cosine assignment rank of every vector against the given
-    // exploded centroids (cell, d, mx) with norms (cell, cn).
-    def ranked(cm: DataFrame, cn: DataFrame): DataFrame = {
-      val dots = ex.join(cm, "d")
-        .groupBy(col("id"), col("cell"))
-        .agg(scaledSum(col("x") * col("mx")).as("dot"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(round(col("dot") / (col("vn") * col("cn")), 6).desc, col("cell"))
-      dots.join(nrm, "id").join(cn, "cell")
-        .withColumn("crk", row_number().over(w))
+    // Same arithmetic as scaledSum(x*mx) / centroidNorms / round(.,6).
+    def centroidNorm(c: Array[Double]): Double =
+      math.sqrt(c.map(v => math.floor(v * v * 1e12).toLong).sum.toDouble / 1e12)
+    def roundedCos(arr: Seq[Double], vn: Double, c: Array[Double], cn: Double): Double = {
+      var dotScaled = 0L
+      var i = 0
+      while (i < c.length) { dotScaled += math.floor(arr(i) * c(i) * 1e12).toLong; i += 1 }
+      val cos = (dotScaled.toDouble / 1e12) / (vn * cn)
+      if (cos.isNaN || cos.isInfinite) cos
+      else BigDecimal(cos).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    def centroidNorms(cm: DataFrame): DataFrame =
-      cm.groupBy(col("cell")).agg(sqrt(scaledSum(col("mx") * col("mx"))).as("cn"))
+    // Cells best-first: rounded cosine desc, cell id asc — the same
+    // ordering as the exploded form's row_number window.
+    def rankCells(cents: Array[(Long, Array[Double], Double)],
+                  arr: Seq[Double], vn: Double): Seq[Long] =
+      cents.map { case (cell, c, cn) => (roundedCos(arr, vn, c, cn), cell) }
+        .sortBy { case (cos, cell) => (-cos, cell) }.map(_._2).toSeq
 
-    var cm = ex.where(col("id") < nlist)
-      .select(col("id").as("cell"), col("d"), col("x").as("mx"))
+    var cents: Array[(Long, Array[Double], Double)] =
+      vecs.where(col(idCol) < nlist)
+        .select(col(idCol).cast("long").as("cell"), toDouble(col(vecCol)).as("arr"))
+        .collect().map { r =>
+          val c = r.getSeq[Double](1).toArray
+          (r.getLong(0), c, centroidNorm(c))
+        }.sortBy(_._1)
+
     var iter = 0
     while (iter < lloydIters) {
-      val cells = ranked(cm, centroidNorms(cm)).where(col("crk") === 1)
-        .select(col("id"), col("cell"))
+      val cs = cents
+      val bestCell = udf((arr: Seq[Double], vn: Double) => rankCells(cs, arr, vn).head)
+      val cells = varr.select(col("id"), bestCell(col("arr"), col("vn")).as("cell"))
       // exact-decimal per-dimension mean — deterministic in any
-      // aggregation order, reproducible in SQL
-      cm = ex.join(cells, "id")
+      // aggregation order, reproducible in SQL; empty cells drop out.
+      cents = ex.join(cells, "id")
         .groupBy(col("cell"), col("d"))
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
           .cast("double") / count(lit(1))).as("mx"))
-        .localCheckpoint()
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          val c = Array.tabulate(dims.size)(dims)
+          (cell, c, centroidNorm(c))
+        }.toArray.sortBy(_._1)
       iter += 1
     }
 
-    val finalRank = ranked(cm, centroidNorms(cm))
-    val cells = finalRank.where(col("crk") === 1).select(col("id"), col("cell"))
-    val probes = finalRank.where(isQuery(col("id")) && col("crk") <= nprobe)
-      .select(col("id").as("query_id"), col("cell"))
+    val cs = cents
+    val rankUdf = udf((arr: Seq[Double], vn: Double) => rankCells(cs, arr, vn))
+    val rankedCells = varr
+      .select(col("id"), rankUdf(col("arr"), col("vn")).as("cells"))
+      .localCheckpoint() // feeds both the cell map and the probe list
+    val cells = rankedCells.select(col("id"), col("cells").getItem(0).as("cell"))
+    val probes = rankedCells.where(isQuery(col("id")))
+      .select(col("id").as("query_id"),
+        explode(slice(col("cells"), 1, nprobe)).as("cell"))
     val cand = broadcast(probes)
       .join(cells.select(col("id").as("vec_id"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
