@@ -104,17 +104,19 @@ object MatchRecognize {
   /** Parse the text INSIDE `MATCH_RECOGNIZE ( ... )`. */
   def parse(clause: String): Spec = {
     val text = clause.trim
-    val upper = text.toUpperCase
-    // Slice into sections at top-level keyword starts (keywords never
-    // appear inside the quoted literals this subset allows).
+    // Slice into sections at keyword starts. Word-boundary anchored so
+    // an identifier merely CONTAINING a keyword (alias `pattern_id`,
+    // column `measures_x`) can't shift a section; `_` is a word char,
+    // so \b rejects those. Keywords inside quoted literals are out of
+    // this subset's contract.
     val starts = SectionKeywords.flatMap { kw =>
-      val i = upper.indexOf(kw)
-      if (i >= 0) Some(kw -> i) else None
+      val re = ("(?i)\\b" + kw.replace(" ", "\\s+") + "\\b").r
+      re.findFirstMatchIn(text).map(m => (kw, m.start, m.end))
     }.sortBy(_._2)
-    def section(kw: String): Option[String] = starts.find(_._1 == kw).map { case (_, i) =>
-      val from = i + kw.length
-      val to = starts.collectFirst { case (_, j) if j > i => j }.getOrElse(text.length)
-      text.substring(from, to).trim.stripSuffix(",").trim
+    def section(kw: String): Option[String] = starts.find(_._1 == kw).map {
+      case (_, s, e) =>
+        val to = starts.collectFirst { case (_, j, _) if j > s => j }.getOrElse(text.length)
+        text.substring(e, to).trim.stripSuffix(",").trim
     }
 
     val partitionBy = section("PARTITION BY")

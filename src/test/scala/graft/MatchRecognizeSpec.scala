@@ -65,6 +65,19 @@ class MatchRecognizeSpec extends AnyFunSuite {
       "ORDER BY t PATTERN (A B) DEFINE B AS A.x = 1")) // cross-variable
   }
 
+  test("identifiers containing keyword substrings do not shift sections") {
+    val s = MatchRecognize.parse("""
+      PARTITION BY measures_x
+      ORDER BY t
+      MEASURES A.id AS pattern_id, B.id AS define_id
+      PATTERN (A B)
+      DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+    """)
+    assert(s.partitionBy == Seq("measures_x"))
+    assert(s.measures.map(_.alias) == Seq("pattern_id", "define_id"))
+    assert(s.pattern.map(_._1) == Seq("A", "B"))
+  }
+
   test("times and skip-to strategies parse") {
     import graft.cep.Nfa.AfterMatch
     val s = MatchRecognize.parse(
