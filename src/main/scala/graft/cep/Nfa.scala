@@ -9,7 +9,9 @@ package graft.cep
   *   - steps with Once / Optional / OneOrMore(greedy) / Times(min,max)
   *     quantifiers
   *   - Strict (`next`) and Relaxed (`followedBy`, skip-till-next)
-  *     contiguity per step
+  *     contiguity per step, and per-loop inner consumption (Strict =
+  *     `.consecutive()`, Relaxed = Flink's default skip-till-next
+  *     between loop iterations) via [[Step.innerContiguity]]
   *   - `within` time bound (match discarded when
   *     time(last) - time(first) >= within, matching Flink's pruning)
   *   - after-match skip: NoSkip (every start index may begin a match),
@@ -63,11 +65,21 @@ object Nfa {
     final case class SkipToLast(variable: String) extends AfterMatch
   }
 
+  /** One pattern step. `contiguity` governs how this step's FIRST event
+    * relates to the previous step; `innerContiguity` governs consumption
+    * BETWEEN iterations of a looping quantifier (OneOrMore / Times):
+    * Strict = consecutive events only (Flink's `.consecutive()`),
+    * Relaxed = non-matching events may sit between iterations (Flink's
+    * DEFAULT inner consuming strategy, SKIP_TILL_NEXT —
+    * flink-cep .../pattern/Quantifier.java). Ignored for non-looping
+    * quantifiers.
+    */
   final case class Step[T](
       name: String,
       pred: T => Boolean,
       quantifier: Quantifier = Quantifier.Once,
-      contiguity: Contiguity = Contiguity.Strict)
+      contiguity: Contiguity = Contiguity.Strict,
+      innerContiguity: Contiguity = Contiguity.Strict)
 
   final case class Pattern[T](
       steps: Vector[Step[T]],
@@ -286,26 +298,28 @@ object Nfa {
     else go(0, start, start - 1, Vector.empty)
   }
 
-  /** Longest run of events satisfying `step` starting at `from`.
-    * OneOrMore always consumes contiguously, i.e. the implemented loop
-    * semantics equal Flink's `oneOrMore().consecutive().greedy()`
-    * (flink-cep .../pattern/Quantifier.java: STRICT inner consuming).
-    * Flink's DEFAULT for oneOrMore is relaxed inner consumption
-    * (SKIP_TILL_NEXT — non-matching events may sit between loop
-    * iterations); that wider surface is intentionally unsupported here,
-    * regardless of the step's own `contiguity` (which only governs how
-    * the loop's FIRST event relates to the previous step).
-    * Returns bound indices (length 1 for non-looping quantifiers).
+  /** Longest greedy run of events satisfying `step` starting at `from`,
+    * honoring the step's `innerContiguity`: Strict stops at the first
+    * non-matching event (Flink's `oneOrMore().consecutive().greedy()`);
+    * Relaxed skips non-matching events between iterations while the
+    * `within` bound holds (Flink's default SKIP_TILL_NEXT inner
+    * consuming, greedy). Collection stays linear either way — the
+    * backtracking in [[matchFrom]] only shortens the collected prefix,
+    * so no exponential blowup. Returns bound indices (length 1 for
+    * non-looping quantifiers).
     */
   private def collectRun[T](events: IndexedSeq[T], step: Step[T], from: Int,
                             time: T => Long, withinOk: Int => Boolean): IndexedSeq[Int] = {
     step.quantifier match {
       case Quantifier.OneOrMore | _: Quantifier.Times =>
+        val relaxed = step.innerContiguity == Contiguity.Relaxed
         var idx = from
+        var open = true
         val buf = IndexedSeq.newBuilder[Int]
-        while (idx < events.length && withinOk(idx) && step.pred(events(idx))) {
-          buf += idx
-          idx += 1
+        while (open && idx < events.length && withinOk(idx)) {
+          if (step.pred(events(idx))) { buf += idx; idx += 1 }
+          else if (relaxed) idx += 1
+          else open = false
         }
         buf.result()
       case _ => IndexedSeq(from)

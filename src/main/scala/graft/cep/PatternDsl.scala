@@ -33,10 +33,13 @@ object PatternDsl {
     def followedBy(name: String, pred: T => Boolean): Builder[T] =
       add(Step(name, pred, contiguity = Contiguity.Relaxed))
 
-    /** Loop the last step (consecutive+greedy — the implemented NFA
-      * subset; see Nfa.collectRun for the contract).
+    /** Loop the last step, greedy, with the reference's DEFAULT relaxed
+      * inner consumption (SKIP_TILL_NEXT: non-matching events may sit
+      * between loop iterations — flink-cep Pattern.oneOrMore). Chain
+      * [[consecutive]] for strict inner consumption.
       */
-    def oneOrMore: Builder[T] = amend(_.copy(quantifier = Quantifier.OneOrMore))
+    def oneOrMore: Builder[T] = amend(_.copy(
+      quantifier = Quantifier.OneOrMore, innerContiguity = Contiguity.Relaxed))
 
     /** Make the last step optional. */
     def optional: Builder[T] = amend(_.copy(quantifier = Quantifier.Optional))
@@ -45,11 +48,23 @@ object PatternDsl {
     def times(n: Int): Builder[T] = times(n, n)
 
     /** Repeat the last step `min` to `max` times, greedy
-      * (Pattern.times(from, to)); consecutive consumption like
-      * oneOrMore.
+      * (Pattern.times(from, to)); relaxed inner consumption like
+      * oneOrMore — chain [[consecutive]] to require adjacent events.
       */
-    def times(min: Int, max: Int): Builder[T] =
-      amend(_.copy(quantifier = Quantifier.Times(min, max)))
+    def times(min: Int, max: Int): Builder[T] = amend(_.copy(
+      quantifier = Quantifier.Times(min, max), innerContiguity = Contiguity.Relaxed))
+
+    /** Require the last step's loop iterations to be adjacent events
+      * (Pattern.consecutive — STRICT inner consuming). Only meaningful
+      * after [[oneOrMore]]/[[times]], like the reference, which throws
+      * on non-looping states (flink-cep Pattern.java consecutive()).
+      */
+    def consecutive: Builder[T] = amend { s =>
+      require(s.quantifier == Quantifier.OneOrMore ||
+        s.quantifier.isInstanceOf[Quantifier.Times],
+        s"consecutive() only applies to a looping quantifier, not ${s.quantifier}")
+      s.copy(innerContiguity = Contiguity.Strict)
+    }
 
     /** Time bound: match span strictly less than `d`. */
     def within(d: scala.concurrent.duration.FiniteDuration): Builder[T] =

@@ -271,11 +271,14 @@ object StatefulOps {
     * that involves unseen data).
     *
     * A trailing match whose final step could still extend — a greedy
-    * OneOrMore whose run ends exactly at the last mature event, or an
-    * Optional left unbound there — is WITHHELD (its events stay in
-    * state) until a later mature event terminates the run or the
-    * `within` horizon makes extension impossible. This mirrors Flink's
-    * NFA, which keeps looping/optional final states open
+    * loop whose run ends exactly at the last mature event (or, for
+    * relaxed inner consumption, ends anywhere: non-matching events
+    * don't close it), or an Optional left unbound there — is WITHHELD
+    * (its events stay in state) until a later mature event terminates
+    * the run or the `within` horizon makes extension impossible (a
+    * trailing relaxed-inner loop therefore REQUIRES a `within` bound).
+    * This mirrors Flink's NFA, which keeps looping/optional final
+    * states open
     * (flink-cep .../nfa/NFA.java:86 advanceTime/computeNextStates)
     * rather than finalizing them at the watermark.
     */
@@ -302,6 +305,15 @@ object StatefulOps {
     implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
     implicit val e1: Encoder[(Boolean, Nfa.Match[T])] = Encoders.kryo[(Boolean, Nfa.Match[T])]
     val lastStep = pattern.steps.last
+    // A trailing loop with RELAXED inner consumption is never closed by
+    // a non-matching event — only the `within` horizon can finalize it.
+    val trailingRelaxedLoop = (lastStep.quantifier match {
+      case Nfa.Quantifier.OneOrMore | _: Nfa.Quantifier.Times => true
+      case _ => false
+    }) && lastStep.innerContiguity == Nfa.Contiguity.Relaxed
+    require(!trailingRelaxedLoop || pattern.withinMicros.isDefined,
+      "a trailing relaxed-inner loop (oneOrMore/times without .consecutive) " +
+        "can only be finalized by a `within` bound; add one")
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
@@ -322,9 +334,13 @@ object StatefulOps {
             case Nfa.Quantifier.Optional => !m.bindings.exists(_._1 == lastStep.name)
             case _ => false
           }
+          // Strict inner loops close at the first non-matching mature
+          // event, so only a match reaching the last mature event is
+          // provisional; relaxed inner loops ignore non-matching events,
+          // so the final match stays provisional wherever it ends.
           val emitted = indexed.lastOption match {
             case Some((m, lastIdx))
-                if lastIdx == sorted.length - 1 &&
+                if (lastIdx == sorted.length - 1 || trailingRelaxedLoop) &&
                   couldExtend(m) &&
                   pattern.withinMicros.forall { w =>
                     val firstMicros = tsMs(m.bindings.head._2.head) * 1000L

@@ -223,6 +223,66 @@ class NfaSpec extends AnyFunSuite {
     assert(past.size == 1)
   }
 
+  test("relaxed inner consumption skips non-matching events inside a loop") {
+    import graft.cep.PatternDsl
+    // Flink's DEFAULT oneOrMore (SKIP_TILL_NEXT inner): x@2 sits between
+    // loop iterations; the greedy run binds both a's.
+    val relaxed = PatternDsl.begin[E]("a", _.typ == "a").oneOrMore
+      .followedBy("b", _.typ == "b").build
+    val evs = Seq(E(1, "a"), E(2, "x"), E(3, "a"), E(4, "b"))
+    val ms = run(relaxed, evs: _*)
+    assert(ms.size == 1)
+    assert(ms.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L, 3L))
+    // .consecutive (STRICT inner) stops the loop at x@2 — the run binds
+    // only a@1; the followedBy (relaxed OUTER contiguity) then skips
+    // x@2 and a@3 to reach b@4, exactly like the reference where
+    // consecutive() narrows only the loop interior.
+    val strict = PatternDsl.begin[E]("a", _.typ == "a").oneOrMore.consecutive
+      .followedBy("b", _.typ == "b").build
+    val sm = run(strict, evs: _*)
+    assert(sm.size == 1)
+    assert(sm.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L))
+    assert(sm.head.first("b").t == 4)
+  }
+
+  test("relaxed inner loop backtracks to leave events for later steps") {
+    import graft.cep.PatternDsl
+    // Greedy a+ would swallow a@3; backtracking must release it so the
+    // `end` step (also typ a) can bind.
+    val p = PatternDsl.begin[E]("a", _.typ == "a").oneOrMore
+      .followedBy("end", _.typ == "a").build
+    val ms = run(p, E(1, "a"), E(2, "x"), E(3, "a"))
+    assert(ms.size == 1)
+    assert(ms.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L))
+    assert(ms.head.first("end").t == 3)
+  }
+
+  test("times with relaxed inner consumption respects max across gaps") {
+    import graft.cep.PatternDsl
+    val p = PatternDsl.begin[E]("a", _.typ == "a").times(1, 2)
+      .followedBy("b", _.typ == "b").build
+    // a@1, x@2, a@3, a@4, b@5: greedy cap 2 binds [1,3] then b must
+    // follow from index after a@3 — b@5 comes after a@4 (relaxed outer
+    // contiguity skips it).
+    val ms = run(p, E(1, "a"), E(2, "x"), E(3, "a"), E(4, "a"), E(5, "b"))
+    assert(ms.size == 1)
+    assert(ms.head.bindings.find(_._1 == "a").get._2.map(_.t) == Vector(1L, 3L))
+    // within bound cuts the relaxed run's forward scan: from a@1 the
+    // b@4 lands exactly at the bound (span 3 >= 3), so no match starts
+    // there; the scan re-anchors at a@3.
+    val bounded = p.copy(withinMicros = Some(3L))
+    val bms = run(bounded, E(1, "a"), E(2, "x"), E(3, "a"), E(4, "b"))
+    assert(bms.map(_.bindings.find(_._1 == "a").get._2.map(_.t)) ==
+      Vector(Vector(3L)))
+  }
+
+  test("consecutive on a non-looping step throws like the reference") {
+    import graft.cep.PatternDsl
+    intercept[IllegalArgumentException] {
+      PatternDsl.begin[E]("a", _.typ == "a").consecutive
+    }
+  }
+
   test("skipToFirst of the leading variable still makes progress") {
     // a+ with SkipToFirst(a): target == match start; the scan resumes
     // one past it (the set-based reference emits one match per start).

@@ -221,6 +221,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("10,11"))
   }
 
+  test("cepStream keeps a relaxed-inner trailing loop open past non-matching events") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    // Flink-default oneOrMore: relaxed inner consumption — x's between
+    // the a's do NOT close the run; only the within horizon can.
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a", Quantifier.OneOrMore,
+        innerContiguity = Contiguity.Relaxed)),
+      withinMicros = Some(60L * 1000000L),
+      afterMatch = AfterMatch.SkipPastLast)
+    val out = StatefulOps.cepStream[Long, SEv](wmarked, _.k, _.ts.getTime, pat)
+      .map(m => m.bindings.head._2.map(_.ts.getTime / 1000).mkString(","))
+    val q = out.writeStream.format("memory").queryName("ceprelaxed")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 0, "a"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(20), 0, "x")) // wm=10: a@10 mature — must stay open
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(30), 0, "a")) // wm=20: x@20 does NOT close the run
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x")) // wm=30: both a's mature, within still open
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(300), 0, "x")) // wm=200 > 10+60: horizon closes the match
+    runToCompletion(q)
+    // One maximal match [a10, a30] spanning the interleaved x, not
+    // [a10] finalized when x@20 matured.
+    val got = spark.table("ceprelaxed").as[String].collect().toSeq
+    assert(got == Seq("10,30"))
+  }
+
+  test("cepStream rejects a trailing relaxed loop without a within bound") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a", Quantifier.OneOrMore,
+        innerContiguity = Contiguity.Relaxed)))
+    intercept[IllegalArgumentException] {
+      StatefulOps.cepStream[Long, SEv](
+        in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts.getTime, pat)
+    }
+  }
+
   test("built-in parity: watermarked tumbling window aggregate (append)") {
     val in = MemoryStream[SEv]
     val agg = in.toDS().withWatermark("ts", "5 seconds")
