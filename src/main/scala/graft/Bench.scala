@@ -33,20 +33,24 @@ object Bench {
       (dt, ok)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Best of two: this VM sees co-tenant CPU-steal waves that can
-      // inflate whichever single query they land on by 10-50x; the min
-      // of two well-separated attempts reports the engine's own cost.
-      val (dt1, ok1) = attempt(name, fn)
-      val (dt2, ok2) = attempt(name, fn)
-      val ok = ok1 || ok2
-      val dt = (ok1, ok2) match {
-        case (true, true)  => math.min(dt1, dt2)
-        case (true, false) => dt1
-        case (false, _)    => dt2
-      }
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s (runs: $dt1%.2f / $dt2%.2f)")
-      (name, dt, ok)
+    // Best of two attempts per query, taken as two FULL PASSES over the
+    // suite rather than back-to-back: this VM sees co-tenant CPU-steal
+    // waves lasting minutes, which inflate a contiguous stretch of
+    // queries 10-50x — back-to-back attempts land in the same wave,
+    // while attempts a whole suite apart are decorrelated from it.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = named.map { case (name, fn) => attempt(name, fn) }
+    val pass2 = named.map { case (name, fn) => attempt(name, fn) }
+    val results = named.lazyZip(pass1).lazyZip(pass2).map {
+      case ((name, _), (dt1, ok1), (dt2, ok2)) =>
+        val ok = ok1 || ok2
+        val dt = (ok1, ok2) match {
+          case (true, true)  => math.min(dt1, dt2)
+          case (true, false) => dt1
+          case (false, _)    => dt2
+        }
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s (runs: $dt1%.2f / $dt2%.2f)")
+        (name, dt, ok)
     }
     // Failed queries are reported as negative timings plus an errors
     // list, so a failure can't masquerade as a fast run in the JSON.
