@@ -16,7 +16,8 @@ object SparkEntry {
     operators.MiscParity,
     operators.ExtraParity,
     operators.MoreParity,
-    operators.DsParity
+    operators.DsParity,
+    operators.TpchGate
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
