@@ -43,4 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // "[info] " lines, and a trailing "[success] Total time: ..." line lands
 // after the JSON. Pass output through raw and suppress the banner.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Both scopes: r1's driver-side run still printed "[success] Total
+// time: ..." after the JSON with only the ThisBuild-scoped setting.
 ThisBuild / showSuccess := false
+Global / showSuccess := false

@@ -57,9 +57,82 @@ object VectorExpressions {
     override def prettyName: String = "dot_scaled_long"
   }
 
+  import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+
+  /** Sign-random-projection bucket id over an array<double> column:
+    * `nbits` hyperplanes whose ±1 components come from a multiplicative
+    * hash of (bit, dim) — data-independent, and simple integer
+    * arithmetic that a SQL oracle can recompute exactly (unlike
+    * xxhash64). Projections accumulate floor(sign*x*1e12) as LONG, so
+    * the bit decisions are exact and order-independent — the same
+    * trick as DotScaledLong, making the whole bucket id reproducible
+    * row-for-row in DuckDB:
+    *   sign(b,d) = CASE WHEN ((b*64+d+1)*2654435761 >> 16) & 1 = 1
+    *               THEN 1.0 ELSE -1.0 END
+    * One tight codegen loop per row replaces the nbits×dim
+    * `when(pmod(xxhash64(...)))` expression forest the first version
+    * built (which dominated te03's runtime via codegen blowup).
+    */
+  case class SrpBucketLong(child: Expression, nbits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    private def sign(b: Int, d: Int): Double =
+      if ((((b * 64 + d + 1).toLong * 2654435761L) >> 16 & 1L) == 1L) 1.0 else -1.0
+
+    // Flattened [nbits * dim] sign matrix, sized lazily to the first
+    // row's dimensionality (embeddings are fixed-dim per column).
+    @transient private lazy val signCache =
+      new java.util.concurrent.atomic.AtomicReference[Array[Double]]()
+
+    private def signs(dim: Int): Array[Double] = {
+      val cached = signCache.get()
+      if (cached != null && cached.length == nbits * dim) cached
+      else {
+        val m = Array.tabulate(nbits * dim)(i => sign(i / dim, i % dim))
+        signCache.set(m)
+        m
+      }
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val dim = x.numElements()
+      val m = signs(dim)
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          acc += math.floor(m(b * dim + d) * x.getDouble(d) * 1e12).toLong
+          d += 1
+        }
+        if (acc >= 0L) bucket |= 1L << b
+        b += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("srp", this, classOf[SrpBucketLong].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = (Long) $self.nullSafeEval($a);"
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): SrpBucketLong =
+      copy(child = c)
+    override def prettyName: String = "srp_bucket"
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Scaled-long dot product of two array<double> columns. */
   def dot_scaled(a: Column, b: Column): Column =
     column(DotScaledLong(expression(a), expression(b)))
+
+  /** SRP-LSH bucket id of an array<double> column (see SrpBucketLong). */
+  def srp_bucket(v: Column, nbits: Int): Column =
+    column(SrpBucketLong(expression(v), nbits))
 }

@@ -36,22 +36,26 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
-    // At-scale ANN path: SRP-LSH bucketing (12 bits), top-3 within
-    // bucket per query. No SQL oracle (rows-only): the bucket hash is
-    // engine-internal; correctness of the scoring is covered by te02.
+    // At-scale ANN path: SRP-LSH bucketing (8 bits) with hamming-1
+    // multi-probe, top-3 within the probed buckets per query. Fully
+    // oracle-checked: the sign matrix is a multiplicative hash and the
+    // projections are scaled-long sums, so DuckDB reproduces the exact
+    // bucket ids (see SrpBucketLong).
     "te03_ann_srp_lsh" -> { (s, dir) =>
       import graft.functions.VectorExpressions.dot_scaled
       // v/nrm/bucket materialized through a repartition exchange so the
       // interpreted transform lambda isn't re-inlined per candidate pair
       // and the bucket join parallelizes (same pattern as cosinePairs).
+      val nbits = 8
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"),
-          VectorOps.srpBucket(col("embedding"), 64, 12).as("bucket"))
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("bucket", VectorOps.srpBucket(col("v"), nbits))
         .withColumn("nrm",
           sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
         .repartition(s.sparkContext.defaultParallelism)
       val q = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("bucket"),
+        .select(col("vec_id").as("query_id"),
+          explode(VectorOps.srpProbes(col("bucket"), nbits)).as("bucket"),
           col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id"), col("bucket"),
         col("v").as("cv"), col("nrm").as("cn"))
@@ -62,7 +66,7 @@ object SimilaritySuite extends QueryModule {
           (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
             / (col("qn") * col("cn")), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
-        .select(col("query_id"), col("vec_id"), col("bucket"), col("cos"), col("rk"))
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
         .orderBy("query_id", "rk")
     },
 
@@ -152,6 +156,54 @@ object SimilaritySuite extends QueryModule {
                   JOIN norms nb ON id_b = nb.vec_id)
       WHERE cos >= 0.4
       ORDER BY id_a, id_b""",
+
+    // SRP-LSH with multi-probe, fully recomputed: the sign matrix is a
+    // multiplicative hash and projections are exact scaled-long sums,
+    // so bucket ids match Spark's SrpBucketLong bit for bit.
+    "te03_ann_srp_lsh" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      bits AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS b),
+      proj AS (
+        SELECT vec_id, b,
+               sum(CAST(floor((CASE WHEN ((b * 64 + d + 1) * 2654435761 >> 16) & 1 = 1
+                                    THEN 1.0 ELSE -1.0 END * x) * 1e12) AS BIGINT)) AS p
+        FROM ex CROSS JOIN bits
+        GROUP BY 1, 2),
+      buckets AS (
+        SELECT vec_id, sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      probes AS (
+        SELECT vec_id AS query_id,
+               CASE WHEN pb = 0 THEN bucket ELSE xor(bucket, 1 << (pb - 1)) END AS bucket
+        FROM buckets CROSS JOIN (SELECT CAST(unnest(range(0, 9)) AS INT) AS pb)
+        WHERE vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, bu.vec_id
+        FROM probes p JOIN buckets bu USING (bucket)
+        WHERE p.query_id <> bu.vec_id),
+      dots AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(sum(CAST(floor((q.x * e.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand c JOIN ex q ON q.vec_id = c.query_id
+                    JOIN ex e ON e.vec_id = c.vec_id AND e.d = q.d
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 3
+      ORDER BY query_id, rk""",
 
     "te02_ann_topk" -> """
       WITH ex AS (

@@ -258,21 +258,23 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
-  /** Sign-random-projection bucket id (nbits hyperplanes whose components
-    * are derived from xxhash64(bit, dim) — data-independent and
-    * deterministic). Vectors in the same bucket are cosine-close with
-    * high probability; probe multiple buckets (hamming-1 neighbors) for
-    * higher recall. This is the 100 TB path: join on bucket instead of
-    * all-pairs.
+  /** Sign-random-projection bucket id (nbits hyperplanes, ±1 components
+    * from a multiplicative hash of (bit, dim) — data-independent,
+    * deterministic, and reproducible in plain SQL). Vectors in the same
+    * bucket are cosine-close with high probability; probe hamming-1
+    * neighbor buckets for higher recall. This is the 100 TB path: join
+    * on bucket instead of all-pairs. One codegen'd loop per row
+    * (SrpBucketLong) — the earlier nbits×dim expression forest spent
+    * its time in codegen compilation and interpreted fallback.
     */
-  def srpBucket(vec: Column, dim: Int, nbits: Int): Column = {
-    val bits = (0 until nbits).map { bIdx =>
-      val proj = (0 until dim).map { d =>
-        when(pmod(xxhash64(lit(bIdx * 7919 + d)), lit(2)) === 0, lit(1.0))
-          .otherwise(lit(-1.0)) * element_at(vec, d + 1).cast("double")
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << bIdx)
-    }
-    bits.reduce(_ + _)
-  }
+  def srpBucket(vec: Column, nbits: Int): Column =
+    graft.functions.VectorExpressions.srp_bucket(toDouble(vec), nbits)
+
+  /** The probe list for a query bucket: the bucket itself plus its
+    * `nbits` hamming-1 neighbors (multi-probe LSH — recall without
+    * paying for more tables).
+    */
+  def srpProbes(bucket: Column, nbits: Int): Column =
+    array(bucket +: (0 until nbits).map(b =>
+      bucket.bitwiseXOR(lit(1L << b))): _*)
 }
