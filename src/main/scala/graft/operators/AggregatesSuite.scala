@@ -101,8 +101,6 @@ object AggregatesSuite extends QueryModule {
         .orderBy("o_orderstatus")
     },
 
-    // Approximate distinct-count sketch (HLL) — no SQL oracle (sketches
-    // differ per engine); rows-only check. Exact distinct alongside.
     // IGNORE NULLS navigation — Flink's FIRST_VALUE/LAST_VALUE skip
     // nulls by default; nulls synthesized via nullif.
     "a08_ignore_nulls" -> { (s, dir) =>
@@ -116,18 +114,41 @@ object AggregatesSuite extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Approximate sketches (HLL distinct, GK percentile). Sketch VALUES
+    // aren't portable across engines, so the oracle checks the exact
+    // column plus BOUNDED-ERROR assertions: the HLL estimate must land
+    // within 5% of exact (rsd=0.01, so 5 sigma) and the approximate
+    // median must land between the exact p40 and p60. Both are
+    // deterministic for fixed data, making the query hash-checkable —
+    // stronger than r1's rows-only check.
     "a07_approx_distinct" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("__hll"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("p50_approx"))
+            .as("__p50a"),
+          expr("percentile(l_extendedprice, 0.40)").as("__p40"),
+          expr("percentile(l_extendedprice, 0.60)").as("__p60"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__hll") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("hll_ok"),
+          (col("__p50a") >= col("__p40") &&
+            col("__p50a") <= col("__p60")).as("p50_ok"))
         .orderBy("l_returnflag")
     }
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "a07_approx_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS hll_ok,
+        TRUE AS p50_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "a08_ignore_nulls" -> """
       SELECT o_custkey, o_orderkey,
         first_value(maybe IGNORE NULLS) OVER wf AS first_nn,
