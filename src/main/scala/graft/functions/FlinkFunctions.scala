@@ -119,6 +119,18 @@ object FlinkFunctions {
     column(Coalesce(Seq(
       GetJsonObject(expression(json), expression(path)), expression(default))))
 
+  /** TRUNCATE(x, d) — round toward zero at `d` decimals (reference
+    * SqlFunctionUtils truncate / FlinkSqlOperatorTable TRUNCATE).
+    * Composed from floor/ceil (preference (a): existing ops express the
+    * semantics exactly), so it stays inside whole-stage codegen.
+    */
+  def truncate_num(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.when(c >= 0,
+      org.apache.spark.sql.functions.floor(c * p) / p)
+      .otherwise(org.apache.spark.sql.functions.ceil(c * p) / p)
+  }
+
   /** Name → expression builder for every gap function. */
   private val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "hash_code" -> (es => HashCode(es.head)),

@@ -108,6 +108,51 @@ object FunctionsSuite extends QueryModule {
         .orderBy("event_type")
     },
 
+    // String/conditional extras named in SURVEY §2.9 but not covered by
+    // f01: OVERLAY, POSITION, CHR, LEFT/RIGHT, TRIM(BOTH/LEADING/
+    // TRAILING ch), ENCODE/DECODE roundtrip, NULLIF/IFNULL,
+    // GREATEST/LEAST, IS DISTINCT FROM.
+    "f13_string_extras" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .withColumn("padded", concat(lit("**"), col("c_mktsegment"), lit("*")))
+        .select(col("c_custkey"),
+          overlay(col("c_name"), lit("ZZ"), lit(4)).as("ov"),
+          expr("position('5' in c_name)").as("pos5"),
+          expr("chr(65 + c_custkey % 26)").as("chr_c"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 3)").as("r3"),
+          expr("trim(BOTH '*' FROM padded)").as("tb"),
+          expr("trim(LEADING '*' FROM padded)").as("tl"),
+          expr("trim(TRAILING '*' FROM padded)").as("tt"),
+          decode(encode(col("c_name"), "utf-8"), "utf-8").as("rt"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("nn"),
+          expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'none')").as("fb"),
+          greatest(col("c_custkey") % 7, col("c_custkey") % 5, lit(3L)).as("g3"),
+          least(col("c_custkey") % 7, col("c_custkey") % 5, lit(3L)).as("l3"),
+          expr("c_mktsegment is distinct from 'BUILDING'").as("idf"))
+        .orderBy("c_custkey")
+    },
+
+    // Datetime/math extras from §2.9: TIMESTAMPADD/TIMESTAMPDIFF,
+    // UNIX_TIMESTAMP epoch, TRUNCATE (Flink round-toward-zero),
+    // LOG2, COT, PI.
+    "f14_datetime_math_extras" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(expr("timestampadd(MONTH, 2, o_orderdate)"),
+          "yyyy-MM-dd").as("madd"),
+        date_format(expr("timestampadd(HOUR, 36, o_orderdate)"),
+          "yyyy-MM-dd HH:mm:ss").as("hadd"),
+        expr("timestampdiff(DAY, timestamp'1995-01-01 00:00:00', o_orderdate)")
+          .as("ddiff"),
+        unix_timestamp(col("o_orderdate")).as("ep"),
+        truncate_num(col("o_totalprice"), 1).as("tr1"),
+        round(log2(col("o_totalprice")), 8).as("lg2"),
+        round(expr("cot(o_orderkey % 7 + 1)"), 8).as("ct"),
+        round(expr("pi()"), 8).as("pi8"))
+        .orderBy("o_orderkey")
+    },
+
     // Gap functions on crafted inputs (oracle: regex / try_cast /
     // precomputed Java hashCode constants).
     "f05_gap_funcs" -> { (s, dir) =>
@@ -242,6 +287,39 @@ object FunctionsSuite extends QueryModule {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "f13_string_extras" -> """
+      SELECT c_custkey,
+        substr(c_name, 1, 3) || 'ZZ' || substr(c_name, 6) AS ov,
+        CAST(position('5' IN c_name) AS INT) AS pos5,
+        chr(CAST(65 + c_custkey % 26 AS INT)) AS chr_c,
+        left(c_name, 4) AS l4,
+        right(c_name, 3) AS r3,
+        trim(padded, '*') AS tb,
+        ltrim(padded, '*') AS tl,
+        rtrim(padded, '*') AS tt,
+        c_name AS rt,
+        nullif(c_mktsegment, 'BUILDING') AS nn,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS fb,
+        greatest(c_custkey % 7, c_custkey % 5, 3) AS g3,
+        least(c_custkey % 7, c_custkey % 5, 3) AS l3,
+        (c_mktsegment IS DISTINCT FROM 'BUILDING') AS idf
+      FROM (SELECT *, '**' || c_mktsegment || '*' AS padded FROM customer)
+      ORDER BY c_custkey""",
+
+    "f14_datetime_math_extras" -> """
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS madd,
+        strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS hadd,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS ddiff,
+        CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 10.0) / 10.0
+             ELSE ceil(o_totalprice * 10.0) / 10.0 END AS tr1,
+        round(log2(o_totalprice), 8) AS lg2,
+        round(cot(o_orderkey % 7 + 1), 8) AS ct,
+        round(pi(), 8) AS pi8
+      FROM orders
+      ORDER BY o_orderkey""",
 
     "f05_gap_funcs" -> """
       WITH inputs(sv) AS (VALUES ('123'), ('12.5'), ('-4e2'), ('abc'), ('12a'),
