@@ -20,14 +20,19 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   private val primaryKeys = mutable.Map[String, Seq[String]]()
 
   /** DQL/DML/DDL passthrough to Spark SQL (gap functions registered).
-    * MATCH_RECOGNIZE clauses — which Spark SQL has no parser slot
-    * for — are split out and executed on the engine's NFA, mirroring
-    * the reference planner's StreamExecMatch node.
+    * Two dialect gaps are bridged first: Flink group-window syntax
+    * (TUMBLE/HOP/SESSION + auxiliaries, window TVFs) rewrites to
+    * Spark's window()/session_window() spellings, and MATCH_RECOGNIZE
+    * clauses — which Spark SQL has no parser slot for — are split out
+    * and executed on the engine's NFA, mirroring the reference
+    * planner's StreamExecMatch node.
     */
-  def executeSql(sql: String): DataFrame =
-    if (graft.cep.MatchRecognize.containsClause(sql))
-      graft.cep.MatchRecognize.rewriteAndRun(spark, sql)
-    else spark.sql(sql)
+  def executeSql(sql: String): DataFrame = {
+    val rw = graft.sql.FlinkSqlWindows.rewrite(sql)
+    if (graft.cep.MatchRecognize.containsClause(rw))
+      graft.cep.MatchRecognize.rewriteAndRun(spark, rw)
+    else spark.sql(rw)
+  }
 
   /** Query returning a Table (reference Table == DataFrame here). */
   def sqlQuery(sql: String): DataFrame = executeSql(sql)

@@ -47,6 +47,22 @@ object EventTimeParity extends QueryModule {
         .orderBy("win_start", "event_type")
     },
 
+    // The same tumbling aggregate THROUGH THE FLINK SQL DIALECT: the
+    // query text is what a reference user runs verbatim (GROUP BY
+    // TUMBLE + TUMBLE_START); FlinkSqlWindows rewrites it to Spark's
+    // window() spelling inside GraftTableEnvironment.executeSql.
+    "w09_sql_group_window" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      env.registerTestTables(dir)
+      env.sqlQuery("""
+        SELECT CAST(unix_timestamp(TUMBLE_START(ts, INTERVAL '1' HOUR)) AS BIGINT) AS win_start,
+               event_type, count(1) AS n,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        ORDER BY win_start, event_type""")
+    },
+
     // Session window aggregate per user (10-minute gap).
     "w03_session_agg" -> { (s, dir) =>
       ev(s, dir)
@@ -271,6 +287,13 @@ object EventTimeParity extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "w01_tumble_agg" -> s"""
+      SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win_start,
+             event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "w09_sql_group_window" -> s"""
       SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win_start,
              event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
       FROM events
