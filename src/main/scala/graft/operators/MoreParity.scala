@@ -166,6 +166,27 @@ object MoreParity extends QueryModule {
           coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
           coalesce(col("ptus") - col("ctus"), lit(-1L)).as("gap_us"))
         .orderBy("click_id", "purchase_id")
+    },
+
+    // KEY-LESS interval join — every purchase inside any error's
+    // 5-minute incident window, no equality conjunct. Spark alone
+    // plans this as a nested-loop; RangeJoin.pointInInterval restores
+    // a shuffle-hash shape via bin bucketing (RangeJoinSpec asserts the
+    // plan). Bin width = the interval span, so each interval lands in
+    // at most 2 bins.
+    "j04_range_join_keyless" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "events").select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("tus").as("ptus"))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("tus").as("lo"),
+          (col("tus") + 300000000L).as("hi"))
+      RangeJoin.pointInInterval(purchases, incidents,
+          col("ptus"), col("lo"), col("hi"), binWidth = 300000000L)
+        .select(col("error_id"), col("purchase_id"),
+          (col("ptus") - col("lo")).as("gap_us"))
+        .orderBy("error_id", "purchase_id")
     }
   )
 
@@ -282,6 +303,14 @@ object MoreParity extends QueryModule {
              coalesce(p.ptus - c.ctus, -1) AS gap_us
       FROM c LEFT JOIN p ON c.user_id = p.user_id
         AND p.ptus > c.ctus AND p.ptus <= c.ctus + 1800000000
-      ORDER BY click_id, purchase_id"""
+      ORDER BY click_id, purchase_id""",
+
+    "j04_range_join_keyless" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events)
+      SELECT i.event_id AS error_id, p.event_id AS purchase_id,
+             p.tus - i.tus AS gap_us
+      FROM e i JOIN e p ON i.event_type = 'error' AND p.event_type = 'purchase'
+        AND p.tus >= i.tus AND p.tus <= i.tus + 300000000
+      ORDER BY error_id, purchase_id"""
   )
 }
