@@ -63,6 +63,35 @@ object EventTimeParity extends QueryModule {
         ORDER BY win_start, event_type""")
     },
 
+    // HOP and CUMULATE through the verbatim Flink window-TVF SQL —
+    // FlinkSqlWindows explodes the per-row windows inside executeSql.
+    "w10_sql_hop_tvf" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      env.registerTestTables(dir)
+      env.sqlQuery("""
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS win_start,
+               event_type, count(1) AS n,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '10' MINUTE, INTERVAL '30' MINUTE))
+        GROUP BY window_start, event_type
+        ORDER BY win_start, event_type""")
+    },
+
+    "w11_sql_cumulate_tvf" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      env.registerTestTables(dir)
+      env.sqlQuery("""
+        SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS win_start,
+               CAST(unix_timestamp(window_end) AS BIGINT) AS win_end,
+               event_type, count(1) AS n,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+        GROUP BY window_start, window_end, event_type
+        ORDER BY win_start, win_end, event_type""")
+    },
+
     // Session window aggregate per user (10-minute gap).
     "w03_session_agg" -> { (s, dir) =>
       ev(s, dir)
@@ -316,6 +345,27 @@ object EventTimeParity extends QueryModule {
         FROM events, unnest([0, 1, 2]) AS t(k))
       GROUP BY win_start, event_type
       ORDER BY win_start, event_type""",
+
+    "w10_sql_hop_tvf" -> s"""
+      SELECT win_start, event_type, count(1) AS n, ${dsumSql("value")} AS sum_value
+      FROM (
+        SELECT (CAST(floor(epoch_us(ts)/600000000) AS BIGINT) - t.k) * 600 AS win_start,
+               event_type, value
+        FROM events, unnest([0, 1, 2]) AS t(k))
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type""",
+
+    "w11_sql_cumulate_tvf" -> s"""
+      SELECT win_start, win_end, event_type, count(1) AS n,
+             ${dsumSql("value")} AS sum_value
+      FROM (
+        SELECT CAST(floor(epoch_us(ts)/14400000000)*14400 AS BIGINT) AS win_start,
+               CAST(floor(epoch_us(ts)/14400000000)*14400 AS BIGINT) + t.k*3600 AS win_end,
+               event_type, value, epoch_us(ts) AS tus
+        FROM events, unnest([1, 2, 3, 4]) AS t(k))
+      WHERE tus < win_end * 1000000
+      GROUP BY win_start, win_end, event_type
+      ORDER BY win_start, win_end, event_type""",
 
     "w03_session_agg" -> s"""
       WITH e AS (

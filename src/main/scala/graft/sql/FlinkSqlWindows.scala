@@ -25,11 +25,12 @@ import scala.util.matching.Regex
   *     (Flink's rowtime attribute is TimeWindow.maxTimestamp = end - 1ms)
   *   - `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))` → derived subquery
   *     projecting `window_start`/`window_end` per row
+  *   - `TABLE(HOP(...))`, `TABLE(CUMULATE(...))` → derived subquery
+  *     exploding the size/slide (resp. step-expanded) windows per row
   *
   * Out of scope (fail loudly as unresolved SQL rather than silently
-  * change semantics): PROCTIME attributes, HOP/CUMULATE TVFs (a
-  * sliding TVF multiplies rows — use WindowOps.hop / WindowOps.cumulate
-  * on the DataFrame side), and window syntax inside string literals.
+  * change semantics): PROCTIME attributes and window syntax inside
+  * string literals.
   */
 object FlinkSqlWindows {
 
@@ -42,6 +43,21 @@ object FlinkSqlWindows {
   private val TvfTumble: Regex =
     ("(?i)TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*" +
       s"DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$I\\s*\\)\\s*\\)").r
+
+  // HOP/CUMULATE TVFs take TWO intervals: (slide, size) / (step, size).
+  private val TvfHop: Regex =
+    ("(?i)TABLE\\s*\\(\\s*HOP\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*" +
+      s"DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$I\\s*,\\s*$I\\s*\\)\\s*\\)").r
+  private val TvfCumulate: Regex =
+    ("(?i)TABLE\\s*\\(\\s*CUMULATE\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*" +
+      s"DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$I\\s*,\\s*$I\\s*\\)\\s*\\)").r
+
+  private def micros(n: String, u: String): Long = n.toLong * (u.toUpperCase match {
+    case "DAY"    => 86400000000L
+    case "HOUR"   => 3600000000L
+    case "MINUTE" => 60000000L
+    case "SECOND" => 1000000L
+  })
 
   private val AuxStartEnd: Regex =
     "(?i)\\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME)\\s*\\(([^()]*)\\)".r
@@ -61,6 +77,39 @@ object FlinkSqlWindows {
       val (t, ts, d) = (m.group(1), m.group(2), dur(m.group(3), m.group(4)))
       q(s"(SELECT $t.*, window($ts, '$d').start AS window_start, " +
         s"window($ts, '$d').end AS window_end FROM $t) AS $t")
+    })
+    // HOP TVF: each row belongs to size/slide windows — explode the
+    // window starts. All exploded starts satisfy ts ∈ [ws, ws+size)
+    // when size is a multiple of slide (Flink requires the same).
+    s = TvfHop.replaceAllIn(s, m => {
+      val (t, ts) = (m.group(1), m.group(2))
+      val slide = micros(m.group(3), m.group(4))
+      val size = micros(m.group(5), m.group(6))
+      require(size % slide == 0,
+        s"HOP TVF: size must be a multiple of slide ($size % $slide)")
+      val nk = size / slide
+      q(s"(SELECT * EXCEPT (__ws), timestamp_micros(__ws) AS window_start, " +
+        s"timestamp_micros(__ws + ${size}L) AS window_end " +
+        s"FROM (SELECT __t0.*, explode(sequence(" +
+        s"(unix_micros($ts) div ${slide}L - ${nk - 1}L) * ${slide}L, " +
+        s"(unix_micros($ts) div ${slide}L) * ${slide}L, ${slide}L)) AS __ws " +
+        s"FROM $t AS __t0)) AS $t")
+    })
+    // CUMULATE TVF: shared size-aligned window_start, step-expanded
+    // window ends from the row's step boundary up to the full size.
+    s = TvfCumulate.replaceAllIn(s, m => {
+      val (t, ts) = (m.group(1), m.group(2))
+      val step = micros(m.group(3), m.group(4))
+      val size = micros(m.group(5), m.group(6))
+      require(size % step == 0,
+        s"CUMULATE TVF: size must be a multiple of step ($size % $step)")
+      val ws = s"(unix_micros($ts) div ${size}L) * ${size}L"
+      q(s"(SELECT * EXCEPT (__we), timestamp_micros($ws) AS window_start, " +
+        s"timestamp_micros($ws + __we) AS window_end " +
+        s"FROM (SELECT __t0.*, explode(sequence(" +
+        s"((unix_micros($ts) - $ws) div ${step}L + 1L) * ${step}L, " +
+        s"${size}L, ${step}L)) AS __we " +
+        s"FROM $t AS __t0)) AS $t")
     })
     // Auxiliary accessors before the window functions themselves:
     // TUMBLE_START must not leave a bare TUMBLE( behind.

@@ -85,6 +85,36 @@ class FlinkSqlWindowsSpec extends AnyFunSuite {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("HOP window TVF explodes size/slide windows per row") {
+    val viaSql = env.sqlQuery("""
+      SELECT window_start, count(1) AS n
+      FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                     INTERVAL '10' MINUTE, INTERVAL '30' MINUTE))
+      GROUP BY window_start ORDER BY window_start""").collect()
+    val viaDf = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+      .orderBy("window_start").collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
+  test("CUMULATE window TVF matches WindowOps.cumulate") {
+    val viaSql = env.sqlQuery("""
+      SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws,
+             CAST(unix_timestamp(window_end) AS BIGINT) AS we, count(1) AS n
+      FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+      GROUP BY window_start, window_end ORDER BY ws, we""").collect()
+    val viaDf = graft.operators.WindowOps
+      .cumulate(Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        col("ts"), 3600L, 14400L)
+      .groupBy(col("win_start").as("ws"), col("win_end").as("we"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ws", "we").collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("TUMBLE window TVF yields window_start/window_end columns") {
     val viaSql = env.sqlQuery("""
       SELECT window_start, window_end, count(1) AS n
