@@ -119,6 +119,49 @@ object FlinkFunctions {
     column(Coalesce(Seq(
       GetJsonObject(expression(json), expression(path)), expression(default))))
 
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Generator
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** SPLIT_TO_ROWS(str, delim) — a table function (UDTF) as a native
+    * Catalyst `Generator`, emitting one (pos, word) row per delimited
+    * token: the §2.11 TableFunction<T> surface (reference
+    * flink-table-common .../functions/TableFunction.java — user eval()
+    * calling collect(row) per emitted row), exercised through SQL
+    * LATERAL VIEW exactly like Flink's `LATERAL TABLE(split(...))`.
+    * Multi-column output is the part plain explode() can't express.
+    */
+  case class SplitToRows(str: Expression, delim: Expression)
+      extends Expression with Generator with CodegenFallback {
+    override def children: Seq[Expression] = Seq(str, delim)
+
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("word", StringType, nullable = true)))
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val s = str.eval(input)
+      val d = delim.eval(input)
+      if (s == null || d == null) Nil
+      else {
+        // limit -1 keeps trailing empty tokens (DuckDB string_split /
+        // Spark split() semantics; Java's default drops them)
+        val parts = s.asInstanceOf[UTF8String].toString
+          .split(java.util.regex.Pattern.quote(d.asInstanceOf[UTF8String].toString), -1)
+        parts.iterator.zipWithIndex.map { case (w, i) =>
+          InternalRow(i, UTF8String.fromString(w))
+        }
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): SplitToRows =
+      copy(str = newChildren(0), delim = newChildren(1))
+    override def prettyName: String = "split_to_rows"
+  }
+
   /** TRUNCATE(x, d) — round toward zero at `d` decimals (reference
     * SqlFunctionUtils truncate / FlinkSqlOperatorTable TRUNCATE).
     * Composed from floor/ceil (preference (a): existing ops express the
@@ -142,6 +185,7 @@ object FlinkFunctions {
     "json_value" -> (es =>
       if (es.length >= 3) Coalesce(Seq(GetJsonObject(es(0), es(1)), es(2)))
       else GetJsonObject(es(0), es(1))),
+    "split_to_rows" -> (es => SplitToRows(es(0), es(1))),
   )
 
   /** Register all gap functions on an already-built session. */

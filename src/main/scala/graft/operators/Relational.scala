@@ -236,6 +236,18 @@ object Relational extends QueryModule {
         .orderBy("word")
     },
 
+    // UDTF through SQL: the native SplitToRows Generator (§2.11
+    // TableFunction parity) via LATERAL VIEW — Flink's
+    // `LATERAL TABLE(split(...))` shape with multi-column output.
+    "q26_udtf_lateral" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").createOrReplaceTempView("docs_q26")
+      s.sql("""
+        SELECT doc_id, pos, word
+        FROM docs_q26 LATERAL VIEW split_to_rows(text, ' ') t AS pos, word
+        WHERE doc_id < 50
+        ORDER BY doc_id, pos""")
+    },
+
     // Multiple DISTINCT aggregates (Catalyst Expand-based distinct split).
     "q17_distinct_aggs" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -474,6 +486,13 @@ object Relational extends QueryModule {
         FROM part)
       GROUP BY word
       ORDER BY word""",
+
+    "q26_udtf_lateral" -> """
+      SELECT doc_id, CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+      WHERE doc_id < 50
+      ORDER BY doc_id, pos""",
 
     "q17_distinct_aggs" -> s"""
       SELECT l_returnflag,

@@ -48,6 +48,17 @@ class FlinkFunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "c" && r.getString(1) == "1")
   }
 
+  test("split_to_rows UDTF emits (pos, word) rows via LATERAL VIEW") {
+    FlinkFunctions.registerAll(spark)
+    val rows = spark.sql("""
+      SELECT pos, word FROM (SELECT 'a b  c ' AS s)
+      LATERAL VIEW split_to_rows(s, ' ') t AS pos, word""")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // consecutive and trailing delimiters keep their empty tokens
+    // (DuckDB string_split / Spark split() semantics)
+    assert(rows == Seq((0, "a"), (1, "b"), (2, ""), (3, "c"), (4, "")))
+  }
+
   test("json_value / json_exists registered for SQL with default-on-empty") {
     FlinkFunctions.registerAll(spark)
     val r = spark.sql("""
