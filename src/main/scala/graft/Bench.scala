@@ -72,13 +72,17 @@ object Bench {
     // doubles push the line past the harness's output-tail window and
     // the JSON becomes unrecoverable (r1's BENCH had parsed:null for
     // exactly this) — every byte of the line counts.
-    def f(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def f(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + f(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (failed.isEmpty) "" else failed.mkString(""","errors":[""", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errs,"sf":$sf}""")
     spark.stop()
   }
 }
