@@ -29,6 +29,28 @@ class ExampleUsageSpec extends AnyFunSuite {
     assert(top.count() == 5) // dialect functions work inside Spark SQL
   }
 
+  test("example: Flink windowed SQL runs verbatim") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    // Legacy group-window spelling...
+    val hourly = env.sqlQuery("""
+      SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS h, count(1) AS n
+      FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)""")
+    // ...and the window-TVF spelling, both rewritten to window().
+    val cumulative = env.sqlQuery("""
+      SELECT window_start, window_end, count(1) AS n
+      FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+      GROUP BY window_start, window_end""")
+    assert(hourly.count() > 0 && cumulative.count() > hourly.count())
+  }
+
+  test("example: datagen source feeds batch and streaming alike") {
+    val df = spark.read.format("graft-datagen")
+      .option("numRows", 500).option("partitions", 4).load()
+    assert(df.groupBy(window(col("ts"), "1 minute")).count().count() > 0)
+  }
+
   test("example: typed pipeline on the DataStream veneer") {
     val clicks = GraftStream((1L to 100L).toDS())
       .map(i => (i % 7, i))          // keyBy user
