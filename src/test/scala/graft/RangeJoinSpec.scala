@@ -32,6 +32,30 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: equals naive join on randomized intervals") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      seed <- Gen.choose(1L, 1000000L)
+      bin <- Gen.oneOf(7L, 64L, 500L, 9999L)
+    } yield (seed, bin)
+    val prop = Prop.forAll(gen) { case (seed, bin) =>
+      val p = spark.range(0, 300)
+        .select(col("id").as("pid"), ((col("id") * seed) % 5000).as("pt"))
+      val iv = spark.range(0, 50)
+        .select(col("id").as("iid"), ((col("id") * seed * 7) % 4500).as("lo"))
+        .withColumn("hi", col("lo") + (col("iid") * seed) % 800)
+      val naive = p.join(iv, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val bucketed = RangeJoin.pointInInterval(p, iv,
+          col("pt"), col("lo"), col("hi"), bin)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      bucketed == naive
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("plans as an equi-join on the bin, not a nested loop") {
     val naivePlan = points.join(intervals,
         col("pt") >= col("lo") && col("pt") <= col("hi"))

@@ -363,6 +363,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(WindowResult(7L, 0L, 3L, 6.0)))
   }
 
+  test("exactly-once: cepStream NFA state survives restart mid-pattern") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ck3").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out3").toString
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a"),
+      Step("b", (_: SEv).tag == "b")),
+      withinMicros = Some(60L * 1000000L),
+      afterMatch = AfterMatch.SkipPastLast)
+    def start() = StatefulOps.cepStream[Long, SEv](
+        in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts.getTime, pat)
+      .map(m => (m.first("a").ts.getTime / 1000, m.first("b").ts.getTime / 1000))
+      .toDF("a_ts", "b_ts")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(SEv(1, ts(10), 0, "a")) // half a match, buffered in state
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // buffered 'a' must survive the restart
+    in.addData(SEv(1, ts(11), 0, "b"))
+    q2.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x")) // watermark past b
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L))) // exactly one match, no replay dupes
+  }
+
   test("built-in parity: stream-static join (broadcast state pattern)") {
     val in = MemoryStream[SEv]
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
