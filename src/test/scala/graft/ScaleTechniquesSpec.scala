@@ -77,6 +77,26 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"))
   }
 
+  test("hot pipelines stay inside whole-stage codegen, custom exprs included") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val agg = li.where(col("l_quantity") > 10)
+      .select(col("l_returnflag"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy("l_returnflag").agg(sum(col("rev")))
+    agg.collect() // AQE only renders codegen stages in the FINAL plan
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    // scan→filter→project→partial-agg compiled, not interpreted
+    assert(aggPlan.contains("*("), s"no codegen stage in:\n$aggPlan")
+    // the custom DotScaledLong expression rides INSIDE a codegen'd
+    // operator (a '*(n)' line), not in an interpreted fallback
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cos = graft.operators.VectorOps.cosinePairs(emb, "vec_id", "embedding", 0.4)
+    cos.collect()
+    val cosPlan = cos.queryExecution.executedPlan.toString
+    assert(cosPlan.linesIterator.exists(l =>
+      l.contains("dot_scaled_long") && l.contains("*(")),
+      s"dot_scaled_long not in a codegen stage:\n$cosPlan")
+  }
+
   test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
     val out = GraftStream(spark.range(100).as[Long])
       .map(i => (i % 5, i))
