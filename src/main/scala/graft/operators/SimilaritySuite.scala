@@ -5,9 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Media payload metadata produced by the (stubbed) decoder. */
+/** Media payload metadata produced by the (stubbed) decoder, plus the
+  * resize-to-fit dims and a fixed-width feature vector (the
+  * decode → resize → feature-extract stages of a multimodal pipeline;
+  * decode/extract bodies are deterministic stubs — no codec libs in
+  * this container — while the schema, typed mapPartitions batch shape,
+  * and integer resize arithmetic are real).
+  */
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                     channels: Int, format: String)
+                     channels: Int, format: String,
+                     rs_w: Int, rs_h: Int, feat: Array[Double])
 
 /** Similarity search over `embeddings` (array<float>, dim 64) and
   * multimodal-column plumbing over binary payloads. Brute-force cosine is
@@ -110,15 +117,34 @@ object SimilaritySuite extends QueryModule {
           // STUB decoder: real systems call an image codec here
           // (mapInPandas/JNI); dims derived deterministically from size.
           val n = bytes.length
-          MediaMeta(id, n,
-            width = 64 + n % 576,
-            height = 48 + (n * 7) % 432,
+          val w = 64 + n % 576
+          val h = 48 + (n * 7) % 432
+          // resize-to-fit 224 on the long edge, aspect preserved —
+          // integer arithmetic so the oracle reproduces it exactly
+          val m = math.max(w, h)
+          // STUB feature extractor: a real pipeline runs a vision
+          // encoder per resized image; 4 deterministic pseudo-features
+          // keep the array<double> column and batch shape honest.
+          val feat = Array.tabulate(4)(k => (n.toLong * (k + 3) % 997) / 997.0)
+          MediaMeta(id, n, w, h,
             channels = 3,
             format = (n % 3) match {
               case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-            })
+            },
+            rs_w = w * 224 / m,
+            rs_h = h * 224 / m,
+            feat = feat)
         })
         .toDF()
+        // the feature vector stays an array<double> column inside the
+        // pipeline; the oracle-facing projection flattens it (array
+        // string forms differ between pandas and DuckDB)
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("channels"), col("format"), col("rs_w"), col("rs_h"),
+          element_at(col("feat"), 1).as("f0"),
+          element_at(col("feat"), 2).as("f1"),
+          element_at(col("feat"), 3).as("f2"),
+          element_at(col("feat"), 4).as("f3"))
         .orderBy("doc_id")
     },
 
@@ -369,13 +395,22 @@ object SimilaritySuite extends QueryModule {
 
     "mm01_decode_meta" -> """
       SELECT doc_id,
-        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        CAST(64 + octet_length(encode(text)) % 576 AS INT) AS width,
-        CAST(48 + (octet_length(encode(text)) * 7) % 432 AS INT) AS height,
+        CAST(n AS INT) AS n_bytes,
+        CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
         3 AS channels,
-        CASE octet_length(encode(text)) % 3
-          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-      FROM documents
+        CASE n % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        CAST(w * 224 // greatest(w, h) AS INT) AS rs_w,
+        CAST(h * 224 // greatest(w, h) AS INT) AS rs_h,
+        (n * 3 % 997) / 997.0 AS f0,
+        (n * 4 % 997) / 997.0 AS f1,
+        (n * 5 % 997) / 997.0 AS f2,
+        (n * 6 % 997) / 997.0 AS f3
+      FROM (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               64 + octet_length(encode(text)) % 576 AS w,
+               48 + (octet_length(encode(text)) * 7) % 432 AS h
+        FROM documents)
       ORDER BY doc_id""",
 
     "mm02_frame_sample" -> """
