@@ -96,6 +96,51 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // PQ (product quantization) ANN: 8 subspaces × 8 dims, 16 centroids
+    // per subspace (first 16 vectors' subvectors — deterministic), codes
+    // by max scaled dot with cid tie-break, queries scored by ADC
+    // (asymmetric distance: sum of the query's precomputed
+    // query×centroid dots over the candidate's codes). The 100 TB
+    // memory-compression path: the corpus is ranked from 8-byte codes
+    // plus a broadcast query×centroid lookup table — the full vectors
+    // are never touched at scoring time. Exact scaled-long sums keep it
+    // bit-reproducible in the oracle.
+    "te07_ann_pq" -> { (s, dir) =>
+      val parallelism = s.sparkContext.defaultParallelism
+      val sx = VectorOps.explodeVec(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "vec_id")
+        .select(col("vec_id"), expr("d DIV 8").cast("int").as("sub"),
+          (col("d") % 8).as("dd"), col("x"))
+        .repartition(parallelism)
+      val cent = sx.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("sub").as("csub"),
+          col("dd").as("cdd"), col("x").as("cx"))
+      val adot = sx.join(broadcast(cent),
+          col("sub") === col("csub") && col("dd") === col("cdd"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
+        .localCheckpoint() // feeds codes + the query ADC table
+      val wA = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dt").desc, col("cid"))
+      val codes = adot.withColumn("rk", row_number().over(wA))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      val qdot = adot.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
+          col("cid"), col("dt"))
+      val scored = codes.join(broadcast(qdot),
+          col("sub") === col("qsub") && col("code") === col("cid"))
+        .where(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg((sum(col("dt")).cast("double") / lit(1e12)).as("score"))
+      val wT = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(wT)).where(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // Embedding-cosine near-dup dedup: connected pairs above 0.45 keep
     // the lower id as representative (one-hop union: keep_id = min peer).
     "te04_embedding_neardup" -> { (s, dir) =>
@@ -365,6 +410,39 @@ object SimilaritySuite extends QueryModule {
       SELECT query_id, vec_id, cell, cos, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    "te07_ann_pq" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS dd, x FROM ex),
+      cent AS (SELECT vec_id AS cid, sub, dd, x AS cx FROM sx WHERE vec_id < 16),
+      adot AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               sum(CAST(floor((v.x * c.cx) * 1e12) AS BIGINT)) AS dt
+        FROM sx v JOIN cent c ON v.sub = c.sub AND v.dd = c.dd
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY dt DESC, cid) AS rk FROM adot)
+        WHERE rk = 1),
+      qdot AS (SELECT vec_id AS query_id, sub, cid, dt FROM adot
+               WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(sum(q.dt) AS DOUBLE) / 1e12 AS score
+        FROM codes c
+        JOIN qdot q ON c.sub = q.sub AND c.code = q.cid
+        WHERE q.query_id <> c.vec_id
+        GROUP BY 1, 2)
+      SELECT query_id, vec_id, round(score, 6) AS score, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) AS INT) AS rk
         FROM scored)
       WHERE rk <= 5
       ORDER BY query_id, rk""",

@@ -156,6 +156,47 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("fp")
     },
 
+    // Benchmark decontamination — the eval-leakage check of a training-
+    // data pipeline: fraction of each corpus doc's distinct word-5-grams
+    // that appear anywhere in the "benchmark" set (source src0); docs
+    // above 20% overlap are flagged. Grams are joined as 64-bit hashes
+    // (fixed-width shuffle keys, same collision tolerance as td03);
+    // scales as two shingle scans + one hash-key join — no pair blowup.
+    "td10_decontaminate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = TextOps.shingleHashIndex(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 5)
+      val bench = TextOps.shingleHashIndex(
+        docs.filter(col("source") === "src0"), "doc_id", "text", 5)
+        .select(col("sh")).distinct()
+      val sizes = corpus.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      val hits = corpus.hint("shuffle_hash").join(bench.hint("shuffle_hash"), "sh")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      sizes.join(hits, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
+        .withColumn("contaminated", col("n_hits") / col("n_grams") > 0.2)
+        .orderBy("doc_id")
+    },
+
+    // Corpus-frequency quality score: average relative corpus frequency
+    // of a doc's tokens (rare-word-heavy docs score low). Exact decimal
+    // accumulation so the per-doc average is order-independent.
+    "td11_corpus_freq" -> { (s, dir) =>
+      val w = wordsIdx(s, dir)
+      val freq = w.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = w.agg(count(lit(1)).as("n"))
+      w.join(freq.hint("shuffle_hash"), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum((col("cnt") / col("n"))
+              .cast(org.apache.spark.sql.types.DecimalType(25, 18)))
+            .cast("double") / count(lit(1)), 9).as("avg_rel_freq"))
+        .orderBy("doc_id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -258,6 +299,42 @@ object TextPipelineSuite extends QueryModule {
       FROM documents
       GROUP BY 1
       ORDER BY fp""",
+
+    "td10_decontaminate" -> """
+      WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(words) >= 5
+                THEN list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            || ' ' || words[i+3] || ' ' || words[i+4]))
+                ELSE [] END AS grams
+            FROM w),
+      bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE source = 'src0'),
+      e AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE source <> 'src0'),
+      hits AS (SELECT doc_id, count(1) AS n_hits
+               FROM e JOIN bench USING (gr) GROUP BY doc_id),
+      allg AS (SELECT doc_id, len(grams) AS n_grams FROM g
+               WHERE source <> 'src0' AND len(grams) > 0)
+      SELECT a.doc_id, CAST(a.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             round(coalesce(h.n_hits, 0) * 1.0 / a.n_grams, 6) AS overlap,
+             (coalesce(h.n_hits, 0) * 1.0 / a.n_grams) > 0.2 AS contaminated
+      FROM allg a LEFT JOIN hits h ON a.doc_id = h.doc_id
+      ORDER BY a.doc_id""",
+
+    "td11_corpus_freq" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+                 FROM documents),
+      freq AS (SELECT wd, count(1) AS cnt FROM w GROUP BY wd),
+      tot AS (SELECT count(1) AS n FROM w)
+      SELECT doc_id,
+             CAST(count(1) AS BIGINT) AS n_tokens,
+             round((CAST(sum(CAST((cnt * 1.0 / n) AS DECIMAL(25,18))) AS DOUBLE)
+               / count(1)), 9) AS avg_rel_freq
+      FROM w JOIN freq USING (wd) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "td09_language_quota" -> """
       SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rn FROM (
