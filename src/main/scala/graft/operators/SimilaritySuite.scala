@@ -106,38 +106,8 @@ object SimilaritySuite extends QueryModule {
     // are never touched at scoring time. Exact scaled-long sums keep it
     // bit-reproducible in the oracle.
     "te07_ann_pq" -> { (s, dir) =>
-      val parallelism = s.sparkContext.defaultParallelism
-      val sx = VectorOps.explodeVec(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", "vec_id")
-        .select(col("vec_id"), expr("d DIV 8").cast("int").as("sub"),
-          (col("d") % 8).as("dd"), col("x"))
-        .repartition(parallelism)
-      val cent = sx.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("sub").as("csub"),
-          col("dd").as("cdd"), col("x").as("cx"))
-      val adot = sx.join(broadcast(cent),
-          col("sub") === col("csub") && col("dd") === col("cdd"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
-        .localCheckpoint() // feeds codes + the query ADC table
-      val wA = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dt").desc, col("cid"))
-      val codes = adot.withColumn("rk", row_number().over(wA))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("cid").as("code"))
-      val qdot = adot.where(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
-          col("cid"), col("dt"))
-      val scored = codes.join(broadcast(qdot),
-          col("sub") === col("qsub") && col("code") === col("cid"))
-        .where(col("query_id") =!= col("vec_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg((sum(col("dt")).cast("double") / lit(1e12)).as("score"))
-      val wT = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(wT)).where(col("rk") <= 5)
-        .select(col("query_id"), col("vec_id"),
-          round(col("score"), 6).as("score"), col("rk"))
+      VectorOps.pqTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", _ % 25 === 0, subDim = 8, nCent = 16, k = 5)
         .orderBy("query_id", "rk")
     },
 

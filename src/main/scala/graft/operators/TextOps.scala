@@ -188,6 +188,42 @@ object TextOps {
     minhashLshPairsIdx(explodeShingles(docs, idCol, shinglesCol), threshold,
       numPerms, rowsPerBand)
 
+  /** Benchmark decontamination over (id, sh) shingle indexes: for every
+    * corpus doc, the count of its distinct grams, how many appear
+    * anywhere in the benchmark set, the overlap ratio, and a flag at
+    * `threshold`. One hash-key join — work scales with corpus size,
+    * never with corpus × benchmark pairs.
+    */
+  def decontaminate(corpusIdx: DataFrame, benchIdx: DataFrame,
+                    threshold: Double): DataFrame = {
+    val bench = benchIdx.select(col("sh")).distinct()
+    val sizes = corpusIdx.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpusIdx.hint("shuffle_hash").join(bench.hint("shuffle_hash"), "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
+      .withColumn("contaminated", col("n_hits") / col("n_grams") > threshold)
+  }
+
+  /** Corpus-relative-frequency score from an (id, w) token index (with
+    * duplicates): per-doc token count and the average relative corpus
+    * frequency of its tokens — rare-word-heavy docs score low. Exact
+    * decimal accumulation keeps the average order-independent.
+    */
+  def corpusRelFreq(wordsIdx: DataFrame, idCol: String): DataFrame = {
+    val freq = wordsIdx.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = wordsIdx.agg(count(lit(1)).as("n"))
+    wordsIdx.join(freq.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum((col("cnt") / col("n"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 18)))
+          .cast("double") / count(lit(1)), 9).as("avg_rel_freq"))
+  }
+
   /** 60-bit SimHash per doc over distinct words (word hash = first 15 hex
     * chars of md5, so the oracle can recompute it).
     */

@@ -164,19 +164,13 @@ object TextPipelineSuite extends QueryModule {
     // scales as two shingle scans + one hash-key join — no pair blowup.
     "td10_decontaminate" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val corpus = TextOps.shingleHashIndex(
-        docs.filter(col("source") =!= "src0"), "doc_id", "text", 5)
-      val bench = TextOps.shingleHashIndex(
-        docs.filter(col("source") === "src0"), "doc_id", "text", 5)
-        .select(col("sh")).distinct()
-      val sizes = corpus.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-      val hits = corpus.hint("shuffle_hash").join(bench.hint("shuffle_hash"), "sh")
-        .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
-      sizes.join(hits, Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("n_grams"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
-        .withColumn("contaminated", col("n_hits") / col("n_grams") > 0.2)
+      TextOps.decontaminate(
+          TextOps.shingleHashIndex(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text", 5),
+          TextOps.shingleHashIndex(
+            docs.filter(col("source") === "src0"), "doc_id", "text", 5),
+          0.2)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -184,17 +178,7 @@ object TextPipelineSuite extends QueryModule {
     // of a doc's tokens (rare-word-heavy docs score low). Exact decimal
     // accumulation so the per-doc average is order-independent.
     "td11_corpus_freq" -> { (s, dir) =>
-      val w = wordsIdx(s, dir)
-      val freq = w.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val tot = w.agg(count(lit(1)).as("n"))
-      w.join(freq.hint("shuffle_hash"), "w")
-        .crossJoin(broadcast(tot))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(sum((col("cnt") / col("n"))
-              .cast(org.apache.spark.sql.types.DecimalType(25, 18)))
-            .cast("double") / count(lit(1)), 9).as("avg_rel_freq"))
-        .orderBy("doc_id")
+      TextOps.corpusRelFreq(wordsIdx(s, dir), "doc_id").orderBy("doc_id")
     },
 
     // Per-language quality quota — the curation step of a training-data

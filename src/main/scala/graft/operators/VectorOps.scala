@@ -242,6 +242,56 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
   }
 
+  /** PQ (product quantization) ANN: split each vector into `dim/subDim`
+    * subvectors; per subspace, quantize to the nearest of `nCent`
+    * centroids (first `nCent` vectors' subvectors — deterministic,
+    * oracle-checkable; a production fit would k-means each subspace
+    * with the identical plan). Queries are scored by ADC (asymmetric
+    * distance): the query's exact dot against every (subspace,
+    * centroid) forms a tiny broadcast lookup table, and a candidate's
+    * score is the sum of table entries selected by its codes — the
+    * corpus is ranked from `dim/subDim`-byte codes alone, never
+    * touching the full vectors at scoring time. That is the 100 TB
+    * memory-compression path: the scoring input shrinks by ~subDim ×
+    * sizeof(float) per code. Exact scaled-long sums and cid tie-breaks
+    * keep every step bit-reproducible.
+    */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+             isQuery: Column => Column, subDim: Int, nCent: Int,
+             k: Int): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val sx = explodeVec(vecs, idCol, vecCol, "vec_id")
+      .select(col("vec_id"), expr(s"d DIV $subDim").cast("int").as("sub"),
+        (col("d") % subDim).as("dd"), col("x"))
+      .repartition(parallelism)
+    val cent = sx.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cid"), col("sub").as("csub"),
+        col("dd").as("cdd"), col("x").as("cx"))
+    val adot = sx.join(broadcast(cent),
+        col("sub") === col("csub") && col("dd") === col("cdd"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
+      .localCheckpoint() // feeds codes + the query ADC table
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dt").desc, col("cid"))
+    val codes = adot.withColumn("rk", row_number().over(wA))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val qdot = adot.where(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
+        col("cid"), col("dt"))
+    val scored = codes.join(broadcast(qdot),
+        col("sub") === col("qsub") && col("code") === col("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("dt")).cast("double") / lit(1e12)).as("score"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(wT)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 6).as("score"), col("rk"))
+  }
+
   /** Exact top-k neighbors per query vector (pair join + native dot). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {

@@ -76,6 +76,57 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fitted == fixed && fitted.nonEmpty)
   }
 
+  test("decontaminate flags full-overlap docs and clears disjoint ones") {
+    val bench = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g"),               // identical to the benchmark
+      (2L, "q r s t u v w x y z"),         // disjoint
+      (3L, "a b c d e nothing shared xx")) // 1 of 4 grams overlaps
+      .toDF("doc_id", "text")
+    val r = TextOps.decontaminate(
+        TextOps.shingleHashIndex(corpus, "doc_id", "text", 5),
+        TextOps.shingleHashIndex(bench, "doc_id", "text", 5), 0.2)
+      .select("id", "n_grams", "n_hits", "overlap", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((3L, 3L, 1.0, true)))
+    assert(r(2L) == ((6L, 0L, 0.0, false)))
+    assert(r(3L) == ((4L, 1L, 0.25, true)))
+  }
+
+  test("corpusRelFreq averages relative corpus frequencies exactly") {
+    // corpus tokens: a,a,a,a,b -> n=5, freq(a)=4, freq(b)=1
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val idx = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val r = TextOps.corpusRelFreq(idx, "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((3L, 0.8)))         // avg(0.8, 0.8, 0.8)
+    assert(r(2L) == ((2L, 0.5)))         // avg(0.8, 0.2)
+  }
+
+  test("PQ ADC score is exact for vectors lying on centroid codes") {
+    // 4-dim vectors, subDim=2, nCent=2: ids 0,1 are the centroids.
+    // id 2 copies centroid 0's first subvector and centroid 1's second,
+    // so its codes select exactly those — ADC score against any query
+    // equals the true dot product.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.5f, 0.5f))) // the query (id % 3 == 0 picks 0,3)
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.pqTopK(df, "vec_id", "embedding", _ === 3L,
+        subDim = 2, nCent = 2, k = 4)
+      .select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // true dots of q=[.5 .5 .5 .5]: vs v2=[1 0 1 0] -> 1.0
+    assert(r((3L, 2L)) == 1.0)
+    // v0 and v1 are centroids; their codes are themselves -> exact dots
+    assert(r((3L, 0L)) == 1.0 && r((3L, 1L)) == 1.0)
+  }
+
   test("IVF top-k probing ALL cells equals brute-force top-k") {
     val rnd = new scala.util.Random(7)
     val df = (0L until 40L).map(i =>
