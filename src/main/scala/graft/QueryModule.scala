@@ -39,4 +39,24 @@ object OracleSafe {
     s"CAST(sum(CAST(($e) AS DECIMAL(25,6))) AS DOUBLE)"
   def davgSql(e: String): String =
     s"(CAST(sum(CAST(($e) AS DECIMAL(25,6))) AS DOUBLE) / count($e))"
+
+  /** Floor-scaled exact sum — for terms whose decimal expansion exceeds
+    * 6 digits (quotients, scaled values). dsum's double→DECIMAL cast
+    * must ROUND such terms, and on an exact binary half Spark (HALF_UP
+    * on the shortest decimal repr) and DuckDB (binary rounding) can
+    * disagree by 1e-6 — observed at sf0.1 row counts, invisible at
+    * sf0.01. floor() of the same IEEE double is identical in both
+    * engines, tie-free by construction. Constraint: |term| * scale
+    * summed must stay below 2^63 (long overflow).
+    */
+  def fsum(c: Column, scale: Double = 1e6): Column =
+    sum(floor(c * scale).cast("long")).cast("double") / scale
+
+  /** Floor-scaled exact average (see fsum). */
+  def favg(c: Column, scale: Double = 1e6): Column = fsum(c, scale) / count(c)
+
+  def fsumSql(e: String, scale: String = "1e6"): String =
+    s"(CAST(sum(CAST(floor(($e) * $scale) AS BIGINT)) AS DOUBLE) / $scale)"
+  def favgSql(e: String, scale: String = "1e6"): String =
+    s"(${fsumSql(e, scale)} / count($e))"
 }

@@ -58,12 +58,14 @@ object AggregatesSuite extends QueryModule {
     // units — above that, Spark (one rounding) and DuckDB (int128→double
     // then /10^scale: two roundings) can disagree by 1 ulp.
     "a04_stats_exact" -> { (s, dir) =>
+      // x has a 7-digit decimal expansion (2dp price * 1e-5): fsum, not
+      // dsum — the decimal cast's rounding tie diverged at sf0.1.
       Tables.load(s, dir, "orders")
         .withColumn("x", col("o_totalprice") * 1e-5)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          dsum(col("x")).as("s1"),
-          dsum(col("x") * col("x")).as("s2"))
+          fsum(col("x")).as("s1"),
+          fsum(col("x") * col("x")).as("s2"))
         .select(col("o_orderstatus"), col("n"),
           (col("s1") / col("n") * 1e5).as("mean"),
           ((col("s2") - col("s1") * col("s1") / col("n")) / col("n") * 1e10).as("var_pop"),
@@ -199,8 +201,8 @@ object AggregatesSuite extends QueryModule {
         (sqrt((s2 - s1 * s1 / n) / n) * 1e5) AS stddev_pop
       FROM (
         SELECT o_orderstatus, count(1) AS n,
-          ${dsumSql("o_totalprice * 1e-5")} AS s1,
-          ${dsumSql("(o_totalprice * 1e-5) * (o_totalprice * 1e-5)")} AS s2
+          ${fsumSql("o_totalprice * 1e-5")} AS s1,
+          ${fsumSql("(o_totalprice * 1e-5) * (o_totalprice * 1e-5)")} AS s2
         FROM orders
         GROUP BY o_orderstatus)
       ORDER BY o_orderstatus""",

@@ -151,9 +151,213 @@ object DsParity extends QueryModule {
           col("year_sum"), col("n_months"))
         .orderBy("n_name", "y", "m")
     }
+    ,
+
+    // DS shape (q14): parts sold through ALL THREE "channels" (order
+    // status classes) via INTERSECT, then revenue per brand over the
+    // common set. Catalyst rewrites intersect to a distinct semi-join
+    // chain — the same plan the reference reaches via Calcite's
+    // INTERSECT_TO_DISTINCT rewrite.
+    "ds08_cross_channel_parts" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      def channel(st: String) =
+        li.join(o.filter(col("o_orderstatus") === st),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"))
+      val common = channel("F").intersect(channel("O")).intersect(channel("P"))
+      li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(common, Seq("l_partkey"))
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    },
+
+    // DS shape (q35): customer profile gated by an EXISTS conjunction —
+    // an open order AND a finished-or-pending order. OR-of-EXISTS folds
+    // into one semi join against the union predicate.
+    "ds09_customer_profile" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      Tables.load(s, dir, "customer")
+        .join(o.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_orderstatus").isin("F", "P")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name", "c_mktsegment")
+    },
+
+    // DS shape (q51): FULL OUTER JOIN of two channels' per-day revenue,
+    // exact-decimal running totals, keep days where one channel's
+    // running total has overtaken the other.
+    "ds10_running_overtake" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      def daily(st: String) = li
+        .join(o.filter(col("o_orderstatus") === st),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-03-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag").as("k"), to_date(col("l_shipdate")).as("d"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val f = daily("F").select(col("k").as("fk"), col("d").as("fd"), col("rev").as("f_rev0"))
+      val oo = daily("O").select(col("k").as("ok"), col("d").as("od"), col("rev").as("o_rev0"))
+      val j = f.join(oo, col("fk") === col("ok") && col("fd") === col("od"), "full_outer")
+        .select(coalesce(col("fk"), col("ok")).as("k"),
+          coalesce(col("fd"), col("od")).as("d"),
+          coalesce(col("f_rev0"), lit(0.0)).as("f_rev"),
+          coalesce(col("o_rev0"), lit(0.0)).as("o_rev"))
+      val w = Window.partitionBy(col("k")).orderBy(col("d"))
+      j.withColumn("f_run", sum(col("f_rev").cast(DecimalType(25, 6))).over(w).cast("double"))
+        .withColumn("o_run", sum(col("o_rev").cast(DecimalType(25, 6))).over(w).cast("double"))
+        .where(col("f_run") > col("o_run"))
+        .select(col("k"), col("d"), col("f_run"), col("o_run"))
+        .orderBy("k", "d")
+    },
+
+    // DS shape (q88): six independent single-row scalar aggregates
+    // cross-joined into one row — six shared scans Catalyst schedules
+    // in parallel, each reduced map-side to one value.
+    "ds11_time_slots" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def slot(from: String, to: String, name: String) = li
+        .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+          col("l_shipdate") < lit(to).cast("timestamp_ntz"))
+        .agg(dsum(col("l_quantity")).as(name))
+      slot("1997-01-01", "1997-02-01", "q_jan")
+        .crossJoin(slot("1997-02-01", "1997-03-01", "q_feb"))
+        .crossJoin(slot("1997-03-01", "1997-04-01", "q_mar"))
+        .crossJoin(slot("1997-04-01", "1997-05-01", "q_apr"))
+        .crossJoin(slot("1997-05-01", "1997-06-01", "q_may"))
+        .crossJoin(slot("1997-06-01", "1997-07-01", "q_jun"))
+    },
+
+    // DS shape (q54): revenue in the 90 days after each customer's
+    // FIRST order — min-date CTE joined back, cohort-year aggregate.
+    "ds12_first_order_cohort" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val first = o.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("o_orderdate")).as("fd"))
+      o.join(first, col("o_custkey") === col("ck"))
+        .where(col("o_orderdate") >= col("fd") &&
+          col("o_orderdate") < col("fd") + expr("INTERVAL 90 DAYS"))
+        .groupBy(year(col("fd")).cast("int").as("cohort_year"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          dsum(col("o_totalprice")).as("rev90"))
+        .orderBy("cohort_year")
+    }
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ds08_cross_channel_parts" -> s"""
+      WITH common AS (
+        SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'P')
+      SELECT p_brand, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             CAST(count(1) AS BIGINT) AS n_lines
+      FROM lineitem
+      JOIN common USING (l_partkey)
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "ds09_customer_profile" -> """
+      SELECT n_name, c_mktsegment, CAST(count(1) AS BIGINT) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        AND (EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          OR EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'P'))
+      GROUP BY n_name, c_mktsegment
+      ORDER BY n_name, c_mktsegment""",
+
+    "ds10_running_overtake" -> s"""
+      WITH f AS (
+        SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS d,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F' AND l_returnflag IN ('A','R')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+        GROUP BY 1, 2),
+      o AS (
+        SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS d,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O' AND l_returnflag IN ('A','R')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+        GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(f.k, o.k) AS k, coalesce(f.d, o.d) AS d,
+               coalesce(f.rev, 0.0) AS f_rev, coalesce(o.rev, 0.0) AS o_rev
+        FROM f FULL OUTER JOIN o ON f.k = o.k AND f.d = o.d),
+      r AS (
+        SELECT k, d,
+               CAST(sum(CAST(f_rev AS DECIMAL(25,6))) OVER
+                 (PARTITION BY k ORDER BY d) AS DOUBLE) AS f_run,
+               CAST(sum(CAST(o_rev AS DECIMAL(25,6))) OVER
+                 (PARTITION BY k ORDER BY d) AS DOUBLE) AS o_run
+        FROM j)
+      SELECT k, d, f_run, o_run
+      FROM r
+      WHERE f_run > o_run
+      ORDER BY k, d""",
+
+    "ds11_time_slots" -> s"""
+      SELECT * FROM
+        (SELECT ${dsumSql("l_quantity")} AS q_jan FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'),
+        (SELECT ${dsumSql("l_quantity")} AS q_feb FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-02-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'),
+        (SELECT ${dsumSql("l_quantity")} AS q_mar FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'),
+        (SELECT ${dsumSql("l_quantity")} AS q_apr FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-04-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-05-01 00:00:00'),
+        (SELECT ${dsumSql("l_quantity")} AS q_may FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-05-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'),
+        (SELECT ${dsumSql("l_quantity")} AS q_jun FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')""",
+
+    "ds12_first_order_cohort" -> s"""
+      WITH first AS (
+        SELECT o_custkey AS ck, min(o_orderdate) AS fd FROM orders GROUP BY 1),
+      win AS (
+        SELECT o_custkey, o_totalprice, fd
+        FROM orders JOIN first ON o_custkey = ck
+        WHERE o_orderdate >= fd AND o_orderdate < fd + INTERVAL 90 DAY)
+      SELECT CAST(year(fd) AS INT) AS cohort_year,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             ${dsumSql("o_totalprice")} AS rev90
+      FROM win
+      GROUP BY year(fd)
+      ORDER BY cohort_year""",
+
     "ds01_brand_top_parts" -> s"""
       WITH rev AS (
         SELECT p_brand, l_partkey,

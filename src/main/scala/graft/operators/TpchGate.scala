@@ -45,9 +45,12 @@ object TpchGate extends QueryModule {
     // is deterministic because both sides come from the same exact
     // decimal-sum average.
     "th02_min_cost_supplier" -> { (s, dir) =>
+      // favg, not davg: the unit-price quotient has an unbounded
+      // decimal expansion, and davg's decimal-cast rounding tie
+      // diverged from DuckDB at sf0.1 (floor never ties).
       val ps = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(davg(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+        .agg(favg(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       val n = Tables.load(s, dir, "nation").filter(col("n_regionkey") === 3)
       val eur = ps
         .join(Tables.load(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
@@ -431,7 +434,7 @@ object TpchGate extends QueryModule {
     "th02_min_cost_supplier" -> s"""
       WITH ps AS (
         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-               ${davgSql("l_extendedprice / l_quantity")} AS ps_supplycost
+               ${favgSql("l_extendedprice / l_quantity")} AS ps_supplycost
         FROM lineitem GROUP BY 1, 2),
       eur AS (
         SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
