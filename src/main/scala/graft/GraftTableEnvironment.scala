@@ -20,15 +20,21 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   private val primaryKeys = mutable.Map[String, Seq[String]]()
 
   /** DQL/DML/DDL passthrough to Spark SQL (gap functions registered).
-    * Two dialect gaps are bridged first: Flink group-window syntax
+    * Three dialect gaps are bridged first: Flink group-window syntax
     * (TUMBLE/HOP/SESSION + auxiliaries, window TVFs) rewrites to
-    * Spark's window()/session_window() spellings, and MATCH_RECOGNIZE
-    * clauses — which Spark SQL has no parser slot for — are split out
-    * and executed on the engine's NFA, mirroring the reference
-    * planner's StreamExecMatch node.
+    * Spark's window()/session_window() spellings; `FOR SYSTEM_TIME AS
+    * OF` temporal joins rewrite to validity-interval joins using the
+    * probed table's declared primary key + watermark column
+    * (StreamExecTemporalJoin parity); and MATCH_RECOGNIZE clauses —
+    * which Spark SQL has no parser slot for — are split out and
+    * executed on the engine's NFA, mirroring the reference planner's
+    * StreamExecMatch node.
     */
   def executeSql(sql: String): DataFrame = {
-    val rw = graft.sql.FlinkSqlWindows.rewrite(sql)
+    val rw = graft.sql.TemporalSql.rewrite(
+      graft.sql.FlinkSqlWindows.rewrite(sql),
+      name => (primaryKey(name),
+        declaredWatermark(name).map(_._1).getOrElse("")))
     if (graft.cep.MatchRecognize.containsClause(rw))
       graft.cep.MatchRecognize.rewriteAndRun(spark, rw)
     else spark.sql(rw)

@@ -223,6 +223,34 @@ object EventTimeParity extends QueryModule {
         .orderBy("purchase_id")
     },
 
+    // Temporal-join SQL surface: the same versioned-table join as j02
+    // spelled `FOR SYSTEM_TIME AS OF` and routed through the façade's
+    // TemporalSql rewrite (the reference's StreamExecTemporalJoin SQL
+    // spelling; inner semantics — unmatched probes drop).
+    "j05_temporal_sql" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      val e = ev(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("user_id"),
+        col("event_type"), col("value"))
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+        .createOrReplaceTempView("j05_purchases")
+      val versions = Dedup.keepLast(
+        e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("tus"), col("value").as("click_value")),
+        Seq(col("user_id"), col("tus")), Seq(col("click_id")))
+      env.createTemporaryView("j05_rates", versions,
+        watermark = Some(("tus", "0 seconds")), primaryKey = Seq("user_id"))
+      env.executeSql("""
+        SELECT p.event_id AS purchase_id, p.user_id, p.tus,
+               r.click_id, r.click_value
+        FROM j05_purchases p
+        JOIN j05_rates FOR SYSTEM_TIME AS OF p.tus AS r
+        ON p.user_id = r.user_id
+        ORDER BY purchase_id""")
+    },
+
     // Streaming-OVER parity: time-range bounded preceding aggregate
     // (RowTimeRangeBoundedPrecedingFunction semantics, batch view).
     "o01_over_time_range" -> { (s, dir) =>
@@ -487,6 +515,23 @@ object EventTimeParity extends QueryModule {
       SELECT p.event_id AS purchase_id, p.user_id, p.tus,
              c.click_id, c.click_value
       FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.tus >= c.tus
+      ORDER BY purchase_id""",
+
+    "j05_temporal_sql" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value
+                 FROM events),
+           p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+           c0 AS (SELECT event_id AS click_id, user_id, tus, value AS click_value
+                  FROM e WHERE event_type = 'click'),
+           c AS (SELECT click_id, user_id, tus, click_value FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id, tus
+                                                ORDER BY click_id DESC) AS rn
+                   FROM c0)
+                 WHERE rn = 1)
+      SELECT p.event_id AS purchase_id, p.user_id, p.tus,
+             c.click_id, c.click_value
+      FROM p ASOF JOIN c
         ON p.user_id = c.user_id AND p.tus >= c.tus
       ORDER BY purchase_id""",
 

@@ -1,0 +1,76 @@
+package graft.sql
+
+/** SQL surface for the reference's temporal (versioned-table) join —
+  * `JOIN t FOR SYSTEM_TIME AS OF l.ts [AS] a ON <cond>` (parser
+  * flink-sql-parser SqlSnapshot via Parser.tdd, planner
+  * StreamExecTemporalJoin.java:67, runtime
+  * TemporalRowTimeJoinOperator.java:78). Spark's parser has no slot
+  * for FOR SYSTEM_TIME, so the façade rewrites it relationally before
+  * handing the query to Spark SQL: the versioned table becomes
+  * validity intervals [vt, lead(vt)) per primary key, and the
+  * temporal join becomes a plain join with interval containment
+  * folded into the ON clause. Semantics match the reference's
+  * operator — each probe row sees the latest version at or before its
+  * time (inclusive), no match drops the row (inner). At scale this is
+  * one window over the versioned side plus a regular equi-join on the
+  * primary key: it shuffles like any keyed join, with no per-probe
+  * point lookups.
+  *
+  * The versioned side must be unique per (primary key, version time)
+  * — pre-dedup with Dedup.keepLast otherwise (same contract as
+  * AsOfJoin.asOf and the reference, which requires a PRIMARY KEY and
+  * event-time attribute on the versioned table).
+  */
+object TemporalSql {
+  private val JoinRe =
+    ("(?is)JOIN\\s+([A-Za-z_]\\w*)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+      "([\\w.]+)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s+ON\\s").r
+
+  private val ClauseKw =
+    ("(?is)^(WHERE|GROUP\\s+BY|ORDER\\s+BY|HAVING|LIMIT|WINDOW|JOIN|" +
+      "LEFT\\s|RIGHT\\s|FULL\\s|INNER\\s|CROSS\\s|UNION\\s|INTERSECT\\s|EXCEPT\\s)").r
+
+  def containsClause(sql: String): Boolean = JoinRe.findFirstIn(sql).isDefined
+
+  /** Rewrite every temporal join in `sql`. `meta(table)` supplies the
+    * versioned table's (primary key columns, version time column) from
+    * the table environment's declarations.
+    */
+  def rewrite(sql: String, meta: String => (Seq[String], String)): String = {
+    JoinRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val (table, asOf, alias) = (m.group(1), m.group(2), m.group(3))
+        val (pk, vt) = meta(table)
+        require(pk.nonEmpty,
+          s"temporal join: no primary key declared for table $table")
+        require(vt.nonEmpty,
+          s"temporal join: no version-time column declared for table $table")
+        // The ON expression ends at the first top-level clause keyword
+        // (or end of string) outside quotes/parens.
+        val tail = sql.substring(m.end)
+        var depth = 0; var i = 0; var inQ = false; var onEnd = tail.length
+        while (i < tail.length && onEnd == tail.length) {
+          val c = tail.charAt(i)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && c == '(') depth += 1
+          else if (!inQ && c == ')') depth -= 1
+          else if (!inQ && depth == 0 && c.isLetter &&
+            (i == 0 || !tail.charAt(i - 1).isLetterOrDigit) &&
+            ClauseKw.findFirstIn(tail.substring(i)).isDefined) onEnd = i
+          i += 1
+        }
+        val onCond = tail.substring(0, onEnd)
+        val rest = tail.substring(onEnd)
+        val pks = pk.mkString(", ")
+        val versioned =
+          s"(SELECT *, $vt AS __vt_from, lead($vt) OVER " +
+            s"(PARTITION BY $pks ORDER BY $vt) AS __vt_to FROM $table) AS $alias"
+        val newJoin = s"JOIN $versioned ON ($onCond) " +
+          s"AND $asOf >= $alias.__vt_from " +
+          s"AND ($alias.__vt_to IS NULL OR $asOf < $alias.__vt_to) "
+        // Recurse: the query may contain several temporal joins.
+        rewrite(sql.substring(0, m.start) + newJoin + rest, meta)
+    }
+  }
+}

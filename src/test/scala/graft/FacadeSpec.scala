@@ -68,6 +68,30 @@ class FacadeSpec extends AnyFunSuite {
     assert(out.select("__rowkind").distinct().as[String].collect().toSeq == Seq("+I"))
   }
 
+  test("FOR SYSTEM_TIME AS OF rewrites to the versioned-interval join") {
+    val env = GraftTableEnvironment.create(spark)
+    // versioned rates: currency EUR at t=10 rate 1.0, t=20 rate 2.0
+    Seq((1L, "EUR", 5L), (2L, "EUR", 10L), (3L, "EUR", 15L),
+      (4L, "EUR", 25L), (5L, "USD", 12L))
+      .toDF("order_id", "currency", "ts")
+      .createOrReplaceTempView("t_orders")
+    env.createTemporaryView("t_rates",
+      Seq(("EUR", 10L, 1.0), ("EUR", 20L, 2.0), ("USD", 15L, 3.0))
+        .toDF("currency", "vt", "rate"),
+      watermark = Some(("vt", "0 seconds")), primaryKey = Seq("currency"))
+    val got = env.executeSql("""
+      SELECT o.order_id, r.rate
+      FROM t_orders o
+      JOIN t_rates FOR SYSTEM_TIME AS OF o.ts AS r
+      ON o.currency = r.currency
+      ORDER BY o.order_id""")
+      .as[(Long, Double)].collect().toSeq
+    // order 1 (t=5): no version yet -> dropped (inner); order 2 (t=10):
+    // inclusive boundary -> 1.0; order 3 (t=15): still 1.0; order 4
+    // (t=25): latest version 2.0; order 5 (USD t=12): no version -> drop.
+    assert(got == Seq((2L, 1.0), (3L, 1.0), (4L, 2.0)))
+  }
+
   test("lookup join probes once per distinct key within a partition (LRU cache)") {
     LookupCounter.probes.set(0)
     val ds = spark.range(100).as[Long].map(i => (i, i % 5)) // 5 distinct keys
