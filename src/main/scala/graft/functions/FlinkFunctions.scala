@@ -119,6 +119,45 @@ object FlinkFunctions {
     column(Coalesce(Seq(
       GetJsonObject(expression(json), expression(path)), expression(default))))
 
+  /** TEMPORAL_OVERLAPS(leftStart, leftEnd, rightStart, rightEnd) — true
+    * iff the two time periods share at least one instant, endpoints
+    * inclusive (reference BuiltInFunctionDefinitions `temporalOverlaps`,
+    * codegen TemporalOverlapsCallGen; Flink normalizes each period so
+    * start <= end, then tests leftEnd >= rightStart AND rightEnd >=
+    * leftStart). Composes from comparisons, so it stays codegen'd.
+    */
+  def temporal_overlaps(leftStart: Column, leftEnd: Column,
+                        rightStart: Column, rightEnd: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val (ls, le) = (least(leftStart, leftEnd), greatest(leftStart, leftEnd))
+    val (rs, re) = (least(rightStart, rightEnd), greatest(rightStart, rightEnd))
+    le >= rs && re >= ls
+  }
+
+  /** TO_TIMESTAMP_LTZ(numeric, precision) — epoch seconds (precision 0)
+    * or millis (precision 3) to a local-time-zone timestamp (reference
+    * BuiltInFunctionDefinitions `toTimestampLtz`).
+    */
+  def to_timestamp_ltz(epoch: Column, precision: Int): Column = {
+    import org.apache.spark.sql.functions.{timestamp_millis, timestamp_seconds}
+    precision match {
+      case 0 => timestamp_seconds(epoch)
+      case 3 => timestamp_millis(epoch.cast("long"))
+      case p => throw new IllegalArgumentException(
+        s"TO_TIMESTAMP_LTZ precision must be 0 or 3, got $p")
+    }
+  }
+
+  /** TYPEOF(col) — the column's SQL type string (reference
+    * BuiltInFunctionDefinitions `TYPEOF`, runtime scalar TypeOfFunction).
+    * Type is a plan-time property, so this resolves against the frame's
+    * schema and returns a literal — same observable behavior as the
+    * reference's constant-folded call.
+    */
+  def type_of(df: org.apache.spark.sql.DataFrame, colName: String): Column =
+    org.apache.spark.sql.functions.lit(
+      df.schema(colName).dataType.sql)
+
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.Generator
   import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

@@ -108,6 +108,27 @@ object FunctionsSuite extends QueryModule {
         .orderBy("event_type")
     },
 
+    // TEMPORAL_OVERLAPS + TO_TIMESTAMP_LTZ (§2.9 date/time gaps):
+    // period overlap with normalization (reversed endpoints) and a
+    // degenerate point period; epoch second/milli conversions projected
+    // back to micros so both engines compare integers.
+    "f15_overlaps_tsltz" -> { (s, dir) =>
+      import graft.functions.FlinkFunctions.{temporal_overlaps, to_timestamp_ltz}
+      val e1 = expr("ts + make_dt_interval(0, 0, floor(value), 0)")
+      Tables.load(s, dir, "events").select(
+        col("event_id"),
+        temporal_overlaps(col("ts"), e1,
+          col("ts") + expr("INTERVAL 30 MINUTES"),
+          col("ts") + expr("INTERVAL 60 MINUTES")).as("ov1"),
+        // reversed left endpoints + a point right period
+        temporal_overlaps(e1, col("ts"),
+          col("ts") + expr("INTERVAL 45 MINUTES"),
+          col("ts") + expr("INTERVAL 45 MINUTES")).as("ov2"),
+        unix_micros(to_timestamp_ltz(unix_seconds(col("ts")), 0)).as("tsl_s"),
+        unix_micros(to_timestamp_ltz(unix_millis(col("ts")), 3)).as("tsl_ms"))
+        .orderBy("event_id")
+    },
+
     // String/conditional extras named in SURVEY §2.9 but not covered by
     // f01: OVERLAY, POSITION, CHR, LEFT/RIGHT, TRIM(BOTH/LEADING/
     // TRAILING ch), ENCODE/DECODE roundtrip, NULLIF/IFNULL,
@@ -287,6 +308,21 @@ object FunctionsSuite extends QueryModule {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "f15_overlaps_tsltz" -> """
+      SELECT event_id,
+        (greatest(ts, ts + to_minutes(CAST(floor(value) AS BIGINT)))
+           >= ts + INTERVAL 30 MINUTE
+         AND ts + INTERVAL 60 MINUTE
+           >= least(ts, ts + to_minutes(CAST(floor(value) AS BIGINT)))) AS ov1,
+        (greatest(ts, ts + to_minutes(CAST(floor(value) AS BIGINT)))
+           >= ts + INTERVAL 45 MINUTE
+         AND ts + INTERVAL 45 MINUTE
+           >= least(ts, ts + to_minutes(CAST(floor(value) AS BIGINT)))) AS ov2,
+        CAST(floor(epoch(ts)) AS BIGINT) * 1000000 AS tsl_s,
+        epoch_ms(ts) * 1000 AS tsl_ms
+      FROM events
+      ORDER BY event_id""",
 
     "f13_string_extras" -> """
       SELECT c_custkey,

@@ -83,6 +83,28 @@ class FlinkFunctionsSpec extends AnyFunSuite {
     assert(FlinkFunctions.translateDatePattern("Z") == "Z")
   }
 
+  test("temporal_overlaps normalizes endpoints and is inclusive") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 0L, 10L, 5L, 15L),   // plain overlap
+      (2, 0L, 10L, 10L, 20L),             // touching endpoints -> true
+      (3, 0L, 10L, 11L, 20L),             // disjoint
+      (4, 10L, 0L, 20L, 11L))             // both reversed, disjoint
+      .toDF("id", "ls", "le", "rs", "re")
+    val r = df.select(col("id"), FlinkFunctions.temporal_overlaps(
+        col("ls"), col("le"), col("rs"), col("re")).as("ov"))
+      .as[(Int, Boolean)].collect().toMap
+    assert(r == Map(1 -> true, 2 -> true, 3 -> false, 4 -> false))
+  }
+
+  test("type_of reports the column's SQL type") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x", 1.5)).toDF("a", "b", "c")
+    val row = df.select(FlinkFunctions.type_of(df, "a"),
+      FlinkFunctions.type_of(df, "b"), FlinkFunctions.type_of(df, "c")).head
+    assert(row.getString(0) == "BIGINT" && row.getString(1) == "STRING" &&
+      row.getString(2) == "DOUBLE")
+  }
+
   test("split_index survives whole-stage codegen over many rows") {
     val n = spark.range(1000)
       .select(split_index(concat(lit("p#"), col("id")), lit("#"), lit(1)).as("v"))
