@@ -40,6 +40,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map("l0" -> None, "l1" -> Some("r10"), "l2" -> Some("r15")))
   }
 
+  test("asOf equals the brute-force latest-version model on random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    val rows = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L))
+    val inputs = Gen.zip(Gen.listOf(rows), Gen.listOf(rows))
+    val prop = Prop.forAll(inputs) { case (ls, rs) =>
+      // unique left rows (id payload) and right unique per (k, t)
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rs.distinctBy(r => (r._1, r._2))
+        .map { case (k, t) => (k, t, s"v$k@$t") }
+      val got =
+        if (left.isEmpty) Map.empty[Long, Option[String]]
+        else {
+          val l = left.toDF("k", "t", "id")
+          val r =
+            if (right.isEmpty) Seq((0L, 0L, "")).toDF("k", "t", "rv").limit(0)
+            else right.toDF("k", "t", "rv")
+          AsOfJoin.asOf(l, r, "k", "t", "t", Seq("rv"))
+            .select(col("id"), col("asof.rv"))
+            .as[(Long, Option[String])].collect().toMap
+        }
+      val want = left.map { case (k, t, i) =>
+        i -> right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("countTumble chunks rows per key in order") {
     val df = Seq.tabulate(7)(i => (1L, i.toLong)).toDF("k", "t")
     val out = WindowOps.countTumble(df, Seq(col("k")), Seq(col("t")), 3)
