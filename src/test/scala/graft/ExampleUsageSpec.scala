@@ -102,6 +102,50 @@ class ExampleUsageSpec extends AnyFunSuite {
     assert(timedOut.isEmpty) // error@90 is still inside its window
   }
 
+  test("example: temporal join through the FOR SYSTEM_TIME SQL surface") {
+    val env = GraftTableEnvironment.create(spark)
+    Seq((1L, "EUR", 12L), (2L, "EUR", 30L)).toDF("order_id", "currency", "ts")
+      .createOrReplaceTempView("ex_orders")
+    env.createTemporaryView("ex_rates",
+      Seq(("EUR", 10L, 1.1), ("EUR", 20L, 1.2)).toDF("currency", "vt", "rate"),
+      watermark = Some(("vt", "0 seconds")), primaryKey = Seq("currency"))
+    val got = env.executeSql("""
+      SELECT o.order_id, r.rate FROM ex_orders o
+      JOIN ex_rates FOR SYSTEM_TIME AS OF o.ts AS r
+      ON o.currency = r.currency ORDER BY o.order_id""")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.1), (2L, 1.2)))
+  }
+
+  test("example: streaming curation — dedup + decontaminate a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Static benchmark grams (what must not leak into training data).
+    val bench = TextOps.shingleHashIndex(
+        Seq((100L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select(col("sh")).distinct()
+    val in = MemoryStream[(Long, String)]
+    // Streaming side: exact dedup on content hash (streaming state),
+    // then a stream-static join that counts benchmark-gram hits — the
+    // same TextOps primitives as the batch pipeline (td01/td10).
+    val docs = in.toDS().toDF("doc_id", "text")
+      .withColumn("content_hash", md5(lower(col("text"))))
+      .dropDuplicates("content_hash")
+      .select(col("doc_id"), explode(TextOps.wordNgrams(
+        TextOps.words(col("text")), 3)).as("gram"))
+      .withColumn("sh", xxhash64(col("gram")))
+      .join(bench, Seq("sh"), "left_semi") // hits only
+      .groupBy(col("doc_id")).count()
+    val q = docs.writeStream.format("memory").queryName("curation")
+      .outputMode("complete").start()
+    in.addData((1L, "a b c d e f"),  // 3 grams hit the benchmark
+      (2L, "a b c d e f"),           // exact dup of 1 -> dropped
+      (3L, "x y z w v u"))           // clean -> no hits row
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("curation").as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L))
+  }
+
   test("example: near-duplicate detection over documents") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
