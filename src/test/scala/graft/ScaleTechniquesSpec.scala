@@ -97,6 +97,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"dot_scaled_long not in a codegen stage:\n$cosPlan")
   }
 
+  test("decontaminate never broadcasts a corpus-sized side (plan shape)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = graft.operators.TextOps.decontaminate(
+      graft.operators.TextOps.shingleHashIndex(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 5),
+      graft.operators.TextOps.shingleHashIndex(
+        docs.filter(col("source") === "src0"), "doc_id", "text", 5), 0.2)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // the gram-overlap join must be a shuffled hash join on the gram
+    // key — at 100 TB neither the corpus nor a large benchmark set is
+    // broadcastable
+    assert(plan.contains("ShuffledHashJoin"), s"no SHJ in:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"gram join was broadcast:\n$plan")
+  }
+
+  test("PQ scoring joins codes against a BROADCAST ADC table (plan shape)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = graft.operators.VectorOps.pqTopK(emb, "vec_id", "embedding",
+      _ % 25 === 0, subDim = 8, nCent = 16, k = 5)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // corpus-sized code table streams; the small query ADC lookup
+    // broadcasts — the corpus is never reshuffled at scoring time
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+  }
+
   test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
     val out = GraftStream(spark.range(100).as[Long])
       .map(i => (i % 5, i))
