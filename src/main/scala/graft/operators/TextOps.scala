@@ -45,7 +45,17 @@ object TextOps {
       xxhash64(concat_ws(" ", parts: _*)).as("sh")
     }
 
-  private def shingleCols(docs: DataFrame, idCol: String, textCol: String, n: Int)(
+  /** (id, sh) word n-grams WITH duplicates — the counting form behind
+    * repetition-quality filters (vs the distinct membership form above).
+    */
+  def ngramCountIndex(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    shingleCols(docs, idCol, textCol, n, distinct = false) { parts =>
+      concat_ws(" ", parts: _*).as("sh")
+    }
+
+  private def shingleCols(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                          distinct: Boolean = true)(
       shingle: Seq[Column] => Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
@@ -60,10 +70,10 @@ object TextOps {
       .select(col("id") +: col("w") +:
         (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
     val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
-    withLeads
+    val idx = withLeads
       .where(parts.map(_.isNotNull).reduce(_ && _))
       .select(col("id"), shingle(parts))
-      .distinct()
+    if (distinct) idx.distinct() else idx
   }
 
   /** (id, sh) index from a shingle-array column (array form adapter). */
@@ -222,6 +232,24 @@ object TextOps {
         round(sum((col("cnt") / col("n"))
             .cast(org.apache.spark.sql.types.DecimalType(25, 18)))
           .cast("double") / count(lit(1)), 9).as("avg_rel_freq"))
+  }
+
+  /** Gopher/C4-style repetition-quality stats from a WITH-duplicates
+    * (id, sh) n-gram index: total gram count, the most frequent gram
+    * (count ties broken on the gram itself), and its fraction of the
+    * doc. One (id, gram) count aggregate + one per-id window — both
+    * shuffle on bounded keys, no corpus-wide state.
+    */
+  def repetitionStats(ngramIdx: DataFrame, fracDigits: Int = 6): DataFrame = {
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val w = byId.orderBy(col("cnt").desc, col("sh"))
+    ngramIdx.groupBy(col("id"), col("sh")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_grams", sum(col("cnt")).over(byId))
+      .where(col("rn") === 1)
+      .select(col("id"), col("n_grams"),
+        col("sh").as("top_gram"), col("cnt").as("top_n"),
+        round(col("cnt") / col("n_grams"), fracDigits).as("top_frac"))
   }
 
   /** 60-bit SimHash per doc over distinct words (word hash = first 15 hex

@@ -181,6 +181,27 @@ object TextPipelineSuite extends QueryModule {
       TextOps.corpusRelFreq(wordsIdx(s, dir), "doc_id").orderBy("doc_id")
     },
 
+    // Repetition-quality filters (the Gopher/C4 rules): most-frequent
+    // bigram and word fractions per doc, with a keep flag at the usual
+    // cutoffs. Repetitive docs (boilerplate, templated spam) score high
+    // and get dropped from the training set.
+    "td12_repetition" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bi = TextOps.repetitionStats(
+          TextOps.ngramCountIndex(docs, "doc_id", "text", 2))
+        .select(col("id").as("doc_id"), col("n_grams").as("n_bigrams"),
+          col("top_gram").as("top_bigram"), col("top_n").as("top_bigram_n"),
+          col("top_frac").as("top_bigram_frac"))
+      val wd = TextOps.repetitionStats(
+          wordsIdx(s, dir).select(col("doc_id").as("id"), col("w").as("sh")))
+        .select(col("id").as("doc_id"),
+          col("top_gram").as("top_word"), col("top_frac").as("top_word_frac"))
+      bi.join(wd, "doc_id")
+        .withColumn("keep",
+          col("top_bigram_frac") <= 0.2 && col("top_word_frac") <= 0.3)
+        .orderBy("doc_id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -318,6 +339,33 @@ object TextPipelineSuite extends QueryModule {
                / count(1)), 9) AS avg_rel_freq
       FROM w JOIN freq USING (wd) CROSS JOIN tot
       GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "td12_repetition" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS sh
+             FROM w WHERE len(ws) >= 2),
+      bc AS (SELECT doc_id, sh, count(1) AS cnt FROM bg GROUP BY 1, 2),
+      bstat AS (SELECT doc_id, n_grams, sh AS top_bigram, cnt AS top_bigram_n,
+                       round(cnt * 1.0 / n_grams, 6) AS top_bigram_frac
+                FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, sh) AS rn,
+                             sum(cnt) OVER (PARTITION BY doc_id) AS n_grams
+                      FROM bc) WHERE rn = 1),
+      wg AS (SELECT doc_id, unnest(ws) AS sh FROM w),
+      wc AS (SELECT doc_id, sh, count(1) AS cnt FROM wg GROUP BY 1, 2),
+      wstat AS (SELECT doc_id, sh AS top_word,
+                       round(cnt * 1.0 / n, 6) AS top_word_frac
+                FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, sh) AS rn,
+                             sum(cnt) OVER (PARTITION BY doc_id) AS n
+                      FROM wc) WHERE rn = 1)
+      SELECT b.doc_id, CAST(n_grams AS BIGINT) AS n_bigrams, top_bigram,
+             CAST(top_bigram_n AS BIGINT) AS top_bigram_n, top_bigram_frac,
+             top_word, top_word_frac,
+             (top_bigram_frac <= 0.2 AND top_word_frac <= 0.3) AS keep
+      FROM bstat b JOIN wstat USING (doc_id)
       ORDER BY doc_id""",
 
     "td09_language_quota" -> """
