@@ -27,6 +27,26 @@ class GraftStream[T](val ds: Dataset[T]) {
   def keyBy[K: Encoder](f: T => K): KeyedGraftStream[K, T] =
     new KeyedGraftStream(ds.groupByKey(f))
   def rebalance(n: Int): GraftStream[T] = new GraftStream(ds.repartition(n))
+  /** DataStream.shuffle — random redistribution; Spark's round-robin
+    * repartition is the deterministic-per-task equivalent.
+    */
+  def shuffle(n: Int): GraftStream[T] = new GraftStream(ds.repartition(n))
+  /** DataStream.rescale — local redistribution without a full shuffle
+    * (Spark's coalesce merges partitions within their executors).
+    */
+  def rescale(n: Int): GraftStream[T] = new GraftStream(ds.coalesce(n))
+  /** DataStream.project — positional projection generalized to a typed map. */
+  def project[U: Encoder](f: T => U): GraftStream[U] = map(f)
+  /** DataStream.broadcast — replicate this (small) stream to every
+    * downstream consumer: marks the frame with Spark's broadcast hint,
+    * which any subsequent join against it honors.
+    */
+  def broadcast(): GraftStream[T] = new GraftStream(ds.hint("broadcast"))
+  /** DataStream.assignTimestampsAndWatermarks (bounded out-of-orderness
+    * strategy) — Spark's per-query watermark on the event-time column.
+    */
+  def assignTimestampsAndWatermarks(tsCol: String, delay: String): GraftStream[T] =
+    new GraftStream(ds.withWatermark(tsCol, delay))
   /** DataStream.global — everything to one partition (use sparingly). */
   def global(): GraftStream[T] = new GraftStream(ds.coalesce(1))
   /** DataStream.partitionCustom — co-locate rows by a key function. */

@@ -163,4 +163,24 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val parts = a.partitionCustom(2, _ % 2).ds.rdd.getNumPartitions
     assert(parts == 2)
   }
+
+  test("DataStream veneer: shuffle/rescale/project/broadcast/watermarks") {
+    import spark.implicits._
+    val a = GraftStream(Seq(1L, 2L, 3L, 4L).toDS())
+    assert(a.shuffle(3).ds.rdd.getNumPartitions == 3)
+    assert(a.rescale(1).ds.rdd.getNumPartitions == 1)
+    assert(a.project(n => n * 10).ds.collect().toSet == Set(10L, 20L, 30L, 40L))
+    // broadcast() marks the small side; a join against it plans as BHJ
+    val dim = GraftStream(Seq((1L, "a"), (2L, "b")).toDS()).broadcast()
+    val j = a.ds.toDF("k").join(dim.ds.toDF("k", "v"), "k")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(j.collect().length == 2)
+    // watermark assignment survives the veneer (visible in the plan)
+    val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("ts", "v").as[(java.sql.Timestamp, Long)]
+    val wm = GraftStream(ts).assignTimestampsAndWatermarks("ts", "10 minutes")
+    // on a batch frame the analyzer erases the (streaming-only)
+    // watermark node — assert on the pre-analysis plan
+    assert(wm.ds.queryExecution.logical.toString.contains("EventTimeWatermark"))
+  }
 }
