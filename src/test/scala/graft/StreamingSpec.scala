@@ -252,6 +252,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("10,30"))
   }
 
+  test("cepStream equals batch Nfa.run on random streams (seeded)") {
+    import Nfa._
+    val rnd = new scala.util.Random(42)
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a", Quantifier.OneOrMore),
+      Step("b", (_: SEv).tag == "b")),
+      withinMicros = Some(120L * 1000000L), // 120 s (cepStream feeds the NFA micros)
+      afterMatch = AfterMatch.SkipPastLast)
+    for (trial <- 0 until 6) {
+      var t = 0L
+      val evs = Vector.tabulate(12) { i =>
+        t += 1 + rnd.nextInt(30)
+        SEv(1, ts(t), i.toDouble, Seq("a", "b", "x")(rnd.nextInt(3)))
+      } :+ SEv(1, ts(t + 100000), -1.0, "x") // flush far past every horizon
+      val expected = Nfa.run[SEv](evs, _.ts.getTime * 1000L, pat)
+        .map(_.bindings.flatMap(_._2).map(_.ts.getTime).toVector).toSet
+      val in = MemoryStream[SEv]
+      val out = StatefulOps.cepStream[Long, SEv](
+          in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts.getTime, pat)
+        .map(m => m.bindings.flatMap(_._2).map(_.ts.getTime).toVector)
+      val q = out.writeStream.format("memory").queryName(s"cepeq$trial")
+        .outputMode("append").start()
+      evs.grouped(4).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // a batch's watermark comes from the PREVIOUS batch's events: one
+      // more non-matching far-future row makes the flush watermark
+      // effective (it cannot create or change matches itself)
+      in.addData(SEv(1, ts(t + 200000), -2.0, "x"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(s"cepeq$trial").as[Vector[Long]].collect().toSet
+      assert(got == expected, s"trial $trial: stream=$got batch=$expected")
+    }
+  }
+
   test("cepStream rejects a trailing relaxed loop without a within bound") {
     import Nfa._
     val in = MemoryStream[SEv]
