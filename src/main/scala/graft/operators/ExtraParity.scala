@@ -99,6 +99,37 @@ object ExtraParity extends QueryModule {
       require(changed == 0,
         s"connected components did not converge in $maxIter rounds ($changed labels still moving)")
       labels.orderBy("id")
+    },
+
+    // Batch iteration #2: PageRank (5 fixed rounds, damping 0.85) over
+    // the customer→supplier order graph — the reference's DataSet bulk
+    // iteration shape with a weighted-propagation body. Per-round work
+    // is one edge join + one keyed aggregate, fully distributed; ranks
+    // accumulate through floor-scaled longs so the DuckDB recursive-CTE
+    // oracle reproduces every round bit for bit. (Simple non-normalized
+    // variant: dangling-node mass leaks, identically in both engines.)
+    "it02_pagerank" -> { (s, dir) =>
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("n"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val cnt = nodes.count()
+      var pr = nodes.withColumn("r", lit(1.0 / cnt))
+      for (_ <- 0 until 5) {
+        val contrib = pr.join(edges, col("n") === col("src"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg((sum(floor((col("r") / col("d")) * 1e9).cast("long"))
+            .cast("double") / 1e9).as("s"))
+        pr = nodes.join(contrib, col("n") === col("dst"), "left")
+          .select(col("n"),
+            (lit(0.15 / cnt) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+          .localCheckpoint()
+      }
+      pr.select(col("n").as("node"), round(col("r"), 9).as("rank")).orderBy("node")
     }
   )
 
@@ -145,6 +176,29 @@ object ExtraParity extends QueryModule {
         2 AS n_keys
       FROM customer
       ORDER BY c_custkey""",
+
+    "it02_pagerank" -> """
+      WITH RECURSIVE
+      edges AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT DISTINCT n FROM
+        (SELECT src AS n FROM edges UNION SELECT dst FROM edges)),
+      deg AS (SELECT src, count(1) AS d FROM edges GROUP BY src),
+      nn AS (SELECT count(1) AS cnt FROM nodes),
+      pr(iter, n, r) AS (
+        SELECT 0, n, 1.0 / cnt FROM nodes CROSS JOIN nn
+        UNION ALL
+        SELECT pr0.iter + 1, pr0.n,
+          0.15 / (SELECT cnt FROM nn)
+            + 0.85 * coalesce((
+              SELECT CAST(sum(CAST(floor((p2.r / deg.d) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+              FROM pr p2 JOIN edges e ON p2.n = e.src JOIN deg ON e.src = deg.src
+              WHERE e.dst = pr0.n AND p2.iter = pr0.iter), 0.0)
+        FROM pr pr0
+        WHERE pr0.iter < 5)
+      SELECT n AS node, round(r, 9) AS rank FROM pr WHERE iter = 5
+      ORDER BY node""",
 
     "it01_connected_components" -> """
       WITH RECURSIVE
