@@ -49,6 +49,20 @@ class GraftStream[T](val ds: Dataset[T]) {
     new GraftStream(ds.withWatermark(tsCol, delay))
   /** DataStream.global — everything to one partition (use sparingly). */
   def global(): GraftStream[T] = new GraftStream(ds.coalesce(1))
+  /** DataSet.cross — typed cartesian product (CrossOperator). */
+  def cross[U](other: GraftStream[U])(
+      implicit e: Encoder[(T, U)]): GraftStream[(T, U)] =
+    new GraftStream(ds.joinWith(other.ds,
+      org.apache.spark.sql.functions.lit(true), "cross"))
+  /** DataSet.distinct (DistinctOperator). */
+  def distinct(): GraftStream[T] = new GraftStream(ds.distinct())
+  /** DataSet.sortPartition (SortPartitionOperator) — order within each
+    * partition, no shuffle.
+    */
+  def sortPartition(column: String, columns: String*): GraftStream[T] =
+    new GraftStream(ds.sortWithinPartitions(column, columns: _*))
+  /** DataSet.first(n) — any n elements (here: the first n in dataset order). */
+  def first(n: Int): GraftStream[T] = new GraftStream(ds.limit(n))
   /** DataStream.partitionCustom — co-locate rows by a key function. */
   def partitionCustom[K: Encoder](n: Int, f: T => K)(
       implicit e: Encoder[T]): GraftStream[T] = {

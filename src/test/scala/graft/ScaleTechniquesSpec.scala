@@ -182,5 +182,13 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // on a batch frame the analyzer erases the (streaming-only)
     // watermark node — assert on the pre-analysis plan
     assert(wm.ds.queryExecution.logical.toString.contains("EventTimeWatermark"))
+    // DataSet operator names: cross/distinct/sortPartition/first
+    val c = GraftStream(Seq(1L, 2L).toDS()).cross(GraftStream(Seq("x", "y").toDS()))
+    assert(c.ds.collect().toSet ==
+      Set((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y")))
+    assert(GraftStream(Seq(1L, 1L, 2L).toDS()).distinct().ds.collect().toSet == Set(1L, 2L))
+    val sp = GraftStream(Seq(3L, 1L, 2L).toDS()).global().sortPartition("value")
+    assert(sp.ds.collect().toSeq == Seq(1L, 2L, 3L))
+    assert(GraftStream(Seq(5L, 6L, 7L).toDS()).first(2).ds.count() == 2)
   }
 }
