@@ -202,6 +202,25 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling — the data-mixing step of a
+    // training pipeline: per-language keep rates applied via a content-
+    // independent hash gate (md5 of the doc id), so the sample is
+    // reproducible across engines, runs, and partitionings, and scales
+    // as a stateless map-side filter (no shuffle at all until the
+    // summary aggregate).
+    "td13_sample_mix" -> { (s, dir) =>
+      val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 30).otherwise(80)
+      Tables.load(s, dir, "documents")
+        .where(gate < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -367,6 +386,21 @@ object TextPipelineSuite extends QueryModule {
              (top_bigram_frac <= 0.2 AND top_word_frac <= 0.3) AS keep
       FROM bstat b JOIN wstat USING (doc_id)
       ORDER BY doc_id""",
+
+    "td13_sample_mix" -> """
+      WITH g AS (
+        SELECT *, list_reduce(list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) % 100 AS gate,
+               CASE WHEN lang = 'en' THEN 50
+                    WHEN lang = 'zh' THEN 30 ELSE 80 END AS rate
+        FROM documents)
+      SELECT lang, count(1) AS n_kept, min(doc_id) AS first_kept,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM g WHERE gate < rate
+      GROUP BY lang
+      ORDER BY lang""",
 
     "td09_language_quota" -> """
       SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rn FROM (
