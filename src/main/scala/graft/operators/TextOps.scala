@@ -234,6 +234,39 @@ object TextOps {
           .cast("double") / count(lit(1)), 9).as("avg_rel_freq"))
   }
 
+  /** Greedy sequence packing — the batch-assembly step before training:
+    * docs are packed in deterministic (group, id) order into bins of at
+    * most `budget` tokens (an oversized doc becomes its own oversize
+    * bin, the standard convention). Bins never cross groups and each
+    * group lands wholly in one partition (repartition on the group
+    * column), so packing is one ordered pass per partition with O(1)
+    * state — the distributed packing layout, parallelism = number of
+    * groups/shards. Returns (g, id, t, bin_id) with bin ids sequential
+    * per group.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("t"))
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curG: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (g, id, t) =>
+          if (g != curG) { curG = g; bin = 0L; fill = t }
+          else if (fill + t <= budget) fill += t
+          else { bin += 1; fill = t }
+          (g, id, t, bin)
+        }
+      }
+      .toDF("g", "id", "t", "bin_id")
+  }
+
   /** Gopher/C4-style repetition-quality stats from a WITH-duplicates
     * (id, sh) n-gram index: total gram count, the most frequent gram
     * (count ties broken on the gram itself), and its fraction of the

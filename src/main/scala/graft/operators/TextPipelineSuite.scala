@@ -221,6 +221,19 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("lang")
     },
 
+    // Sequence packing — assemble docs into ≤512-token training bins
+    // per language, greedy in deterministic doc order (an oversized doc
+    // becomes its own bin). One ordered pass per language shard.
+    "td14_pack_sequences" -> { (s, dir) =>
+      TextOps.packSequences(
+          Tables.load(s, dir, "documents")
+            .withColumn("tokens", ceil(length(col("text")) / 4.0).cast("long")),
+          "lang", "doc_id", "tokens", 512L)
+        .select(col("g").as("lang"), col("id").as("doc_id"),
+          col("t").as("tokens"), col("bin_id"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -401,6 +414,24 @@ object TextPipelineSuite extends QueryModule {
       FROM g WHERE gate < rate
       GROUP BY lang
       ORDER BY lang""",
+
+    "td14_pack_sequences" -> """
+      WITH RECURSIVE d AS (
+        SELECT lang, doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      p(lang, rn, doc_id, tokens, bin_id, fill) AS (
+        SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, d.tokens,
+               CASE WHEN p.fill + d.tokens <= 512 THEN p.bin_id
+                    ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill + d.tokens <= 512 THEN p.fill + d.tokens
+                    ELSE d.tokens END
+        FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+      SELECT lang, doc_id, tokens, bin_id FROM p
+      ORDER BY lang, doc_id""",
 
     "td09_language_quota" -> """
       SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rn FROM (

@@ -105,6 +105,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(2L) == ((2L, 0.5)))         // avg(0.8, 0.2)
   }
 
+  test("packSequences fills bins greedily, isolates oversize docs, resets per group") {
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 200L), // bin 0 (500 <= 512)
+      ("en", 3L, 100L),                   // bin 1 (would be 600)
+      ("en", 4L, 900L),                   // bin 2 alone (oversize)
+      ("en", 5L, 10L),                    // bin 3 (900+10 > 512)
+      ("de", 6L, 512L), ("de", 7L, 1L))   // de bins 0, 1 — fresh numbering
+      .toDF("lang", "doc_id", "tokens")
+    val got = TextOps.packSequences(docs, "lang", "doc_id", "tokens", 512L)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 0L, 7L -> 1L))
+  }
+
   test("PQ ADC score is exact for vectors lying on centroid codes") {
     // 4-dim vectors, subDim=2, nCent=2: ids 0,1 are the centroids.
     // id 2 copies centroid 0's first subvector and centroid 1's second,
