@@ -131,7 +131,7 @@ object MatchRecognize {
     val skipLastRe = "SKIP TO LAST (\\w+)".r
     val afterMatch = section("AFTER MATCH").map(_.toUpperCase.replaceAll("\\s+", " ")) match {
       case None | Some("SKIP PAST LAST ROW") => AfterMatch.SkipPastLast
-      case Some("SKIP TO NEXT ROW")          => AfterMatch.NoSkip
+      case Some("SKIP TO NEXT ROW")          => AfterMatch.SkipToNext
       case Some(skipFirstRe(v))              => AfterMatch.SkipToFirst(v)
       case Some(skipLastRe(v))               => AfterMatch.SkipToLast(v)
       case Some(other) =>

@@ -52,6 +52,17 @@ object Nfa {
   object AfterMatch {
     case object NoSkip extends AfterMatch
     case object SkipPastLast extends AfterMatch
+    /** Resume at the event after the match's START (SQL `AFTER MATCH
+      * SKIP TO NEXT ROW`; flink-cep .../nfa/aftermatch/
+      * SkipToNextStrategy.java): discard every other match that starts
+      * at the same event as the emitted one. This scan emits at most
+      * one (leftmost-greedy) match per start index, so its enumeration
+      * coincides with NoSkip — kept as a distinct strategy because the
+      * reference API and the SQL spelling are distinct (they differ
+      * there only under non-greedy/ALL ROWS modes, which are outside
+      * this engine's deterministic-greedy contract).
+      */
+    case object SkipToNext extends AfterMatch
     /** Resume at the FIRST event bound to `variable` (SQL AFTER MATCH
       * SKIP TO FIRST v; flink-cep .../nfa/aftermatch/SkipToFirstStrategy).
       * A target equal to the match's own start resumes one past the
@@ -123,6 +134,7 @@ object Nfa {
     pattern.afterMatch match {
       case AfterMatch.SkipPastLast   => lastIdx + 1
       case AfterMatch.NoSkip         => start + 1
+      case AfterMatch.SkipToNext     => start + 1
       case AfterMatch.SkipToFirst(v) => skipTo(events, m, v, start, lastIdx, first = true)
       case AfterMatch.SkipToLast(v)  => skipTo(events, m, v, start, lastIdx, first = false)
     }

@@ -136,13 +136,15 @@ object FlinkFunctions {
 
   /** TO_TIMESTAMP_LTZ(numeric, precision) — epoch seconds (precision 0)
     * or millis (precision 3) to a local-time-zone timestamp (reference
-    * BuiltInFunctionDefinitions `toTimestampLtz`).
+    * BuiltInFunctionDefinitions `toTimestampLtz`). Fractional input is
+    * FLOORED at the declared precision in both branches (explicit and
+    * sign-consistent, unlike a truncating cast).
     */
   def to_timestamp_ltz(epoch: Column, precision: Int): Column = {
-    import org.apache.spark.sql.functions.{timestamp_millis, timestamp_seconds}
+    import org.apache.spark.sql.functions.{floor, timestamp_millis, timestamp_seconds}
     precision match {
-      case 0 => timestamp_seconds(epoch)
-      case 3 => timestamp_millis(epoch.cast("long"))
+      case 0 => timestamp_seconds(floor(epoch).cast("long"))
+      case 3 => timestamp_millis(floor(epoch).cast("long"))
       case p => throw new IllegalArgumentException(
         s"TO_TIMESTAMP_LTZ precision must be 0 or 3, got $p")
     }

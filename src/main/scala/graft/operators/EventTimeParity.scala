@@ -267,17 +267,22 @@ object EventTimeParity extends QueryModule {
     },
 
     // CEP strict contiguity: view -> click -> purchase, immediately
-    // consecutive in the user's event sequence, within 1 hour.
+    // consecutive in the user's FUNNEL sub-stream (error/signup events
+    // filtered out first — CEP on a filtered stream, the reference's
+    // PatternStream over DataStream.filter), within 24 hours. On the
+    // raw stream the strict triple is absent at sf0.01, which made the
+    // r2 cross-engine gate vacuous (0 == 0).
     "m01_cep_strict" -> { (s, dir) =>
       import s.implicits._
       val ds = ev(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
         .select(col("event_id"), unix_micros(col("ts")).as("tus"),
           col("user_id"), col("event_type")).as[Ev]
       val pat = Pattern[Ev](Vector(
         Step("v", (_: Ev).event_type == "view"),
         Step("c", (_: Ev).event_type == "click"),
         Step("p", (_: Ev).event_type == "purchase")),
-        withinMicros = Some(3600000000L),
+        withinMicros = Some(86400000000L),
         afterMatch = AfterMatch.SkipPastLast)
       ds.groupByKey(_.user_id)
         .flatMapGroups { (uid, it) =>
@@ -339,6 +344,30 @@ object EventTimeParity extends QueryModule {
           DEFINE C AS C.event_type = 'click',
                  P AS P.event_type = 'purchase'
         ) ORDER BY user_id, first_click_tus, first_click_id""")
+    },
+
+    // AFTER MATCH SKIP TO NEXT ROW (flink-cep SkipToNextStrategy):
+    // every adjacent click pair — matches OVERLAP (a run of n clicks
+    // yields n-1 pairs), where SKIP PAST LAST ROW would yield only
+    // floor(n/2). Exercises the resume-at-start+1 strategy end to end
+    // through the MATCH_RECOGNIZE surface.
+    "m05_skip_to_next" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m05_events")
+      env.sqlQuery("""
+        SELECT user_id, first_click_id, second_click_id, first_tus
+        FROM m05_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(C.event_id) AS first_click_id,
+                   LAST(C.event_id) AS second_click_id,
+                   FIRST(C.tus) AS first_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (C{2})
+          DEFINE C AS C.event_type = 'click'
+        ) ORDER BY user_id, first_tus, first_click_id""")
     }
   )
 
@@ -554,10 +583,11 @@ object EventTimeParity extends QueryModule {
                lead(event_type, 2) OVER w AS t2,
                lead(event_id, 2) OVER w AS purchase_id,
                lead(tus, 2) OVER w AS tus2
-        FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+        FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+              WHERE event_type IN ('view', 'click', 'purchase'))
         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
       WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
-        AND tus2 - view_tus < 3600000000
+        AND tus2 - view_tus < 86400000000
       ORDER BY user_id, view_tus""",
 
     "m02_cep_followed_by" -> """
@@ -614,6 +644,20 @@ object EventTimeParity extends QueryModule {
       JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
       WHERE m.ptus - g.tus < 3600000000
       GROUP BY m.user_id, m.run_id, m.p1, m.purchase_id
-      ORDER BY m.user_id, first_click_tus, first_click_id"""
+      ORDER BY m.user_id, first_click_tus, first_click_id""",
+
+    // SKIP TO NEXT ROW re-enters one past each match's start, so every
+    // adjacent (click, click) row pair is its own match — exactly the
+    // lead() self-pairing.
+    "m05_skip_to_next" -> """
+      SELECT user_id, event_id AS first_click_id, id1 AS second_click_id,
+             tus AS first_tus
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               lead(event_type) OVER w AS t1, lead(event_id) OVER w AS id1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      WHERE event_type = 'click' AND t1 = 'click'
+      ORDER BY user_id, first_tus, first_click_id"""
   )
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * TpchResultComparator.java); this module mirrors that gate with the
   * classic queries re-expressed on the driver's reduced TPC-H schema.
   * Q1 and Q15 already exist as q01/q25; ten more (th03..th22 below)
-  * are faithful modulo parameter domains. The remaining eight —
+  * are faithful modulo parameter domains. The remaining ten —
   * Q2/Q4/Q9/Q11/Q12/Q16/Q17/Q19/Q20/Q21 — need columns the testdata
   * lacks (partsupp, commit/receipt dates, ship mode/instruct,
   * container, comments) and are ADAPTED, preserving each query's

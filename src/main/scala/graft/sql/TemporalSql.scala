@@ -22,13 +22,19 @@ package graft.sql
   * event-time attribute on the versioned table).
   */
 object TemporalSql {
+  // Alias is optional (defaults to the table name, like the reference's
+  // parser); a lookahead keeps ON from being captured as the alias.
   private val JoinRe =
-    ("(?is)JOIN\\s+([A-Za-z_]\\w*)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
-      "([\\w.]+)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s+ON\\s").r
+    ("(?is)JOIN\\s+([A-Za-z_][\\w.]*)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+      "([\\w.]+)(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?\\s+ON\\s").r
 
+  // Word-boundary anchored ((?!\w)) so identifiers that merely start
+  // with a keyword (where_flag, joined_x) can't truncate the ON scan.
   private val ClauseKw =
     ("(?is)^(WHERE|GROUP\\s+BY|ORDER\\s+BY|HAVING|LIMIT|WINDOW|JOIN|" +
-      "LEFT\\s|RIGHT\\s|FULL\\s|INNER\\s|CROSS\\s|UNION\\s|INTERSECT\\s|EXCEPT\\s)").r
+      "LEFT|RIGHT|FULL|INNER|CROSS|UNION|INTERSECT|EXCEPT)(?!\\w)").r
+
+  private val SystemTimeRe = "(?i)FOR\\s+SYSTEM_TIME".r
 
   def containsClause(sql: String): Boolean = JoinRe.findFirstIn(sql).isDefined
 
@@ -38,9 +44,17 @@ object TemporalSql {
     */
   def rewrite(sql: String, meta: String => (Seq[String], String)): String = {
     JoinRe.findFirstMatchIn(sql) match {
-      case None => sql
+      case None =>
+        // A FOR SYSTEM_TIME the join regex did NOT consume would
+        // otherwise surface as an opaque Spark parse error — fail here
+        // with the supported spelling instead.
+        require(SystemTimeRe.findFirstIn(sql).isEmpty,
+          "unsupported temporal-join spelling: expected " +
+            "`JOIN <table> FOR SYSTEM_TIME AS OF <expr> [[AS] alias] ON <cond>`")
+        sql
       case Some(m) =>
-        val (table, asOf, alias) = (m.group(1), m.group(2), m.group(3))
+        val (table, asOf) = (m.group(1), m.group(2))
+        val alias = Option(m.group(3)).getOrElse(table.split('.').last)
         val (pk, vt) = meta(table)
         require(pk.nonEmpty,
           s"temporal join: no primary key declared for table $table")

@@ -33,6 +33,9 @@ class GraftStream[T](val ds: Dataset[T]) {
   def shuffle(n: Int): GraftStream[T] = new GraftStream(ds.repartition(n))
   /** DataStream.rescale — local redistribution without a full shuffle
     * (Spark's coalesce merges partitions within their executors).
+    * REDUCE-ONLY deviation: the reference's rescale also fans OUT, but
+    * Spark's shuffle-free coalesce can only merge — a target above the
+    * current partition count is a no-op. Use rebalance(n) to grow.
     */
   def rescale(n: Int): GraftStream[T] = new GraftStream(ds.coalesce(n))
   /** DataStream.project — positional projection generalized to a typed map. */

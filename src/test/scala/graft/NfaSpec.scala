@@ -29,6 +29,35 @@ class NfaSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SkipToNext resumes one past the start: overlapping pair matches") {
+    // C{2} over a run of 4 clicks: SkipToNext re-enters at start+1 so
+    // every adjacent pair matches (3); SkipPastLast consumes pairs (2).
+    val clickPair = Pattern[E](Vector(
+      Step("c", (_: E).typ == "c", Quantifier.Times(2, 2))),
+      afterMatch = AfterMatch.SkipToNext)
+    val evs = Seq(E(0, "c"), E(1, "c"), E(2, "c"), E(3, "c"), E(4, "x"))
+    val next = run(clickPair, evs: _*)
+    assert(next.map(_.bindings.head._2.map(_.t)) ==
+      Vector(Vector(0L, 1L), Vector(1L, 2L), Vector(2L, 3L)))
+    val past = run(clickPair.copy(afterMatch = AfterMatch.SkipPastLast), evs: _*)
+    assert(past.map(_.bindings.head._2.map(_.t)) ==
+      Vector(Vector(0L, 1L), Vector(2L, 3L)))
+    // Multi-step shape: a b, SkipToNext can restart inside a consumed
+    // span (a@2 after the a@0..b@3 match binds b@3's... no b left: only
+    // the a@0 match emits, then a@2 finds no second b -> 1 match; with
+    // interleaved "a a b b" SkipToNext yields both nested matches.
+    val ab = Pattern[E](Vector(
+      Step("a", (_: E).typ == "a"),
+      Step("b", (_: E).typ == "b", contiguity = Contiguity.Relaxed)),
+      afterMatch = AfterMatch.SkipToNext)
+    val nested = run(ab, E(0, "a"), E(1, "a"), E(2, "b"), E(3, "b"))
+    assert(nested.map(m => (m.first("a").t, m.first("b").t)) ==
+      Vector((0L, 2L), (1L, 2L)))
+    val pastAb = run(ab.copy(afterMatch = AfterMatch.SkipPastLast),
+      E(0, "a"), E(1, "a"), E(2, "b"), E(3, "b"))
+    assert(pastAb.map(m => (m.first("a").t, m.first("b").t)) == Vector((0L, 2L)))
+  }
+
   test("runWithTimeouts reports expired partial matches with their prefix") {
     val p = Pattern[E](Vector(
       Step("a", (_: E).typ == "a"),
