@@ -74,15 +74,37 @@ object VectorOps {
       .repartition(parallelism)
   }
 
+  /** Row cap for the exact all-pairs/brute-force baselines: above it a
+    * call must opt in with forceExact=true, so the O(n²) paths can't be
+    * reached by accident at corpus scale — the intended at-scale
+    * operators are srpBucket (te03), ivfTopK/ivfKmeansTopK (te05/te06)
+    * and pqTopK (te07), which answer the same queries from bucketed /
+    * cell-probed candidate sets.
+    */
+  val ExactBaselineMaxRows: Long = 100000L
+
+  private def guardExact(op: String, vecs: DataFrame, forceExact: Boolean,
+                         scalePath: String): Unit =
+    if (!forceExact) {
+      val n = vecs.count()
+      require(n <= ExactBaselineMaxRows,
+        s"$op is an exact O(n^2) baseline and the input has $n rows " +
+          s"(cap $ExactBaselineMaxRows); use $scalePath at this scale, " +
+          "or pass forceExact=true to insist")
+    }
+
   /** All pairs (id_a < id_b) with cosine ≥ threshold — exact brute
     * force: pair join + one codegen'd dot-product loop per pair
     * (DotScaledLong). Inherently O(n²); the correctness baseline — use
-    * srpBucket to prune candidates at scale. The right side is
-    * broadcast once (with v/nrm precomputed); the left streams with
-    * full parallelism, so pair work is evenly spread across executors.
+    * srpBucket to prune candidates at scale (calls above
+    * [[ExactBaselineMaxRows]] rows must opt in via forceExact). The
+    * right side is broadcast once (with v/nrm precomputed); the left
+    * streams with full parallelism, so pair work is evenly spread
+    * across executors.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, forceExact: Boolean = false): DataFrame = {
+    guardExact("cosinePairs", vecs, forceExact, "srpBucket + a bucket join")
     val n = prepped(vecs, idCol, vecCol)
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -157,32 +179,31 @@ object VectorOps {
   def ivfKmeansTopK(vecs: DataFrame, idCol: String, vecCol: String,
                     isQuery: Column => Column, nlist: Int, nprobe: Int,
                     k: Int, lloydIters: Int): DataFrame = {
-    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val s = vecs.sparkSession
+    val parallelism = s.sparkContext.defaultParallelism
     val ex = explodeVec(vecs, idCol, vecCol, "id").repartition(parallelism)
-      .localCheckpoint() // feeds the mean updates + the re-rank
-    val nrm = norms(vecs, idCol, vecCol, "id")
-      .withColumnRenamed("nrm", "vn").localCheckpoint()
+      .localCheckpoint() // feeds the mean update of every Lloyd round
+    val nrm = norms(vecs, idCol, vecCol, "id").withColumnRenamed("nrm", "vn")
     // (id, arr, vn) — the map-side assignment input.
     val varr = vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("arr"))
       .join(nrm, "id").repartition(parallelism).localCheckpoint()
 
-    // Same arithmetic as scaledSum(x*mx) / centroidNorms / round(.,6).
+    // Same arithmetic as scaledSum(x*mx), driver side.
     def centroidNorm(c: Array[Double]): Double =
       math.sqrt(c.map(v => math.floor(v * v * 1e12).toLong).sum.toDouble / 1e12)
-    def roundedCos(arr: Seq[Double], vn: Double, c: Array[Double], cn: Double): Double = {
-      var dotScaled = 0L
-      var i = 0
-      while (i < c.length) { dotScaled += math.floor(arr(i) * c(i) * 1e12).toLong; i += 1 }
-      val cos = (dotScaled.toDouble / 1e12) / (vn * cn)
-      if (cos.isNaN || cos.isInfinite) cos
-      else BigDecimal(cos).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Driver-held centroids as a tiny broadcast frame: assignment is
+    // the te05 expression form — one codegen'd DotScaledLong loop per
+    // (vector, centroid) + HALF_UP round(.,6), identical arithmetic to
+    // the exploded form — rather than a per-row interpreted Scala UDF
+    // (r2's slowest visible link).
+    def scoredCells(cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+      val centDf = s.createDataFrame(
+        cents.toSeq.map { case (cell, c, cn) => (cell, c.toSeq, cn) })
+        .toDF("cell", "cv", "cn")
+      varr.crossJoin(broadcast(centDf))
+        .withColumn("cosc", round(
+          scaledToDouble(dot_scaled(col("arr"), col("cv"))) / (col("vn") * col("cn")), 6))
     }
-    // Cells best-first: rounded cosine desc, cell id asc — the same
-    // ordering as the exploded form's row_number window.
-    def rankCells(cents: Array[(Long, Array[Double], Double)],
-                  arr: Seq[Double], vn: Double): Seq[Long] =
-      cents.map { case (cell, c, cn) => (roundedCos(arr, vn, c, cn), cell) }
-        .sortBy { case (cos, cell) => (-cos, cell) }.map(_._2).toSeq
 
     var cents: Array[(Long, Array[Double], Double)] =
       vecs.where(col(idCol) < nlist)
@@ -194,9 +215,12 @@ object VectorOps {
 
     var iter = 0
     while (iter < lloydIters) {
-      val cs = cents
-      val bestCell = udf((arr: Seq[Double], vn: Double) => rankCells(cs, arr, vn).head)
-      val cells = varr.select(col("id"), bestCell(col("arr"), col("vn")).as("cell"))
+      // argmax(cosc desc, cell asc) folded into a partial-aggregable
+      // max(struct) — map-side combine instead of a window sort.
+      val cells = scoredCells(cents)
+        .groupBy(col("id"))
+        .agg(max(struct(col("cosc"), (-col("cell")).as("nc"))).as("best"))
+        .select(col("id"), (-col("best.nc")).as("cell"))
       // exact-decimal per-dimension mean — deterministic in any
       // aggregation order, reproducible in SQL; empty cells drop out.
       cents = ex.join(cells, "id")
@@ -213,31 +237,41 @@ object VectorOps {
       iter += 1
     }
 
-    val cs = cents
-    val rankUdf = udf((arr: Seq[Double], vn: Double) => rankCells(cs, arr, vn))
-    val rankedCells = varr
-      .select(col("id"), rankUdf(col("arr"), col("vn")).as("cells"))
+    // Final assignment + probe list: rank cells best-first (cosc desc,
+    // cell asc — same ordering as te05's window), keep only the nprobe
+    // best per vector, materialize once for both consumers. Ranking is
+    // a partial-aggregable collect_list + sort_array over the ≤nlist
+    // co-located cell scores per vector — no N×nlist shuffle+sort (the
+    // struct sorts by cosc desc then -cell desc = cell asc).
+    val ranked = scoredCells(cents)
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(
+          struct(col("cosc"), (-col("cell")).as("nc"))), asc = false),
+        1, math.max(nprobe, 1)).as("best"))
+      .select(col("id"), posexplode(col("best")).as(Seq("p", "b")))
+      .select(col("id"), (-col("b.nc")).as("cell"), (col("p") + 1).as("crk"))
       .localCheckpoint() // feeds both the cell map and the probe list
-    val cells = rankedCells.select(col("id"), col("cells").getItem(0).as("cell"))
-    val probes = rankedCells.where(isQuery(col("id")))
-      .select(col("id").as("query_id"),
-        explode(slice(col("cells"), 1, nprobe)).as("cell"))
+    val cells = ranked.where(col("crk") === 1).select(col("id"), col("cell"))
+    val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cell"))
     val cand = broadcast(probes)
       .join(cells.select(col("id").as("vec_id"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-    val pairDots = cand
-      .join(ex.select(col("id").as("query_id"), col("d"), col("x").as("qx")),
-        Seq("query_id"))
-      .join(ex.select(col("id").as("vec_id"), col("d"), col("x").as("cx")),
-        Seq("vec_id", "d"))
-      .groupBy(col("query_id"), col("vec_id"), col("cell"))
-      .agg(scaledSum(col("qx") * col("cx")).as("dot"))
+    // Exact re-rank inside the probed cells: one codegen'd DotScaledLong
+    // loop per candidate pair on the full arrays (te05's form) — same
+    // floor-scaled-long arithmetic as the exploded sum, without two
+    // dim-exploded joins and a 64× groupBy.
+    val qv = varr.where(isQuery(col("id"))).select(col("id").as("query_id"),
+      col("arr").as("qarr"), col("vn").as("qn"))
+    val cv = varr.select(col("id").as("vec_id"),
+      col("arr").as("carr"), col("vn").as("cn2"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    pairDots
-      .join(nrm.select(col("id").as("query_id"), col("vn").as("qn")), "query_id")
-      .join(nrm.select(col("id").as("vec_id"), col("vn").as("cn2")), "vec_id")
-      .withColumn("cos", round(col("dot") / (col("qn") * col("cn2")), 6))
+    cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "vec_id")
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qarr"), col("carr"))) / (col("qn") * col("cn2")), 6))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
   }
@@ -292,9 +326,14 @@ object VectorOps {
         round(col("score"), 6).as("score"), col("rk"))
   }
 
-  /** Exact top-k neighbors per query vector (pair join + native dot). */
+  /** Exact top-k neighbors per query vector (pair join + native dot).
+    * O(queries × corpus); corpora above [[ExactBaselineMaxRows]] must
+    * opt in via forceExact — use ivfTopK/pqTopK at scale.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     forceExact: Boolean = false): DataFrame = {
+    guardExact("bruteForceTopK", corpus, forceExact, "ivfTopK/pqTopK")
     val q = prepped(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = prepped(corpus, idCol, vecCol)

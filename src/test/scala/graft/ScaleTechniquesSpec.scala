@@ -126,6 +126,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
   }
 
+  test("exact O(n^2) vector baselines refuse oversized corpora unless forced") {
+    import graft.operators.VectorOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    assert(n <= VectorOps.ExactBaselineMaxRows) // default path stays exact below the cap
+    assert(VectorOps.cosinePairs(emb, "vec_id", "embedding", 0.4).count() > 0)
+    // Above the cap the call must opt in — the guard is what keeps the
+    // all-pairs baseline from being reached accidentally at 100 TB.
+    val blown = emb.crossJoin(spark.range(
+      VectorOps.ExactBaselineMaxRows / n + 1).select(col("id").as("rep")))
+      .select((col("vec_id") * 1000 + col("rep")).as("vec_id"), col("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.cosinePairs(blown, "vec_id", "embedding", 0.4)
+    }
+    assert(e1.getMessage.contains("srpBucket"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.bruteForceTopK(blown.limit(5), blown, "vec_id", "embedding", 3)
+    }
+    assert(e2.getMessage.contains("ivfTopK"))
+    // forceExact bypasses the guard (plan construction succeeds).
+    assert(VectorOps.bruteForceTopK(blown.limit(2), blown, "vec_id", "embedding",
+      k = 1, forceExact = true).columns.contains("cos"))
+  }
+
   test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
     val out = GraftStream(spark.range(100).as[Long])
       .map(i => (i % 5, i))
