@@ -31,6 +31,15 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     * StreamExecMatch node.
     */
   def executeSql(sql: String): DataFrame = {
+    import graft.sql.FlinkDdl
+    if (FlinkDdl.isFlinkCreateTable(sql)) return executeCreateTable(sql)
+    if (FlinkDdl.isDropTable(sql)) {
+      val (name, ifExists) = FlinkDdl.parseDrop(sql)
+      val dropped = spark.catalog.dropTempView(name)
+      require(dropped || ifExists, s"table not found: $name")
+      watermarkDecl.remove(name); primaryKeys.remove(name)
+      return okResult()
+    }
     val rw = graft.sql.TemporalSql.rewrite(
       graft.sql.FlinkSqlWindows.rewrite(sql),
       name => (primaryKey(name),
@@ -38,6 +47,53 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     if (graft.cep.MatchRecognize.containsClause(rw))
       graft.cep.MatchRecognize.rewriteAndRun(spark, rw)
     else spark.sql(rw)
+  }
+
+  /** Flink-dialect `CREATE TABLE … WATERMARK FOR … PRIMARY KEY … WITH
+    * (…)` (reference flink-sql-parser .../ddl/SqlCreateTable.java,
+    * SqlWatermark.java): parse, bind the connector to a Spark reader,
+    * apply computed columns, and register view + watermark/PK metadata.
+    */
+  private def executeCreateTable(sql: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.StructType
+    val stmt = graft.sql.FlinkDdl.parse(sql)
+    if (stmt.ifNotExists && spark.catalog.tableExists(stmt.name)) return okResult()
+    val schema = StructType.fromDDL(
+      stmt.columns.map { case (n, t) => s"$n $t" }.mkString(", "))
+    val base = stmt.options.getOrElse("connector", "values") match {
+      case "filesystem" =>
+        val path = stmt.options.getOrElse("path",
+          throw new IllegalArgumentException("filesystem connector requires 'path'"))
+        val fmt = stmt.options.getOrElse("format", "parquet")
+        val reader = spark.read.format(fmt)
+        // Self-describing formats carry their own schema; text formats
+        // take the declared one (csv additionally its header option).
+        if (fmt == "csv" || fmt == "json")
+          reader.schema(schema)
+            .option("header", stmt.options.getOrElse("csv.include-header", "false"))
+            .load(path)
+        else reader.load(path)
+      case "datagen" =>
+        spark.read.format("graft-datagen").schema(schema)
+          .option("numRows", stmt.options.getOrElse("number-of-rows", "1000"))
+          .load()
+      case "values" | "" =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case other => throw new IllegalArgumentException(
+        s"unsupported connector '$other' (supported: filesystem, datagen, values)")
+    }
+    val withComputed = stmt.computed.foldLeft(base) {
+      case (df, (n, e)) => df.withColumn(n, expr(e))
+    }
+    createTemporaryView(stmt.name, withComputed,
+      watermark = stmt.watermark, primaryKey = stmt.primaryKey)
+    okResult()
+  }
+
+  private def okResult(): DataFrame = {
+    import spark.implicits._
+    Seq("OK").toDF("result")
   }
 
   /** Query returning a Table (reference Table == DataFrame here). */

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.ExtraParity,
     operators.MoreParity,
     operators.DsParity,
+    operators.DsParityExt,
     operators.TpchGate
   )
 

@@ -266,6 +266,57 @@ object EventTimeParity extends QueryModule {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // Streaming-OVER parity: BOUNDED ROWS frame (ROWS 3 PRECEDING) via
+    // the SAME accumulate/retract fold the streaming operator runs
+    // (StatefulOps.rowsBoundedFold; RowTimeRowsBoundedPrecedingFunction
+    // semantics). Long-scaled sums: add/retract in integers is exact,
+    // so both engines agree in any evaluation order.
+    "o02_over_rows_bounded" -> { (s, dir) =>
+      import s.implicits._
+      val ds = ev(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      ds.groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val sorted = it.toIndexedSeq.sortBy(r => (r._3, r._2))
+          val (outs, _, _) = graft.streaming.StatefulOps
+            .rowsBoundedFold[(Long, Long, Long, Double), (Long, Long)](
+              sorted, Seq.empty, (0L, 0L), 3,
+              (a, t) => (a._1 + math.floor(t._4 * 1e6).toLong, a._2 + 1),
+              (a, t) => (a._1 - math.floor(t._4 * 1e6).toLong, a._2 - 1))
+          outs.iterator.map { case (t, (sc, n)) =>
+            (uid, t._2, t._3, sc.toDouble / 1e6, n)
+          }
+        }
+        .toDF("user_id", "event_id", "tus", "win_sum", "win_n")
+        .orderBy("user_id", "tus", "event_id")
+    },
+
+    // Streaming-OVER parity: BOUNDED RANGE frame (30 min preceding) via
+    // StatefulOps.rangeBoundedFold — same-timestamp peers share one
+    // aggregate, exactly the SQL RANGE frame the oracle computes
+    // (RowTimeRangeBoundedPrecedingFunction semantics).
+    "o03_over_range_bounded" -> { (s, dir) =>
+      import s.implicits._
+      val ds = ev(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      ds.groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val sorted = it.toIndexedSeq.sortBy(r => (r._3, r._2))
+          val (outs, _, _) = graft.streaming.StatefulOps
+            .rangeBoundedFold[(Long, Long, Long, Double), (Long, Long)](
+              sorted, _._3, Seq.empty, (0L, 0L), 1800000000L,
+              (a, t) => (a._1 + math.floor(t._4 * 1e6).toLong, a._2 + 1),
+              (a, t) => (a._1 - math.floor(t._4 * 1e6).toLong, a._2 - 1))
+          outs.iterator.map { case (t, (sc, n)) =>
+            (uid, t._2, t._3, sc.toDouble / 1e6, n)
+          }
+        }
+        .toDF("user_id", "event_id", "tus", "win_sum", "win_n")
+        .orderBy("user_id", "tus", "event_id")
+    },
+
     // CEP strict contiguity: view -> click -> purchase, immediately
     // consecutive in the user's FUNNEL sub-stream (error/signup events
     // filtered out first — CEP on a filtered stream, the reference's
@@ -573,6 +624,26 @@ object EventTimeParity extends QueryModule {
         count(1) OVER (PARTITION BY user_id ORDER BY tus
                        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS win_n
       FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      ORDER BY user_id, tus, event_id""",
+
+    "o02_over_rows_bounded" -> """
+      SELECT user_id, event_id, tus,
+        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e6
+          AS win_sum,
+        count(1) OVER w AS win_n
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, tus, event_id""",
+
+    "o03_over_range_bounded" -> """
+      SELECT user_id, event_id, tus,
+        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e6
+          AS win_sum,
+        count(1) OVER w AS win_n
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, tus, event_id""",
 
     "m01_cep_strict" -> """

@@ -5,12 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Media payload metadata produced by the (stubbed) decoder, plus the
+/** Media payload metadata produced by the decoder, plus the
   * resize-to-fit dims and a fixed-width feature vector (the
-  * decode → resize → feature-extract stages of a multimodal pipeline;
-  * decode/extract bodies are deterministic stubs — no codec libs in
-  * this container — while the schema, typed mapPartitions batch shape,
-  * and integer resize arithmetic are real).
+  * decode → resize → feature-extract stages of a multimodal pipeline).
+  * The decode, resize, and feature stages are REAL (javax.imageio PNG
+  * decode, Graphics2D resample, raster channel means); only the
+  * payload itself is synthesized — the testdata carries text, not
+  * media, so each row's PNG is generated from a deterministic pixel
+  * function of the text length, which is what lets a SQL oracle
+  * recompute the decoded metadata bit-for-bit.
   */
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                      channels: Int, format: String,
@@ -121,34 +124,74 @@ object SimilaritySuite extends QueryModule {
         .orderBy("vec_id")
     },
 
-    // Multimodal: binary payload + typed mapPartitions decode stub →
-    // metadata struct (schema/batching real; decode deterministic fake).
+    // Multimodal: binary payload → REAL javax.imageio decode →
+    // Graphics2D resize → raster-mean features, batched per partition.
+    // The PNG bytes are synthesized from a deterministic pixel function
+    // of the text payload (no media in the testdata), which is what
+    // lets the DuckDB oracle recompute the decoded metadata exactly —
+    // everything downstream of the byte array runs the real codec path.
     "mm01_decode_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
-          // STUB decoder: real systems call an image codec here
-          // (mapInPandas/JNI); dims derived deterministically from size.
           val n = bytes.length
-          val w = 64 + n % 576
-          val h = 48 + (n * 7) % 432
-          // resize-to-fit 224 on the long edge, aspect preserved —
-          // integer arithmetic so the oracle reproduces it exactly
+          // Payload synthesis: a small real PNG whose pixels are a
+          // deterministic function of n (stands in for the upstream
+          // system that produced the media bytes).
+          val w0 = 8 + n % 24
+          val h0 = 6 + n % 18
+          val src = new java.awt.image.BufferedImage(
+            w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h0) {
+            var x = 0
+            while (x < w0) {
+              val r = (x * 31 + y * 17 + n) % 256
+              val g = (x * 13 + y * 29 + n * 3) % 256
+              val b = (x * 7 + y * 11 + n * 5) % 256
+              src.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(src, "png", buf)
+          val png = buf.toByteArray
+          // REAL decode: the codec parses the PNG container + IDAT.
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val channels = img.getRaster.getNumBands
+          // REAL resize to fit 16 px on the long edge, aspect kept.
           val m = math.max(w, h)
-          // STUB feature extractor: a real pipeline runs a vision
-          // encoder per resized image; 4 deterministic pseudo-features
-          // keep the array<double> column and batch shape honest.
-          val feat = Array.tabulate(4)(k => (n.toLong * (k + 3) % 997) / 997.0)
+          val (rsW, rsH) = (math.max(1, w * 16 / m), math.max(1, h * 16 / m))
+          val resized = new java.awt.image.BufferedImage(
+            rsW, rsH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = resized.createGraphics()
+          g2.drawImage(img, 0, 0, rsW, rsH, null)
+          g2.dispose()
+          // REAL feature extraction: per-channel means of the DECODED
+          // raster (integer sums, so the oracle divides the same exact
+          // longs). PNG is lossless — decoded pixels == written pixels.
+          var sr = 0L; var sg = 0L; var sb = 0L
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val px = (w * h).toDouble
           MediaMeta(id, n, w, h,
-            channels = 3,
-            format = (n % 3) match {
-              case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-            },
-            rs_w = w * 224 / m,
-            rs_h = h * 224 / m,
-            feat = feat)
+            channels = channels,
+            format = "png",
+            rs_w = rsW,
+            rs_h = rsH,
+            feat = Array(sr / px, sg / px, sb / px, (sr + sg + sb) / (3.0 * px)))
         })
         .toDF()
         // the feature vector stays an array<double> column inside the
@@ -442,23 +485,36 @@ object SimilaritySuite extends QueryModule {
       ORDER BY vec_id""",
 
     "mm01_decode_meta" -> """
+      WITH base AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               8 + octet_length(encode(text)) % 24 AS w,
+               6 + octet_length(encode(text)) % 18 AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, n, w, h, x, y,
+               (x * 31 + y * 17 + n) % 256 AS r,
+               (x * 13 + y * 29 + n * 3) % 256 AS g,
+               (x * 7 + y * 11 + n * 5) % 256 AS b
+        FROM base,
+             LATERAL (SELECT unnest(range(0, w)) AS x),
+             LATERAL (SELECT unnest(range(0, h)) AS y)),
+      sums AS (
+        SELECT doc_id, any_value(n) AS n, any_value(w) AS w, any_value(h) AS h,
+               sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+        FROM px GROUP BY doc_id)
       SELECT doc_id,
         CAST(n AS INT) AS n_bytes,
         CAST(w AS INT) AS width,
         CAST(h AS INT) AS height,
         3 AS channels,
-        CASE n % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        CAST(w * 224 // greatest(w, h) AS INT) AS rs_w,
-        CAST(h * 224 // greatest(w, h) AS INT) AS rs_h,
-        (n * 3 % 997) / 997.0 AS f0,
-        (n * 4 % 997) / 997.0 AS f1,
-        (n * 5 % 997) / 997.0 AS f2,
-        (n * 6 % 997) / 997.0 AS f3
-      FROM (
-        SELECT doc_id, octet_length(encode(text)) AS n,
-               64 + octet_length(encode(text)) % 576 AS w,
-               48 + (octet_length(encode(text)) * 7) % 432 AS h
-        FROM documents)
+        'png' AS format,
+        CAST(greatest(1, w * 16 // greatest(w, h)) AS INT) AS rs_w,
+        CAST(greatest(1, h * 16 // greatest(w, h)) AS INT) AS rs_h,
+        CAST(sum_r AS BIGINT) / (w * h) AS f0,
+        CAST(sum_g AS BIGINT) / (w * h) AS f1,
+        CAST(sum_b AS BIGINT) / (w * h) AS f2,
+        CAST(sum_r + sum_g + sum_b AS BIGINT) / (3.0 * (w * h)) AS f3
+      FROM sums
       ORDER BY doc_id""",
 
     "mm02_frame_sample" -> """

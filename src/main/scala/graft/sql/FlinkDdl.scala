@@ -1,0 +1,185 @@
+package graft.sql
+
+/** Flink-dialect DDL for the façade — `CREATE TABLE t (cols…,
+  * computed AS expr…, PRIMARY KEY (…) NOT ENFORCED, WATERMARK FOR ts
+  * AS ts - INTERVAL '5' SECOND) WITH ('connector'='…', …)` (reference
+  * parser flink-sql-parser .../ddl/SqlCreateTable.java,
+  * SqlWatermark.java; SURVEY §3.1). Spark SQL has no parser slot for
+  * WATERMARK/computed-column/connector clauses, so the façade parses
+  * the statement itself and registers the table: the connector maps to
+  * a Spark reader (filesystem → spark.read.format(format).load(path),
+  * datagen → the engine's DSv2 graft-datagen source, values/absent →
+  * an empty frame of the declared schema), computed columns become
+  * withColumn projections, and watermark + primary key land in the
+  * environment's metadata maps that streaming reads and temporal joins
+  * already consume.
+  */
+object FlinkDdl {
+
+  final case class CreateTableStmt(
+      name: String,
+      ifNotExists: Boolean,
+      columns: Seq[(String, String)],   // (name, Spark DDL type)
+      computed: Seq[(String, String)],  // (name, SQL expression)
+      primaryKey: Seq[String],
+      watermark: Option[(String, String)], // (column, Spark delay string)
+      options: Map[String, String])
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
+  private val PkRe =
+    """(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)(?:\s+NOT\s+ENFORCED)?\s*$""".r
+  private val WmRe = """(?is)^WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.+)$""".r
+  private val WmDelayRe = """(?i)^\s*`?(\w+)`?\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)\s*$""".r
+  private val ComputedRe = """(?is)^`?(\w+)`?\s+AS\s+(.+)$""".r
+  private val ColRe = """(?is)^`?(\w+)`?\s+(.+)$""".r
+  private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  /** True for Flink-flavored CREATE TABLE statements the façade must
+    * own (watermark / primary key / connector clause present). Plain
+    * Spark DDL is left to Spark.
+    */
+  def isFlinkCreateTable(sql: String): Boolean =
+    CreateRe.findFirstIn(sql).isDefined && (
+      "(?i)WATERMARK\\s+FOR".r.findFirstIn(sql).isDefined ||
+      "(?i)PRIMARY\\s+KEY".r.findFirstIn(sql).isDefined ||
+      "(?i)'connector'".r.findFirstIn(sql).isDefined)
+
+  def isDropTable(sql: String): Boolean = DropRe.findFirstIn(sql).isDefined
+
+  def parseDrop(sql: String): (String, Boolean) = {
+    val m = DropRe.findFirstMatchIn(sql).get
+    (m.group(2), m.group(1) != null)
+  }
+
+  def parse(sql: String): CreateTableStmt = {
+    val header = CreateRe.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE TABLE statement: $sql"))
+    val name = header.group(2)
+    val bodyStart = header.end // index just after the opening paren
+    val bodyEnd = matchParen(sql, bodyStart - 1)
+    val body = sql.substring(bodyStart, bodyEnd)
+
+    var columns = Vector.empty[(String, String)]
+    var computed = Vector.empty[(String, String)]
+    var pk = Seq.empty[String]
+    var wm: Option[(String, String)] = None
+    splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach {
+      case PkRe(cols) =>
+        pk = cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      case WmRe(col, expr) =>
+        wm = Some((col, delayOf(col, expr.trim)))
+      case item =>
+        // A column is `name TYPE …` or `name AS expr`; the AS form is
+        // computed. Disambiguate on the second token.
+        item match {
+          case ComputedRe(n, e) => computed :+= ((n, e.trim))
+          case ColRe(n, t)      => columns :+= ((n, sparkType(stripColTail(t))))
+          case other =>
+            throw new IllegalArgumentException(s"cannot parse column definition: $other")
+        }
+    }
+
+    val rest = sql.substring(bodyEnd + 1)
+    val options = "(?is)WITH\\s*\\(".r.findFirstMatchIn(rest) match {
+      case Some(w) =>
+        val oEnd = matchParen(rest, w.end - 1)
+        OptRe.findAllMatchIn(rest.substring(w.end, oEnd))
+          .map(m => (m.group(1).toLowerCase, m.group(2))).toMap
+      case None => Map.empty[String, String]
+    }
+    CreateTableStmt(name, header.group(1) != null, columns, computed, pk, wm, options)
+  }
+
+  /** WATERMARK expr → Spark delay string: `ts - INTERVAL '5' SECOND` →
+    * "5 second"; a bare `ts` (strictly-ascending watermark) → 0.
+    */
+  private def delayOf(col: String, expr: String): String = expr match {
+    case WmDelayRe(c, n, unit) =>
+      require(c.equalsIgnoreCase(col),
+        s"watermark expression must reference its own column $col, got $c")
+      s"$n ${unit.toLowerCase}"
+    case e if e.equalsIgnoreCase(col) => "0 seconds"
+    case other => throw new IllegalArgumentException(
+      s"unsupported watermark expression (expected `$col - INTERVAL '<n>' <unit>`): $other")
+  }
+
+  /** Drop NOT NULL / COMMENT tails from a column's type text. */
+  private def stripColTail(t: String): String =
+    t.replaceAll("(?is)\\s+NOT\\s+NULL.*$", "")
+      .replaceAll("(?is)\\s+COMMENT\\s+'.*$", "").trim
+
+  /** Flink type name → Spark DDL type (reference type root mapping,
+    * flink-table-common .../types/logical/LogicalTypeRoot.java).
+    */
+  def sparkType(flinkType: String): String = {
+    val t = flinkType.trim
+    val up = t.toUpperCase
+    if (up.startsWith("ARRAY<") && up.endsWith(">"))
+      s"array<${sparkType(t.substring(6, t.length - 1))}>"
+    else if (up.startsWith("MAP<") && up.endsWith(">")) {
+      val inner = t.substring(4, t.length - 1)
+      val parts = splitTopLevel(inner)
+      require(parts.length == 2, s"cannot parse MAP type: $t")
+      s"map<${sparkType(parts(0))},${sparkType(parts(1))}>"
+    } else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC"))
+      t.toLowerCase.replace("numeric", "decimal")
+    else if (up.startsWith("VARCHAR") || up.startsWith("CHAR") || up == "STRING") "string"
+    else if (up.startsWith("TIMESTAMP_LTZ") || up.startsWith("TIMESTAMP")) "timestamp"
+    else up match {
+      case "BOOLEAN"          => "boolean"
+      case "TINYINT"          => "tinyint"
+      case "SMALLINT"         => "smallint"
+      case "INT" | "INTEGER"  => "int"
+      case "BIGINT"           => "bigint"
+      case "FLOAT"            => "float"
+      case "DOUBLE"           => "double"
+      case "DATE"             => "date"
+      case "BYTES" | "VARBINARY" | "BINARY" => "binary"
+      case other => throw new IllegalArgumentException(
+        s"unsupported Flink type in DDL: $other")
+    }
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in DDL: $s")
+  }
+
+  /** Split on commas at paren/angle-bracket depth 0, outside quotes.
+    * An angle bracket only opens depth right after a generic type name
+    * (ARRAY/MAP/ROW/MULTISET) or inside one, so a bare `>` in a
+    * computed expression (`flag AS price > 100`) is left alone.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val generic = """(?is)(?:ARRAY|MAP|ROW|MULTISET)\s*$""".r
+    val out = Vector.newBuilder[String]
+    var depth = 0; var angle = 0; var start = 0; var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && c == '<' &&
+        (angle > 0 || generic.findFirstIn(s.substring(start, i)).isDefined)) angle += 1
+      else if (!inQ && c == '>' && angle > 0) angle -= 1
+      else if (!inQ && depth == 0 && angle == 0 && c == ',') {
+        out += s.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+}

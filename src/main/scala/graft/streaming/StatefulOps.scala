@@ -2,7 +2,9 @@ package graft.streaming
 
 import graft.cep.Nfa
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.reflect.runtime.universe.TypeTag
 
 /** A changelog row in the reference's RowKind vocabulary (+I/-U/+U/-D) —
   * SURVEY.md §1.1: changelogs are modeled as an ordinary column.
@@ -39,46 +41,73 @@ object StatefulOps {
   /** Streaming Top-N per key. Emits rank changes as +I (new rank) / +U
     * (rank content replaced). `lessThan` orders "better first".
     * Use with OutputMode.Update sinks.
+    *
+    * `stateTtlMs` mirrors the reference's `table.exec.state.ttl`
+    * (flink-table-api-java .../config/ExecutionConfigOptions.java:48):
+    * when set, a key whose state goes untouched for the TTL is evicted
+    * (processing-time timer), so an unbounded key space can't grow
+    * state forever; a later arrival for the key starts fresh (+I).
+    * Default off — identical to the reference's default (0 = never).
+    *
+    * State is a typed Seq[T] (product encoder via TypeTag), not Kryo
+    * blobs: store-inspectable and schema-evolvable.
     */
-  def streamingTopN[K, T](ds: Dataset[T], n: Int, keyFn: T => K,
-                          lessThan: (T, T) => Boolean)
+  def streamingTopN[K, T: TypeTag](ds: Dataset[T], n: Int, keyFn: T => K,
+                                   lessThan: (T, T) => Boolean,
+                                   stateTtlMs: Option[Long] = None)
                          (implicit ek: Encoder[K], ec: Encoder[Change[T]]): Dataset[Change[T]] = {
-    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    implicit val se: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtlMs)) {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
-          val old = state.getOption.getOrElse(Seq.empty)
-          val merged = (old ++ rows).sortWith(lessThan).take(n)
-          state.update(merged)
-          val changes = merged.zipWithIndex.flatMap { case (v, i) =>
-            old.lift(i) match {
-              case Some(prev) if prev == v => None
-              case Some(_)                 => Some(Change("+U", i + 1, v))
-              case None                    => Some(Change("+I", i + 1, v))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val old = state.getOption.getOrElse(Seq.empty)
+            val merged = (old ++ rows).sortWith(lessThan).take(n)
+            state.update(merged)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            val changes = merged.zipWithIndex.flatMap { case (v, i) =>
+              old.lift(i) match {
+                case Some(prev) if prev == v => None
+                case Some(_)                 => Some(Change("+U", i + 1, v))
+                case None                    => Some(Change("+I", i + 1, v))
+              }
             }
+            changes.iterator
           }
-          changes.iterator
       }
   }
 
+  private def ttlTimeout(stateTtlMs: Option[Long]): GroupStateTimeout =
+    if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Keep-last deduplication per key: emits -U for the displaced row and
     * +I/+U for the new winner. `newer(a, b)` = a supersedes b.
+    * `stateTtlMs` as in [[streamingTopN]] — idle keys evict, a
+    * post-eviction arrival re-inserts as +I (the reference's
+    * state-TTL-expired behavior).
     */
-  def keepLastDedup[K, T](ds: Dataset[T], keyFn: T => K,
-                          newer: (T, T) => Boolean)
+  def keepLastDedup[K, T: TypeTag](ds: Dataset[T], keyFn: T => K,
+                                   newer: (T, T) => Boolean,
+                                   stateTtlMs: Option[Long] = None)
                          (implicit ek: Encoder[K], ec: Encoder[DedupChange[T]]): Dataset[DedupChange[T]] = {
-    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    implicit val se: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtlMs)) {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
-          val old = state.getOption.getOrElse(Seq.empty).headOption
-          val best = (old.toSeq ++ rows).reduceLeft((a, b) => if (newer(b, a)) b else a)
-          state.update(Seq(best))
-          old match {
-            case None                      => Iterator(DedupChange("+I", best))
-            case Some(p) if p == best      => Iterator.empty
-            case Some(p)                   =>
-              Iterator(DedupChange("-U", p), DedupChange("+U", best))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val old = state.getOption.getOrElse(Seq.empty).headOption
+            val best = (old.toSeq ++ rows).reduceLeft((a, b) => if (newer(b, a)) b else a)
+            state.update(Seq(best))
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            old match {
+              case None                      => Iterator(DedupChange("+I", best))
+              case Some(p) if p == best      => Iterator.empty
+              case Some(p)                   =>
+                Iterator(DedupChange("-U", p), DedupChange("+U", best))
+            }
           }
       }
   }
@@ -260,6 +289,125 @@ object StatefulOps {
             state.setTimeoutTimestamp(wm + 1)
           } else state.update((Seq.empty, acc)) // keep the accumulator
           out.iterator
+      }
+  }
+
+  /** Pure bounded-ROWS-frame fold, shared by the batch parity query
+    * (o02) and [[eventTimeRowsBoundedAgg]]: time-ordered rows enter one
+    * at a time; each output aggregates the current row plus at most
+    * `precedingRows` before it, the oldest row retracting as the frame
+    * slides — the accumulate/retract pair of the reference's
+    * RowTimeRowsBoundedPrecedingFunction (flink-table-runtime
+    * .../over/RowTimeRowsBoundedPrecedingFunction.java:318). Returns
+    * per-row outputs plus the carry (retained frame rows, accumulator)
+    * for the streaming caller's state.
+    */
+  def rowsBoundedFold[T, A](rows: Seq[T], carry0: Seq[T], acc0: A,
+                            precedingRows: Int, add: (A, T) => A,
+                            retract: (A, T) => A): (Vector[(T, A)], Seq[T], A) = {
+    var carry = carry0
+    var acc = acc0
+    val out = Vector.newBuilder[(T, A)]
+    rows.foreach { t =>
+      acc = add(acc, t)
+      carry :+= t
+      if (carry.size > precedingRows + 1) {
+        acc = retract(acc, carry.head)
+        carry = carry.tail
+      }
+      out += ((t, acc))
+    }
+    (out.result(), carry, acc)
+  }
+
+  /** Pure bounded-RANGE-frame fold (reference
+    * RowTimeRangeBoundedPrecedingFunction.java:296): the frame holds
+    * every row with ts in [ts(current) - precedingMs, ts(current)].
+    * Same-timestamp peers enter together and share one aggregate value
+    * — SQL RANGE-frame peer semantics, exactly the reference's
+    * per-timestamp batching.
+    */
+  def rangeBoundedFold[T, A](rows: Seq[T], tsMs: T => Long, carry0: Seq[T],
+                             acc0: A, precedingMs: Long, add: (A, T) => A,
+                             retract: (A, T) => A): (Vector[(T, A)], Seq[T], A) = {
+    var carry = carry0
+    var acc = acc0
+    val out = Vector.newBuilder[(T, A)]
+    val seq = rows.toIndexedSeq
+    var i = 0
+    while (i < seq.length) {
+      val t0 = tsMs(seq(i))
+      var j = i
+      while (j < seq.length && tsMs(seq(j)) == t0) {
+        acc = add(acc, seq(j)); carry :+= seq(j); j += 1
+      }
+      while (carry.nonEmpty && tsMs(carry.head) < t0 - precedingMs) {
+        acc = retract(acc, carry.head); carry = carry.tail
+      }
+      var k = i
+      while (k < j) { out += ((seq(k), acc)); k += 1 }
+      i = j
+    }
+    (out.result(), carry, acc)
+  }
+
+  /** Streaming OVER with a bounded ROWS frame (`ROWS BETWEEN n
+    * PRECEDING AND CURRENT ROW`): per key, rows emit in event-time
+    * order (ties broken by `tie`) once the watermark passes them,
+    * aggregated over the last `precedingRows`+1 rows with the evicted
+    * row retracted — RowTimeRowsBoundedPrecedingFunction semantics.
+    * State = pending immature rows + the ≤precedingRows+1 frame rows +
+    * the accumulator: bounded per key.
+    */
+  def eventTimeRowsBoundedAgg[K, T, A](ds: Dataset[T], keyFn: T => K,
+      tsMs: T => Long, tie: T => Long, precedingRows: Int,
+      zero: A, add: (A, T) => A, retract: (A, T) => A)
+     (implicit ek: Encoder[K], eo: Encoder[(K, T, A)]): Dataset[(K, T, A)] = {
+    implicit val se: Encoder[(Seq[T], Seq[T], A)] = Encoders.kryo[(Seq[T], Seq[T], A)]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Seq[T], A)]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (pending, carry, acc) =
+            state.getOption.getOrElse((Seq.empty[T], Seq.empty[T], zero))
+          pending ++= rows
+          val (ready, still) = pending.partition(t => tsMs(t) <= wm)
+          val (outs, carry2, acc2) = rowsBoundedFold(
+            ready.sortBy(t => (tsMs(t), tie(t))), carry, acc,
+            precedingRows, add, retract)
+          state.update((still, carry2, acc2))
+          if (still.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          outs.iterator.map { case (t, a) => (key, t, a) }
+      }
+  }
+
+  /** Streaming OVER with a bounded RANGE frame (`RANGE BETWEEN
+    * <interval> PRECEDING AND CURRENT ROW`): like
+    * [[eventTimeRowsBoundedAgg]] but the frame is time-bounded —
+    * every row within `precedingMs` of the current row's event time,
+    * same-timestamp peers sharing one aggregate
+    * (RowTimeRangeBoundedPrecedingFunction semantics). State is
+    * bounded by the frame's time span.
+    */
+  def eventTimeRangeBoundedAgg[K, T, A](ds: Dataset[T], keyFn: T => K,
+      tsMs: T => Long, tie: T => Long, precedingMs: Long,
+      zero: A, add: (A, T) => A, retract: (A, T) => A)
+     (implicit ek: Encoder[K], eo: Encoder[(K, T, A)]): Dataset[(K, T, A)] = {
+    implicit val se: Encoder[(Seq[T], Seq[T], A)] = Encoders.kryo[(Seq[T], Seq[T], A)]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Seq[T], A)]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (pending, carry, acc) =
+            state.getOption.getOrElse((Seq.empty[T], Seq.empty[T], zero))
+          pending ++= rows
+          val (ready, still) = pending.partition(t => tsMs(t) <= wm)
+          val (outs, carry2, acc2) = rangeBoundedFold(
+            ready.sortBy(t => (tsMs(t), tie(t))), tsMs, carry, acc,
+            precedingMs, add, retract)
+          state.update((still, carry2, acc2))
+          if (still.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          outs.iterator.map { case (t, a) => (key, t, a) }
       }
   }
 

@@ -68,6 +68,66 @@ class FacadeSpec extends AnyFunSuite {
     assert(out.select("__rowkind").distinct().as[String].collect().toSeq == Seq("+I"))
   }
 
+  test("CREATE TABLE DDL registers a watermarked filesystem table; TVF query runs over it") {
+    val env = GraftTableEnvironment.create(spark)
+    val r = env.executeSql("""
+      CREATE TABLE ddl_orders (
+        o_orderkey BIGINT,
+        o_custkey BIGINT,
+        o_orderstatus STRING,
+        o_totalprice DOUBLE,
+        o_orderdate TIMESTAMP(3),
+        o_orderpriority STRING,
+        is_big AS o_totalprice > 200000.0,
+        PRIMARY KEY (o_orderkey) NOT ENFORCED,
+        WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '5' SECOND
+      ) WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/orders.parquet',
+        'format' = 'parquet'
+      )""")
+    assert(r.as[String].head() == "OK")
+    assert(env.declaredWatermark("ddl_orders").contains(("o_orderdate", "5 second")))
+    assert(env.primaryKey("ddl_orders") == Seq("o_orderkey"))
+    // computed column materialized
+    assert(spark.table("ddl_orders").columns.contains("is_big"))
+    // Flink TVF window SQL over the DDL-registered table
+    val win = env.executeSql("""
+      SELECT window_start, count(1) AS n
+      FROM TABLE(TUMBLE(TABLE ddl_orders, DESCRIPTOR(o_orderdate), INTERVAL '30' DAY))
+      GROUP BY window_start""")
+    assert(win.count() > 0)
+    env.executeSql("DROP TABLE ddl_orders")
+    assert(!spark.catalog.tableExists("ddl_orders"))
+    assert(env.declaredWatermark("ddl_orders").isEmpty)
+  }
+
+  test("CREATE TABLE DDL with datagen and values connectors") {
+    val env = GraftTableEnvironment.create(spark)
+    env.executeSql("""
+      CREATE TABLE ddl_gen (id BIGINT, name STRING)
+      WITH ('connector' = 'datagen', 'number-of-rows' = '25')""")
+    assert(spark.table("ddl_gen").count() == 25)
+    env.executeSql("""
+      CREATE TABLE ddl_empty (
+        k INT NOT NULL,
+        tags ARRAY<STRING>,
+        props MAP<STRING, INT>,
+        PRIMARY KEY (k) NOT ENFORCED)""")
+    val empty = spark.table("ddl_empty")
+    assert(empty.count() == 0)
+    assert(empty.schema("tags").dataType.typeName == "array")
+    assert(empty.schema("props").dataType.typeName == "map")
+    assert(env.primaryKey("ddl_empty") == Seq("k"))
+    // IF NOT EXISTS is a no-op on the existing table
+    env.executeSql("""
+      CREATE TABLE IF NOT EXISTS ddl_gen (other INT)
+      WITH ('connector' = 'datagen', 'number-of-rows' = '5')""")
+    assert(spark.table("ddl_gen").count() == 25)
+    env.executeSql("DROP TABLE IF EXISTS ddl_gen")
+    env.executeSql("DROP TABLE IF EXISTS ddl_empty")
+  }
+
   test("FOR SYSTEM_TIME AS OF rewrites to the versioned-interval join") {
     val env = GraftTableEnvironment.create(spark)
     // versioned rates: currency EUR at t=10 rate 1.0, t=20 rate 2.0

@@ -348,6 +348,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", 1.0), (1L, "b", 3.0), (1L, "c", 6.0), (1L, "z", 15.0)))
   }
 
+  test("eventTimeRowsBoundedAgg retracts the evicted row across batches") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    // ROWS 1 PRECEDING: each row's aggregate covers itself + one before.
+    val out = StatefulOps.eventTimeRowsBoundedAgg[Long, SEv, Double](
+      wmarked, _.k, _.ts.getTime, _.ts.getTime, 1,
+      0.0, (a, e) => a + e.v, (a, e) => a - e.v)
+      .map { case (k, e, a) => (k, e.tag, a) }
+    val q = out.writeStream.format("memory").queryName("rowsbnd")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(20), 2.0, "b"), SEv(1, ts(10), 1.0, "a"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(30), 3.0, "c")) // wm=20: a, b released
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(99), 9.0, "z")) // wm=30: c released (frame b,c)
+    runToCompletion(q)                   // timeout at final wm releases z
+    val got = spark.table("rowsbnd").as[(Long, String, Double)].collect().toSeq
+    // frames: a=[a], b=[a,b], c=[b,c] (a retracted), z=[c,z]
+    assert(got == Seq((1L, "a", 1.0), (1L, "b", 3.0), (1L, "c", 5.0), (1L, "z", 12.0)))
+  }
+
+  test("eventTimeRangeBoundedAgg keeps a time-bounded frame with peers") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    // RANGE 15s PRECEDING; same-ts peers share one aggregate.
+    val out = StatefulOps.eventTimeRangeBoundedAgg[Long, SEv, Double](
+      wmarked, _.k, _.ts.getTime, _.v.toLong, 15000L,
+      0.0, (a, e) => a + e.v, (a, e) => a - e.v)
+      .map { case (k, e, a) => (k, e.tag, a) }
+    val q = out.writeStream.format("memory").queryName("rangebnd")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 1.0, "a"), SEv(1, ts(20), 2.0, "b1"),
+      SEv(1, ts(20), 3.0, "b2"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(40), 4.0, "d")) // wm=20: a,b1,b2 released
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(99), 9.0, "z")) // wm=40: d released (a,b out of range)
+    runToCompletion(q)
+    val got = spark.table("rangebnd").as[(Long, String, Double)].collect().toSeq
+    // a=[a]=1; b1,b2 peers=[a,b1,b2]=6; d=[d]=4 (25..40 range); z=[z]=9
+    assert(got == Seq((1L, "a", 1.0), (1L, "b1", 6.0), (1L, "b2", 6.0),
+      (1L, "d", 4.0), (1L, "z", 9.0)))
+  }
+
+  // ProcessingTimeTimeout makes the engine schedule batches continuously
+  // (shouldRunAnotherBatch is always true), so processAllAvailable and
+  // even Trigger.AvailableNow never settle. The timers DO fire in those
+  // background batches, so the test keeps one running query and polls
+  // the memory sink for the expected emission (deadline-bounded).
+  private def awaitOutput[T](table: String, deadlineMs: Long = 30000)
+                            (pred: Seq[org.apache.spark.sql.Row] => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!pred(spark.table(table).collect().toSeq)) {
+      assert(System.currentTimeMillis() - t0 < deadlineMs,
+        s"expected output never appeared in $table")
+      Thread.sleep(100)
+    }
+  }
+
+  test("state TTL evicts idle keys; re-arrival re-inserts as +I") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.streamingTopN[Long, SEv](
+      in.toDS(), 2, _.k, (a, b) => a.v > b.v, stateTtlMs = Some(200L))
+    val q = out.writeStream.format("memory").queryName("topnttl")
+      .outputMode("update").start()
+    try {
+      in.addData(SEv(1, ts(1), 10.0, "a"))
+      awaitOutput("topnttl")(_.nonEmpty)
+      // key 1 idles past its TTL; the continuously-running empty batches
+      // fire its timer and drop the state.
+      Thread.sleep(600)
+      in.addData(SEv(2, ts(2), 1.0, "other"))
+      awaitOutput("topnttl")(_.exists(_.getStruct(2).getLong(0) == 2L))
+      in.addData(SEv(1, ts(3), 5.0, "fresh")) // state gone: +I, not +U
+      awaitOutput("topnttl")(_.count(_.getStruct(2).getLong(0) == 1L) == 2)
+    } finally q.stop()
+    val k1 = spark.table("topnttl").as[Change[SEv]].collect()
+      .filter(_.value.k == 1).map(c => (c.kind, c.rank, c.value.tag)).toSeq
+    // Without eviction the 5.0 row would REPLACE rank 1 (+U) — the
+    // second +I at rank 1 proves the key's state was dropped.
+    assert(k1 == Seq(("+I", 1, "a"), ("+I", 1, "fresh")))
+  }
+
+  test("state TTL evicts idle dedup keys; re-arrival is +I not -U/+U") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.keepLastDedup[Long, SEv](
+      in.toDS(), _.k, (a, b) => a.ts.getTime > b.ts.getTime,
+      stateTtlMs = Some(200L))
+    val q = out.writeStream.format("memory").queryName("dedupttl")
+      .outputMode("update").start()
+    try {
+      in.addData(SEv(1, ts(10), 1.0, "old"))
+      awaitOutput("dedupttl")(_.nonEmpty)
+      Thread.sleep(600)
+      in.addData(SEv(2, ts(11), 0.0, "other"))
+      awaitOutput("dedupttl")(_.exists(_.getStruct(1).getLong(0) == 2L))
+      in.addData(SEv(1, ts(20), 2.0, "fresh"))
+      awaitOutput("dedupttl")(_.count(_.getStruct(1).getLong(0) == 1L) == 2)
+    } finally q.stop()
+    val d1 = spark.table("dedupttl").as[DedupChange[SEv]].collect()
+      .filter(_.value.k == 1).map(r => (r.kind, r.value.tag)).toSeq
+    assert(d1 == Seq(("+I", "old"), ("+I", "fresh"))) // no -U/+U pair: state evicted
+  }
+
   test("built-in parity: streaming session window aggregate") {
     val in = MemoryStream[SEv]
     val agg = in.toDS().withWatermark("ts", "0 seconds")
