@@ -18,6 +18,7 @@ object SparkEntry {
     operators.MoreParity,
     operators.DsParity,
     operators.DsParityExt,
+    operators.DsParityExt2,
     operators.TpchGate
   )
 
