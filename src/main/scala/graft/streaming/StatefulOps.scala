@@ -116,9 +116,9 @@ object StatefulOps {
     * sorted once the watermark passes their timestamp. Requires
     * `withWatermark` upstream; emits in Append mode.
     */
-  def eventTimeSorted[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long)
+  def eventTimeSorted[K, T: TypeTag](ds: Dataset[T], keyFn: T => K, tsMs: T => Long)
                            (implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] = {
-    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    implicit val se: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
@@ -190,7 +190,7 @@ object StatefulOps {
                           valueFn: T => Double)
                          (implicit ek: Encoder[K], ew: Encoder[WindowResult[K]]): Dataset[WindowResult[K]] = {
     implicit val se: Encoder[(Long, Long, Seq[Double])] =
-      Encoders.kryo[(Long, Long, Seq[Double])]
+      ExpressionEncoder[(Long, Long, Seq[Double])]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: K, rows: Iterator[T], state: GroupState[(Long, Long, Seq[Double])]) =>
@@ -222,13 +222,13 @@ object StatefulOps {
     * complete up to it). Right versions below the minimum pending left
     * time are evicted — bounded state.
     */
-  def temporalJoin[K, L, R](left: Dataset[L], right: Dataset[R],
+  def temporalJoin[K, L: TypeTag, R: TypeTag](left: Dataset[L], right: Dataset[R],
                             keyL: L => K, keyR: R => K,
                             tsLMs: L => Long, tsRMs: R => Long,
                             watermarkDelay: String = "0 seconds")
                            (implicit ek: Encoder[K], eti: Encoder[TaggedInput[L, R]],
                             em: Encoder[AsOfMatch[L, R]]): Dataset[AsOfMatch[L, R]] = {
-    implicit val se: Encoder[(Seq[L], Seq[R])] = Encoders.kryo[(Seq[L], Seq[R])]
+    implicit val se: Encoder[(Seq[L], Seq[R])] = ExpressionEncoder[(Seq[L], Seq[R])]()
     val tagged = left
       .map(l => TaggedInput[L, R](new java.sql.Timestamp(tsLMs(l)), Some(l), None))
       .union(right.map(r => TaggedInput[L, R](new java.sql.Timestamp(tsRMs(r)), None, Some(r))))
@@ -268,11 +268,11 @@ object StatefulOps {
     * rows until the watermark passes them, then emit in time order with
     * the running accumulator carried in state.
     */
-  def eventTimeRunningAgg[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
+  def eventTimeRunningAgg[K, T: TypeTag](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
                                 zero: Double, add: (Double, T) => Double)
                                (implicit ek: Encoder[K],
                                 eo: Encoder[(K, T, Double)]): Dataset[(K, T, Double)] = {
-    implicit val se: Encoder[(Seq[T], Double)] = Encoders.kryo[(Seq[T], Double)]
+    implicit val se: Encoder[(Seq[T], Double)] = ExpressionEncoder[(Seq[T], Double)]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Double)]) =>
@@ -359,11 +359,11 @@ object StatefulOps {
     * State = pending immature rows + the ≤precedingRows+1 frame rows +
     * the accumulator: bounded per key.
     */
-  def eventTimeRowsBoundedAgg[K, T, A](ds: Dataset[T], keyFn: T => K,
+  def eventTimeRowsBoundedAgg[K, T: TypeTag, A: TypeTag](ds: Dataset[T], keyFn: T => K,
       tsMs: T => Long, tie: T => Long, precedingRows: Int,
       zero: A, add: (A, T) => A, retract: (A, T) => A)
      (implicit ek: Encoder[K], eo: Encoder[(K, T, A)]): Dataset[(K, T, A)] = {
-    implicit val se: Encoder[(Seq[T], Seq[T], A)] = Encoders.kryo[(Seq[T], Seq[T], A)]
+    implicit val se: Encoder[(Seq[T], Seq[T], A)] = ExpressionEncoder[(Seq[T], Seq[T], A)]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Seq[T], A)]) =>
@@ -389,11 +389,11 @@ object StatefulOps {
     * (RowTimeRangeBoundedPrecedingFunction semantics). State is
     * bounded by the frame's time span.
     */
-  def eventTimeRangeBoundedAgg[K, T, A](ds: Dataset[T], keyFn: T => K,
+  def eventTimeRangeBoundedAgg[K, T: TypeTag, A: TypeTag](ds: Dataset[T], keyFn: T => K,
       tsMs: T => Long, tie: T => Long, precedingMs: Long,
       zero: A, add: (A, T) => A, retract: (A, T) => A)
      (implicit ek: Encoder[K], eo: Encoder[(K, T, A)]): Dataset[(K, T, A)] = {
-    implicit val se: Encoder[(Seq[T], Seq[T], A)] = Encoders.kryo[(Seq[T], Seq[T], A)]
+    implicit val se: Encoder[(Seq[T], Seq[T], A)] = ExpressionEncoder[(Seq[T], Seq[T], A)]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Seq[T], A)]) =>
@@ -433,6 +433,9 @@ object StatefulOps {
   def cepStream[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
                       pattern: Nfa.Pattern[T])
                      (implicit ek: Encoder[K]): Dataset[Nfa.Match[T]] = {
+    // Kryo stays here deliberately: the SQL surface drives CEP with
+    // T = Row (MatchRecognize.runStream), and Row has no product
+    // encoder — a schema-typed state encoding is impossible for it.
     implicit val e1: Encoder[Nfa.Match[T]] = Encoders.kryo[Nfa.Match[T]]
     cepStreamWithTimeouts(ds, keyFn, tsMs, pattern)
       .flatMap(r => if (r._1) None else Some(r._2))
