@@ -65,7 +65,12 @@ class GraftTableEnvironment private (val spark: SparkSession) {
       case "filesystem" =>
         val path = stmt.options.getOrElse("path",
           throw new IllegalArgumentException("filesystem connector requires 'path'"))
-        val fmt = stmt.options.getOrElse("format", "parquet")
+        // 'avro' maps to the engine's own DSv2 reader (the env has the
+        // Avro core jars but not the spark-avro wrapper).
+        val fmt = stmt.options.getOrElse("format", "parquet") match {
+          case "avro" => "graft-avro"
+          case f      => f
+        }
         val reader = spark.read.format(fmt)
         // Self-describing formats carry their own schema; text formats
         // take the declared one (csv additionally its header option).
