@@ -114,6 +114,17 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Two-stage ANN: PQ-ADC shortlist (top 20 from codes alone) then
+    // EXACT cosine re-rank of only those pairs — FAISS-style
+    // refine-after-prefilter; the exact math never touches the corpus
+    // pair space.
+    "te08_ann_pq_rerank" -> { (s, dir) =>
+      VectorOps.pqRerankTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", _ % 25 === 0, subDim = 8, nCent = 16,
+          shortlist = 20, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Embedding-cosine near-dup dedup: connected pairs above 0.45 keep
     // the lower id as representative (one-hop union: keep_id = min peer).
     "te04_embedding_neardup" -> { (s, dir) =>
@@ -457,6 +468,57 @@ object SimilaritySuite extends QueryModule {
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY score DESC, vec_id) AS INT) AS rk
         FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    "te08_ann_pq_rerank" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS dd, x FROM ex),
+      cent AS (SELECT vec_id AS cid, sub, dd, x AS cx FROM sx WHERE vec_id < 16),
+      adot AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               sum(CAST(floor((v.x * c.cx) * 1e12) AS BIGINT)) AS dt
+        FROM sx v JOIN cent c ON v.sub = c.sub AND v.dd = c.dd
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY dt DESC, cid) AS rk FROM adot)
+        WHERE rk = 1),
+      qdot AS (SELECT vec_id AS query_id, sub, cid, dt FROM adot
+               WHERE vec_id % 25 = 0),
+      shortlist AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS rk
+          FROM (
+            SELECT q.query_id, c.vec_id,
+                   CAST(sum(q.dt) AS DOUBLE) / 1e12 AS score
+            FROM codes c
+            JOIN qdot q ON c.sub = q.sub AND c.code = q.cid
+            WHERE q.query_id <> c.vec_id
+            GROUP BY 1, 2))
+        WHERE rk <= 20),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      exact AS (
+        SELECT s.query_id, s.vec_id,
+               round((CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS cos
+        FROM shortlist s
+        JOIN ex a ON a.vec_id = s.query_id
+        JOIN ex b ON b.vec_id = s.vec_id AND b.d = a.d
+        JOIN norms na ON na.vec_id = s.query_id
+        JOIN norms nb ON nb.vec_id = s.vec_id
+        GROUP BY s.query_id, s.vec_id)
+      SELECT query_id, vec_id, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM exact)
       WHERE rk <= 5
       ORDER BY query_id, rk""",
 

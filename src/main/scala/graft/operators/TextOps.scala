@@ -285,6 +285,24 @@ object TextOps {
         round(col("cnt") / col("n_grams"), fracDigits).as("top_frac"))
   }
 
+  /** Deny-list / PII scrubbing — the C4/Gopher-style cleanup step that
+    * redacts sensitive patterns (emails, phone numbers, banned terms)
+    * before training. The deny-list compiles into ONE regex literal, so
+    * at 100 TB this is a stateless map-side pass: no shuffle, no state,
+    * whole-stage-codegen regexp over each partition. Per doc it reports
+    * the redaction count plus the hash and length of the cleaned text
+    * (the cleaned text itself stays in the pipeline; the projection is
+    * what the oracle compares). Patterns must stay in the RE2 ∩ Java
+    * regex dialect so external engines (the DuckDB oracle, but also any
+    * RE2-based scrubber) reproduce the result exactly.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            denyRe: String, replacement: String = "[REDACTED]"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(denyRe), lit(0))).as("n_redactions"),
+      md5(regexp_replace(col(textCol), denyRe, replacement)).as("clean_hash"),
+      length(regexp_replace(col(textCol), denyRe, replacement)).as("clean_len"))
+
   /** 60-bit SimHash per doc over distinct words (word hash = first 15 hex
     * chars of md5, so the oracle can recompute it).
     */

@@ -234,6 +234,16 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("lang", "doc_id")
     },
 
+    // Deny-list / PII scrubbing — redact banned terms + email-shaped
+    // strings before training (the testdata carries no real PII, so the
+    // deny-list terms are corpus words; the email alternative exercises
+    // the PII pattern path). Stateless map-side regexp, no shuffle.
+    "td15_scrub" -> { (s, dir) =>
+      TextOps.scrub(Tables.load(s, dir, "documents"), "doc_id", "text",
+          "\\b(customer|value|a)\\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        .orderBy("doc_id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -440,6 +450,20 @@ object TextPipelineSuite extends QueryModule {
                                   ORDER BY length(text) DESC, doc_id) AS rn
         FROM documents)
       WHERE rn <= 20
-      ORDER BY lang, rn"""
+      ORDER BY lang, rn""",
+
+    "td15_scrub" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '\b(customer|value|a)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          AS INT) AS n_redactions,
+        md5(regexp_replace(text,
+          '\b(customer|value|a)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '[REDACTED]', 'g')) AS clean_hash,
+        CAST(length(regexp_replace(text,
+          '\b(customer|value|a)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '[REDACTED]', 'g')) AS INT) AS clean_len
+      FROM documents
+      ORDER BY doc_id"""
   )
 }

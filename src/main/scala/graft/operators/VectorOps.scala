@@ -326,6 +326,30 @@ object VectorOps {
         round(col("score"), 6).as("score"), col("rk"))
   }
 
+  /** Two-stage ANN: PQ-ADC shortlist (cheap, codes-only) then EXACT
+    * cosine re-rank of just the shortlist pairs — the standard
+    * refine-after-prefilter pattern (FAISS IndexIVFPQ + refine). At
+    * 100 TB the exact arithmetic touches only queries × shortlist
+    * rows, never the corpus pair space; the shortlist join is a keyed
+    * equi-join on the corpus id.
+    */
+  def pqRerankTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                   isQuery: Column => Column, subDim: Int, nCent: Int,
+                   shortlist: Int, k: Int): DataFrame = {
+    val cand = pqTopK(vecs, idCol, vecCol, isQuery, subDim, nCent, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val p = prepped(vecs, idCol, vecCol)
+    val q = p.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = p.select(col("id").as("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = cand.join(broadcast(q), "query_id").join(c, "vec_id")
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv"))) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** Exact top-k neighbors per query vector (pair join + native dot).
     * O(queries × corpus); corpora above [[ExactBaselineMaxRows]] must
     * opt in via forceExact — use ivfTopK/pqTopK at scale.
