@@ -104,6 +104,25 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   /** Query returning a Table (reference Table == DataFrame here). */
   def sqlQuery(sql: String): DataFrame = executeSql(sql)
 
+  /** TableEnvironment.explainSql parity (TableEnvironmentImpl.java:679):
+    * logical + optimized + physical plan of the query AFTER the façade's
+    * dialect rewrites (so a Flink-SQL window or temporal join explains
+    * as the Spark plan that will actually run).
+    */
+  def explainSql(sql: String): String =
+    sqlQuery(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+
+  /** TableEnvironment.listTables parity. */
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** TableEnvironment.listUserDefinedFunctions parity — the engine's
+    * registered gap functions among them.
+    */
+  def listFunctions(): Seq[String] =
+    spark.catalog.listFunctions().collect().map(_.name).toSeq.sorted
+
   /** Register a table, optionally with a watermark declaration
     * (CREATE TABLE ... WATERMARK FOR ts AS ts - INTERVAL d) and
     * primary key metadata.

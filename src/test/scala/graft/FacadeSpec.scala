@@ -102,6 +102,19 @@ class FacadeSpec extends AnyFunSuite {
     assert(env.declaredWatermark("ddl_orders").isEmpty)
   }
 
+  test("explainSql shows the rewritten Spark plan; catalog listings work") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    // a Flink group-window spelling must explain as the REWRITTEN plan
+    val plan = env.explainSql("""
+      SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, count(1) AS n
+      FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)""")
+    assert(plan.contains("Physical Plan"))
+    assert(!plan.toUpperCase.contains("TUMBLE(")) // dialect rewritten away
+    assert(env.listTables().contains("events"))
+    assert(env.listFunctions().contains("split_index")) // gap function registered
+  }
+
   test("CREATE TABLE DDL with datagen and values connectors") {
     val env = GraftTableEnvironment.create(spark)
     env.executeSql("""

@@ -126,6 +126,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
   }
 
+  test("scrub is one map-side pass: no Exchange in the plan") {
+    val r = graft.operators.TextOps.scrub(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", "\\b(customer|value)\\b")
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // deny-list scrubbing must stay a stateless projection over the
+    // scan — any Exchange would mean a 100 TB corpus gets reshuffled
+    // just to run a regex
+    assert(!plan.contains("Exchange"), s"scrub plan shuffles:\n$plan")
+  }
+
+  test("PQ re-rank scores only the shortlist (plan shape: no corpus pair join)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = graft.operators.VectorOps.pqRerankTopK(emb, "vec_id", "embedding",
+      _ % 25 === 0, subDim = 8, nCent = 16, shortlist = 10, k = 5)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val plan = r.queryExecution.executedPlan.toString
+    // the exact-dot stage must join shortlist -> vectors by key; a
+    // cartesian/BNLJ would mean it fell back to the pair space
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"re-rank fell back to pair space:\n$plan")
+  }
+
+  test("DS channel pivots scan the fact once and self-join the aggregate (ds16 shape)") {
+    val r = SparkEntry.queries("ds16_qoq_channel_growth")(spark, "/root/testdata/sf0.001")
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // the four quarter/channel slices join the AGGREGATED CTE —
+    // nation-cardinality rows — so every join of slices must be a
+    // broadcast join, never a shuffled fact-fact join
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+  }
+
   test("exact O(n^2) vector baselines refuse oversized corpora unless forced") {
     import graft.operators.VectorOps
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
