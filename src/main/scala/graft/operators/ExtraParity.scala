@@ -115,12 +115,14 @@ object ExtraParity extends QueryModule {
         .distinct().localCheckpoint()
       val nodes = edges.select(col("src").as("n"))
         .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      // The degree is loop-invariant: weld it onto the edge list ONCE
+      // so each round is one join + one aggregate instead of two joins.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val edgesDeg = edges.join(deg, "src").localCheckpoint()
       val cnt = nodes.count()
       var pr = nodes.withColumn("r", lit(1.0 / cnt))
       for (_ <- 0 until 5) {
-        val contrib = pr.join(edges, col("n") === col("src"))
-          .join(deg, "src")
+        val contrib = pr.join(edgesDeg, col("n") === col("src"))
           .groupBy(col("dst"))
           .agg((sum(floor((col("r") / col("d")) * 1e9).cast("long"))
             .cast("double") / 1e9).as("s"))
