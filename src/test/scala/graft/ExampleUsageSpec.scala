@@ -29,6 +29,51 @@ class ExampleUsageSpec extends AnyFunSuite {
     assert(top.count() == 5) // dialect functions work inside Spark SQL
   }
 
+  test("example: Flink DDL end-to-end — create, query, clean text, drop") {
+    val env = GraftTableEnvironment.create(spark)
+    // the full Flink CREATE TABLE dialect, including a computed column
+    env.executeSql("""
+      CREATE TABLE docs (
+        doc_id BIGINT,
+        text STRING,
+        lang STRING,
+        source STRING,
+        n_chars BIGINT,
+        is_long AS n_chars > 500,
+        PRIMARY KEY (doc_id) NOT ENFORCED
+      ) WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/documents.parquet',
+        'format' = 'parquet'
+      )""")
+    // training-data cleanup over the DDL-registered table: deny-list
+    // scrub, then keep docs with few redactions
+    val cleaned = TextOps.scrub(env.from("docs"), "doc_id", "text",
+        "\\b(customer|value)\\b")
+      .where(col("n_redactions") < 10)
+    assert(cleaned.count() > 0)
+    env.executeSql("DROP TABLE docs")
+  }
+
+  test("example: Avro in, Avro out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ex-avro").toString
+    graft.sources.AvroFormat.write(
+      Tables.load(spark, "/root/testdata/sf0.001", "region"), dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.count() == 5)
+  }
+
+  test("example: two-stage ANN — PQ shortlist, exact re-rank") {
+    val top = graft.operators.VectorOps.pqRerankTopK(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      "vec_id", "embedding", _ % 25 === 0, subDim = 8, nCent = 16,
+      shortlist = 10, k = 3)
+    // every query gets exactly k ranked neighbors, best first
+    val perQuery = top.groupBy("query_id").count().select("count")
+      .as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 3))
+  }
+
   test("example: Flink windowed SQL runs verbatim") {
     val env = GraftTableEnvironment.create(spark)
     env.registerTestTables("/root/testdata/sf0.001")
