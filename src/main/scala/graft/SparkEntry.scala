@@ -19,6 +19,7 @@ object SparkEntry {
     operators.DsParity,
     operators.DsParityExt,
     operators.DsParityExt2,
+    operators.DsParityExt3,
     operators.TpchGate
   )
 
