@@ -217,6 +217,37 @@ object SimilaritySuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Multimodal: audio-style DSP over a binary payload — the payload
+    // bytes are treated as 8-bit PCM samples, windowed into 100-sample
+    // frames (full frames only) with per-frame RMS and peak, the
+    // loudness-analysis shape of an audio curation pipeline. Real byte
+    // arithmetic in a typed mapPartitions batch; integer sum-of-squares
+    // so the oracle's sqrt sees identical operands.
+    "mm03_audio_rms" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val frames = bytes.length / 100
+          Iterator.tabulate(frames) { f =>
+            var i = f * 100
+            val end = i + 100
+            var sumsq = 0L
+            var peak = 0
+            while (i < end) {
+              val v = bytes(i) & 0xff
+              sumsq += v.toLong * v
+              if (v > peak) peak = v
+              i += 1
+            }
+            (id, f, math.sqrt(sumsq / 100.0), peak)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "rms", "peak")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Multimodal: frame sampling for "video" payloads (every 30th frame
     // of n_bytes%240 frames) with frame timestamps.
     "mm02_frame_sample" -> { (s, dir) =>
@@ -578,6 +609,19 @@ object SimilaritySuite extends QueryModule {
         CAST(sum_r + sum_g + sum_b AS BIGINT) / (3.0 * (w * h)) AS f3
       FROM sums
       ORDER BY doc_id""",
+
+    "mm03_audio_rms" -> """
+      WITH chars AS (
+        SELECT doc_id, CAST((i - 1) // 100 AS INT) AS frame_idx,
+               ord(substring(text, CAST(i AS INT), 1)) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (length(text) // 100) * 100 + 1)) AS i))
+      SELECT doc_id, frame_idx,
+             sqrt(CAST(sum(c * c) AS BIGINT) / 100.0) AS rms,
+             CAST(max(c) AS INT) AS peak
+      FROM chars
+      GROUP BY doc_id, frame_idx
+      ORDER BY doc_id, frame_idx""",
 
     "mm02_frame_sample" -> """
       SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
