@@ -392,6 +392,52 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "d", 4.0), (1L, "z", 9.0)))
   }
 
+  test("property: bounded folds equal the naive window definition, any batching") {
+    import org.scalacheck.{Gen, Prop}
+    // rows are (ts, value); same-ts rows are RANGE-frame peers
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-5L, 5L)))
+      .map(_.sortBy(_._1).toIndexedSeq)
+    val splits = Gen.choose(0, 5)
+    val prop = Prop.forAll(rows, splits, Gen.choose(0, 4), Gen.choose(0L, 10L)) {
+      (rs, nSplit, prec, precMs) =>
+        // naive ROWS frame: sum of the last prec+1 rows
+        val expRows = rs.zipWithIndex.map { case (_, i) =>
+          rs.slice(math.max(0, i - prec), i + 1).map(_._2).sum
+        }
+        // naive RANGE frame: sum of rows with ts in [ts_i - precMs, ts_i]
+        val expRange = rs.map { case (t, _) =>
+          rs.filter(r => r._1 >= t - precMs && r._1 <= t).map(_._2).sum
+        }
+        // run the folds over an ARBITRARY batching (carry threaded
+        // through), mimicking how the streaming operator feeds them —
+        // but never splitting a same-ts peer group across batches for
+        // the RANGE fold (the operator releases peers together too)
+        val cutPoints = (1 to nSplit)
+          .map(k => rs.size * k / (nSplit + 1))
+          .filter(i => i > 0 && i < rs.size &&
+            (i >= rs.size || rs(i - 1)._1 != rs(i)._1))
+          .distinct.sorted
+        val batches = (0 +: cutPoints :+ rs.size).distinct.sorted
+          .sliding(2).filter(_.size == 2).map(w => rs.slice(w(0), w(1))).toSeq
+        var (carryR, accR) = (Seq.empty[(Long, Long)], 0L)
+        val gotRows = batches.flatMap { b =>
+          val (out, c, a) = StatefulOps.rowsBoundedFold[(Long, Long), Long](
+            b, carryR, accR, prec, _ + _._2, _ - _._2)
+          carryR = c; accR = a; out.map(_._2)
+        }
+        var (carryG, accG) = (Seq.empty[(Long, Long)], 0L)
+        val gotRange = batches.flatMap { b =>
+          val (out, c, a) = StatefulOps.rangeBoundedFold[(Long, Long), Long](
+            b, _._1, carryG, accG, precMs, _ + _._2, _ - _._2)
+          carryG = c; accG = a; out.map(_._2)
+        }
+        gotRows == expRows && gotRange == expRange
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   // ProcessingTimeTimeout makes the engine schedule batches continuously
   // (shouldRunAnotherBatch is always true), so processAllAvailable and
   // even Trigger.AvailableNow never settle. The timers DO fire in those
