@@ -36,7 +36,11 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     if (FlinkDdl.isDropTable(sql)) {
       val (name, ifExists) = FlinkDdl.parseDrop(sql)
       val dropped = spark.catalog.dropTempView(name)
-      require(dropped || ifExists, s"table not found: $name")
+      // Not a temp view of ours: a catalog table created via
+      // pass-through Spark DDL in this same façade must stay droppable —
+      // delegate the statement to Spark instead of failing.
+      if (!dropped && spark.catalog.tableExists(name)) spark.sql(sql)
+      else require(dropped || ifExists, s"table not found: $name")
       watermarkDecl.remove(name); primaryKeys.remove(name)
       return okResult()
     }
@@ -146,8 +150,21 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   def fromWithWatermark(name: String): DataFrame = {
     val df = spark.table(name)
     watermarkDecl.get(name) match {
-      case Some((tsCol, delay)) => df.withWatermark(tsCol, delay)
-      case None                 => df
+      case Some((tsCol, delay)) =>
+        // Structured Streaming watermarks require an instant-typed
+        // event-time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+        // ntz). A Flink TIMESTAMP(p) rowtime maps to timestamp_ntz, so
+        // cast it for the streaming read — the session time zone (UTC
+        // in GraftSession) interprets the wall clock, matching the
+        // reference's tz-agnostic rowtime.
+        val d0 =
+          if (df.isStreaming && df.schema(tsCol).dataType ==
+              org.apache.spark.sql.types.TimestampNTZType)
+            df.withColumn(tsCol,
+              org.apache.spark.sql.functions.col(tsCol).cast("timestamp"))
+          else df
+        d0.withWatermark(tsCol, delay)
+      case None => df
     }
   }
 

@@ -200,6 +200,82 @@ object Nfa {
     (out.result(), timeouts.result())
   }
 
+  /** Result of one incremental scan step for the overlapping
+    * after-match strategies: matches/timeouts to emit now, plus the
+    * updated per-event `done` flags (true = this event can never again
+    * START a match — emitted, suppressed by a skip range, timed out, or
+    * first-step predicate false). Events stay CONSUMABLE by later
+    * matches while any earlier event is still open; the caller evicts
+    * only the fully-done prefix.
+    */
+  final case class Incremental[T](matches: Vector[Match[T]],
+                                  timeouts: Vector[Match[T]],
+                                  done: Vector[Boolean])
+
+  /** Incremental (resumable) scan for the OVERLAPPING after-match
+    * strategies — NoSkip / SkipToNext / SkipToFirst / SkipToLast —
+    * where a consumed event may still start or join a later match, so
+    * streaming state can't drop consumed events the way SkipPastLast
+    * does (reference flink-cep .../nfa/aftermatch/AfterMatchSkipStrategy
+    * .java keeps overlapping partial matches alive the same way).
+    *
+    * `done0` carries the flags from the previous call over the SAME
+    * (prefix-evicted) event sequence; `provisional(m, lastIdx)` is the
+    * caller's "this match could still extend past the data horizon"
+    * predicate — a provisional match is withheld: not emitted, its
+    * start left un-done, so a later call retries it. For the
+    * extent-independent strategies (NoSkip/SkipToNext resume at
+    * start+1) the scan continues past a withheld match; for
+    * SkipToFirst/SkipToLast the resume point depends on the match's
+    * final bindings, so the scan stops there until the match resolves.
+    */
+  def runIncrementalOverlap[T](events: IndexedSeq[T], done0: IndexedSeq[Boolean],
+                               time: T => Long, pattern: Pattern[T],
+                               nowMicros: Long,
+                               provisional: (Match[T], Int) => Boolean): Incremental[T] = {
+    require(pattern.afterMatch != AfterMatch.SkipPastLast,
+      "SkipPastLast uses the consuming scan, not the overlap scan")
+    val done = Array.tabulate(events.length)(i => i < done0.length && done0(i))
+    val out = Vector.newBuilder[Match[T]]
+    val touts = Vector.newBuilder[Match[T]]
+    val extentIndependent = pattern.afterMatch match {
+      case AfterMatch.NoSkip | AfterMatch.SkipToNext => true
+      case _                                         => false
+    }
+    var i = 0
+    var stop = false
+    while (i < events.length && !stop) {
+      if (done(i)) i += 1
+      else if (!pattern.steps.head.pred(events(i))) {
+        // can never start a match — resolve immediately so the done
+        // prefix (and state eviction) keeps advancing
+        done(i) = true
+        i += 1
+      } else matchFrom(events, time, pattern, i) match {
+        case Some((m, lastIdx)) =>
+          if (provisional(m, lastIdx)) {
+            if (extentIndependent) i += 1 else stop = true
+          } else {
+            out += m
+            val next = nextStart(events, pattern, m, i, lastIdx)
+            var j = i
+            while (j < next && j < events.length) { done(j) = true; j += 1 }
+            i = next
+          }
+        case None =>
+          if (pattern.withinMicros.exists(w => nowMicros - time(events(i)) >= w)) {
+            // conclusively expired start: report the timed-out partial
+            // once and resolve the start
+            val partial = greedyPrefix(events, time, pattern, i)
+            if (partial.nonEmpty) touts += Match(partial)
+            done(i) = true
+          }
+          i += 1
+      }
+    }
+    Incremental(out.result(), touts.result(), done.toVector)
+  }
+
   /** Greedy, non-backtracking prefix binding for timeout reporting:
     * bind steps left to right until one fails; empty when no step (or
     * every step) binds — a full binding is a match, not a timeout.

@@ -419,6 +419,32 @@ object EventTimeParity extends QueryModule {
           PATTERN (C{2})
           DEFINE C AS C.event_type = 'click'
         ) ORDER BY user_id, first_tus, first_click_id""")
+    },
+
+    // AFTER MATCH SKIP TO LAST <var> (flink-cep SkipToLastStrategy):
+    // a greedy view-run + purchase emits the full-run match, then the
+    // scan re-enters AT the run's last view, which matches again as a
+    // 1-view run with the same purchase — overlapping matches sharing
+    // consumed events, the semantics SKIP PAST LAST ROW cannot express.
+    "m06_skip_to_last" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m06_events")
+      env.sqlQuery("""
+        SELECT user_id, first_view_id, n_views, purchase_id, first_tus
+        FROM m06_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(V.event_id) AS first_view_id,
+                   COUNT(V.event_id) AS n_views,
+                   P.event_id AS purchase_id,
+                   FIRST(V.tus) AS first_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST V
+          PATTERN (V+ P) WITHIN INTERVAL '24' HOUR
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) ORDER BY user_id, first_tus, first_view_id""")
     }
   )
 
@@ -729,6 +755,53 @@ object EventTimeParity extends QueryModule {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       WHERE event_type = 'click' AND t1 = 'click'
-      ORDER BY user_id, first_tus, first_click_id"""
+      ORDER BY user_id, first_tus, first_click_id""",
+
+    // SKIP TO LAST V: per maximal view-run followed immediately by a
+    // purchase, the greedy NFA emits (a) the run-suffix match whose
+    // first view sits inside the 24h `within` of the purchase, then —
+    // re-entering at the last view — (b) a 1-view match with the same
+    // purchase, only when the first match bound ≥2 views (re-entry at
+    // the start makes no progress otherwise).
+    "m06_skip_to_last" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'view'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1
+        FROM g GROUP BY user_id, run_id),
+      matches AS (
+        SELECT r.user_id, r.run_id, r.p1, nxt.event_id AS purchase_id,
+               nxt.tus AS ptus
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+        WHERE nxt.event_type = 'purchase'),
+      full_matches AS (
+        SELECT m.user_id,
+               arg_min(g.event_id, g.pos) AS first_view_id,
+               arg_max(g.event_id, g.pos) AS last_view_id,
+               CAST(count(1) AS BIGINT) AS n_views,
+               m.purchase_id,
+               min(g.tus) AS first_tus,
+               max(g.tus) AS last_tus
+        FROM matches m
+        JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
+        WHERE m.ptus - g.tus < 86400000000
+        GROUP BY m.user_id, m.run_id, m.p1, m.purchase_id)
+      SELECT user_id, first_view_id, n_views, purchase_id, first_tus
+      FROM full_matches
+      UNION ALL
+      SELECT user_id, last_view_id AS first_view_id, CAST(1 AS BIGINT) AS n_views,
+             purchase_id, last_tus AS first_tus
+      FROM full_matches WHERE n_views >= 2
+      ORDER BY user_id, first_tus, first_view_id"""
   )
 }

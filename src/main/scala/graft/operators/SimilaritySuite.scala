@@ -610,16 +610,19 @@ object SimilaritySuite extends QueryModule {
       FROM sums
       ORDER BY doc_id""",
 
+    // UTF-8 BYTE semantics to match the engine's binary framing (hex
+    // pair i of encode(text) is byte i), not character code points —
+    // ord(substring(...)) would diverge on any multi-byte character.
     "mm03_audio_rms" -> """
-      WITH chars AS (
+      WITH bytes AS (
         SELECT doc_id, CAST((i - 1) // 100 AS INT) AS frame_idx,
-               ord(substring(text, CAST(i AS INT), 1)) AS c
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
         FROM documents,
-             LATERAL (SELECT unnest(range(1, (length(text) // 100) * 100 + 1)) AS i))
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 100) * 100 + 1)) AS i))
       SELECT doc_id, frame_idx,
              sqrt(CAST(sum(c * c) AS BIGINT) / 100.0) AS rms,
              CAST(max(c) AS INT) AS peak
-      FROM chars
+      FROM bytes
       GROUP BY doc_id, frame_idx
       ORDER BY doc_id, frame_idx""",
 

@@ -142,11 +142,23 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Document cap for the exact all-pairs Jaccard baseline: above it a
+    * call must opt in with forceExact=true, mirroring
+    * [[VectorOps.ExactBaselineMaxRows]] — the candidate pair set of the
+    * exact path grows with O(pairs-per-shingle) and explodes silently at
+    * corpus scale. The intended at-scale operator answering the same
+    * query is minhashLshPairsIdx (banded LSH candidates, exact verify).
+    */
+  val ExactBaselineMaxDocs: Int = 100000
+
   /** Exact all-pairs Jaccard ≥ threshold via inverted shingle index
     * (one shuffle on shingle, one on the pair key). The exact baseline;
-    * at very large scale prefer minhashLshPairs which prunes candidates.
+    * at very large scale prefer minhashLshPairs which prunes candidates
+    * (inputs above [[ExactBaselineMaxDocs]] documents must opt in via
+    * forceExact).
     */
-  def allPairsJaccardIdx(idx: DataFrame, threshold: Double): DataFrame = {
+  def allPairsJaccardIdx(idx: DataFrame, threshold: Double,
+                         forceExact: Boolean = false): DataFrame = {
     // Three consumers (sizes + both self-join sides): materialize once
     // instead of re-running the shingle pipeline per consumer. No
     // explicit repartition before the checkpoint: a full extra shuffle
@@ -155,6 +167,17 @@ object TextOps {
     // data is small enough that downstream reshuffles are cheap anyway.
     val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
       .localCheckpoint()
+    if (!forceExact) {
+      // Guard probe runs over the already-materialized checkpoint (ids
+      // only, partial distinct per partition) — it never re-runs the
+      // shingle pipeline and never counts the full pair set.
+      val nDocs = exploded.select(col("id")).distinct()
+        .limit(ExactBaselineMaxDocs + 1).count()
+      require(nDocs <= ExactBaselineMaxDocs,
+        s"allPairsJaccardIdx is the exact O(pairs) baseline and the input " +
+          s"has more than $ExactBaselineMaxDocs documents; use " +
+          "minhashLshPairsIdx at this scale, or pass forceExact=true to insist")
+    }
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // Never broadcast the inverted index: both sides are corpus-sized.
     val inter = exploded.select(col("sh"), col("id").as("id_a")).hint("shuffle_hash")
@@ -189,8 +212,9 @@ object TextOps {
 
   // Array-column adapters (tests / small inputs).
   def allPairsJaccard(docs: DataFrame, idCol: String, shinglesCol: String,
-                      threshold: Double): DataFrame =
-    allPairsJaccardIdx(explodeShingles(docs, idCol, shinglesCol), threshold)
+                      threshold: Double, forceExact: Boolean = false): DataFrame =
+    allPairsJaccardIdx(explodeShingles(docs, idCol, shinglesCol), threshold,
+      forceExact)
 
   def minhashLshPairs(docs: DataFrame, idCol: String, shinglesCol: String,
                       threshold: Double, numPerms: Int = 64,

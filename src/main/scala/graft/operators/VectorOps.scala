@@ -86,10 +86,13 @@ object VectorOps {
   private def guardExact(op: String, vecs: DataFrame, forceExact: Boolean,
                          scalePath: String): Unit =
     if (!forceExact) {
-      val n = vecs.count()
+      // Probe with limit(cap+1) so the guard job stops scanning after
+      // cap+1 rows — O(cap), never O(corpus). A full count() here would
+      // add a corpus-sized job to every guarded call.
+      val n = vecs.limit(ExactBaselineMaxRows.toInt + 1).count()
       require(n <= ExactBaselineMaxRows,
-        s"$op is an exact O(n^2) baseline and the input has $n rows " +
-          s"(cap $ExactBaselineMaxRows); use $scalePath at this scale, " +
+        s"$op is an exact O(n^2) baseline and the input has more than " +
+          s"$ExactBaselineMaxRows rows; use $scalePath at this scale, " +
           "or pass forceExact=true to insist")
     }
 

@@ -103,47 +103,102 @@ object AvroFormat {
   /** Distributed write: one container file per partition under `path`
     * via the Hadoop FileSystem API (so it lands wherever the cluster's
     * FS points, exactly like the built-in file sinks).
+    *
+    * Output commit mirrors the two guarantees of Spark's
+    * FileCommitProtocol the built-in sinks rely on: (a) tasks write to
+    * a per-attempt staging location and commit by rename, so a retried
+    * or speculative attempt never leaves a half-written container
+    * beside committed data; (b) the destination's pre-existing `.avro`
+    * files are removed only after the job succeeds, just before the
+    * staged files move in — so re-writing a directory with fewer
+    * partitions cannot leave stale part files a reader would silently
+    * include.
     */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema).toString
-    val fs0 = FileSystem.get(new java.net.URI(path),
+    val hadoopConf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    fs0.mkdirs(new Path(path))
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val schema = new Schema.Parser().parse(avroJson)
-        val pid = TaskContext.getPartitionId()
-        val fs = FileSystem.get(new java.net.URI(path),
-          new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(new Path(path, f"part-$pid%05d.avro"), true)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        writer.create(schema, out)
-        try it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
-            rec.put(f.name, if (row.isNullAt(i)) null else f.dataType match {
-              case StringType    => row.getString(i)
-              case IntegerType   => Int.box(row.getInt(i))
-              case LongType      => Long.box(row.getLong(i))
-              case DoubleType    => Double.box(row.getDouble(i))
-              case FloatType     => Float.box(row.getFloat(i))
-              case BooleanType   => Boolean.box(row.getBoolean(i))
-              case BinaryType    =>
-                java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-              case TimestampType =>
-                val t = row.getTimestamp(i)
-                Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
-              case DateType      => Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
-              case other => throw new IllegalArgumentException(
-                s"graft-avro: unsupported type $other")
-            })
-          }
-          writer.append(rec)
-        } finally writer.close()
+    val fs0 = FileSystem.get(new java.net.URI(path), hadoopConf.value)
+    val dest = new Path(path)
+    fs0.mkdirs(dest)
+    val stagingName = s"_staging-${java.util.UUID.randomUUID()}"
+    val staging = new Path(dest, stagingName)
+    fs0.mkdirs(staging)
+    try {
+      df.foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val schema = new Schema.Parser().parse(avroJson)
+          val tc = TaskContext.get()
+          val pid = tc.partitionId()
+          val fs = FileSystem.get(new java.net.URI(path), hadoopConf.value)
+          val stagingDir = new Path(new Path(path), stagingName)
+          // task-attempt-unique temp file, renamed into place on task
+          // success — the rename is the task commit
+          val attempt = new Path(stagingDir,
+            f"_attempt-$pid%05d-${tc.taskAttemptId()}.avro")
+          val committed = new Path(stagingDir, f"part-$pid%05d.avro")
+          val out = fs.create(attempt, true)
+          val writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          writer.create(schema, out)
+          try it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
+              rec.put(f.name, if (row.isNullAt(i)) null else f.dataType match {
+                case StringType    => row.getString(i)
+                case IntegerType   => Int.box(row.getInt(i))
+                case LongType      => Long.box(row.getLong(i))
+                case DoubleType    => Double.box(row.getDouble(i))
+                case FloatType     => Float.box(row.getFloat(i))
+                case BooleanType   => Boolean.box(row.getBoolean(i))
+                case BinaryType    =>
+                  java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+                case TimestampType =>
+                  val t = row.getTimestamp(i)
+                  Long.box(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+                case DateType      => Int.box(row.getDate(i).toLocalDate.toEpochDay.toInt)
+                case other => throw new IllegalArgumentException(
+                  s"graft-avro: unsupported type $other")
+              })
+            }
+            writer.append(rec)
+          } finally writer.close()
+          // commit: last successful attempt for this partition wins,
+          // and both candidates are complete container files
+          if (fs.exists(committed)) fs.delete(committed, false)
+          if (!fs.rename(attempt, committed))
+            throw new java.io.IOException(s"graft-avro: could not commit $attempt")
+        }
       }
-    }
+      // job commit: clear stale destination files, then move the
+      // staged parts in
+      fs0.listStatus(dest)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .foreach(s => fs0.delete(s.getPath, false))
+      fs0.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach(s => fs0.rename(s.getPath, new Path(dest, s.getPath.getName)))
+    } finally fs0.delete(staging, true)
+  }
+}
+
+/** Java-serializable Hadoop Configuration carrier (the Spark-internal
+  * SerializableConfiguration pattern): ships the DRIVER's conf —
+  * filesystem impls, credentials — to executor-side writers/readers
+  * instead of rebuilding a default `new Configuration()` there.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -211,16 +266,19 @@ private[sources] class AvroBatch(schema: StructType, path: String) extends Batch
   override def planInputPartitions(): Array[InputPartition] =
     AvroSource.listFiles(path).map(AvroFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(schema)
+    // factory is built on the driver: capture the session's Hadoop conf
+    // so executor-side readers see the cluster's FS settings/credentials
+    new AvroReaderFactory(schema, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private[sources] class AvroReaderFactory(schema: StructType)
+private[sources] class AvroReaderFactory(schema: StructType,
+                                         hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(new java.net.URI(file),
-        new org.apache.hadoop.conf.Configuration())
+      private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
       private val stream = new DataFileStream[GenericRecord](
         fs.open(new Path(file)), new GenericDatumReader[GenericRecord]())
       private var rec: GenericRecord = _

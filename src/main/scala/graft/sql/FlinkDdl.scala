@@ -124,10 +124,31 @@ object FlinkDdl {
       val parts = splitTopLevel(inner)
       require(parts.length == 2, s"cannot parse MAP type: $t")
       s"map<${sparkType(parts(0))},${sparkType(parts(1))}>"
-    } else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC"))
+    } else if (up.startsWith("ROW<") && up.endsWith(">")) {
+      // ROW<f0 INT, f1 STRING> → struct<f0:int,f1:string> (reference
+      // LogicalTypeRoot.ROW, RowType.java). Fields are `name TYPE`
+      // pairs split at top level so nested generics stay intact.
+      val fields = splitTopLevel(t.substring(4, t.length - 1)).map(_.trim).map {
+        case ColRe(n, ft) => s"$n:${sparkType(stripColTail(ft))}"
+        case other => throw new IllegalArgumentException(
+          s"cannot parse ROW field (expected `name TYPE`): $other")
+      }
+      s"struct<${fields.mkString(",")}>"
+    } else if (up.startsWith("MULTISET<") && up.endsWith(">"))
+      // MULTISET<e> → map<e,int> — element → multiplicity, the
+      // reference's own external representation of multisets
+      // (LogicalTypeRoot.MULTISET; CollectAggFunction emits Map<T,Int>).
+      s"map<${sparkType(t.substring(9, t.length - 1))},int>"
+    else if (up.startsWith("DECIMAL") || up.startsWith("NUMERIC"))
       t.toLowerCase.replace("numeric", "decimal")
     else if (up.startsWith("VARCHAR") || up.startsWith("CHAR") || up == "STRING") "string"
-    else if (up.startsWith("TIMESTAMP_LTZ") || up.startsWith("TIMESTAMP")) "timestamp"
+    else if (up.startsWith("TIMESTAMP_LTZ") ||
+      (up.startsWith("TIMESTAMP") && up.contains("LOCAL TIME ZONE"))) "timestamp"
+    else if (up.startsWith("TIMESTAMP"))
+      // TIMESTAMP(p) in Flink is WITHOUT time zone (SURVEY §1.2 maps it
+      // to Spark timestamp_ntz); only TIMESTAMP_LTZ is the
+      // instant/local-time-zone type that Spark's `timestamp` models.
+      "timestamp_ntz"
     else up match {
       case "BOOLEAN"          => "boolean"
       case "TINYINT"          => "tinyint"

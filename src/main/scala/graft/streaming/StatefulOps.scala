@@ -266,16 +266,20 @@ object StatefulOps {
     * RowTimeRowsUnboundedPrecedingFunction (flink-table-runtime
     * .../over/AbstractRowTimeUnboundedPrecedingOver.java:286): buffer
     * rows until the watermark passes them, then emit in time order with
-    * the running accumulator carried in state.
+    * the running accumulator carried in state. The accumulator is any
+    * product type `A` — a multi-aggregate OVER (avg+count+max in one
+    * pass) is one fold with a composite accumulator, matching the
+    * reference's N-aggsHandler single-function design.
     */
-  def eventTimeRunningAgg[K, T: TypeTag](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
-                                zero: Double, add: (Double, T) => Double)
+  def eventTimeRunningAgg[K, T: TypeTag, A: TypeTag](ds: Dataset[T], keyFn: T => K,
+                                tsMs: T => Long,
+                                zero: A, add: (A, T) => A)
                                (implicit ek: Encoder[K],
-                                eo: Encoder[(K, T, Double)]): Dataset[(K, T, Double)] = {
-    implicit val se: Encoder[(Seq[T], Double)] = ExpressionEncoder[(Seq[T], Double)]()
+                                eo: Encoder[(K, T, A)]): Dataset[(K, T, A)] = {
+    implicit val se: Encoder[(Seq[T], A)] = ExpressionEncoder[(Seq[T], A)]()
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Double)]) =>
+        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], A)]) =>
           val wm = state.getCurrentWatermarkMs()
           var (buf, acc) = state.getOption.getOrElse((Seq.empty[T], zero))
           buf ++= rows
@@ -413,10 +417,17 @@ object StatefulOps {
 
   /** Streaming CEP: buffers events per key, and on each watermark
     * advance runs the NFA over the mature (ts <= watermark) prefix in
-    * event-time order. Supports SkipPastLast patterns: consumed events
-    * are dropped; unmatched mature events older than the pattern's
-    * `within` horizon are evicted (they can no longer start a match
-    * that involves unseen data).
+    * event-time order. All five after-match skip strategies are
+    * supported, matching batch [[Nfa.run]] and the reference
+    * (flink-cep .../nfa/aftermatch/AfterMatchSkipStrategy.java):
+    * under SkipPastLast consumed events are dropped from state; under
+    * the overlapping strategies (NoSkip/SkipToNext/SkipToFirst/
+    * SkipToLast) a consumed event may still start or join a later
+    * match, so events carry a per-event done flag instead and only the
+    * fully-resolved prefix is evicted ([[Nfa.runIncrementalOverlap]]).
+    * Unmatched mature events older than the pattern's `within` horizon
+    * are evicted either way (they can no longer start a match that
+    * involves unseen data).
     *
     * A trailing match whose final step could still extend — a greedy
     * loop whose run ends exactly at the last mature event (or, for
@@ -451,67 +462,110 @@ object StatefulOps {
   def cepStreamWithTimeouts[K, T](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
                                   pattern: Nfa.Pattern[T])
                                  (implicit ek: Encoder[K]): Dataset[(Boolean, Nfa.Match[T])] = {
-    require(pattern.afterMatch == Nfa.AfterMatch.SkipPastLast,
-      "streaming CEP supports SkipPastLast (MATCH_RECOGNIZE default)")
-    implicit val se: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+    // State carries (event, done) pairs: `done` = the event can never
+    // again START a match. SkipPastLast ignores the flag (consumed
+    // events are simply dropped); the overlapping strategies need it to
+    // make the incremental scan resumable without re-emitting.
+    implicit val se: Encoder[Seq[(T, Boolean)]] = Encoders.kryo[Seq[(T, Boolean)]]
     implicit val e1: Encoder[(Boolean, Nfa.Match[T])] = Encoders.kryo[(Boolean, Nfa.Match[T])]
     val lastStep = pattern.steps.last
-    // A trailing loop with RELAXED inner consumption is never closed by
-    // a non-matching event — only the `within` horizon can finalize it.
-    val trailingRelaxedLoop = (lastStep.quantifier match {
+    val overlap = pattern.afterMatch != Nfa.AfterMatch.SkipPastLast
+    def relaxedLoop(s: Nfa.Step[T]): Boolean = (s.quantifier match {
       case Nfa.Quantifier.OneOrMore | _: Nfa.Quantifier.Times => true
       case _ => false
-    }) && lastStep.innerContiguity == Nfa.Contiguity.Relaxed
-    require(!trailingRelaxedLoop || pattern.withinMicros.isDefined,
-      "a trailing relaxed-inner loop (oneOrMore/times without .consecutive) " +
+    }) && s.innerContiguity == Nfa.Contiguity.Relaxed
+    // A loop with RELAXED inner consumption is never closed by a
+    // non-matching event — only the `within` horizon can finalize it.
+    // SkipPastLast needs that only for the trailing step (earlier
+    // matches are consumed away); the overlapping strategies withhold
+    // EVERY match containing one, so any relaxed loop needs the bound.
+    val trailingRelaxedLoop = relaxedLoop(lastStep)
+    val relaxedLoopAnywhere = pattern.steps.exists(relaxedLoop)
+    require(!(if (overlap) relaxedLoopAnywhere else trailingRelaxedLoop) ||
+        pattern.withinMicros.isDefined,
+      "a relaxed-inner loop (oneOrMore/times without .consecutive) " +
         "can only be finalized by a `within` bound; add one")
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+        (_: K, rows: Iterator[T], state: GroupState[Seq[(T, Boolean)]]) =>
           val wm = state.getCurrentWatermarkMs()
-          val buf = state.getOption.getOrElse(Seq.empty) ++ rows
-          val (mature, immature) = buf.partition(t => tsMs(t) <= wm)
-          val sorted = mature.sortBy(tsMs).toIndexedSeq
-          val (indexed, touts) = Nfa.runIndexedWithTimeouts[T](
-            sorted, t => tsMs(t) * 1000L, pattern, Some(wm * 1000L))
-          // The last match is provisional iff it consumed up to the last
-          // mature event, its final step could bind more (greedy loop, or
-          // optional still unbound), and a future event (ts > wm) could
-          // still fall inside `within` of the match's first event.
-          def couldExtend(m: Nfa.Match[T]): Boolean = lastStep.quantifier match {
+          val buf = state.getOption.getOrElse(Seq.empty) ++ rows.map((_, false))
+          val (maturePairs, immature) = buf.partition(p => tsMs(p._1) <= wm)
+          val sortedPairs = maturePairs.sortBy(p => tsMs(p._1)).toIndexedSeq
+          val sorted = sortedPairs.map(_._1)
+          // The final step of a match could bind more events iff it is a
+          // greedy loop below its cap or an optional left unbound.
+          def couldExtendLast(m: Nfa.Match[T]): Boolean = lastStep.quantifier match {
             case Nfa.Quantifier.OneOrMore => true
             case Nfa.Quantifier.Times(_, mx) => // bound fewer than max: still open
               m.bindings.find(_._1 == lastStep.name).map(_._2.size).getOrElse(0) < mx
             case Nfa.Quantifier.Optional => !m.bindings.exists(_._1 == lastStep.name)
             case _ => false
           }
-          // Strict inner loops close at the first non-matching mature
-          // event, so only a match reaching the last mature event is
-          // provisional; relaxed inner loops ignore non-matching events,
-          // so the final match stays provisional wherever it ends.
-          val emitted = indexed.lastOption match {
-            case Some((m, lastIdx))
-                if (lastIdx == sorted.length - 1 || trailingRelaxedLoop) &&
-                  couldExtend(m) &&
-                  pattern.withinMicros.forall { w =>
-                    val firstMicros = tsMs(m.bindings.head._2.head) * 1000L
-                    wm * 1000L - firstMicros < w // an event at ts>wm could extend
-                  } =>
-              indexed.init
-            case _ => indexed
+          // Could an event at ts > wm still fall inside `within` of the
+          // match's first event?
+          def withinOpen(m: Nfa.Match[T]): Boolean =
+            pattern.withinMicros.forall { w =>
+              val firstMicros = tsMs(m.bindings.head._2.head) * 1000L
+              wm * 1000L - firstMicros < w
+            }
+          if (overlap) {
+            // NoSkip / SkipToNext / SkipToFirst / SkipToLast: matches may
+            // overlap, so consumed events stay in state; the done flags +
+            // prefix eviction bound it. A match is provisional (withheld)
+            // while it reaches the data horizon with an open final step,
+            // or contains a relaxed-inner loop (extendable anywhere)
+            // inside an open `within` window.
+            val provisional = (m: Nfa.Match[T], lastIdx: Int) =>
+              ((lastIdx == sorted.length - 1 && couldExtendLast(m)) ||
+                relaxedLoopAnywhere) && withinOpen(m)
+            val res = Nfa.runIncrementalOverlap[T](sorted, sortedPairs.map(_._2),
+              t => tsMs(t) * 1000L, pattern, wm * 1000L, provisional)
+            // Future matches start at open (un-done) events only, and
+            // consume events at-or-after their start: the fully-done
+            // prefix can never be touched again — evict exactly it.
+            val firstOpen = res.done.indexOf(false) match {
+              case -1 => sorted.length
+              case k  => k
+            }
+            val keep = (firstOpen until sorted.length)
+              .map(ix => (sorted(ix), res.done(ix))) ++ immature
+            if (keep.nonEmpty) {
+              state.update(keep)
+              state.setTimeoutTimestamp(wm + 1)
+            } else if (state.exists) state.remove()
+            (res.matches.map((false, _)) ++ res.timeouts.map((true, _))).iterator
+          } else {
+            val (indexed, touts) = Nfa.runIndexedWithTimeouts[T](
+              sorted, t => tsMs(t) * 1000L, pattern, Some(wm * 1000L))
+            // The last match is provisional iff it consumed up to the last
+            // mature event, its final step could bind more (greedy loop, or
+            // optional still unbound), and a future event (ts > wm) could
+            // still fall inside `within` of the match's first event.
+            // Strict inner loops close at the first non-matching mature
+            // event, so only a match reaching the last mature event is
+            // provisional; relaxed inner loops ignore non-matching events,
+            // so the final match stays provisional wherever it ends.
+            val emitted = indexed.lastOption match {
+              case Some((m, lastIdx))
+                  if (lastIdx == sorted.length - 1 || trailingRelaxedLoop) &&
+                    couldExtendLast(m) && withinOpen(m) =>
+                indexed.init
+              case _ => indexed
+            }
+            val matches = emitted.map(_._1)
+            // Drop consumed events; keep unmatched ones (and any withheld
+            // match's events) still inside the `within` horizon.
+            val consumed = matches.flatMap(_.bindings.flatMap(_._2)).toSet
+            val horizon = pattern.withinMicros.map(wm - _ / 1000L).getOrElse(Long.MinValue)
+            val keep = sorted.filterNot(consumed.contains)
+              .filter(t => tsMs(t) > horizon).map((_, false)) ++ immature
+            if (keep.nonEmpty) {
+              state.update(keep)
+              state.setTimeoutTimestamp(wm + 1)
+            } else if (state.exists) state.remove()
+            (matches.map((false, _)) ++ touts.map((true, _))).iterator
           }
-          val matches = emitted.map(_._1)
-          // Drop consumed events; keep unmatched ones (and any withheld
-          // match's events) still inside the `within` horizon.
-          val consumed = matches.flatMap(_.bindings.flatMap(_._2)).toSet
-          val horizon = pattern.withinMicros.map(wm - _ / 1000L).getOrElse(Long.MinValue)
-          val keep = sorted.filterNot(consumed.contains)
-            .filter(t => tsMs(t) > horizon) ++ immature
-          if (keep.nonEmpty) {
-            state.update(keep)
-            state.setTimeoutTimestamp(wm + 1)
-          } else if (state.exists) state.remove()
-          (matches.map((false, _)) ++ touts.map((true, _))).iterator
       }
   }
 }

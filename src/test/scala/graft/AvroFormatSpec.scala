@@ -55,6 +55,23 @@ class AvroFormatSpec extends AnyFunSuite {
     assert(one == ("payload-42", java.sql.Date.valueOf("2020-02-12")))
   }
 
+  test("re-write with fewer partitions leaves no stale part files; staging cleaned") {
+    val dir = tmp()
+    AvroFormat.write(spark.range(100).select(col("id")).repartition(8), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 8)
+    // second write with fewer partitions must REPLACE the directory
+    // contents — a naive per-partition overwrite would leave parts
+    // 2..7 from the first write and the reader would double-count
+    AvroFormat.write(spark.range(10).select(col("id")).repartition(2), dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.count(_.getName.endsWith(".avro")) == 2)
+    // no staging/attempt residue after job commit
+    assert(!files.exists(_.getName.startsWith("_")))
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.count() == 10)
+    assert(back.agg(sum(col("id"))).as[Long].head() == 45L)
+  }
+
   test("engine queries run over the avro table; DDL connector binds it") {
     val dir = tmp()
     AvroFormat.write(

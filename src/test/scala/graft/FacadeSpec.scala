@@ -102,6 +102,34 @@ class FacadeSpec extends AnyFunSuite {
     assert(env.declaredWatermark("ddl_orders").isEmpty)
   }
 
+  test("DDL TIMESTAMP(3) maps to timestamp_ntz end-to-end (csv schema + watermark + TVF window)") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val env = GraftTableEnvironment.create(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz-ddl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      "1,2024-01-01T00:00:01\n2,2024-01-01T00:30:00\n3,2024-01-01T01:10:00\n"
+        .getBytes("UTF-8"))
+    env.executeSql(s"""
+      CREATE TABLE ntz_ev (
+        id BIGINT,
+        ts TIMESTAMP(3),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'csv')""")
+    // csv takes the DECLARED schema — TIMESTAMP(3) must land as ntz
+    assert(spark.table("ntz_ev").schema("ts").dataType == TimestampNTZType)
+    // the declared watermark applies cleanly over the ntz column
+    val wm = env.fromWithWatermark("ntz_ev")
+    assert(wm.schema("ts").dataType == TimestampNTZType)
+    assert(wm.count() == 3)
+    // and a Flink TVF window groups the ntz event time correctly
+    val win = env.executeSql("""
+      SELECT window_start, count(1) AS n
+      FROM TABLE(TUMBLE(TABLE ntz_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      GROUP BY window_start""")
+    assert(win.select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    env.executeSql("DROP TABLE ntz_ev")
+  }
+
   test("explainSql shows the rewritten Spark plan; catalog listings work") {
     val env = GraftTableEnvironment.create(spark)
     env.registerTestTables("/root/testdata/sf0.001")

@@ -24,7 +24,7 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(stmt.name == "t1" && stmt.ifNotExists)
     assert(stmt.columns == Seq("id" -> "bigint", "name" -> "string",
       "price" -> "decimal(10, 2)", "tags" -> "array<string>",
-      "props" -> "map<string,array<int>>", "ts" -> "timestamp"))
+      "props" -> "map<string,array<int>>", "ts" -> "timestamp_ntz"))
     assert(stmt.computed == Seq("big" -> "price > 100"))
     assert(stmt.primaryKey == Seq("id", "name"))
     assert(stmt.watermark.contains(("ts", "5 second")))
@@ -63,6 +63,31 @@ class FlinkDdlSpec extends AnyFunSuite {
     // plain Spark DDL stays with Spark
     assert(!FlinkDdl.isFlinkCreateTable("CREATE TABLE x (a INT) USING parquet"))
     assert(!FlinkDdl.isFlinkCreateTable("CREATE TABLE x AS SELECT 1"))
+  }
+
+  test("ROW, MULTISET and timestamp flavors map per the reference type roots") {
+    // ROW<...> → struct<...>, nested generics intact
+    assert(FlinkDdl.sparkType("ROW<f0 INT, f1 STRING>") == "struct<f0:int,f1:string>")
+    assert(FlinkDdl.sparkType("ROW<a ROW<x DOUBLE, y DOUBLE>, b ARRAY<BIGINT>>") ==
+      "struct<a:struct<x:double,y:double>,b:array<bigint>>")
+    assert(FlinkDdl.sparkType("ARRAY<ROW<k STRING, v INT>>") ==
+      "array<struct<k:string,v:int>>")
+    // MULTISET<e> → element→multiplicity map (reference CollectAggFunction's
+    // external Map<T, Integer> representation)
+    assert(FlinkDdl.sparkType("MULTISET<STRING>") == "map<string,int>")
+    assert(FlinkDdl.sparkType("MAP<STRING, MULTISET<INT>>") ==
+      "map<string,map<int,int>>")
+    // TIMESTAMP(p) is WITHOUT time zone → timestamp_ntz; only the LTZ
+    // flavors map to Spark's instant `timestamp`
+    assert(FlinkDdl.sparkType("TIMESTAMP(3)") == "timestamp_ntz")
+    assert(FlinkDdl.sparkType("TIMESTAMP") == "timestamp_ntz")
+    assert(FlinkDdl.sparkType("TIMESTAMP_LTZ(3)") == "timestamp")
+    assert(FlinkDdl.sparkType("TIMESTAMP(3) WITH LOCAL TIME ZONE") == "timestamp")
+    // a ROW column parses inside a full statement
+    val stmt = FlinkDdl.parse(
+      "CREATE TABLE tr (id INT, pt ROW<lat DOUBLE, lon DOUBLE>, ms MULTISET<STRING>, PRIMARY KEY (id) NOT ENFORCED)")
+    assert(stmt.columns == Seq("id" -> "int",
+      "pt" -> "struct<lat:double,lon:double>", "ms" -> "map<string,int>"))
   }
 
   test("drop statement forms") {

@@ -113,6 +113,72 @@ class NfaSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: incremental overlap scan equals batch under any chunking schedule") {
+    import org.scalacheck.{Gen, Prop}
+    // Mirrors the streaming operator's loop: chunked arrival, watermark
+    // = max time seen, (event, done) state with done-prefix eviction,
+    // then a final far-future flush — the multiset of emitted matches
+    // must equal one batch run, for every overlapping skip strategy.
+    def simulate(all: IndexedSeq[E], p: Pattern[E], chunk: Int): Vector[Match[E]] = {
+      val lastStep = p.steps.last
+      def couldExtendLast(m: Match[E]): Boolean = lastStep.quantifier match {
+        case Quantifier.OneOrMore => true
+        case Quantifier.Times(_, mx) =>
+          m.bindings.find(_._1 == lastStep.name).map(_._2.size).getOrElse(0) < mx
+        case Quantifier.Optional => !m.bindings.exists(_._1 == lastStep.name)
+        case _ => false
+      }
+      val out = Vector.newBuilder[Match[E]]
+      var state = IndexedSeq.empty[(E, Boolean)]
+      var wm = Long.MinValue
+      def step(batch: Seq[E], now: Long): Unit = {
+        val pairs = (state ++ batch.map((_, false))).sortBy(_._1.t).toIndexedSeq
+        val evs = pairs.map(_._1)
+        val provisional = (m: Match[E], lastIdx: Int) =>
+          lastIdx == evs.length - 1 && couldExtendLast(m) &&
+            p.withinMicros.forall(w => now - m.bindings.head._2.head.t < w)
+        val res = Nfa.runIncrementalOverlap[E](evs, pairs.map(_._2),
+          (_: E).t, p, now, provisional)
+        out ++= res.matches
+        val firstOpen = res.done.indexOf(false) match {
+          case -1 => evs.length
+          case k  => k
+        }
+        state = (firstOpen until evs.length).map(ix => (evs(ix), res.done(ix)))
+      }
+      all.grouped(math.max(chunk, 1)).foreach { b =>
+        wm = math.max(wm, b.map(_.t).max); step(b, wm)
+      }
+      step(Seq.empty, Long.MaxValue / 4) // flush: nothing stays provisional
+      out.result()
+    }
+    val types = Gen.oneOf("a", "b", "x")
+    val streams = Gen.listOf(types).map(_.zipWithIndex.map {
+      case (ty, i) => E(i.toLong * 2, ty)
+    })
+    val strategies = Gen.oneOf[AfterMatch](AfterMatch.NoSkip, AfterMatch.SkipToNext,
+      AfterMatch.SkipToFirst("a"), AfterMatch.SkipToLast("a"),
+      AfterMatch.SkipToFirst("b"), AfterMatch.SkipToLast("b"))
+    // two shapes: closed last step, and a trailing greedy loop (the
+    // provisional/withhold path)
+    val shapes = Gen.oneOf(
+      Vector(Step("a", (_: E).typ == "a", Quantifier.OneOrMore),
+        Step("b", (_: E).typ == "b", contiguity = Contiguity.Relaxed)),
+      Vector(Step("a", (_: E).typ == "a", Quantifier.OneOrMore)))
+    val prop = Prop.forAll(streams, strategies, shapes, Gen.choose(1, 5)) {
+      (evs, strat, steps, chunk) =>
+        val p = Pattern[E](steps, withinMicros = Some(10L), afterMatch = strat)
+        def key(m: Match[E]) = m.bindings.map { case (n, es) => n -> es.map(_.t) }
+        val batch = Nfa.run(evs.toIndexedSeq, (_: E).t, p).map(key)
+          .sortBy(_.toString)
+        val inc = simulate(evs.toIndexedSeq, p, chunk).map(key).sortBy(_.toString)
+        inc == batch
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: times(min,max) bindings respect bounds and contiguity") {
     import org.scalacheck.{Gen, Prop}
     val types = Gen.oneOf("a", "b", "x")

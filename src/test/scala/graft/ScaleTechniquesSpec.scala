@@ -186,6 +186,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       k = 1, forceExact = true).columns.contains("cos"))
   }
 
+  test("exact all-pairs Jaccard refuses oversized corpora unless forced") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.{array, concat, lit}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), array(col("lang"), col("text")).as("shingles"))
+    // Below the cap the default path stays exact and runs.
+    assert(TextOps.allPairsJaccard(docs, "doc_id", "shingles", 0.0).count() >= 0)
+    // Above the cap (replicate doc ids past ExactBaselineMaxDocs) the
+    // call must refuse and point at the LSH scale path.
+    val n = docs.count()
+    val blown = docs.crossJoin(spark.range(
+      TextOps.ExactBaselineMaxDocs / n + 1).select(col("id").as("rep")))
+      .select(concat(col("doc_id"), lit("#"), col("rep")).as("doc_id"),
+        col("shingles"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.allPairsJaccard(blown, "doc_id", "shingles", 0.5)
+    }
+    assert(e.getMessage.contains("minhashLshPairsIdx"))
+    // forceExact bypasses the guard (plan construction succeeds).
+    assert(TextOps.allPairsJaccard(blown.limit(3), "doc_id", "shingles", 0.0,
+      forceExact = true).columns.contains("jaccard"))
+  }
+
   test("DataStream veneer: map/filter/keyBy/reduce/process pipeline") {
     val out = GraftStream(spark.range(100).as[Long])
       .map(i => (i % 5, i))

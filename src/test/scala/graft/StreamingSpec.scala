@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class SEv(k: Long, ts: java.sql.Timestamp, v: Double, tag: String)
 
+/** Event with a timestamp WITHOUT time zone (Spark timestamp_ntz) —
+  * the type Flink's TIMESTAMP(3) maps to (SURVEY §1.2).
+  */
+case class NtzEv(k: Long, ts: java.time.LocalDateTime, v: Double)
+
 /** MemoryStream-driven tests for the stateful streaming operators
   * (mirrors the reference's harness-driven operator tests, SURVEY §5.3).
   */
@@ -22,6 +27,33 @@ class StreamingSpec extends AnyFunSuite {
 
   private def runToCompletion(q: StreamingQuery): Unit = {
     q.processAllAvailable(); q.stop()
+  }
+
+  test("ntz event time: declared watermark drives a streaming tumble window via the façade") {
+    // Spark refuses watermarks directly on timestamp_ntz
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the façade's
+    // fromWithWatermark casts a declared ntz rowtime to the instant
+    // type under the UTC session tz, so Flink TIMESTAMP(3) stream
+    // tables keep working end-to-end.
+    def ldt(sec: Long) = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    val env = GraftTableEnvironment.create(spark)
+    val in = MemoryStream[NtzEv]
+    env.createTemporaryView("ntz_stream", in.toDF(),
+      watermark = Some(("ts", "5 seconds")))
+    val src = env.fromWithWatermark("ntz_stream")
+    assert(src.isStreaming)
+    val agg = src
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("window.start").cast("long").as("ws"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("ntzwin")
+      .outputMode("append").start()
+    in.addData(NtzEv(1, ldt(1), 1.0), NtzEv(1, ldt(3), 2.0))
+    q.processAllAvailable()
+    in.addData(NtzEv(1, ldt(30), 5.0)) // watermark 25 closes window [0,10)
+    runToCompletion(q)
+    val rows = spark.table("ntzwin").as[(Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((0L, 2L, 3.0)))
   }
 
   test("streamingTopN emits per-rank inserts and updates") {
@@ -288,6 +320,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cepStream equals batch Nfa.run for every after-match skip strategy (seeded)") {
+    import Nfa._
+    val strategies: Seq[(String, AfterMatch)] = Seq(
+      "noskip" -> AfterMatch.NoSkip,
+      "skiptonext" -> AfterMatch.SkipToNext,
+      "skiptofirst" -> AfterMatch.SkipToFirst("a"),
+      "skiptolast" -> AfterMatch.SkipToLast("a"),
+      "skippastlast" -> AfterMatch.SkipPastLast)
+    for (((sname, strat), si) <- strategies.zipWithIndex) {
+      val pat = Pattern[SEv](Vector(
+        Step("a", (_: SEv).tag == "a", Quantifier.OneOrMore),
+        Step("b", (_: SEv).tag == "b")),
+        withinMicros = Some(120L * 1000000L),
+        afterMatch = strat)
+      val rnd = new scala.util.Random(1000 + si)
+      for (trial <- 0 until 4) {
+        var t = 0L
+        val evs = Vector.tabulate(12) { i =>
+          t += 1 + rnd.nextInt(30)
+          SEv(1, ts(t), i.toDouble, Seq("a", "b", "x")(rnd.nextInt(3)))
+        } :+ SEv(1, ts(t + 100000), -1.0, "x") // flush far past every horizon
+        // compare as a SORTED multiset — overlapping strategies must
+        // neither drop nor double-emit a match across micro-batches
+        def key(m: Match[SEv]) = m.bindings.flatMap(_._2).map(_.ts.getTime).toVector
+        val expected = Nfa.run[SEv](evs, _.ts.getTime * 1000L, pat)
+          .map(key).sortBy(_.mkString(","))
+        val in = MemoryStream[SEv]
+        val out = StatefulOps.cepStream[Long, SEv](
+            in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts.getTime, pat)
+          .map(key)
+        val q = out.writeStream.format("memory").queryName(s"cepskip$si$trial")
+          .outputMode("append").start()
+        evs.grouped(3).foreach { chunk =>
+          in.addData(chunk: _*); q.processAllAvailable()
+        }
+        in.addData(SEv(1, ts(t + 200000), -2.0, "x")) // make the flush wm effective
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(s"cepskip$si$trial").as[Vector[Long]].collect()
+          .toVector.sortBy(_.mkString(","))
+        assert(got == expected, s"$sname trial $trial: stream=$got batch=$expected")
+      }
+    }
+  }
+
   test("cepStream rejects a trailing relaxed loop without a within bound") {
     import Nfa._
     val in = MemoryStream[SEv]
@@ -333,7 +410,7 @@ class StreamingSpec extends AnyFunSuite {
   test("eventTimeRunningAgg emits ordered running sums across batches") {
     val in = MemoryStream[SEv]
     val wmarked = in.toDS().withWatermark("ts", "0 seconds")
-    val out = StatefulOps.eventTimeRunningAgg[Long, SEv](
+    val out = StatefulOps.eventTimeRunningAgg[Long, SEv, Double](
       wmarked, _.k, _.ts.getTime, 0.0, (acc, e) => acc + e.v)
       .map { case (k, e, acc) => (k, e.tag, acc) }
     val q = out.writeStream.format("memory").queryName("runagg")
@@ -346,6 +423,27 @@ class StreamingSpec extends AnyFunSuite {
     runToCompletion(q)
     val got = spark.table("runagg").as[(Long, String, Double)].collect().toSeq
     assert(got == Seq((1L, "a", 1.0), (1L, "b", 3.0), (1L, "c", 6.0), (1L, "z", 15.0)))
+  }
+
+  test("eventTimeRunningAgg carries a composite accumulator (sum+count+max in one fold)") {
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    // one state fold computes avg (via sum+count) AND max — the
+    // reference's multi-aggregate OVER in a single aggsHandler
+    val out = StatefulOps.eventTimeRunningAgg[Long, SEv, (Double, Long, Double)](
+      wmarked, _.k, _.ts.getTime,
+      (0.0, 0L, Double.MinValue),
+      { case ((s, n, m), e) => (s + e.v, n + 1, math.max(m, e.v)) })
+      .map { case (k, e, (s, n, m)) => (k, e.tag, s / n, m) }
+    val q = out.writeStream.format("memory").queryName("runaggmulti")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 4.0, "a"), SEv(1, ts(20), 2.0, "b"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(99), 9.0, "c")) // wm releases a,b; then c at final wm
+    runToCompletion(q)
+    val got = spark.table("runaggmulti").as[(Long, String, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 4.0, 4.0), (1L, "b", 3.0, 4.0), (1L, "c", 5.0, 9.0)))
   }
 
   test("eventTimeRowsBoundedAgg retracts the evicted row across batches") {
