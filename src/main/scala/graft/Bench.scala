@@ -76,13 +76,23 @@ object Bench {
       val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + f(if (ok) v else -v) }
+    // Slowest-first: when a capture window truncates the line's FRONT,
+    // the alphabetical head used to be what got cut — ordering by cost
+    // puts the queries worth reading where any suffix keeps them, and
+    // a full untruncated copy lands in BENCH_FULL.json either way.
+    val qs = results.sortBy { case (_, v, _) => -v }
+      .map { case (k, v, ok) => "\"" + k + "\":" + f(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val errs = if (failed.isEmpty) "" else failed.mkString(""","errors":[""", ",", "]")
     val total = results.map(_._2).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errs,"sf":$sf}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errs,"sf":$sf}"""
+    // Full per-query artifact, immune to any stdout tail truncation.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+    println(line)
     spark.stop()
   }
 }

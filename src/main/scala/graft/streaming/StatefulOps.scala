@@ -115,8 +115,15 @@ object StatefulOps {
   /** Event-time ordered emission: buffers rows per key and releases them
     * sorted once the watermark passes their timestamp. Requires
     * `withWatermark` upstream; emits in Append mode.
+    *
+    * `stateTtlMs` mirrors `table.exec.state.ttl` for this operator's
+    * one unbounded-state hazard: a row whose timestamp sits MORE than
+    * the TTL ahead of the watermark (a runaway-future producer clock)
+    * would otherwise pend forever. Such rows are dropped — the same
+    * silent-expiry contract as the reference's state TTL. Default off.
     */
-  def eventTimeSorted[K, T: TypeTag](ds: Dataset[T], keyFn: T => K, tsMs: T => Long)
+  def eventTimeSorted[K, T: TypeTag](ds: Dataset[T], keyFn: T => K, tsMs: T => Long,
+                                     stateTtlMs: Option[Long] = None)
                            (implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] = {
     implicit val se: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
     ds.groupByKey(keyFn)
@@ -124,7 +131,13 @@ object StatefulOps {
         (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
           val wm = state.getCurrentWatermarkMs()
           val buf = state.getOption.getOrElse(Seq.empty) ++ rows
-          val (ready, pending) = buf.partition(t => tsMs(t) <= wm)
+          val (ready, pending0) = buf.partition(t => tsMs(t) <= wm)
+          // wm == 0 means no watermark has been computed yet — never
+          // expire against the initial zero
+          val pending = stateTtlMs match {
+            case Some(ttl) if wm > 0 => pending0.filter(t => tsMs(t) - wm <= ttl)
+            case _                   => pending0
+          }
           if (pending.nonEmpty) {
             state.update(pending)
             state.setTimeoutTimestamp(wm + 1)
@@ -221,11 +234,20 @@ object StatefulOps {
     * watermark passes the left row's time (so the right side is
     * complete up to it). Right versions below the minimum pending left
     * time are evicted — bounded state.
+    *
+    * `stateTtlMs` mirrors `table.exec.state.ttl` (reference
+    * TemporalRowTimeJoinOperator keeps the latest right version
+    * forever by default): when set, a key with no pending left rows
+    * whose watermark then advances TTL ms without any new activity
+    * drops its retained right versions entirely — a later left arrival
+    * for the key joins to None, exactly the reference's
+    * TTL-expired-state behavior. Default off (= the reference default).
     */
   def temporalJoin[K, L: TypeTag, R: TypeTag](left: Dataset[L], right: Dataset[R],
                             keyL: L => K, keyR: R => K,
                             tsLMs: L => Long, tsRMs: R => Long,
-                            watermarkDelay: String = "0 seconds")
+                            watermarkDelay: String = "0 seconds",
+                            stateTtlMs: Option[Long] = None)
                            (implicit ek: Encoder[K], eti: Encoder[TaggedInput[L, R]],
                             em: Encoder[AsOfMatch[L, R]]): Dataset[AsOfMatch[L, R]] = {
     implicit val se: Encoder[(Seq[L], Seq[R])] = ExpressionEncoder[(Seq[L], Seq[R])]()
@@ -238,26 +260,38 @@ object StatefulOps {
         (_: K, rows: Iterator[TaggedInput[L, R]], state: GroupState[(Seq[L], Seq[R])]) =>
           val wm = state.getCurrentWatermarkMs()
           var (pendL, versR) = state.getOption.getOrElse((Seq.empty[L], Seq.empty[R]))
-          rows.foreach { t =>
-            t.left.foreach(l => pendL :+= l)
-            t.right.foreach(r => versR :+= r)
+          // An idle-TTL fire: the timer was armed at wm+ttl when the key
+          // had no pending left work, and nothing arrived since (a data
+          // arrival is a separate non-timed-out invocation that re-arms).
+          if (state.hasTimedOut && stateTtlMs.isDefined && pendL.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            rows.foreach { t =>
+              t.left.foreach(l => pendL :+= l)
+              t.right.foreach(r => versR :+= r)
+            }
+            val (ready, stillPend) = pendL.partition(l => tsLMs(l) <= wm)
+            val sortedR = versR.sortBy(tsRMs)
+            val out = ready.sortBy(tsLMs).map { l =>
+              val t = tsLMs(l)
+              AsOfMatch(l, sortedR.takeWhile(r => tsRMs(r) <= t).lastOption)
+            }
+            // Evict right versions no longer reachable: keep the latest
+            // version at or below the horizon and everything after it.
+            val horizon = (stillPend.map(tsLMs) :+ wm).min
+            val (below, above) = sortedR.partition(r => tsRMs(r) <= horizon)
+            val kept = below.takeRight(1) ++ above
+            if (stillPend.nonEmpty || kept.nonEmpty) {
+              state.update((stillPend, kept))
+              if (stillPend.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+              else stateTtlMs match {
+                case Some(ttl) => state.setTimeoutTimestamp(math.max(wm, 0L) + ttl)
+                case None      => state.setTimeoutTimestamp(wm + 1)
+              }
+            } else if (state.exists) state.remove()
+            out.iterator
           }
-          val (ready, stillPend) = pendL.partition(l => tsLMs(l) <= wm)
-          val sortedR = versR.sortBy(tsRMs)
-          val out = ready.sortBy(tsLMs).map { l =>
-            val t = tsLMs(l)
-            AsOfMatch(l, sortedR.takeWhile(r => tsRMs(r) <= t).lastOption)
-          }
-          // Evict right versions no longer reachable: keep the latest
-          // version at or below the horizon and everything after it.
-          val horizon = (stillPend.map(tsLMs) :+ wm).min
-          val (below, above) = sortedR.partition(r => tsRMs(r) <= horizon)
-          val kept = below.takeRight(1) ++ above
-          if (stillPend.nonEmpty || kept.nonEmpty) {
-            state.update((stillPend, kept))
-            state.setTimeoutTimestamp(wm + 1)
-          } else if (state.exists) state.remove()
-          out.iterator
       }
   }
 

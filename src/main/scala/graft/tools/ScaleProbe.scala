@@ -1,0 +1,145 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-probe runner backing SCALE.md's measured claims: synthesizes
+  * documents/embeddings corpora at 1×/10×/100× of the sf0.1 sizes with
+  * the engine's own DSv2 datagen source (content is a deterministic
+  * hash of the row id, so density of near-duplicates is constant
+  * across scales), runs the at-scale dedup/ANN operators — the
+  * td03/td04/te03/te05/te07 shapes — and for each one checks the
+  * executed (post-AQE) plan never falls back to a cartesian or
+  * broadcast-nested-loop pair join. Prints a markdown table to paste
+  * into SCALE.md.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [docBase] [embBase] [scales]
+  *   e.g. runMain graft.tools.ScaleProbe 5000 2000 1,10,100
+  */
+object ScaleProbe {
+
+  /** `n` documents of 40–160 pseudo-random vocab words; every 7th doc
+    * is a near-copy of its predecessor (tail word dropped) so the
+    * near-dup pair density the dedup probes chase stays constant as
+    * the corpus scales.
+    */
+  def syntheticDocs(s: SparkSession, n: Long): DataFrame =
+    s.read.format("graft-datagen").schema("doc_id bigint")
+      .option("numRows", n.toString)
+      .option("partitions", s.sparkContext.defaultParallelism.toString)
+      .load()
+      .withColumn("seed",
+        when(col("doc_id") % 7 === 0 && col("doc_id") > 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("nw", pmod(hash(col("seed")), lit(120)) + lit(40))
+      .withColumn("ws", transform(sequence(lit(1), col("nw")),
+        i => concat(lit("w"), pmod(hash(col("seed") * 1009 + i), lit(5000)))))
+      .withColumn("ws",
+        when(col("doc_id") % 7 === 0 && col("doc_id") > 0,
+          slice(col("ws"), lit(1), size(col("ws")) - 1)).otherwise(col("ws")))
+      .select(col("doc_id"), concat_ws(" ", col("ws")).as("text"))
+
+  /** `n` unit-cube float vectors, deterministic per (id, dim). */
+  def syntheticEmbeddings(s: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    s.read.format("graft-datagen").schema("vec_id bigint")
+      .option("numRows", n.toString)
+      .option("partitions", s.sparkContext.defaultParallelism.toString)
+      .load()
+      .select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)),
+        d => ((pmod(hash(col("vec_id") * lit(64) + d), lit(2000)) - lit(1000)) /
+          lit(1000.0)).cast("float")).as("embedding"))
+
+  /** The te03 composition (SRP bucket + multi-probe join + per-query
+    * top-k) over an arbitrary embeddings frame. `isQuery` is
+    * parameterized: the scale probes hold the QUERY BATCH fixed while
+    * the corpus grows — ANN serving cost is (batch × probed-fraction
+    * of corpus); letting the batch grow with the corpus would measure
+    * an inherently quadratic all-pairs workload instead of the
+    * operator.
+    */
+  private def srpProbe(s: SparkSession, emb: DataFrame,
+                       isQuery: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.VectorExpressions.dot_scaled
+    val nbits = 8
+    val e = emb
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", VectorOps.srpBucket(col("v"), nbits))
+      .withColumn("nrm",
+        sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"),
+        explode(VectorOps.srpProbes(col("bucket"), nbits)).as("bucket"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id"), col("bucket"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q.join(c, Seq("bucket")).where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
+          / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docBase = if (args.length > 0) args(0).toLong else 5000L
+    val embBase = if (args.length > 1) args(1).toLong else 2000L
+    val scales = (if (args.length > 2) args(2) else "1,10,100")
+      .split(",").map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // IVF/PQ legitimately crossJoin the corpus against a BROADCAST
+    // centroid/ADC frame (KB-sized — that IS the scale design, see
+    // SCALE.md); `allowBroadcastCross` admits that one shape. A
+    // CartesianProduct (both sides shuffled) is never acceptable.
+    def run(probe: String, scale: Int, df: => DataFrame,
+            allowBroadcastCross: Boolean = false): Unit = {
+      val frame = df
+      val t0 = System.nanoTime()
+      val out = frame.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // post-AQE executed plan: the bucketed shape must survive scale
+      val plan = frame.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct") &&
+        (allowBroadcastCross || !plan.contains("BroadcastNestedLoopJoin")),
+        s"$probe at ${scale}x fell back to the pair space:\n$plan")
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      println(f"| $probe | ${scale}x | $out%d | $dt%.1f |")
+    }
+
+    println("| probe | scale | rows out | sec |")
+    println("|---|---|---|---|")
+    for (k <- scales) {
+      val docs = syntheticDocs(spark, docBase * k)
+      run("td03 minhash-LSH", k,
+        TextOps.minhashLshPairsIdx(
+          TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8))
+      run("td04 simhash", k, {
+        val wIdx = docs.select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("w"))
+          .repartition(col("doc_id")).distinct()
+        TextOps.simhashPairs(TextOps.simhash60Idx(wIdx, "doc_id"), "doc_id", 3)
+      })
+      val emb = syntheticEmbeddings(spark, embBase * k)
+      // Fixed query batch (the base corpus's every-25th id) at every
+      // scale: serving cost = batch × probed corpus fraction.
+      val isQ = (id: org.apache.spark.sql.Column) =>
+        id % 25 === 0 && id < embBase
+      run("te03 SRP-LSH ANN", k, srpProbe(spark, emb, isQ(col("vec_id"))))
+      run("te05 IVF ANN", k, VectorOps.ivfTopK(emb, "vec_id", "embedding",
+        isQ, nlist = 16, nprobe = 2, k = 5),
+        allowBroadcastCross = true)
+      run("te07 PQ ANN", k, VectorOps.pqTopK(emb, "vec_id", "embedding",
+        isQ, subDim = 8, nCent = 16, k = 5),
+        allowBroadcastCross = true)
+    }
+    spark.stop()
+  }
+}

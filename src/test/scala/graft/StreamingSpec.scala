@@ -137,6 +137,53 @@ class StreamingSpec extends AnyFunSuite {
       WindowResult(7L, 2L, 3L, 15.0)))
   }
 
+  test("temporalJoin state TTL evicts idle right versions; later probe joins to None") {
+    val lIn = MemoryStream[SEv]
+    val rIn = MemoryStream[SEv]
+    val out = StatefulOps.temporalJoin[Long, SEv, SEv](
+      lIn.toDS(), rIn.toDS(), _.k, _.k, _.ts.getTime, _.ts.getTime,
+      watermarkDelay = "0 seconds", stateTtlMs = Some(5000L))
+    val q = out.writeStream.format("memory").queryName("tjttl")
+      .outputMode("append").start()
+    rIn.addData(SEv(1, ts(10), 100.0, "v1")) // key 1: version, no left work
+    q.processAllAvailable()                  // arms key 1's idle TTL
+    lIn.addData(SEv(2, ts(20), 0.0, "k2a")) // other key advances the watermark
+    q.processAllAvailable()                  // wm past TTL -> key 1 state dropped
+    // probe must sit ABOVE the current watermark (late rows are dropped
+    // upstream of the stateful op)
+    lIn.addData(SEv(1, ts(25), 0.0, "probe25"), SEv(2, ts(30), 0.0, "k2b"))
+    q.processAllAvailable()
+    lIn.addData(SEv(1, ts(99), 0.0, "flush"), SEv(2, ts(99), 0.0, "k2flush"))
+    runToCompletion(q)
+    val rows = spark.table("tjttl").as[AsOfMatch[SEv, SEv]].collect()
+      .map(m => m.left.tag -> m.right.map(_.tag)).toMap
+    // v1 (ts 10) would match probe25 — but the key idled past the TTL
+    // first, so the retained version was evicted
+    assert(rows("probe25") == None)
+  }
+
+  test("eventTimeSorted state TTL drops runaway-future rows instead of pending forever") {
+    val in = MemoryStream[SEv]
+    val out = StatefulOps.eventTimeSorted[Long, SEv](
+      in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts.getTime,
+      stateTtlMs = Some(60000L)) // tolerate 60 s of future skew
+    val q = out.writeStream.format("memory").queryName("etsttl")
+      .outputMode("append").start()
+    in.addData(SEv(1, ts(10), 1.0, "a"))
+    q.processAllAvailable() // wm -> 10 s
+    // runaway producer clock: ts ~11.6 days ahead; without the TTL this
+    // row pends, then the huge watermark it induces would EMIT it
+    in.addData(SEv(1, ts(1000000), 9.9, "runaway"), SEv(1, ts(20), 2.0, "b"))
+    q.processAllAvailable() // wm 10 s here: runaway is 60 s+ ahead -> dropped
+    // flush above the (now-poisoned) watermark so the timer fires and
+    // releases b; without the TTL drop, the runaway row would be
+    // RELEASED here by the very watermark it poisoned
+    in.addData(SEv(1, ts(1100000), 0.0, "flush"))
+    runToCompletion(q)
+    val tags = spark.table("etsttl").as[SEv].collect().map(_.tag).toSeq
+    assert(tags == Seq("a", "b"))
+  }
+
   test("temporalJoin matches left rows to latest right version at or before") {
     val lIn = MemoryStream[SEv]
     val rIn = MemoryStream[SEv]
