@@ -76,6 +76,12 @@ object PatternDsl {
     def afterMatchNoSkip: Builder[T] =
       new Builder(steps, withinMicros, AfterMatch.NoSkip)
 
+    /** Resume the scan one past the match's start (SQL `AFTER MATCH
+      * SKIP TO NEXT ROW`; AfterMatchSkipStrategy.skipToNext).
+      */
+    def afterMatchSkipToNext: Builder[T] =
+      new Builder(steps, withinMicros, AfterMatch.SkipToNext)
+
     /** Resume the scan at the first event bound to `variable`
       * (AfterMatchSkipStrategy.skipToFirst).
       */

@@ -114,6 +114,17 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Full FAISS IndexIVFPQ composition: IVF cells prune to nprobe=2
+    // of 16 cells, PQ-ADC scores only those cells' codes into a
+    // top-20 shortlist, exact cosine re-ranks the shortlist — the
+    // 100 TB serving path where even the ADC scan is cell-pruned.
+    "te09_ann_ivfpq" -> { (s, dir) =>
+      VectorOps.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", _ % 25 === 0, nlist = 16, nprobe = 2,
+          subDim = 8, nCent = 16, shortlist = 20, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Two-stage ANN: PQ-ADC shortlist (top 20 from codes alone) then
     // EXACT cosine re-rank of only those pairs — FAISS-style
     // refine-after-prefilter; the exact math never touches the corpus
@@ -499,6 +510,79 @@ object SimilaritySuite extends QueryModule {
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY score DESC, vec_id) AS INT) AS rk
         FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
+
+    // te05's IVF CTEs (cells/probes) feed te07's ADC machinery
+    // restricted to the probed-cell candidate pairs, then te08's exact
+    // re-rank — every constant (16 cells, nprobe 2, 8×8 PQ, top-20
+    // shortlist, k=5) mirrors the Spark call.
+    "te09_ann_ivfpq" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 2 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE p.query_id <> cl.vec_id),
+      sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS dd, x FROM ex),
+      cent AS (SELECT vec_id AS cid, sub, dd, x AS cx FROM sx WHERE vec_id < 16),
+      adot AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               sum(CAST(floor((v.x * c.cx) * 1e12) AS BIGINT)) AS dt
+        FROM sx v JOIN cent c ON v.sub = c.sub AND v.dd = c.dd
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY dt DESC, cid) AS rk FROM adot)
+        WHERE rk = 1),
+      qdot AS (SELECT vec_id AS query_id, sub, cid, dt FROM adot
+               WHERE vec_id % 25 = 0),
+      pscore AS (
+        SELECT p.query_id, c.vec_id,
+               CAST(sum(q.dt) AS DOUBLE) / 1e12 AS score
+        FROM cand p
+        JOIN codes c ON c.vec_id = p.vec_id
+        JOIN qdot q ON q.query_id = p.query_id AND q.sub = c.sub AND q.cid = c.code
+        GROUP BY 1, 2),
+      shortlist AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS srk FROM pscore)
+        WHERE srk <= 20),
+      exact AS (
+        SELECT s.query_id, s.vec_id,
+               round((CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS cos
+        FROM shortlist s
+        JOIN ex a ON a.vec_id = s.query_id
+        JOIN ex b ON b.vec_id = s.vec_id AND b.d = a.d
+        JOIN norms na ON na.vec_id = s.query_id
+        JOIN norms nb ON nb.vec_id = s.vec_id
+        GROUP BY s.query_id, s.vec_id)
+      SELECT query_id, vec_id, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM exact)
       WHERE rk <= 5
       ORDER BY query_id, rk""",
 

@@ -329,6 +329,90 @@ object VectorOps {
         round(col("score"), 6).as("score"), col("rk"))
   }
 
+  /** IVF+PQ ANN — the full FAISS IndexIVFPQ composition and the
+    * 100 TB serving path: coarse IVF cells prune the corpus to the
+    * query's `nprobe` cells, PQ-ADC scores ONLY those cells' codes
+    * into a `shortlist`, and the shortlist re-ranks exactly. Where
+    * [[pqTopK]] ADC-scans the whole code table per query batch (linear
+    * in corpus — measured in SCALE.md), this scans nprobe/nlist of it;
+    * the exact math touches queries × shortlist rows only. All three
+    * stages keep their scale anatomy: centroids broadcast (KBs), the
+    * corpus-sized sides never reshuffle except one id-keyed argmax
+    * per stage, candidates flow through keyed equi-joins. The
+    * deterministic centroid choices (first `nlist` vectors, first
+    * `nCent` subvectors) make every stage oracle-checkable; a
+    * production fit swaps in sampled k-means with the same plan.
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                isQuery: Column => Column, nlist: Int, nprobe: Int,
+                subDim: Int, nCent: Int, shortlist: Int, k: Int): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    // IVF assignment (te05 form); e feeds centroids, assignment AND the
+    // exact re-rank arrays — materialize once.
+    val e = prepped(vecs, idCol, vecCol).localCheckpoint()
+    val cent = e.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cosc").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("cosc", round(
+        scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
+      .select(col("id"), col("cid"), col("cosc"))
+      .withColumn("crk", row_number().over(wAssign))
+      .select(col("id"), col("cid"), col("crk"))
+      .localCheckpoint() // feeds cells + probes
+    val cells = ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("cell"))
+    val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cid").as("cell"))
+    // PQ codes + the query ADC table (te07 form)
+    val sx = explodeVec(vecs, idCol, vecCol, "vec_id")
+      .select(col("vec_id"), expr(s"d DIV $subDim").cast("int").as("sub"),
+        (col("d") % subDim).as("dd"), col("x"))
+      .repartition(parallelism)
+    val pqc = sx.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cid"), col("sub").as("csub"),
+        col("dd").as("cdd"), col("x").as("cx"))
+    val adot = sx.join(broadcast(pqc),
+        col("sub") === col("csub") && col("dd") === col("cdd"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
+      .localCheckpoint() // feeds codes + the query ADC table
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dt").desc, col("cid"))
+    val codes = adot.withColumn("rk", row_number().over(wA))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val qd = adot.where(isQuery(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+        col("cid"), col("dt"))
+    // candidates = probed cells only; ADC scores just their codes
+    val pairs = broadcast(probes).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adcScores = pairs.join(codes, "vec_id")
+      .join(broadcast(qd), col("query_id") === col("qid") &&
+        col("sub") === col("qsub") && col("code") === col("cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("dt")).cast("double") / lit(1e12)).as("score"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val sl = adcScores.withColumn("srk", row_number().over(wS))
+      .where(col("srk") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the shortlist (te08 form)
+    val q = e.where(isQuery(col("id")))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("id").as("vec_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    sl.join(broadcast(q), "query_id").join(c, "vec_id")
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv2"))) / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wT)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** Two-stage ANN: PQ-ADC shortlist (cheap, codes-only) then EXACT
     * cosine re-rank of just the shortlist pairs — the standard
     * refine-after-prefilter pattern (FAISS IndexIVFPQ + refine). At

@@ -274,6 +274,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((false, "a@300;b@305")))
   }
 
+  test("cepStreamWithTimeouts reports expired partials once under NoSkip (overlap scan)") {
+    import Nfa._
+    val in = MemoryStream[SEv]
+    val wmarked = in.toDS().withWatermark("ts", "0 seconds")
+    val pat = Pattern[SEv](Vector(
+      Step("a", (_: SEv).tag == "a"),
+      Step("b", (_: SEv).tag == "b", contiguity = Contiguity.Relaxed)),
+      withinMicros = Some(60L * 1000000L),
+      afterMatch = AfterMatch.NoSkip)
+    val out = StatefulOps.cepStreamWithTimeouts[Long, SEv](
+        wmarked, _.k, _.ts.getTime, pat)
+      .map { case (isT, m) =>
+        (isT, m.bindings.map(b => b._1 + "@" + b._2.map(_.ts.getTime / 1000)
+          .mkString(",")).mkString(";")) }
+    val q = out.writeStream.format("memory").queryName("ceptons")
+      .outputMode("append").start()
+    // two a-starts with no b: under NoSkip BOTH are candidate starts,
+    // and both must time out, each exactly once
+    in.addData(SEv(1, ts(10), 0, "a"), SEv(1, ts(12), 0, "a"))
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(200), 0, "x")) // wm=12: mature, not expired
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(300), 0, "a")) // wm=200: both starts expired
+    q.processAllAvailable()
+    in.addData(SEv(1, ts(305), 0, "b"), SEv(1, ts(400), 0, "x"))
+    runToCompletion(q)                  // a@300,b@305 completes
+    val got = spark.table("ceptons").as[(Boolean, String)].collect().toSeq
+    assert(got.count(_ == ((true, "a@10"))) == 1, s"got $got")
+    assert(got.count(_ == ((true, "a@12"))) == 1, s"got $got")
+    assert(got.contains((false, "a@300;b@305")))
+  }
+
   test("cepStream holds a trailing greedy OneOrMore open across watermarks") {
     import Nfa._
     val in = MemoryStream[SEv]

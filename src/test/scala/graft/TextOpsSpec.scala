@@ -156,4 +156,23 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(ivf == brute)
   }
+
+  test("IVF+PQ probing ALL cells with a corpus-sized shortlist equals brute force") {
+    // nprobe = nlist means no IVF pruning; shortlist >= corpus means
+    // ADC drops nothing before the exact re-rank — so the composition
+    // must degrade gracefully to the exact answer.
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 40L).map(i =>
+        (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val ivfpq = VectorOps.ivfPqTopK(df, "vec_id", "embedding",
+        _ % 10 === 0, nlist = 4, nprobe = 4, subDim = 4, nCent = 8,
+        shortlist = 40, k = 3)
+      .select("query_id", "vec_id", "cos", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(
+        df.filter(col("vec_id") % 10 === 0), df, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfpq == brute)
+  }
 }
