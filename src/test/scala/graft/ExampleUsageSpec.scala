@@ -63,6 +63,72 @@ class ExampleUsageSpec extends AnyFunSuite {
     assert(back.count() == 5)
   }
 
+  test("example: DDL with ROW/MULTISET/TIMESTAMP columns typed per the reference") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val env = GraftTableEnvironment.create(spark)
+    env.executeSql("""
+      CREATE TABLE typed_ev (
+        id BIGINT,
+        pt ROW<lat DOUBLE, lon DOUBLE>,
+        tags MULTISET<STRING>,
+        ts TIMESTAMP(3),
+        PRIMARY KEY (id) NOT ENFORCED
+      ) WITH ('connector' = 'values')""")
+    val sch = spark.table("typed_ev").schema
+    assert(sch("pt").dataType.typeName == "struct")      // ROW -> struct
+    assert(sch("tags").dataType.typeName == "map")       // MULTISET -> map<e,int>
+    assert(sch("ts").dataType == TimestampNTZType)       // TIMESTAMP(p) is ntz
+    env.executeSql("DROP TABLE typed_ev")
+  }
+
+  test("example: full IVF+PQ ANN — cell-pruned ADC, exact re-rank") {
+    val top = graft.operators.VectorOps.ivfPqTopK(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      "vec_id", "embedding", _ % 25 === 0, nlist = 16, nprobe = 2,
+      subDim = 8, nCent = 16, shortlist = 10, k = 3)
+    // ranked neighbors per query, best first, never more than k
+    val perQuery = top.groupBy("query_id").count().select("count")
+      .as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ <= 3))
+  }
+
+  test("example: CEP skip strategies — overlapping matches on one stream") {
+    // a run of 4 logins followed by a purchase: SKIP PAST LAST ROW sees
+    // one funnel; SKIP TO NEXT ROW sees every suffix of the login run
+    case class E(t: Long, typ: String)
+    val evs = IndexedSeq(E(1, "login"), E(2, "login"), E(3, "login"),
+      E(4, "login"), E(5, "buy"))
+    def pat(b: PatternDsl.Builder[E]) = b.build
+    val base = PatternDsl.begin[E]("l", _.typ == "login").oneOrMore
+      .next("b", _.typ == "buy")
+    val past = Nfa.run(evs, (_: E).t, pat(base.afterMatchSkipPastLast))
+    val next = Nfa.run(evs, (_: E).t, pat(base.afterMatchSkipToNext))
+    assert(past.size == 1 && next.size == 4)
+  }
+
+  test("example: state TTL keeps an unbounded key space bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    // top-1 per key with an idle TTL: keys that go quiet are evicted
+    // instead of living in the state store forever. TTL uses
+    // processing-time timers, which keep micro-batches scheduling —
+    // poll the sink with a deadline instead of processAllAvailable().
+    val out = graft.streaming.StatefulOps.streamingTopN[Long, (Long, Double)](
+      in.toDS(), 1, _._1, (a, b) => a._2 > b._2, stateTtlMs = Some(200L))
+    val q = out.writeStream.format("memory").queryName("exttl")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 10.0))
+      val t0 = System.currentTimeMillis()
+      while (spark.table("exttl").isEmpty) {
+        assert(System.currentTimeMillis() - t0 < 30000, "no output")
+        Thread.sleep(100)
+      }
+      assert(spark.table("exttl").count() == 1)
+    } finally q.stop()
+  }
+
   test("example: two-stage ANN — PQ shortlist, exact re-rank") {
     val top = graft.operators.VectorOps.pqRerankTopK(
       Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
