@@ -87,10 +87,16 @@ class GraftTableEnvironment private (val spark: SparkSession) {
         spark.read.format("graft-datagen").schema(schema)
           .option("numRows", stmt.options.getOrElse("number-of-rows", "1000"))
           .load()
+      case "jdbc" =>
+        // Reference JdbcDynamicTableFactory: url/table-name/username/
+        // password/driver plus scan.partition.* → partitioned read
+        // (graft.sources.JdbcConnector maps the option keys onto
+        // Spark's JDBC source).
+        graft.sources.JdbcConnector.read(spark, stmt.options)
       case "values" | "" =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       case other => throw new IllegalArgumentException(
-        s"unsupported connector '$other' (supported: filesystem, datagen, values)")
+        s"unsupported connector '$other' (supported: filesystem, datagen, jdbc, values)")
     }
     val withComputed = stmt.computed.foldLeft(base) {
       case (df, (n, e)) => df.withColumn(n, expr(e))

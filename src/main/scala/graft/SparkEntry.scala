@@ -20,6 +20,7 @@ object SparkEntry {
     operators.DsParityExt,
     operators.DsParityExt2,
     operators.DsParityExt3,
+    operators.JdbcParity,
     operators.TpchGate
   )
 
