@@ -38,4 +38,60 @@ object Dedup {
   def exactByContent(df: DataFrame, idCol: Column, contentCols: Seq[Column]): DataFrame =
     df.groupBy(md5(concat_ws("", contentCols: _*)).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Connected components over an undirected pair graph
+    * (`id_a`, `id_b`) → (`id`, `label`) with label = min node id of the
+    * component — the reference's bulk-iteration label propagation
+    * (flink-examples-batch ConnectedComponents.java; DataSet bulk
+    * iteration, SURVEY §2.12). Driver runs the loop; per-round work is
+    * one edge join + one keyed min — fully distributed. Pointer
+    * doubling (label ← label-of-label, the large-star/small-star idea)
+    * converges in O(log diameter) rounds, and localCheckpoint truncates
+    * lineage so planning cost stays constant per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    val nodes = edges.select(col("id_a").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("pl"))
+      val stepped = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
+      val next = stepped.join(
+          stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      // Convergence check reads the just-materialized checkpoint —
+      // no extra join against the previous labels.
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds ($changed labels still moving)")
+    labels
+  }
+
+  /** Near-duplicate cluster dedup — the step after candidate
+    * generation in a corpus dedup pipeline: near-dup pairs become an
+    * undirected graph, each connected component is one duplicate
+    * cluster, and the minimum doc id in the cluster is kept as the
+    * canonical representative (every doc outside any cluster keeps
+    * itself). Returns (id, rep_id, keep).
+    */
+  def clusterKeepers(docs: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.select(idCol.as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("rep_id"))
+      .withColumn("keep", col("id") === col("rep_id"))
+  }
 }

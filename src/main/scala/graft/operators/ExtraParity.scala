@@ -65,40 +65,7 @@ object ExtraParity extends QueryModule {
       val idx = TextOps.shingleHashIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
       val pairs = TextOps.allPairsJaccardIdx(idx, 0.8)
         .select(col("id_a"), col("id_b"))
-      // localCheckpoint truncates lineage each round — without it the
-      // plan (and per-iteration planning cost) grows with the iteration
-      // count, which dominates the driver loop.
-      val edges = pairs
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .localCheckpoint()
-      val nodes = edges.select(col("id_a").as("id")).distinct()
-      var labels = nodes.withColumn("label", col("id")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      val maxIter = 25
-      while (changed > 0 && iter < maxIter) {
-        // One round = neighbor-min propagation + pointer doubling
-        // (label <- label-of-label), so convergence takes O(log diameter)
-        // rounds instead of O(diameter) — the large-star/small-star idea.
-        val propagated = edges
-          .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("label", "nl"), "id_b")
-          .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("pl"))
-        val stepped = labels.join(propagated, Seq("id"), "left")
-          .select(col("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("pl"), col("label"))).as("label"))
-        val next = stepped.join(
-            stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
-          .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
-          .localCheckpoint()
-        // Convergence check reads the just-materialized checkpoint —
-        // no extra join against the previous labels.
-        changed = next.filter(col("label") =!= col("old")).count()
-        labels = next.select(col("id"), col("label"))
-        iter += 1
-      }
-      require(changed == 0,
-        s"connected components did not converge in $maxIter rounds ($changed labels still moving)")
-      labels.orderBy("id")
+      Dedup.connectedComponents(pairs).orderBy("id")
     },
 
     // Batch iteration #2: PageRank (5 fixed rounds, damping 0.85) over

@@ -244,6 +244,19 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Near-dup cluster dedup — the step after candidate generation:
+    // LSH pairs → connected components → keep the min doc id per
+    // cluster as canonical, every other doc in the cluster dropped,
+    // singletons keep themselves. The full CCNet/SlimPajama-style
+    // corpus dedup pipeline in one operator chain, every stage bucketed
+    // or keyed (no all-pairs work at any point).
+    "td16_dedup_clusters" -> { (s, dir) =>
+      val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterKeepers(Tables.load(s, dir, "documents"), col("doc_id"), pairs)
+        .orderBy("id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -464,6 +477,31 @@ object TextPipelineSuite extends QueryModule {
           '\b(customer|value|a)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
           '[REDACTED]', 'g')) AS INT) AS clean_len
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // Transitive closure over the exact near-dup pair graph; rep_id =
+    // min reachable node (incl. self). Clusters are tiny so the
+    // closure stays small even though it's quadratic per component.
+    "td16_dedup_clusters" -> s"""
+      WITH RECURSIVE $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.id
+                JOIN sizes sb ON id_b = sb.id
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      rep AS (SELECT d.doc_id AS id,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_id
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id)
+      SELECT id, rep_id, (id = rep_id) AS keep FROM rep ORDER BY id"""
   )
 }

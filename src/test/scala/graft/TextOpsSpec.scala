@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{Dedup, TextOps, VectorOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -17,6 +17,21 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().toMap
     assert(m(1L).isEmpty)
     assert(m(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("connectedComponents labels chains/cycles; clusterKeepers keeps min per cluster") {
+    // chain 1-2-3 (via transitivity), cycle 10-11-12-10, singleton 20
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L)).toDF("doc_id")
+    val keepers = Dedup.clusterKeepers(docs, col("doc_id"), pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(keepers == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
   test("minhashLshPairs equals allPairsJaccard on a small corpus") {
