@@ -100,8 +100,11 @@ object ScaleProbe {
     // CartesianProduct (both sides shuffled) is never acceptable.
     def run(probe: String, scale: Int, df: => DataFrame,
             allowBroadcastCross: Boolean = false): Unit = {
-      val frame = df
+      // t0 before forcing `df`: operators that run driver-side loops
+      // (td16's connected components) do their work while the frame is
+      // being built, not at count time.
       val t0 = System.nanoTime()
+      val frame = df
       val out = frame.count()
       val dt = (System.nanoTime() - t0) / 1e9
       // post-AQE executed plan: the bucketed shape must survive scale
@@ -127,6 +130,11 @@ object ScaleProbe {
           .repartition(col("doc_id")).distinct()
         TextOps.simhashPairs(TextOps.simhash60Idx(wIdx, "doc_id"), "doc_id", 3)
       })
+      run("td16 cluster dedup", k, graft.operators.Dedup.clusterKeepers(
+        docs, col("doc_id"),
+        TextOps.minhashLshPairsIdx(
+            TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"))))
       val emb = syntheticEmbeddings(spark, embBase * k)
       // Fixed query batch (the base corpus's every-25th id) at every
       // scale: serving cost = batch × probed corpus fraction.
