@@ -241,6 +241,49 @@ object TextOps {
       .withColumn("contaminated", col("n_hits") / col("n_grams") > threshold)
   }
 
+  /** Bloom-prefiltered decontamination: same EXACT result as
+    * [[decontaminate]], but the corpus side is filtered map-side through
+    * a Bloom filter built over the benchmark grams before anything
+    * shuffles. A Bloom filter has no false negatives, so no hit is lost;
+    * its false positives are discarded by the exact verify join that
+    * follows — only the (tiny) surviving gram fraction pays shuffle
+    * cost. This is Spark's own InjectRuntimeFilter pattern made
+    * explicit and deterministic: at 100 TB the corpus gram index is the
+    * dominant shuffle input of td10, and the broadcast-literal bloom
+    * (1 MiB default) removes ~all of it at the scan.
+    */
+  def decontaminateBloom(corpusIdx: DataFrame, benchIdx: DataFrame,
+                         threshold: Double,
+                         expectedBenchGrams: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    val bench = benchIdx.select(col("sh")).distinct()
+    val sizes = corpusIdx.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val bloomAgg = column(new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("sh")))),
+        Literal(expectedBenchGrams), Literal(numBits))
+      .toAggregateExpression()).as("bloom")
+    val bloomBytes = bench.agg(bloomAgg).head().getAs[Array[Byte]](0)
+    val noHits = sizes
+      .select(col("id"), col("n_grams"), lit(0L).as("n_hits"),
+        lit(0d).as("overlap"), lit(false).as("contaminated"))
+    if (bloomBytes == null) return noHits // empty benchmark: nothing overlaps
+    val mightContain = column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      new XxHash64(Seq(expression(col("sh"))))))
+    val hits = corpusIdx.where(mightContain).hint("shuffle_hash")
+      .join(bench.hint("shuffle_hash"), "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
+      .withColumn("contaminated", col("n_hits") / col("n_grams") > threshold)
+  }
+
   /** Corpus-relative-frequency score from an (id, w) token index (with
     * duplicates): per-doc token count and the average relative corpus
     * frequency of its tokens — rare-word-heavy docs score low. Exact

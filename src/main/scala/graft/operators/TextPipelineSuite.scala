@@ -257,6 +257,24 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id")
     },
 
+    // Bloom-prefiltered decontamination — same contract as td10, but
+    // the corpus gram index passes a broadcast Bloom filter built over
+    // the benchmark grams BEFORE the verify join, so only grams that
+    // might overlap ever shuffle (no false negatives; false positives
+    // die in the exact join). Distinct knobs from td10: 4-grams, 10%
+    // flag threshold.
+    "td17_decontaminate_bloom" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextOps.decontaminateBloom(
+          TextOps.shingleHashIndex(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text", 4),
+          TextOps.shingleHashIndex(
+            docs.filter(col("source") === "src0"), "doc_id", "text", 4),
+          0.1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Per-language quality quota — the curation step of a training-data
     // pipeline: rank docs within each language by a quality proxy and
     // keep the top 20. One shuffle on lang, window rank, filter.
@@ -502,6 +520,31 @@ object TextPipelineSuite extends QueryModule {
                      least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_id
               FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
               GROUP BY d.doc_id)
-      SELECT id, rep_id, (id = rep_id) AS keep FROM rep ORDER BY id"""
+      SELECT id, rep_id, (id = rep_id) AS keep FROM rep ORDER BY id""",
+
+    // The bloom prefilter is invisible to the result: the oracle is the
+    // same exact-overlap computation as td10, at 4 grams / 10%.
+    "td17_decontaminate_bloom" -> """
+      WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(words) >= 4
+                THEN list_distinct(list_transform(range(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            || ' ' || words[i+3]))
+                ELSE [] END AS grams
+            FROM w),
+      bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE source = 'src0'),
+      e AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE source <> 'src0'),
+      hits AS (SELECT doc_id, count(1) AS n_hits
+               FROM e JOIN bench USING (gr) GROUP BY doc_id),
+      allg AS (SELECT doc_id, len(grams) AS n_grams FROM g
+               WHERE source <> 'src0' AND len(grams) > 0)
+      SELECT a.doc_id, CAST(a.n_grams AS BIGINT) AS n_grams,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             round(coalesce(h.n_hits, 0) * 1.0 / a.n_grams, 6) AS overlap,
+             (coalesce(h.n_hits, 0) * 1.0 / a.n_grams) > 0.1 AS contaminated
+      FROM allg a LEFT JOIN hits h ON a.doc_id = h.doc_id
+      ORDER BY a.doc_id"""
   )
 }

@@ -109,6 +109,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(3L) == ((4L, 1L, 0.25, true)))
   }
 
+  test("decontaminateBloom matches exact decontaminate; empty benchmark clears all") {
+    val bench = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "q r s t u v w x y z"),
+      (3L, "a b c d e nothing shared xx"))
+      .toDF("doc_id", "text")
+    val cIdx = TextOps.shingleHashIndex(corpus, "doc_id", "text", 5)
+    val bIdx = TextOps.shingleHashIndex(bench, "doc_id", "text", 5)
+    val exact = TextOps.decontaminate(cIdx, bIdx, 0.2)
+      .orderBy("id").collect().toSeq
+    val bloom = TextOps.decontaminateBloom(cIdx, bIdx, 0.2)
+      .orderBy("id").collect().toSeq
+    assert(bloom == exact)
+    val none = TextOps.decontaminateBloom(
+        cIdx, bIdx.where(lit(false)), 0.2)
+      .select("id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(none == Set((1L, 0L, false), (2L, 0L, false), (3L, 0L, false)))
+  }
+
   test("corpusRelFreq averages relative corpus frequencies exactly") {
     // corpus tokens: a,a,a,a,b -> n=5, freq(a)=4, freq(b)=1
     val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
