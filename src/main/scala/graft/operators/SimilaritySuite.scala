@@ -146,6 +146,15 @@ object SimilaritySuite extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // SemDeDup: cluster on 16 coarse centroids, pair only within a
+    // cluster, connect pairs with cosine ≥ 0.4 into duplicate groups,
+    // keep the min id per group — cluster-bounded pairwise, never O(n²).
+    "te10_semantic_dedup" -> { (s, dir) =>
+      VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", nlist = 16, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     // Multimodal: binary payload → REAL javax.imageio decode →
     // Graphics2D resize → raster-mean features, batched per partition.
     // The PNG bytes are synthesized from a deterministic pixel function
@@ -660,6 +669,55 @@ object SimilaritySuite extends QueryModule {
       FROM pairs
       GROUP BY id_b
       ORDER BY vec_id""",
+
+    // Same assignment arithmetic as te05 (floor-scaled long dots,
+    // round 6, cid tie-break), pairs restricted to one cell, then the
+    // td16-style recursive reachability for duplicate groups.
+    "te10_semantic_dedup" -> """
+      WITH RECURSIVE ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT cdots.vec_id AS vec_id, cid,
+                 row_number() OVER (PARTITION BY cdots.vec_id
+                   ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+          FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                     JOIN norms nc ON cdots.cid = nc.vec_id)
+        WHERE crk = 1),
+      dots AS (
+        SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+               CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        JOIN ex a ON a.vec_id = ca.vec_id
+        JOIN ex b ON b.vec_id = cb.vec_id AND a.d = b.d
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots JOIN norms na ON id_a = na.vec_id
+                    JOIN norms nb ON id_b = nb.vec_id)
+        WHERE cos >= 0.4),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+      SELECT c.vec_id, c.cell,
+             least(c.vec_id, coalesce(min(r.b), c.vec_id)) AS rep_id,
+             (c.vec_id = least(c.vec_id, coalesce(min(r.b), c.vec_id))) AS keep
+      FROM cells c LEFT JOIN reach r ON r.a = c.vec_id
+      GROUP BY c.vec_id, c.cell
+      ORDER BY c.vec_id""",
 
     "mm01_decode_meta" -> """
       WITH base AS (

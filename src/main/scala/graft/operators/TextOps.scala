@@ -415,4 +415,120 @@ object TextOps {
         bit_count(expr("sim_a ^ sim_b")).as("hamming")).distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** C4-style corpus-wide line dedup, with fixed word-chunks standing in
+    * for lines (the testdata has no newlines; a newline-delimited corpus
+    * passes `split(text, "\n")` positions through the identical plan).
+    * Every non-overlapping `chunkWords`-word chunk is deduplicated
+    * across the WHOLE corpus: a chunk whose text occurs in more than
+    * one document survives only in the lowest-id document (C4 keeps one
+    * occurrence of each duplicated line), and each document's text is
+    * reassembled from its surviving chunks in order, plus the partial
+    * tail. Scale anatomy: chunks shuffle once on the chunk text for the
+    * corpus-wide first-owner aggregate, then once on id for reassembly —
+    * both equi-keyed, no corpus-sized state anywhere. The chunk strings
+    * are bounded (chunkWords words), so the shuffle rows stay narrow.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                chunkWords: Int = 10): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .select(col("id"), size(words(col("__text"))).as("n_words"),
+        posexplode(words(col("__text"))).as(Seq("pos", "w")))
+    val leadCols = (1 until chunkWords).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+    val chunks = base
+      .select(col("id") +: col("n_words") +: col("pos") +: col("w") +: leadCols: _*)
+      .where(col("pos") % chunkWords === 0 &&
+        col("pos") + chunkWords <= col("n_words"))
+      .select(col("id"),
+        (col("pos") / chunkWords).cast("int").as("chunk_idx"),
+        concat_ws(" ", col("w") +: (1 until chunkWords).map(i => col(s"w$i")): _*).as("chunk"))
+    // Corpus-wide first owner per chunk text (min id). df > 1 chunks
+    // survive only there; unique chunks survive in place.
+    val owners = chunks.groupBy(col("chunk")).agg(min(col("id")).as("keep_id"))
+    val kept = chunks.join(owners.hint("shuffle_hash"), Seq("chunk"))
+      .where(col("id") === col("keep_id"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x("chunk")), " ").as("__body"))
+    docs.select(col(idCol).as("id"), words(col(textCol)).as("__wds"))
+      .select(col("id"), col("__wds"), size(col("__wds")).as("n_words"))
+      .withColumn("n_chunks", (col("n_words") / chunkWords).cast("int"))
+      .withColumn("__tail", concat_ws(" ",
+        slice(col("__wds"), col("n_chunks") * chunkWords + 1,
+          col("n_words") - col("n_chunks") * chunkWords)))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("int").as("n_removed"),
+        trim(concat_ws(" ", coalesce(col("__body"), lit("")), col("__tail"))).as("text"))
+  }
+
+  /** Duplicated-span detection (the signal behind substring-level
+    * training-data dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): the fraction of a document's
+    * OVERLAPPING word `n`-gram windows that also occur in at least
+    * `minDf - 1` other documents. Documents above `flagFrac` are the
+    * boilerplate/near-copy candidates a span-level deduper would
+    * rewrite. One inverted-index aggregate on the gram hash + one
+    * join back — the same two-shuffle anatomy as decontaminate, run
+    * corpus-against-itself. Docs with fewer than n words have no
+    * windows and drop out, as in the reference pipelines.
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 15, minDf: Int = 2,
+                   flagFrac: Double = 0.5): DataFrame = {
+    val idx = shingleHashIndex(docs, idCol, textCol, n)
+    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    idx.join(df.hint("shuffle_hash"), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_dup"),
+        round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") >= flagFrac)
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023 "Data Selection
+    * for Language Models via Importance Resampling", reduced to exact
+    * integer arithmetic so the result is oracle-reproducible): score
+    * every corpus document by how target-like its unigram distribution
+    * is — the ratio of summed add-one-smoothed target counts to summed
+    * corpus counts over the document's tokens (the log-free analogue of
+    * the n-gram likelihood ratio; monotone in the same signal) — and
+    * keep the `quota` highest scorers (ties broken on id). Both count
+    * tables shuffle on the token; the quota cut is a distributed
+    * top-k (per-partition top-k + driver merge of quota rows), never a
+    * global sort. DSIR hashes n-grams into a fixed bucket space to
+    * bound the vocabulary at web scale — that bucketing drops in as
+    * `xxhash64(w) % nBuckets` on both count tables without changing
+    * the plan (omitted here so the oracle can reproduce scores
+    * exactly).
+    *
+    * Inputs are WITH-duplicates (id, w) token indexes: `corpusIdx` the
+    * documents to score, `targetIdx` the target-domain sample.
+    */
+  def importanceSelect(corpusIdx: DataFrame, targetIdx: DataFrame,
+                       quota: Int): DataFrame = {
+    val tc = targetIdx.groupBy(col("w")).agg(count(lit(1)).as("tc"))
+    val rc = corpusIdx.groupBy(col("w")).agg(count(lit(1)).as("rc"))
+    val scored = corpusIdx
+      .join(tc.hint("shuffle_hash"), Seq("w"), "left")
+      .join(rc.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("tc"), lit(0L)) + lit(1L)).as("__num"),
+        sum(col("rc") + lit(1L)).as("__den"))
+      .select(col("id"), col("n_words"),
+        round(col("__num") / col("__den"), 6).as("importance"))
+    val top = scored.orderBy(col("importance").desc, col("id")).limit(quota)
+      .select(col("id"), lit(true).as("__sel"))
+    scored.join(broadcast(top), Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("importance"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
 }

@@ -286,6 +286,38 @@ object TextPipelineSuite extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 20)
         .orderBy("lang", "rn")
+    },
+
+    // C4-style corpus-wide line dedup (10-word chunks as lines): a
+    // duplicated chunk survives only in its lowest-id doc; texts are
+    // reassembled from the surviving chunks plus the partial tail.
+    "td18_line_dedup" -> { (s, dir) =>
+      TextOps.lineDedup(Tables.load(s, dir, "documents"), "doc_id", "text", 10)
+        .orderBy("doc_id")
+    },
+
+    // Duplicated-span fraction (Lee et al. substring-dedup signal):
+    // share of each doc's overlapping 15-gram windows that appear in
+    // ≥2 docs; ≥50% flags the doc as boilerplate/near-copy.
+    "td19_dup_spans" -> { (s, dir) =>
+      TextOps.dupSpanStats(Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 15, minDf = 2, flagFrac = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance selection: score every non-src0 doc by
+    // target-likeness of its unigram counts against the src0 sample,
+    // keep the top 100 (distributed top-k, ties on id).
+    "td20_importance_select" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def idx(f: DataFrame): DataFrame =
+        f.select(col("doc_id").as("id"), explode(TextOps.words(col("text"))).as("w"))
+          .repartition(col("id"))
+      TextOps.importanceSelect(
+          idx(docs.filter(col("source") =!= "src0")),
+          idx(docs.filter(col("source") === "src0")), quota = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -545,6 +577,61 @@ object TextPipelineSuite extends QueryModule {
              round(coalesce(h.n_hits, 0) * 1.0 / a.n_grams, 6) AS overlap,
              (coalesce(h.n_hits, 0) * 1.0 / a.n_grams) > 0.1 AS contaminated
       FROM allg a LEFT JOIN hits h ON a.doc_id = h.doc_id
-      ORDER BY a.doc_id"""
+      ORDER BY a.doc_id""",
+
+    "td18_line_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk
+            FROM w, LATERAL (SELECT unnest(range(0, len(words) // 10)) AS i)),
+      owners AS (SELECT chunk, min(doc_id) AS keep_id FROM c GROUP BY 1),
+      kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+               FROM c JOIN owners USING (chunk) WHERE c.doc_id = keep_id),
+      r AS (SELECT doc_id, count(1) AS n_kept,
+              string_agg(chunk, ' ' ORDER BY chunk_idx) AS body
+            FROM kept GROUP BY doc_id),
+      t AS (SELECT doc_id, CAST(len(words) // 10 AS INT) AS n_chunks,
+              array_to_string(words[(len(words) // 10) * 10 + 1 : len(words)], ' ') AS tail
+            FROM w)
+      SELECT t.doc_id, n_chunks,
+             CAST(n_chunks - coalesce(n_kept, 0) AS INT) AS n_removed,
+             trim(concat_ws(' ', coalesce(body, ''), coalesce(tail, ''))) AS text
+      FROM t LEFT JOIN r USING (doc_id)
+      ORDER BY t.doc_id""",
+
+    "td19_dup_spans" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(words) >= 15
+                THEN list_distinct(list_transform(range(1, len(words) - 13),
+                       i -> array_to_string(words[i:i+14], ' ')))
+                ELSE [] END AS grams
+            FROM w),
+      e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      dfreq AS (SELECT gr, count(1) AS df FROM e GROUP BY gr)
+      SELECT doc_id, count(1) AS n_grams,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(1), 6) AS dup_frac,
+             (round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(1), 6) >= 0.5) AS flagged
+      FROM e JOIN dfreq USING (gr)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "td20_importance_select" -> """
+      WITH w AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+      tc AS (SELECT w, count(1) AS tc FROM w WHERE source = 'src0' GROUP BY 1),
+      rc AS (SELECT w, count(1) AS rc FROM w WHERE source <> 'src0' GROUP BY 1),
+      sc AS (SELECT doc_id, count(1) AS n_words,
+               round(sum(coalesce(tc, 0) + 1) * 1.0 / sum(rc + 1), 6) AS importance
+             FROM w LEFT JOIN tc USING (w) JOIN rc USING (w)
+             WHERE source <> 'src0'
+             GROUP BY doc_id),
+      top AS (SELECT doc_id FROM sc ORDER BY importance DESC, doc_id LIMIT 100)
+      SELECT doc_id, n_words, importance,
+             (doc_id IN (SELECT doc_id FROM top)) AS selected
+      FROM sc ORDER BY doc_id"""
   )
 }

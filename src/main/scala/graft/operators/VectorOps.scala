@@ -477,4 +477,52 @@ object VectorOps {
   def srpProbes(bucket: Column, nbits: Int): Column =
     array(bucket +: (0 until nbits).map(b =>
       bucket.bitwiseXOR(lit(1L << b))): _*)
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings with a coarse quantizer, compare pairs ONLY within a
+    * cluster, connect pairs above the cosine threshold into duplicate
+    * groups, and keep the minimum id of each group as canonical.
+    * Returns (id, cell, rep_id, keep) for every vector.
+    *
+    * Scale anatomy — the whole point of SemDeDup over all-pairs: the
+    * pairwise stage is an equi-join on the cell id, O(Σ|cell|²) instead
+    * of O(n²), distributed by cell. `nlist` is chosen so the expected
+    * cell stays small (the paper uses ~√n clusters at corpus scale);
+    * assignment is one broadcast-centroid map pass. Centroids here are
+    * the first `nlist` vectors (deterministic, oracle-checkable); a
+    * fitted quantizer drops in via the [[ivfKmeansTopK]] Lloyd fit with
+    * the identical downstream plan. Component labeling runs on the
+    * pair set (tiny relative to the corpus) via
+    * [[Dedup.connectedComponents]].
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, threshold: Double): DataFrame = {
+    val e = prepped(vecs, idCol, vecCol)
+    val cent = e.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cosc").desc, col("cid"))
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("cosc", round(
+        scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select(col("id"), col("cid").as("cell"), col("v"), col("nrm"))
+      .localCheckpoint() // feeds the pair join twice + the final output
+    val a = cells.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    cells.select(col("id"), col("cell"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("label"), col("id")).as("rep_id"))
+      .withColumn("keep", col(idCol) === col("rep_id"))
+  }
 }

@@ -211,4 +211,63 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(ivfpq == brute)
   }
+
+  test("lineDedup keeps duplicated chunks only in the lowest-id doc, tail intact") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // chunks [a b c][d e f], tail "g h"
+      (2L, "a b c x y z"),     // loses [a b c] to doc 1, keeps [x y z]
+      (3L, "x y z q"))         // loses [x y z] to doc 2, tail "q"
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", chunkWords = 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2, 0, "a b c d e f g h")))
+    assert(out(2L) == ((2, 1, "x y z")))
+    assert(out(3L) == ((1, 1, "q")))
+  }
+
+  test("dupSpanStats counts windows shared across docs") {
+    val docs = Seq(
+      (1L, "a b c d e"), // grams: abc bcd cde — abc, bcd shared with doc 2
+      (2L, "a b c d x"),
+      (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupSpanStats(docs, "doc_id", "text",
+        n = 3, minDf = 2, flagFrac = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667, true)))
+    assert(out(2L) == ((3L, 2L, 0.666667, true)))
+    assert(out(3L) == ((3L, 0L, 0.0, false)))
+  }
+
+  test("importanceSelect scores target-likeness as ratio of smoothed count sums") {
+    val corpus = Seq((1L, "x"), (1L, "y"), (2L, "z"), (2L, "z")).toDF("id", "w")
+    val target = Seq((9L, "x"), (9L, "x"), (9L, "y")).toDF("id", "w")
+    val out = TextOps.importanceSelect(corpus, target, quota = 1)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: num = (2+1)+(1+1) = 5, den = (1+1)+(1+1) = 4 → 1.25, selected
+    // doc 2: num = (0+1)*2 = 2, den = (2+1)*2 = 6 → 0.333333
+    assert(out(1L) == ((2L, 1.25, true)))
+    assert(out(2L) == ((2L, 0.333333, false)))
+  }
+
+  test("semanticDedup groups within-cluster near-dups, keeps min id") {
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // centroid / cell 0
+      (1L, Seq(0.0f, 1.0f)),   // centroid / cell 1
+      (2L, Seq(0.9f, 0.1f)),   // cell 0; cos(2,3) ≈ 0.9998
+      (3L, Seq(0.92f, 0.08f)), // cell 0; cos(0,3) ≈ 0.9961
+      (4L, Seq(0.1f, 0.9f)))   // cell 1; cos(1,4) ≈ 0.9938 < 0.995
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(docs, "vec_id", "embedding",
+        nlist = 2, threshold = 0.995)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0L, true)), 1L -> ((1L, 1L, true)),
+      2L -> ((0L, 0L, false)), 3L -> ((0L, 0L, false)),
+      4L -> ((1L, 4L, true))))
+  }
 }
