@@ -13,9 +13,11 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      // Flink-dialect gap functions ride in via SparkSessionExtensions,
-      // so spark.sql("... split_index(...) ...") works out of the box.
-      .withExtensions(graft.functions.FlinkFunctions.injectAll)
+      // Flink-dialect gap functions + the range-join optimizer rule
+      // ride in via SparkSessionExtensions, so spark.sql("...
+      // split_index(...) ...") and auto-binned BETWEEN joins work out
+      // of the box.
+      .withExtensions(graft.plans.GraftExtensions.injectAll)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

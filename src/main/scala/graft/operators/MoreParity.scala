@@ -187,6 +187,28 @@ object MoreParity extends QueryModule {
         .select(col("error_id"), col("purchase_id"),
           (col("ptus") - col("lo")).as("gap_us"))
         .orderBy("error_id", "purchase_id")
+    },
+
+    // The same key-less interval join written as a PLAIN range join on
+    // the public surface — no RangeJoin helper. The injected
+    // RangeJoinRule (graft.plans) rewrites it to the binned equi-join
+    // at optimization time; the conf lives in an isolated child
+    // session so the opt-in never leaks to other queries.
+    "j06_range_join_auto" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set("spark.graft.rangeJoin.binWidth", "300000000")
+      val e = Tables.load(s, dir, "events").select(col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("tus").as("ptus"))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("tus").as("lo"),
+          (col("tus") + 300000000L).as("hi"))
+      purchases.join(incidents,
+          col("ptus") >= col("lo") && col("ptus") <= col("hi"))
+        .select(col("error_id"), col("purchase_id"),
+          (col("ptus") - col("lo")).as("gap_us"))
+        .orderBy("error_id", "purchase_id")
     }
   )
 
@@ -306,6 +328,16 @@ object MoreParity extends QueryModule {
       ORDER BY click_id, purchase_id""",
 
     "j04_range_join_keyless" -> """
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events)
+      SELECT i.event_id AS error_id, p.event_id AS purchase_id,
+             p.tus - i.tus AS gap_us
+      FROM e i JOIN e p ON i.event_type = 'error' AND p.event_type = 'purchase'
+        AND p.tus >= i.tus AND p.tus <= i.tus + 300000000
+      ORDER BY error_id, purchase_id""",
+
+    // The rewrite is invisible to results: the auto-binned plan must
+    // produce exactly the j04 answer.
+    "j06_range_join_auto" -> """
       WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events)
       SELECT i.event_id AS error_id, p.event_id AS purchase_id,
              p.tus - i.tus AS gap_us
