@@ -80,6 +80,44 @@ object Dedup {
     labels
   }
 
+  /** Connected components when every edge is CONFINED to a group (LSH
+    * buckets, SemDeDup cells, shards): one shuffle on the group key,
+    * then an in-memory union-find per group — no driver loop, no
+    * per-round jobs. The group bound is what makes this the at-scale
+    * form: state is O(nodes in group), and groups process in parallel.
+    * Input (`g`, `id_a`, `id_b`); output (`id`, `label`) with label =
+    * min node id of the component, identical to
+    * [[connectedComponents]] on the union of all groups (components
+    * cannot span groups by construction).
+    */
+  def componentsWithinGroups(pairs: DataFrame, groupCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(groupCol).cast("long").as("g"),
+        col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min id keeps labels deterministic
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(x => (x, find(x))).toSeq
+      }
+      .toDF("id", "label")
+  }
+
   /** Near-duplicate cluster dedup — the step after candidate
     * generation in a corpus dedup pipeline: near-dup pairs become an
     * undirected graph, each connected component is one duplicate

@@ -491,9 +491,10 @@ object VectorOps {
     * assignment is one broadcast-centroid map pass. Centroids here are
     * the first `nlist` vectors (deterministic, oracle-checkable); a
     * fitted quantizer drops in via the [[ivfKmeansTopK]] Lloyd fit with
-    * the identical downstream plan. Component labeling runs on the
-    * pair set (tiny relative to the corpus) via
-    * [[Dedup.connectedComponents]].
+    * the identical downstream plan. Component labeling uses the
+    * cell-confined one-pass union-find
+    * ([[Dedup.componentsWithinGroups]]) — edges cannot span cells, so
+    * no iterative label propagation is needed.
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, threshold: Double): DataFrame = {
@@ -517,8 +518,10 @@ object VectorOps {
       .withColumn("cos", round(
         scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val comps = Dedup.connectedComponents(pairs)
+      .select(col("cell"), col("id_a"), col("id_b"))
+    // Edges are cell-confined, so labeling is one shuffle + per-cell
+    // union-find — no iterative driver loop.
+    val comps = Dedup.componentsWithinGroups(pairs, "cell")
     cells.select(col("id"), col("cell"))
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol), col("cell"),

@@ -34,6 +34,19 @@ class TextOpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
+  test("componentsWithinGroups equals connectedComponents on group-confined edges") {
+    val pairs = Seq((0L, 2L, 1L), (0L, 2L, 3L), (1L, 10L, 11L),
+        (1L, 11L, 12L), (1L, 12L, 10L), (2L, 7L, 9L))
+      .toDF("g", "id_a", "id_b")
+    val grouped = Dedup.componentsWithinGroups(pairs, "g")
+      .as[(Long, Long)].collect().toMap
+    val global = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(grouped == global)
+    assert(grouped == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("minhashLshPairs equals allPairsJaccard on a small corpus") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
