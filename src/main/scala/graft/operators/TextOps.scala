@@ -482,14 +482,21 @@ object TextOps {
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 15, minDf: Int = 2,
                    flagFrac: Double = 0.5): DataFrame = {
-    val idx = shingleHashIndex(docs, idCol, textCol, n)
-    val df = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    idx.join(df.hint("shuffle_hash"), "sh")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
-      .select(col("id").as(idCol), col("n_grams"), col("n_dup"),
-        round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
+    // Materialized once, consumed three times. Almost every gram is
+    // unique at corpus scale, so the df >= minDf survivor set is tiny:
+    // one hash aggregate over the index (no sort), and the dup-count
+    // join runs against a frame AQE broadcasts — the decontaminate
+    // anatomy, corpus-against-itself.
+    val idx = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
+    val shared = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("sh"))
+    val perDoc = idx.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val dups = idx.join(shared, "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_grams"), 6))
       .withColumn("flagged", col("dup_frac") >= flagFrac)
   }
 

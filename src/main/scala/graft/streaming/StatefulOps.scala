@@ -602,4 +602,95 @@ object StatefulOps {
           }
       }
   }
+
+  /** Streaming MinHash-LSH near-duplicate detection — the online form
+    * of the td03 batch pipeline, for dedup-at-ingestion: each arriving
+    * document (id, distinct shingle hashes) lands in its LSH band
+    * buckets; bucket state holds the documents seen there, and every
+    * newcomer is exact-Jaccard-verified against exactly its bucket
+    * peers — never the whole corpus. Pairs above `threshold` emit as
+    * (id_a, id_b, jaccard) with id_a < id_b; a pair colliding in
+    * several bands emits once (streaming dropDuplicates downstream).
+    *
+    * The banding math is bit-identical to the batch path
+    * (TextOps.minhashSignatureIdx/lshBands): permutation i =
+    * xxhash64(sh, i), band hash = xxhash64 over the band's signature
+    * slice — both reproduced here via catalyst's XXH64 — so stream and
+    * batch generate the SAME candidate set, and the exact-Jaccard
+    * verify makes the results identical (miss probability at 64 perms
+    * × 2 rows/band is < 1e-14 above threshold 0.8).
+    *
+    * State per (band, bucket) key = the bucket's (id, shingles) list;
+    * `stateTtlMs` mirrors `table.exec.state.ttl` — an idle bucket
+    * evicts wholesale, so an unbounded stream can't grow state forever
+    * (a later duplicate of an evicted doc is then unseen, the standard
+    * TTL trade-off).
+    */
+  def streamingNearDupPairs(docs: Dataset[(Long, Seq[Long])],
+                            threshold: Double,
+                            numPerms: Int = 64, rowsPerBand: Int = 2,
+                            stateTtlMs: Option[Long] = None): Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val numBands = numPerms / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val st: Encoder[Seq[(Long, Seq[Long])]] =
+      ExpressionEncoder[Seq[(Long, Seq[Long])]]()
+
+    def signature(shingles: Seq[Long]): Array[Long] = {
+      val sig = Array.fill(numPerms)(Long.MaxValue)
+      shingles.foreach { sh =>
+        val base = XXH64.hashLong(sh, 42L)
+        var i = 0
+        while (i < numPerms) {
+          val h = XXH64.hashInt(i, base) // = batch xxhash64(sh, lit(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+
+    docs.filter(_._2.nonEmpty)
+      .flatMap { case (id, shingles) =>
+        val sig = signature(shingles)
+        (0 until numBands).map { b =>
+          var bh = 42L // batch lshBands: xxhash64 over the band's slice
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .foreach(i => bh = XXH64.hashLong(sig(i), bh))
+          ((b, bh), id, shingles)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtlMs)) {
+        (_: (Int, Long), rows: Iterator[((Int, Long), Long, Seq[Long])],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var bucket = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            rows.foreach { case (_, id, shingles) =>
+              if (!bucket.exists(_._1 == id)) {
+                val s = shingles.toSet
+                bucket.foreach { case (oid, osh) =>
+                  val os = osh.toSet
+                  val inter = s.count(os)
+                  val j = inter.toDouble / (s.size + os.size - inter)
+                  if (j >= threshold) {
+                    val r = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble
+                    out += ((math.min(id, oid), math.max(id, oid), r))
+                  }
+                }
+                bucket :+= ((id, shingles))
+              }
+            }
+            state.update(bucket)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+      .dropDuplicates("_1", "_2")
+  }
 }

@@ -98,8 +98,11 @@ object ScaleProbe {
     // centroid/ADC frame (KB-sized — that IS the scale design, see
     // SCALE.md); `allowBroadcastCross` admits that one shape. A
     // CartesianProduct (both sides shuffled) is never acceptable.
+    // Optional: SPARK_GRAFT_PROBES=td19,te10 re-measures a subset.
+    val onlyProbes = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSet)
     def run(probe: String, scale: Int, df: => DataFrame,
             allowBroadcastCross: Boolean = false): Unit = {
+      if (!onlyProbes.forall(_.exists(probe.startsWith))) return
       // t0 before forcing `df`: operators that run driver-side loops
       // (td16's connected components) do their work while the frame is
       // being built, not at count time.
@@ -147,6 +150,42 @@ object ScaleProbe {
       run("te07 PQ ANN", k, VectorOps.pqTopK(emb, "vec_id", "embedding",
         isQ, subDim = 8, nCent = 16, k = 5),
         allowBroadcastCross = true)
+      run("td18 line dedup", k,
+        TextOps.lineDedup(docs, "doc_id", "text", chunkWords = 10))
+      run("td19 dup spans", k,
+        TextOps.dupSpanStats(docs, "doc_id", "text", n = 15))
+      run("td20 DSIR select", k, {
+        def idx(f: DataFrame) = f.select(col("doc_id").as("id"),
+          explode(TextOps.words(col("text"))).as("w"))
+        TextOps.importanceSelect(idx(docs.where(col("doc_id") % 5 =!= 0)),
+          idx(docs.where(col("doc_id") % 5 === 0)), quota = 100)
+      })
+      // SemDeDup's contract: nlist grows with the corpus (~√n) so the
+      // expected cell — and the per-cell pair work — stays bounded.
+      run("te10 SemDeDup", k, VectorOps.semanticDedup(emb, "vec_id",
+          "embedding", nlist = math.max(16, math.sqrt((embBase * k).toDouble).toInt),
+          threshold = 0.4),
+        allowBroadcastCross = true)
+      // Auto range-join rule: points grow k×, intervals k/10×, domain
+      // k× — expected matches stay linear in k. The run() assertion is
+      // the point: the plain BETWEEN join must stay an equi-join shape.
+      // Conf set OUTSIDE the thunk: optimization runs at count() time
+      // inside run(), and the rule reads the conf then.
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "50")
+      run("range-join rule", k, {
+        val np = docBase * k
+        val pts = spark.read.format("graft-datagen").schema("p_id bigint")
+          .option("numRows", np.toString)
+          .option("partitions", spark.sparkContext.defaultParallelism.toString)
+          .load().select(col("p_id"), pmod(hash(col("p_id")), lit(np)).as("pt"))
+        val ivs = spark.read.format("graft-datagen").schema("i_id bigint")
+          .option("numRows", (np / 10).toString)
+          .option("partitions", spark.sparkContext.defaultParallelism.toString)
+          .load().select(col("i_id"), pmod(hash(col("i_id") + 7), lit(np)).as("lo"))
+          .withColumn("hi", col("lo") + 50)
+        pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      })
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
     }
     spark.stop()
   }

@@ -869,4 +869,35 @@ class StreamingSpec extends AnyFunSuite {
     info(f"streaming windowed-agg throughput: $rate%.0f rows/s over $n rows")
     assert(rate > 10000, f"throughput $rate%.0f rows/s under 10k floor")
   }
+
+  test("streamingNearDupPairs equals the batch MinHash-LSH pair set") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy cat again today"),
+      (3L, "completely different words nothing shared at all here now"),
+      (4L, "the quick brown fox jumps over the lazy dog again tonight"))
+      .toDF("doc_id", "text")
+    val idx = TextOps.shingleHashIndex(docs, "doc_id", "text", 3)
+    val batch = TextOps.minhashLshPairsIdx(idx, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val arrays = idx.groupBy(col("id"))
+      .agg(collect_list(col("sh")).as("shs"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Long])]
+    val out = StatefulOps.streamingNearDupPairs(in.toDS(), 0.3)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    in.addData(arrays.take(2): _*)
+    q.processAllAvailable()
+    // Second batch: remaining docs PLUS a re-send of doc 1 — bucket
+    // state must ignore the duplicate id (no self/duplicate pairs).
+    in.addData(arrays.drop(2) :+ arrays.head: _*)
+    runToCompletion(q)
+    val got = spark.table("neardup").as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == batch)
+    assert(got.length == got.map(p => (p._1, p._2)).distinct.length)
+    assert(got.forall(p => p._3 >= 0.3 && p._1 < p._2))
+  }
 }
