@@ -12,15 +12,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark cannot read
-    * natively; sessions must set spark.sql.legacy.parquet.nanosAsLong=true
-    * (see GraftSession). We truncate nanos → micros exactly like DuckDB
-    * does when it reads the same file, so oracle comparisons line up.
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) in some testdata
+    * generations (readable only via spark.sql.legacy.parquet.nanosAsLong,
+    * set in GraftSession — truncated to micros exactly like DuckDB
+    * truncates when reading the same file) and TIMESTAMP(MICROS) in
+    * others (read natively as NTZ). Normalize BY THE TYPE SPARK READ,
+    * not by assumption, so every query sees one canonical
+    * session-TZ=UTC timestamp whichever file generation is on disk.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 

@@ -279,6 +279,42 @@ object SimilaritySuite extends QueryModule {
           explode(sequence(lit(0), col("n_frames") - 1, lit(30))).as("frame_idx"))
         .withColumn("frame_ts", round(col("frame_idx") / 24.0, 6))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Multimodal: shot-boundary detection over "video" payloads — the
+    // scene-segmentation step of a video curation pipeline. Each
+    // payload is framed into consecutive 64-byte blocks (full frames
+    // only), per-frame intensity = integer byte sum, a boundary fires
+    // where the intensity jumps by more than 200 against the previous
+    // frame, and a running boundary count assigns each frame its shot
+    // id (so downstream sampling can take k frames per shot). Frame
+    // sums are a typed partition-parallel pass; the lag/shot-id pass is
+    // one window shuffle keyed on the doc — no driver state, no
+    // all-pairs work, the shape that holds at 100 TB of video.
+    "mm04_shot_boundaries" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val frames = bytes.length / 64
+          Iterator.tabulate(frames) { f =>
+            var i = f * 64
+            val end = i + 64
+            var acc = 0L
+            while (i < end) { acc += bytes(i) & 0xff; i += 1 }
+            (id, f, acc)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "fsum")
+        .withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(w))
+        .withColumn("is_boundary",
+          coalesce(abs(col("delta")) > 200, lit(false)))
+        .withColumn("shot_id",
+          sum(when(col("is_boundary"), 1L).otherwise(0L)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -777,6 +813,29 @@ object SimilaritySuite extends QueryModule {
                unnest(range(0, octet_length(encode(text)) % 240, 30)) AS frame_idx
         FROM documents
         WHERE octet_length(encode(text)) % 240 > 0)
+      ORDER BY doc_id, frame_idx""",
+
+    // UTF-8 byte semantics as in mm03: hex pair i of encode(text) is
+    // byte i, framed into 64-byte blocks.
+    "mm04_shot_boundaries" -> """
+      WITH bytes AS (
+        SELECT doc_id, CAST((i - 1) // 64 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 64) * 64 + 1)) AS i)),
+      f AS (
+        SELECT doc_id, frame_idx, CAST(sum(c) AS BIGINT) AS fsum
+        FROM bytes GROUP BY doc_id, frame_idx),
+      d AS (
+        SELECT doc_id, frame_idx, fsum,
+               fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+        FROM f)
+      SELECT doc_id, frame_idx, fsum, delta,
+             coalesce(abs(delta) > 200, false) AS is_boundary,
+             CAST(sum(CASE WHEN coalesce(abs(delta) > 200, false) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+      FROM d
       ORDER BY doc_id, frame_idx"""
   )
 }

@@ -538,4 +538,77 @@ object TextOps {
       .select(col("id"), col("n_words"), col("importance"),
         coalesce(col("__sel"), lit(false)).as("selected"))
   }
+
+  /** Typed PII redaction — the structured sibling of [[scrub]]: each
+    * PII class (email, phone, IPv4, long account-number digit run) is
+    * detected and counted separately and replaced with its own typed
+    * token, the per-class counts feeding compliance reporting while the
+    * typed tokens preserve "there was a phone here" signal for
+    * training. Like scrub this is a pure stateless map-side pass (four
+    * compiled regexes per partition, no shuffle, no state) — at 100 TB
+    * it costs one scan. Patterns stay inside the RE2 ∩ Java dialect so
+    * any external scrubber reproduces the result; replacement order is
+    * email → phone → IPv4 → digit-run so no later pattern can match
+    * inside an earlier token (counts are taken on the ORIGINAL text,
+    * independent per class).
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiDigitRunRe = "\\b\\d{9,}\\b"
+
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+    val cleaned =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, PiiEmailRe, "[EMAIL]"),
+            PiiPhoneRe, "[PHONE]"),
+          PiiIpv4Re, "[IP]"),
+        PiiDigitRunRe, "[ID]")
+    docs.select(col(idCol),
+      n(PiiEmailRe).as("n_emails"),
+      n(PiiPhoneRe).as("n_phones"),
+      n(PiiIpv4Re).as("n_ips"),
+      n(PiiDigitRunRe).as("n_ids"),
+      md5(cleaned).as("clean_hash"),
+      length(cleaned).as("clean_len"))
+  }
+
+  /** Bigram language-model quality scoring (the CCNet/KenLM filter
+    * shape, reduced to exact integer arithmetic so the oracle
+    * reproduces it bit for bit): train a maximum-likelihood bigram
+    * model ON THE CORPUS ITSELF — c2(w1,w2) bigram counts and c1(w1)
+    * bigram-start counts, so p(w2|w1) = c2/c1 is a proper conditional —
+    * then score each document by the average conditional probability of
+    * its bigrams (each term floor-scaled to a long via integer
+    * division, the log-free analogue of mean log-likelihood: fluent
+    * in-distribution text scores high, gibberish scores low) plus the
+    * fraction of bigram occurrences whose corpus count is ≤ `rareMax`
+    * (the rare-n-gram ratio; a high ratio flags out-of-distribution or
+    * noisy text). Plan shape at 100 TB: two count aggregates shuffling
+    * fixed-width tokens, two shuffle-hash joins back onto the bigram
+    * index, one per-doc aggregate — no all-pairs work, no driver state.
+    * Docs with fewer than 2 words have no bigrams and drop out (same
+    * as the reference's min-length prefilters).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    rareMax: Long = 2L, flagRatio: Double = 0.5): DataFrame = {
+    val bi = ngramCountIndex(docs, idCol, textCol, 2)
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+    val c2 = bi.groupBy(col("sh")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2.hint("shuffle_hash"), Seq("sh"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c2 * 1000000L) div c1")).as("__sp"),
+        sum(when(col("c2") <= rareMax, 1L).otherwise(0L)).as("__nr"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("__sp") / (col("n_bigrams") * lit(1e6)), 6).as("avg_cond_p"),
+        round(col("__nr") / col("n_bigrams"), 6).as("rare_ratio"),
+        (col("__nr") / col("n_bigrams") >= flagRatio).as("flagged"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -318,6 +318,40 @@ object TextPipelineSuite extends QueryModule {
           idx(docs.filter(col("source") === "src0")), quota = 100)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Typed PII redaction — the testdata carries no real PII, so each
+    // doc gets a deterministic PII suffix woven from its id (emails on
+    // ids ≡0 mod 2, phones mod 3, IPv4 mod 5, 9-digit account runs
+    // mod 7 — so the per-class counts vary 0..4 per doc) before the
+    // detector runs. The detector itself never sees the construction:
+    // it redacts whatever matches, class by class.
+    "td21_pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      def sfx(m: Int, piece: Column) =
+        when(id % m === 0, piece).otherwise(lit(""))
+      val withPii = Tables.load(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          sfx(2, concat(lit(" user"), id.cast("string"), lit("@ex"),
+            (id % 7).cast("string"), lit(".com"))),
+          sfx(3, concat(lit(" 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((id % 10000).cast("string"), 4, "0"))),
+          sfx(5, concat(lit(" 10."), (id % 256).cast("string"), lit("."),
+            ((id * 7) % 256).cast("string"), lit("."), (id % 250).cast("string"))),
+          sfx(7, concat(lit(" 90"), lpad((id % 10000000).cast("string"), 7, "0")))))
+      TextOps.piiRedact(withPii, "doc_id", "text2")
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM quality scoring: MLE conditional-probability model
+    // trained on the corpus itself, per-doc average conditional prob
+    // (floor-scaled integer terms) + rare-bigram ratio, ≥50% rare
+    // flags the doc.
+    "td22_bigram_lm" -> { (s, dir) =>
+      TextOps.bigramLmScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text", rareMax = 2L, flagRatio = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -632,6 +666,49 @@ object TextPipelineSuite extends QueryModule {
       top AS (SELECT doc_id FROM sc ORDER BY importance DESC, doc_id LIMIT 100)
       SELECT doc_id, n_words, importance,
              (doc_id IN (SELECT doc_id FROM top)) AS selected
-      FROM sc ORDER BY doc_id"""
+      FROM sc ORDER BY doc_id""",
+
+    "td21_pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+            || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' 90' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+            ELSE '' END AS text2
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        len(regexp_extract_all(text2, '\b\d{9,}\b')) AS n_ids,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{9,}\b', '[ID]', 'g')) AS clean_hash,
+        length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{9,}\b', '[ID]', 'g')) AS clean_len
+      FROM p ORDER BY doc_id""",
+
+    "td22_bigram_lm" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bi AS (SELECT doc_id AS id, ws[i] || ' ' || ws[i+1] AS sh, ws[i] AS w1
+             FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+      c2 AS (SELECT sh, count(1) AS c2 FROM bi GROUP BY 1),
+      c1 AS (SELECT w1, count(1) AS c1 FROM bi GROUP BY 1)
+      SELECT id AS doc_id, count(1) AS n_bigrams,
+        round(sum((c2 * 1000000) // c1) * 1.0 / (count(1) * 1e6), 6) AS avg_cond_p,
+        round(sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1), 6) AS rare_ratio,
+        (sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1) >= 0.5) AS flagged
+      FROM bi JOIN c2 USING (sh) JOIN c1 USING (w1)
+      GROUP BY id ORDER BY doc_id"""
   )
 }
