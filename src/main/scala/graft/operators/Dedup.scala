@@ -49,11 +49,44 @@ object Dedup {
     * converges in O(log diameter) rounds, and localCheckpoint truncates
     * lineage so planning cost stays constant per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          smallGraphEdgeCap: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b"))
     val edges = p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
+    // Adaptive strategy pick, the broadcast-join-threshold pattern: a
+    // near-dup pair graph is usually TINY relative to the corpus (it
+    // holds only the duplicated slice), so when the materialized edge
+    // list fits comfortably on the driver, a single union-find pass
+    // there beats rounds of distributed joins — same answer, one job.
+    // The probe stops at cap+1 rows (no full count), and graphs above
+    // the cap take the iterative label-propagation path below, which
+    // holds at any scale.
+    if (edges.limit(smallGraphEdgeCap.toInt + 1).count() <= smallGraphEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // Union-by-min keeps every tree's root at its component minimum,
+      // so find(x) IS the canonical min label (same invariant as
+      // componentsWithinGroups).
+      val rows = parent.keysIterator.map(x => (x, find(x))).toSeq
+      return spark.createDataset(rows).toDF("id", "label")
+    }
     val nodes = edges.select(col("id_a").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L

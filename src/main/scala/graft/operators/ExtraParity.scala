@@ -88,6 +88,10 @@ object ExtraParity extends QueryModule {
       val edgesDeg = edges.join(deg, "src").localCheckpoint()
       val cnt = nodes.count()
       var pr = nodes.withColumn("r", lit(1.0 / cnt))
+      // The rounds stay LAZY: each references the previous round once,
+      // so the composed plan is linear in rounds, runs as ONE job, and
+      // Catalyst reuses the edgesDeg exchange across rounds instead of
+      // re-materializing a checkpoint per round.
       for (_ <- 0 until 5) {
         val contrib = pr.join(edgesDeg, col("n") === col("src"))
           .groupBy(col("dst"))
@@ -96,7 +100,6 @@ object ExtraParity extends QueryModule {
         pr = nodes.join(contrib, col("n") === col("dst"), "left")
           .select(col("n"),
             (lit(0.15 / cnt) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
-          .localCheckpoint()
       }
       pr.select(col("n").as("node"), round(col("r"), 9).as("rank")).orderBy("node")
     }

@@ -34,6 +34,20 @@ class TextOpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
+  test("connectedComponents iterative path (cap=0) equals the small-graph fast path") {
+    // Random-ish graph with a long chain (exercises multi-round
+    // convergence in the iterative path) plus separate components.
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (200L, 201L), (201L, 202L)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val iterative = Dedup.connectedComponents(pairs, smallGraphEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iterative)
+    assert(fast(20L) == 1L && fast(101L) == 100L && fast(202L) == 200L)
+  }
+
   test("componentsWithinGroups equals connectedComponents on group-confined edges") {
     val pairs = Seq((0L, 2L, 1L), (0L, 2L, 3L), (1L, 10L, 11L),
         (1L, 11L, 12L), (1L, 12L, 10L), (2L, 7L, 9L))
