@@ -155,6 +155,18 @@ object SimilaritySuite extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // Approximate k-NN graph over the WHOLE corpus (every node's top-3
+    // neighbors from its SRP bucket, mutual edges flagged) — the
+    // neighbor-graph substrate for graph clustering / diversity
+    // filtering. Bucketed candidate generation, per-node window top-k,
+    // keyed mutuality self-join; no n² stage.
+    "te11_knn_graph" -> { (s, dir) =>
+      VectorOps.knnGraph(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", nbits = 6, k = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "rk")
+    },
+
     // Multimodal: binary payload → REAL javax.imageio decode →
     // Graphics2D resize → raster-mean features, batched per partition.
     // The PNG bytes are synthesized from a deterministic pixel function
@@ -681,6 +693,50 @@ object SimilaritySuite extends QueryModule {
         FROM exact)
       WHERE rk <= 5
       ORDER BY query_id, rk""",
+
+    "te11_knn_graph" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      bits AS (SELECT CAST(unnest(range(0, 6)) AS INT) AS b),
+      proj AS (
+        SELECT vec_id, b,
+               sum(CAST(floor((CASE WHEN ((b * 64 + d + 1) * 2654435761 >> 16) & 1 = 1
+                                    THEN 1.0 ELSE -1.0 END * x) * 1e12) AS BIGINT)) AS p
+        FROM ex CROSS JOIN bits
+        GROUP BY 1, 2),
+      buckets AS (
+        SELECT vec_id, sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      cand AS (
+        SELECT a.vec_id AS id, b2.vec_id AS nb_id
+        FROM buckets a JOIN buckets b2 USING (bucket)
+        WHERE a.vec_id <> b2.vec_id),
+      dots AS (
+        SELECT c.id, c.nb_id,
+               CAST(sum(CAST(floor((q.x * e.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand c JOIN ex q ON q.vec_id = c.id
+                    JOIN ex e ON e.vec_id = c.nb_id AND e.d = q.d
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT id, nb_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.id = nq.vec_id
+                  JOIN norms nc ON dots.nb_id = nc.vec_id),
+      knn AS (
+        SELECT * FROM (
+          SELECT id, nb_id, cos,
+                 CAST(row_number() OVER (PARTITION BY id
+                   ORDER BY cos DESC, nb_id) AS INT) AS rk
+          FROM scored)
+        WHERE rk <= 3)
+      SELECT k.id AS vec_id, k.nb_id, k.cos, k.rk,
+             (m.id IS NOT NULL) AS mutual
+      FROM knn k LEFT JOIN knn m ON m.id = k.nb_id AND m.nb_id = k.id
+      ORDER BY vec_id, k.rk""",
 
     "te04_embedding_neardup" -> """
       WITH ex AS (

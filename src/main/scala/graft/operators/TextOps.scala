@@ -606,9 +606,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr("(c2 * 1000000L) div c1")).as("__sp"),
         sum(when(col("c2") <= rareMax, 1L).otherwise(0L)).as("__nr"))
+      // Integer division all the way down (no round()): round-half
+      // ties between engines are impossible when the only double op is
+      // dividing one exact long by a power of ten.
       .select(col("id"), col("n_bigrams"),
-        round(col("__sp") / (col("n_bigrams") * lit(1e6)), 6).as("avg_cond_p"),
-        round(col("__nr") / col("n_bigrams"), 6).as("rare_ratio"),
+        (expr("__sp div n_bigrams") / lit(1e6)).as("avg_cond_p"),
+        (expr("(__nr * 1000000L) div n_bigrams") / lit(1e6)).as("rare_ratio"),
         (col("__nr") / col("n_bigrams") >= flagRatio).as("flagged"))
   }
 }

@@ -705,8 +705,8 @@ object TextPipelineSuite extends QueryModule {
       c2 AS (SELECT sh, count(1) AS c2 FROM bi GROUP BY 1),
       c1 AS (SELECT w1, count(1) AS c1 FROM bi GROUP BY 1)
       SELECT id AS doc_id, count(1) AS n_bigrams,
-        round(sum((c2 * 1000000) // c1) * 1.0 / (count(1) * 1e6), 6) AS avg_cond_p,
-        round(sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1), 6) AS rare_ratio,
+        CAST(sum((c2 * 1000000) // c1) // count(1) AS BIGINT) / 1e6 AS avg_cond_p,
+        CAST((sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1000000) // count(1) AS BIGINT) / 1e6 AS rare_ratio,
         (sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1) >= 0.5) AS flagged
       FROM bi JOIN c2 USING (sh) JOIN c1 USING (w1)
       GROUP BY id ORDER BY doc_id"""

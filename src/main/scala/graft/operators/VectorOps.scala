@@ -528,4 +528,38 @@ object VectorOps {
         coalesce(col("label"), col("id")).as("rep_id"))
       .withColumn("keep", col(idCol) === col("rep_id"))
   }
+
+  /** Approximate k-NN GRAPH over the whole corpus (every node, not a
+    * query subset): SRP-bucket the vectors, generate candidates by a
+    * self-equi-join on the bucket id, score candidates with the exact
+    * codegen'd dot, keep each node's top-k, and flag MUTUAL edges (i is
+    * in j's top-k and j in i's) — the reciprocal-neighbor signal that
+    * seeds graph clustering and diversity filtering. Scale anatomy:
+    * candidate work is O(Σ|bucket|²) distributed by bucket (pick nbits
+    * so the expected bucket stays small), top-k is a per-node window
+    * over candidates only, and the mutuality pass is a keyed self-join
+    * of the k·n edge list — no stage touches the n² pair space.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
+               nbits: Int, k: Int): DataFrame = {
+    val e = prepped(vecs, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("v"), nbits))
+      .localCheckpoint() // both sides of the bucket join + nothing else
+    val a = e.select(col("bucket"), col("id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("id").as("nb_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nb_id"))
+    val knn = a.join(b, Seq("bucket")).where(col("id") =!= col("nb_id"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("id"), col("nb_id"), col("cos"), col("rk"))
+      .localCheckpoint() // feeds both sides of the mutuality join
+    val rev = knn.select(col("nb_id").as("id"), col("id").as("nb_id"),
+      lit(true).as("__m"))
+    knn.join(rev, Seq("id", "nb_id"), "left")
+      .select(col("id"), col("nb_id"), col("cos"), col("rk"),
+        coalesce(col("__m"), lit(false)).as("mutual"))
+  }
 }
