@@ -60,15 +60,28 @@ object VectorExpressions {
   import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 
   /** Sign-random-projection bucket id over an array<double> column:
-    * `nbits` hyperplanes whose ±1 components come from a multiplicative
-    * hash of (bit, dim) — data-independent, and simple integer
-    * arithmetic that a SQL oracle can recompute exactly (unlike
-    * xxhash64). Projections accumulate floor(sign*x*1e12) as LONG, so
-    * the bit decisions are exact and order-independent — the same
-    * trick as DotScaledLong, making the whole bucket id reproducible
-    * row-for-row in DuckDB:
-    *   sign(b,d) = CASE WHEN ((b*64+d+1)*2654435761 >> 16) & 1 = 1
-    *               THEN 1.0 ELSE -1.0 END
+    * `nbits` hyperplanes whose ±1 components come from a mixed
+    * multiplicative hash of (bit, dim) — data-independent, and simple
+    * integer arithmetic that a SQL oracle can recompute exactly
+    * (unlike xxhash64). Projections accumulate floor(sign*x*1e12) as
+    * LONG, so the bit decisions are exact and order-independent — the
+    * same trick as DotScaledLong, making the whole bucket id
+    * reproducible row-for-row in DuckDB.
+    *
+    * The sign hash is TWO multiply-xor-shift rounds, every
+    * intermediate below 2^63 (DuckDB BIGINT errors on overflow, so the
+    * second multiplicand is masked to 27 bits first):
+    *   i  = b*64 + d + 1
+    *   h1 = (i * 2654435761) mod 2^32;  h2 = h1 xor (h1 >> 16)
+    *   h3 = ((h2 mod 2^27) * 1597334677) mod 2^32; h4 = h3 xor (h3 >> 16)
+    *   sign = +1 if h4 & 1 else -1
+    * A single multiplicative round (the first version) left the
+    * hyperplane rows heavily CORRELATED — consecutive bits' sign
+    * patterns agreed on up to 60/64 or as few as 2/64 dims, collapsing
+    * the effective bit count and producing buckets of thousands at
+    * corpus scale (measured: max bucket 5815 of 200k vectors at 15
+    * bits; after the second round, max ~15 of 20k at 15 bits).
+    *
     * One tight codegen loop per row replaces the nbits×dim
     * `when(pmod(xxhash64(...)))` expression forest the first version
     * built (which dominated te03's runtime via codegen blowup).
@@ -77,8 +90,14 @@ object VectorExpressions {
       extends UnaryExpression {
     override def dataType: DataType = LongType
 
-    private def sign(b: Int, d: Int): Double =
-      if ((((b * 64 + d + 1).toLong * 2654435761L) >> 16 & 1L) == 1L) 1.0 else -1.0
+    private def sign(b: Int, d: Int): Double = {
+      val i = (b * 64 + d + 1).toLong
+      var h = (i * 2654435761L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      h = ((h & ((1L << 27) - 1)) * 1597334677L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
 
     // Flattened [nbits * dim] sign matrix, sized lazily to the first
     // row's dimensionality (embeddings are fixed-dim per column).

@@ -363,11 +363,15 @@ object SimilaritySuite extends QueryModule {
         SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
         FROM ex GROUP BY vec_id),
       bits AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS b),
+      signs AS (
+        SELECT b, d, CASE WHEN xor(h3, h3 >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT b, d, ((xor(h1, h1 >> 16) % 134217728) * 1597334677) % 4294967296 AS h3
+              FROM (SELECT b, d, ((b * 64 + d + 1) * 2654435761) % 4294967296 AS h1
+                    FROM bits CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)))),
       proj AS (
         SELECT vec_id, b,
-               sum(CAST(floor((CASE WHEN ((b * 64 + d + 1) * 2654435761 >> 16) & 1 = 1
-                                    THEN 1.0 ELSE -1.0 END * x) * 1e12) AS BIGINT)) AS p
-        FROM ex CROSS JOIN bits
+               sum(CAST(floor((sgn * x) * 1e12) AS BIGINT)) AS p
+        FROM ex JOIN signs USING (d)
         GROUP BY 1, 2),
       buckets AS (
         SELECT vec_id, sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS bucket
@@ -703,11 +707,15 @@ object SimilaritySuite extends QueryModule {
         SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
         FROM ex GROUP BY vec_id),
       bits AS (SELECT CAST(unnest(range(0, 6)) AS INT) AS b),
+      signs AS (
+        SELECT b, d, CASE WHEN xor(h3, h3 >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT b, d, ((xor(h1, h1 >> 16) % 134217728) * 1597334677) % 4294967296 AS h3
+              FROM (SELECT b, d, ((b * 64 + d + 1) * 2654435761) % 4294967296 AS h1
+                    FROM bits CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS d)))),
       proj AS (
         SELECT vec_id, b,
-               sum(CAST(floor((CASE WHEN ((b * 64 + d + 1) * 2654435761 >> 16) & 1 = 1
-                                    THEN 1.0 ELSE -1.0 END * x) * 1e12) AS BIGINT)) AS p
-        FROM ex CROSS JOIN bits
+               sum(CAST(floor((sgn * x) * 1e12) AS BIGINT)) AS p
+        FROM ex JOIN signs USING (d)
         GROUP BY 1, 2),
       buckets AS (
         SELECT vec_id, sum(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS bucket

@@ -160,6 +160,15 @@ object ScaleProbe {
         TextOps.importanceSelect(idx(docs.where(col("doc_id") % 5 =!= 0)),
           idx(docs.where(col("doc_id") % 5 === 0)), quota = 100)
       })
+      run("td22 bigram LM", k,
+        TextOps.bigramLmScore(docs, "doc_id", "text"))
+      // knn graph: nbits grows with log₂ of the corpus so the expected
+      // bucket — and the Σ|bucket|² pair work per bucket — stays
+      // bounded. (This probe is what exposed the original one-round
+      // sign hash: correlated hyperplanes collapsed the effective bit
+      // count and the tail bucket held thousands of vectors at 100×.)
+      run("te11 knn graph", k, VectorOps.knnGraph(emb, "vec_id", "embedding",
+        nbits = 6 + (31 - Integer.numberOfLeadingZeros(k)), k = 3))
       // SemDeDup's contract: nlist grows with the corpus (~√n) so the
       // expected cell — and the per-cell pair work — stays bounded.
       run("te10 SemDeDup", k, VectorOps.semanticDedup(emb, "vec_id",

@@ -61,6 +61,54 @@ class TextOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("piiRedact counts and redacts each PII class independently") {
+    val docs = Seq(
+      (1L, "reach me at bob.smith@corp.example.org or 555-123-4567 thanks"),
+      (2L, "server 192.168.10.25 logged account 123456789 twice: 987654321"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 0 && out(1L)._5 == 0)
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == 1 && out(2L)._5 == 2)
+    assert(out(3L)._2 + out(3L)._3 + out(3L)._4 + out(3L)._5 == 0)
+    // redacted length: doc 3 untouched; doc 1 shrinks (email+phone
+    // replaced by short tokens)
+    assert(out(3L)._7 == "no pii here at all".length)
+    assert(out(1L)._7 ==
+      "reach me at [EMAIL] or [PHONE] thanks".length)
+  }
+
+  test("bigramLmScore computes MLE conditional probabilities exactly") {
+    // corpus: "a b" x3, "a c" x1 -> c1(a)=4, c2(a b)=3, c2(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text", rareMax = 1L,
+        flagRatio = 0.5)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: one bigram "a b": p = 3/4 -> floor(3e6/4)/1e6 = 0.75
+    assert(out(1L)._2 == 1L && out(1L)._3 == 0.75)
+    assert(!out(1L)._5) // c2=3 > rareMax=1 -> not rare
+    // doc 4: "a c": p = 1/4; c2=1 <= rareMax -> rare_ratio 1, flagged
+    assert(out(4L)._3 == 0.25 && out(4L)._4 == 1.0 && out(4L)._5)
+  }
+
+  test("knnGraph matches brute-force top-k when every vector shares a bucket") {
+    // nbits=0 -> single bucket: candidates are ALL pairs, so the graph
+    // must equal exact brute-force top-k; mutual flags follow.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.2f))).toDF("vec_id", "embedding")
+    val g = VectorOps.knnGraph(vecs, "vec_id", "embedding", nbits = 0, k = 1)
+      .as[(Long, Long, Double, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g(1L)._2 == 2L && g(2L)._2 == 1L && g(1L)._5 && g(2L)._5)
+    assert(g(3L)._2 == 4L && g(4L)._2 == 3L && g(3L)._5 && g(4L)._5)
+  }
+
   test("minhashLshPairs equals allPairsJaccard on a small corpus") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
