@@ -594,6 +594,61 @@ object TextOps {
     * Docs with fewer than 2 words have no bigrams and drop out (same
     * as the reference's min-length prefilters).
     */
+  /** Distributed linear quality-probe training — the "train a quality
+    * filter ON the cluster" step (the fastText-classifier shape of
+    * CCNet/RedPajama curation, reduced to a linear model so every
+    * arithmetic step is engine-reproducible): batch gradient descent on
+    * least squares over simple rational features (bias, scaled word
+    * count, distinct-word ratio, scaled mean word length), label =
+    * `labelCol`. Each round is ONE aggregate over the feature frame
+    * (gradient terms floor-scaled to longs — order-independent exact
+    * sums, the it02 PageRank trick); the 4-float weight vector lives on
+    * the driver, the standard distributed-GD split: model tiny, data
+    * never moves, rounds = O(iters) jobs regardless of corpus size.
+    * Features use only integer division and power-of-two scaling, so a
+    * recursive-CTE oracle reproduces training round for round.
+    * Returns (id, y, score, selected): score = x·w after `iters`
+    * rounds floor-quantized to 1e-6, selected = score ≥ the corpus
+    * floor-mean score (an above-average filter — scale-independent and
+    * non-vacuous by construction, unlike an absolute cutoff a
+    * half-trained probe may never reach; the comparison is integer:
+    * scaled score vs the integer-divided scaled total).
+    */
+  def linearProbe(docs: DataFrame, idCol: String, textCol: String,
+                  label: Column, iters: Int = 5, eta: Double = 0.25): DataFrame = {
+    val ws = words(col(textCol))
+    val feats = docs.select(col(idCol).as("id"), label.cast("double").as("y"),
+        size(ws).as("n_words"), size(array_distinct(ws)).as("n_uniq"),
+        length(col(textCol)).as("n_chars"))
+      .where(col("n_words") > 0)
+      .select(col("id"), col("y"), lit(1.0).as("x0"),
+        (col("n_words") / lit(128.0)).as("x1"),
+        (expr("(n_uniq * 1048576L) div n_words") / lit(1048576.0)).as("x2"),
+        (expr("(n_chars * 1048576L) div n_words") / lit(1048576.0) / lit(16.0)).as("x3"))
+      .localCheckpoint()
+    val n = feats.count()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def xdotw = col("x0") * lit(w(0)) + col("x1") * lit(w(1)) +
+      col("x2") * lit(w(2)) + col("x3") * lit(w(3))
+    for (_ <- 0 until iters) {
+      val resid = xdotw - col("y")
+      val g = feats.agg(
+        sum(floor(col("x0") * resid * lit(1e9)).cast("long")).as("g0"),
+        sum(floor(col("x1") * resid * lit(1e9)).cast("long")).as("g1"),
+        sum(floor(col("x2") * resid * lit(1e9)).cast("long")).as("g2"),
+        sum(floor(col("x3") * resid * lit(1e9)).cast("long")).as("g3"))
+        .collect()(0)
+      w = Array.tabulate(4)(j => w(j) - eta * (g.getLong(j).toDouble / 1e9) / n)
+    }
+    val scored = feats.select(col("id"), col("y"),
+      floor(xdotw * lit(1e6)).cast("long").as("__s6"))
+    val tot = scored.agg(sum(col("__s6")).as("__tot"),
+      count(lit(1)).as("__n"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("id"), col("y"), (col("__s6") / lit(1e6)).as("score"),
+        (col("__s6") >= expr("__tot div __n")).as("selected"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     rareMax: Long = 2L, flagRatio: Double = 0.5): DataFrame = {
     val bi = ngramCountIndex(docs, idCol, textCol, 2)

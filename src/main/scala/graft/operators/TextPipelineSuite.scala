@@ -352,6 +352,17 @@ object TextPipelineSuite extends QueryModule {
           "doc_id", "text", rareMax = 2L, flagRatio = 0.5)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Train a linear quality probe on the cluster (distributed batch
+    // GD, 5 rounds, driver-held 4-float model) against the is-English
+    // label, then score + threshold every doc — the
+    // quality-classifier-training step of a curation pipeline.
+    "td23_quality_probe" -> { (s, dir) =>
+      TextOps.linearProbe(Tables.load(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -709,6 +720,45 @@ object TextPipelineSuite extends QueryModule {
         CAST((sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1000000) // count(1) AS BIGINT) / 1e6 AS rare_ratio,
         (sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1) >= 0.5) AS flagged
       FROM bi JOIN c2 USING (sh) JOIN c1 USING (w1)
-      GROUP BY id ORDER BY doc_id"""
+      GROUP BY id ORDER BY doc_id""",
+
+    // Training arithmetic mirrored exactly: rational features (integer
+    // div + power-of-two scales), per-round floor-scaled gradient sums,
+    // left-associated dot products — every double op sees identical
+    // operands in both engines.
+    "td23_quality_probe" -> """
+      WITH RECURSIVE
+      feats AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               len(string_split(lower(text), ' ')) / 128.0 AS x1,
+               ((len(list_distinct(string_split(lower(text), ' '))) * 1048576)
+                 // len(string_split(lower(text), ' '))) / 1048576.0 AS x2,
+               ((length(text) * 1048576)
+                 // len(string_split(lower(text), ' '))) / 1048576.0 / 16.0 AS x3
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) > 0),
+      nn AS (SELECT count(1) AS n FROM feats),
+      w(iter, w0, w1, w2, w3) AS (
+        -- anchors CAST to DOUBLE: an untyped 0.0 anchor makes DuckDB
+        -- type the whole recursion DECIMAL(2,1), quantizing training
+        SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT iter + 1,
+          w0 - 0.25 * (CAST((SELECT sum(CAST(floor(x0 * (x0*w0 + x1*w1 + x2*w2 + x3*w3 - y) * 1e9) AS BIGINT)) FROM feats) AS DOUBLE) / 1e9) / (SELECT n FROM nn),
+          w1 - 0.25 * (CAST((SELECT sum(CAST(floor(x1 * (x0*w0 + x1*w1 + x2*w2 + x3*w3 - y) * 1e9) AS BIGINT)) FROM feats) AS DOUBLE) / 1e9) / (SELECT n FROM nn),
+          w2 - 0.25 * (CAST((SELECT sum(CAST(floor(x2 * (x0*w0 + x1*w1 + x2*w2 + x3*w3 - y) * 1e9) AS BIGINT)) FROM feats) AS DOUBLE) / 1e9) / (SELECT n FROM nn),
+          w3 - 0.25 * (CAST((SELECT sum(CAST(floor(x3 * (x0*w0 + x1*w1 + x2*w2 + x3*w3 - y) * 1e9) AS BIGINT)) FROM feats) AS DOUBLE) / 1e9) / (SELECT n FROM nn)
+        FROM w WHERE iter < 5),
+      scored AS (
+        SELECT doc_id, y,
+               CAST(floor((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 1e6) AS BIGINT) AS s6
+        FROM feats CROSS JOIN (SELECT w0, w1, w2, w3 FROM w WHERE iter = 5)),
+      tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t, count(1) AS n2 FROM scored)
+      SELECT doc_id, y, s6 / 1e6 AS score,
+             (s6 >= (SELECT t // n2 FROM tot)) AS selected
+      FROM scored
+      ORDER BY doc_id"""
   )
 }

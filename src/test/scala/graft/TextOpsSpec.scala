@@ -94,6 +94,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L)._3 == 0.25 && out(4L)._4 == 1.0 && out(4L)._5)
   }
 
+  test("linearProbe learns to rank the labeled class above the mean") {
+    // long docs labeled 1, short docs labeled 0: the word-count
+    // feature separates them, so after 5 GD rounds every positive doc
+    // must score above every negative one and land 'selected'.
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val docs = (1L to 4L).map(i => (i, long.trim, 1.0)) ++
+      (5L to 8L).map(i => (i, "tiny doc", 0.0))
+    val out = TextOps.linearProbe(docs.toDF("doc_id", "text", "y0"),
+        "doc_id", "text", col("y0"))
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val posMin = (1L to 4L).map(out(_)._3).min
+    val negMax = (5L to 8L).map(out(_)._3).max
+    assert(posMin > negMax)
+    assert((1L to 4L).forall(out(_)._4) && (5L to 8L).forall(!out(_)._4))
+  }
+
   test("knnGraph matches brute-force top-k when every vector shares a bucket") {
     // nbits=0 -> single bucket: candidates are ALL pairs, so the graph
     // must equal exact brute-force top-k; mutual flags follow.
