@@ -270,4 +270,42 @@ class ExampleUsageSpec extends AnyFunSuite {
       Seq(lower(col("text"))))
     assert(exact.count() == 3) // one keeper per distinct content
   }
+
+  test("example: curation pass — PII scrub, LM scoring, trained filter") {
+    // The round-5 curation additions composed as one pass: redact PII
+    // classes, score fluency against the corpus's own bigram model,
+    // and train an above-average quality filter — all oracle-backed
+    // operators (td21/td22/td23) driven here on an inline corpus.
+    val docs = Seq(
+      (1L, "good clean prose flows here and reads well to people"),
+      (2L, "good clean prose flows here and reads well to editors"),
+      (3L, "mail me at a.b@c.io or dial 555-867-5309 now"),
+      (4L, "zxq qqv wvx zzk jjq xqz")).toDF("doc_id", "text")
+    val pii = TextOps.piiRedact(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(pii(3L)._2 == 1 && pii(3L)._3 == 1) // one email, one phone
+    assert(pii(1L)._2 + pii(1L)._3 + pii(1L)._4 + pii(1L)._5 == 0)
+    val lm = TextOps.bigramLmScore(docs, "doc_id", "text", rareMax = 1L,
+        flagRatio = 0.8)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(lm(4L)._5 && !lm(1L)._5) // gibberish flagged, shared prose not
+    val probe = TextOps.linearProbe(docs, "doc_id", "text",
+      label = col("doc_id") <= 2L)
+    assert(probe.where(col("selected")).count() > 0)
+  }
+
+  test("example: neighbor graph over embeddings feeds diversity filtering") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val g = graft.operators.VectorOps.knnGraph(vecs, "vec_id", "embedding",
+      nbits = 0, k = 1)
+    // mutual top-1 pairs = near-duplicate candidates for thinning
+    val mutual = g.where(col("mutual")).select(col("id"), col("nb_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(mutual == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+  }
 }
