@@ -167,6 +167,17 @@ object SimilaritySuite extends QueryModule {
         .orderBy("vec_id", "rk")
     },
 
+    // Embedding-outlier detection: exact corpus centroid (one
+    // aggregate), map-side cosine against the broadcast centroid,
+    // below-floor-mean flag — the embedding-noise filter of a curation
+    // pipeline. Corpus never reshuffles.
+    "te12_centroid_outliers" -> { (s, dir) =>
+      VectorOps.centroidOutliers(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+
     // Multimodal: binary payload → REAL javax.imageio decode →
     // Graphics2D resize → raster-mean features, batched per partition.
     // The PNG bytes are synthesized from a deterministic pixel function
@@ -745,6 +756,34 @@ object SimilaritySuite extends QueryModule {
              (m.id IS NOT NULL) AS mutual
       FROM knn k LEFT JOIN knn m ON m.id = k.nb_id AND m.nb_id = k.id
       ORDER BY vec_id, k.rk""",
+
+    "te12_centroid_outliers" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      nn AS (SELECT count(DISTINCT vec_id) AS n FROM ex),
+      cent AS (
+        SELECT d, (CAST(sum(CAST(floor(x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                    / (SELECT n FROM nn) AS m
+        FROM ex GROUP BY d),
+      cn AS (
+        SELECT sqrt(CAST(sum(CAST(floor(m * m * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cnorm
+        FROM cent),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      scored AS (
+        SELECT vec_id,
+               CAST(floor((CAST(sum(CAST(floor(x * m * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 / (norms.nrm * (SELECT cnorm FROM cn)) * 1e6) AS BIGINT) AS s6
+        FROM ex JOIN cent USING (d) JOIN norms USING (vec_id)
+        GROUP BY vec_id, norms.nrm),
+      tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t, count(1) AS n2 FROM scored)
+      SELECT vec_id, s6 / 1e6 AS cos_centroid,
+             (s6 < (SELECT CAST(floor(t / n2) AS BIGINT) FROM tot)) AS outlier
+      FROM scored
+      ORDER BY vec_id""",
 
     "te04_embedding_neardup" -> """
       WITH ex AS (

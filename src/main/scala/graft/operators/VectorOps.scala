@@ -529,6 +529,41 @@ object VectorOps {
       .withColumn("keep", col(idCol) === col("rep_id"))
   }
 
+  /** Embedding-outlier detection against the corpus centroid — the
+    * noise-filtering step of an embedding pipeline (mislabeled /
+    * off-distribution vectors sit far from the mass): one exact
+    * aggregate computes the per-dimension centroid (floor-scaled long
+    * sums, so the mean is order-independent and oracle-reproducible),
+    * every vector is scored by cosine against the broadcast
+    * 64-double centroid in a map-side pass, and the outlier flag cuts
+    * BELOW the corpus floor-mean score by integer comparison (the
+    * td23 selection pattern — scale-independent, non-vacuous). Scale
+    * anatomy: two aggregates + one stateless scan; the corpus never
+    * reshuffles and nothing driver-side grows with it.
+    */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+                       dim: Int = 64): DataFrame = {
+    val e = prepped(vecs, idCol, vecCol).localCheckpoint()
+    val dimSums = (0 until dim).map(d =>
+      sum(floor(element_at(col("v"), d + 1) * lit(1e12)).cast("long")).as(s"s$d"))
+    val sums = e.agg(count(lit(1)).as("n"), dimSums: _*).collect()(0)
+    val n = sums.getLong(0)
+    val c = Array.tabulate(dim)(d => (sums.getLong(d + 1).toDouble / 1e12) / n)
+    val cNorm = math.sqrt(
+      c.map(x => math.floor(x * x * 1e12).toLong).sum.toDouble / 1e12)
+    val cCol = array(c.map(lit(_)): _*)
+    val scored = e.select(col("id"),
+      floor(scaledToDouble(dot_scaled(col("v"), cCol)) /
+        (col("nrm") * lit(cNorm)) * lit(1e6)).cast("long").as("__s6"))
+    val tot = scored.agg(sum(col("__s6")).as("__tot"), count(lit(1)).as("__n"))
+    // floor(tot/n), not integer `div`: cosines (hence tot) can be
+    // negative, where Spark's div truncates but the oracle's floor
+    // division floors — floor of the double quotient agrees everywhere.
+    scored.crossJoin(broadcast(tot))
+      .select(col("id"), (col("__s6") / lit(1e6)).as("cos_centroid"),
+        (col("__s6") < floor(col("__tot") / col("__n"))).as("outlier"))
+  }
+
   /** Approximate k-NN GRAPH over the whole corpus (every node, not a
     * query subset): SRP-bucket the vectors, generate candidates by a
     * self-equi-join on the bucket id, score candidates with the exact
