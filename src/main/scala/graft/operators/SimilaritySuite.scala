@@ -304,6 +304,42 @@ object SimilaritySuite extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Multimodal: VAD-style silence trimming over "audio" payloads —
+    // the speech-segment extraction step of an audio curation
+    // pipeline. Frames are mm03's 100-byte blocks; a frame is "speech"
+    // when its integer energy (sum of squared samples) clears the
+    // threshold, and consecutive speech frames collapse into segments
+    // via gaps-and-islands (island id = frame_idx - dense row number)
+    // — one typed partition-parallel pass for energies, one window +
+    // one keyed aggregate for the islands. Per-key state is a row
+    // number; a 100 TB audio corpus distributes by clip.
+    "mm05_speech_segments" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val frames = bytes.length / 100
+          Iterator.tabulate(frames) { f =>
+            var i = f * 100
+            val end = i + 100
+            var sumsq = 0L
+            while (i < end) { val v = bytes(i) & 0xff; sumsq += v.toLong * v; i += 1 }
+            (id, f, sumsq)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "energy")
+        .where(col("energy") > 981000L)
+        .withColumn("island", col("frame_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .select(col("doc_id"), col("start_frame"), col("end_frame"), col("n_frames"))
+        .orderBy("doc_id", "start_frame")
+    },
+
     // Multimodal: shot-boundary detection over "video" payloads — the
     // scene-segmentation step of a video curation pipeline. Each
     // payload is framed into consecutive 64-byte blocks (full frames
@@ -917,6 +953,26 @@ object SimilaritySuite extends QueryModule {
         FROM documents
         WHERE octet_length(encode(text)) % 240 > 0)
       ORDER BY doc_id, frame_idx""",
+
+    // UTF-8 byte semantics as in mm03 (100-byte frames), islands via
+    // frame_idx - row_number.
+    "mm05_speech_segments" -> """
+      WITH bytes AS (
+        SELECT doc_id, CAST((i - 1) // 100 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 100) * 100 + 1)) AS i)),
+      f AS (
+        SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS energy
+        FROM bytes GROUP BY doc_id, frame_idx),
+      sp AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM f WHERE energy > 981000)
+      SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+             count(1) AS n_frames
+      FROM sp GROUP BY doc_id, island
+      ORDER BY doc_id, start_frame""",
 
     // UTF-8 byte semantics as in mm03: hex pair i of encode(text) is
     // byte i, framed into 64-byte blocks.
