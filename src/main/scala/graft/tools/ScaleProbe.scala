@@ -162,6 +162,18 @@ object ScaleProbe {
       })
       run("td22 bigram LM", k,
         TextOps.bigramLmScore(docs, "doc_id", "text"))
+      // GD training: O(iters) aggregate jobs whatever the corpus size —
+      // wall time should track the scan cost, not blow up with rounds.
+      // Both ops legitimately broadcast-cross the 1-row total/centroid
+      // frame (the td23 mean-threshold pattern), hence
+      // allowBroadcastCross.
+      run("td23 GD probe", k,
+        TextOps.linearProbe(docs, "doc_id", "text",
+          label = pmod(col("doc_id"), lit(3)) === 0),
+        allowBroadcastCross = true)
+      run("te12 centroid outliers", k,
+        VectorOps.centroidOutliers(emb, "vec_id", "embedding"),
+        allowBroadcastCross = true)
       // knn graph: nbits grows with log₂ of the corpus so the expected
       // bucket — and the Σ|bucket|² pair work per bucket — stays
       // bounded. (This probe is what exposed the original one-round
