@@ -151,6 +151,30 @@ object Dedup {
       .toDF("id", "label")
   }
 
+  /** Priority-based canonical selection over near-dup clusters — the
+    * production variant of [[clusterKeepers]]: inside each duplicate
+    * cluster the kept document is NOT the minimum id but the best
+    * (priority, id) pair — "prefer the curated source over the crawl"
+    * rule of C4/RefinedWeb-style pipelines. Selection is one
+    * `min(struct(priority, id))` aggregate per cluster (lexicographic
+    * struct ordering, partial-aggregable) + a keyed join back; scale
+    * shape identical to clusterKeepers.
+    */
+  def priorityKeepers(docs: DataFrame, idCol: Column, priority: Column,
+                      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val labeled = docs.select(idCol.as("id"), priority.as("prio"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
+        col("prio"))
+    val keepers = labeled.groupBy(col("cluster"))
+      .agg(min(struct(col("prio"), col("id"))).as("k"))
+      .select(col("cluster"), col("k.id").as("keep_id"))
+    labeled.join(keepers, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("keep_id"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** Near-duplicate cluster dedup — the step after candidate
     * generation in a corpus dedup pipeline: near-dup pairs become an
     * undirected graph, each connected component is one duplicate

@@ -354,6 +354,19 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Priority-based canonical selection: same LSH clusters as td16,
+    // but the keeper is the best (source priority, id) doc — "prefer
+    // the curated source" — instead of the minimum id.
+    "td24_priority_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.priorityKeepers(docs, col("doc_id"),
+          substring(col("source"), 4, 10).cast("int"), pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Train a linear quality probe on the cluster (distributed batch
     // GD, 5 rounds, driver-held 4-float model) against the is-English
     // label, then score + threshold every doc — the
@@ -721,6 +734,35 @@ object TextPipelineSuite extends QueryModule {
         (sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) * 1.0 / count(1) >= 0.5) AS flagged
       FROM bi JOIN c2 USING (sh) JOIN c1 USING (w1)
       GROUP BY id ORDER BY doc_id""",
+
+    "td24_priority_dedup" -> s"""
+      WITH RECURSIVE $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.id
+                JOIN sizes sb ON id_b = sb.id
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      lab AS (SELECT d.doc_id AS id,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster,
+                     CAST(substring(d.source, 4) AS INT) AS prio
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id, d.source),
+      keepers AS (SELECT cluster, id AS keep_id FROM (
+        SELECT cluster, id,
+               row_number() OVER (PARTITION BY cluster ORDER BY prio, id) AS rn
+        FROM lab) WHERE rn = 1)
+      SELECT l.id AS doc_id, l.cluster, k.keep_id, (l.id = k.keep_id) AS keep
+      FROM lab l JOIN keepers k USING (cluster)
+      ORDER BY doc_id""",
 
     // Training arithmetic mirrored exactly: rational features (integer
     // div + power-of-two scales), per-round floor-scaled gradient sums,
