@@ -34,6 +34,20 @@ class TextOpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
+  test("priorityKeepers keeps the best (priority, id) doc per cluster") {
+    // cluster {1,2,3}: doc 2 has the best priority -> keeper despite
+    // not being the min id; singleton 20 keeps itself.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 5), (2L, 1), (3L, 5), (20L, 9)).toDF("doc_id", "prio")
+    val out = Dedup.priorityKeepers(docs, col("doc_id"), col("prio"), pairs)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 2L && !out(1L)._4)
+    assert(out(2L)._3 == 2L && out(2L)._4)
+    assert(out(3L)._3 == 2L && !out(3L)._4)
+    assert(out(20L)._3 == 20L && out(20L)._4)
+    assert(out(1L)._2 == 1L) // cluster label stays the min id
+  }
+
   test("connectedComponents iterative path (cap=0) equals the small-graph fast path") {
     // Random-ish graph with a long chain (exercises multi-round
     // convergence in the iterative path) plus separate components.
