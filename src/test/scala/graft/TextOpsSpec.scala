@@ -108,6 +108,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L)._3 == 0.25 && out(4L)._4 == 1.0 && out(4L)._5)
   }
 
+  test("SRP hyperplane signs are balanced and pairwise-uncorrelated") {
+    // Locks in the two-round sign hash: the original one-round version
+    // had adjacent hyperplanes agreeing on up to 60/64 dims (or as few
+    // as 2/64 — a negated copy), which collapsed the effective bit
+    // count and produced thousand-member tail buckets at corpus scale.
+    def sign(b: Int, d: Int): Int = {
+      val i = (b * 64 + d + 1).toLong
+      var h = (i * 2654435761L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      h = ((h & ((1L << 27) - 1)) * 1597334677L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      (h & 1L).toInt
+    }
+    val pats = (0 until 16).map(b => (0 until 64).map(d => sign(b, d)))
+    for (p <- pats) {
+      val ones = p.sum
+      assert(ones >= 20 && ones <= 44, s"unbalanced row: $ones/64")
+    }
+    for (i <- 0 until 16; j <- (i + 1) until 16) {
+      val agree = pats(i).lazyZip(pats(j)).count { case (a, b) => a == b }
+      assert(agree >= 16 && agree <= 48,
+        s"correlated hyperplanes $i,$j: agree $agree/64")
+    }
+    // and the engine expression agrees with this reference formula:
+    // a vector with a single positive component d sets bit b iff
+    // sign(b,d)=1 (floor(±x*1e12) keeps the sign for x=1).
+    val vecs = Seq((0L, Array.tabulate(64)(d => if (d == 7) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val bucket = vecs.select(graft.operators.VectorOps.srpBucket(
+        graft.operators.VectorOps.toDouble(col("embedding")), 16).as("b"))
+      .as[Long].collect()(0)
+    val expected = (0 until 16).map(b => sign(b, 7).toLong << b).sum
+    assert(bucket == expected)
+  }
+
   test("linearProbe learns to rank the labeled class above the mean") {
     // long docs labeled 1, short docs labeled 0: the word-count
     // feature separates them, so after 5 GD rounds every positive doc
