@@ -174,6 +174,22 @@ object ScaleProbe {
       run("te12 centroid outliers", k,
         VectorOps.centroidOutliers(emb, "vec_id", "embedding"),
         allowBroadcastCross = true)
+      // Multimodal shapes: typed per-clip frame pass + one keyed window.
+      run("mm04 shot boundaries", k, {
+        import spark.implicits._
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        docs.select(col("doc_id"), col("text").cast("binary").as("p"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            Iterator.tabulate(bytes.length / 64) { f =>
+              var i = f * 64; var acc = 0L
+              while (i < f * 64 + 64) { acc += bytes(i) & 0xff; i += 1 }
+              (id, f, acc)
+            }
+          }.toDF("doc_id", "frame_idx", "fsum")
+          .withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(w))
+          .where(abs(coalesce(col("delta"), lit(0L))) > 200)
+      })
       // knn graph: nbits grows with log₂ of the corpus so the expected
       // bucket — and the Σ|bucket|² pair work per bucket — stays
       // bounded. (This probe is what exposed the original one-round
