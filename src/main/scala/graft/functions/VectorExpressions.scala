@@ -105,6 +105,13 @@ object VectorExpressions {
       new java.util.concurrent.atomic.AtomicReference[Array[Double]]()
 
     private def signs(dim: Int): Array[Double] = {
+      // The (bit, dim) index uses a FIXED stride of 64 (mirrored by the
+      // oracle CTEs), so dim > 64 would silently alias hyperplane b's
+      // components [64..dim) onto hyperplane b+1's — reintroducing the
+      // correlated-hyperplane tail-bucket defect. Fail loudly instead.
+      require(dim <= 64,
+        s"SrpBucketLong supports embedding dim <= 64 (stride of the " +
+          s"(bit,dim) sign hash); got dim=$dim")
       val cached = signCache.get()
       if (cached != null && cached.length == nbits * dim) cached
       else {

@@ -63,7 +63,11 @@ object Dedup {
     // The probe stops at cap+1 rows (no full count), and graphs above
     // the cap take the iterative label-propagation path below, which
     // holds at any scale.
-    if (edges.limit(smallGraphEdgeCap.toInt + 1).count() <= smallGraphEdgeCap) {
+    // Clamp before .toInt: a cap above Int.MaxValue would otherwise
+    // overflow into a tiny (or negative) limit and silently shrink the
+    // probe — over-Int caps just mean "probe as far as limit() can".
+    val capInt = math.min(smallGraphEdgeCap, (Int.MaxValue - 1).toLong).toInt
+    if (edges.limit(capInt + 1).count() <= capInt) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))

@@ -644,9 +644,12 @@ object TextOps {
       floor(xdotw * lit(1e6)).cast("long").as("__s6"))
     val tot = scored.agg(sum(col("__s6")).as("__tot"),
       count(lit(1)).as("__n"))
+    // floor of the DOUBLE quotient on both sides (as te12 does): Spark's
+    // integer `div` truncates toward zero while DuckDB's `//` floors, so
+    // a negative summed score would put the threshold off by one.
     scored.crossJoin(broadcast(tot))
       .select(col("id"), col("y"), (col("__s6") / lit(1e6)).as("score"),
-        (col("__s6") >= expr("__tot div __n")).as("selected"))
+        (col("__s6") >= floor(col("__tot") / col("__n")).cast("long")).as("selected"))
   }
 
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,

@@ -361,8 +361,13 @@ object TextPipelineSuite extends QueryModule {
       val docs = Tables.load(s, dir, "documents")
       val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
         .select(col("id_a"), col("id_b"))
+      // Explicit NULL policy: an unparseable source priority coalesces
+      // to Int.MaxValue (sorts LAST) on both engines — Spark's silent
+      // cast-to-NULL would otherwise sort first in min(struct), while
+      // DuckDB's CAST errors; try_cast + sentinel makes them agree.
       Dedup.priorityKeepers(docs, col("doc_id"),
-          substring(col("source"), 4, 10).cast("int"), pairs)
+          coalesce(substring(col("source"), 4, 10).cast("int"),
+            lit(Int.MaxValue)), pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -753,7 +758,8 @@ object TextPipelineSuite extends QueryModule {
                       SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
       lab AS (SELECT d.doc_id AS id,
                      least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster,
-                     CAST(substring(d.source, 4) AS INT) AS prio
+                     coalesce(TRY_CAST(substring(d.source, 4, 10) AS INT),
+                              2147483647) AS prio
               FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
               GROUP BY d.doc_id, d.source),
       keepers AS (SELECT cluster, id AS keep_id FROM (
@@ -799,7 +805,7 @@ object TextPipelineSuite extends QueryModule {
         FROM feats CROSS JOIN (SELECT w0, w1, w2, w3 FROM w WHERE iter = 5)),
       tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t, count(1) AS n2 FROM scored)
       SELECT doc_id, y, s6 / 1e6 AS score,
-             (s6 >= (SELECT t // n2 FROM tot)) AS selected
+             (s6 >= (SELECT CAST(floor(t / n2) AS BIGINT) FROM tot)) AS selected
       FROM scored
       ORDER BY doc_id"""
   )

@@ -62,6 +62,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fast(20L) == 1L && fast(101L) == 100L && fast(202L) == 200L)
   }
 
+  test("connectedComponents accepts an edge cap above Int.MaxValue (clamped probe)") {
+    // A cap > Int.MaxValue used to overflow in .toInt (negative limit);
+    // it must clamp and still take the small-graph path correctly.
+    val pairs = Seq((2L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs,
+        smallGraphEdgeCap = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("componentsWithinGroups equals connectedComponents on group-confined edges") {
     val pairs = Seq((0L, 2L, 1L), (0L, 2L, 3L), (1L, 10L, 11L),
         (1L, 11L, 12L), (1L, 12L, 10L), (2L, 7L, 9L))
@@ -141,6 +151,21 @@ class TextOpsSpec extends AnyFunSuite {
       .as[Long].collect()(0)
     val expected = (0 until 16).map(b => sign(b, 7).toLong << b).sum
     assert(bucket == expected)
+  }
+
+  test("srpBucket rejects embedding dim > 64 loudly (fixed sign-hash stride)") {
+    // The (bit,dim) sign hash strides by 64; dim > 64 would alias
+    // adjacent hyperplanes' components (silent bucket-quality decay),
+    // so it must throw instead.
+    val vecs = Seq((0L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      vecs.select(graft.operators.VectorOps.srpBucket(
+          graft.operators.VectorOps.toDouble(col("embedding")), 8).as("b"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dim <= 64")))
   }
 
   test("linearProbe learns to rank the labeled class above the mean") {
