@@ -149,6 +149,9 @@ object SimilaritySuite extends QueryModule {
     // SemDeDup: cluster on 16 coarse centroids, pair only within a
     // cluster, connect pairs with cosine ≥ 0.4 into duplicate groups,
     // keep the min id per group — cluster-bounded pairwise, never O(n²).
+    // Cells above the (default 4096-row) cap split hierarchically at
+    // scale; the cap never fires at these SFs (max cell 148 at sf0.1),
+    // so the single-level oracle below stays exact.
     "te10_semantic_dedup" -> { (s, dir) =>
       VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", nlist = 16, threshold = 0.4)

@@ -480,36 +480,96 @@ object VectorOps {
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embeddings with a coarse quantizer, compare pairs ONLY within a
-    * cluster, connect pairs above the cosine threshold into duplicate
-    * groups, and keep the minimum id of each group as canonical.
-    * Returns (id, cell, rep_id, keep) for every vector.
+    * (leaf) cluster, connect pairs above the cosine threshold into
+    * duplicate groups, and keep the minimum id of each group as
+    * canonical. Returns (id, cell, rep_id, keep) for every vector.
     *
     * Scale anatomy — the whole point of SemDeDup over all-pairs: the
     * pairwise stage is an equi-join on the cell id, O(Σ|cell|²) instead
-    * of O(n²), distributed by cell. `nlist` is chosen so the expected
-    * cell stays small (the paper uses ~√n clusters at corpus scale);
-    * assignment is one broadcast-centroid map pass. Centroids here are
-    * the first `nlist` vectors (deterministic, oracle-checkable); a
-    * fitted quantizer drops in via the [[ivfKmeansTopK]] Lloyd fit with
-    * the identical downstream plan. Component labeling uses the
-    * cell-confined one-pass union-find
-    * ([[Dedup.componentsWithinGroups]]) — edges cannot span cells, so
-    * no iterative label propagation is needed.
+    * of O(n²), distributed by cell. A FIXED nlist is n^1.5 in disguise
+    * (nlist≈√n keeps E|cell|=√n, so Σ|cell|² ≈ n·√n — and the n×nlist
+    * assignment pass is n^1.5 too; measured 33.6× time at 100× data),
+    * so cells are refined HIERARCHICALLY instead: any cell above
+    * `cellCap` rows is re-quantized against `fanout` second-level
+    * centroids (members stride-sampled by id-rank across the cell —
+    * as deterministic as the coarse pick, but covering the cell),
+    * recursively until every leaf fits or `maxDepth` is hit. Pair work is then O(n·cellCap) and
+    * assignment O(n·(nlist + fanout·depth)) — both corpus-linear —
+    * while cells at or under the cap are BIT-IDENTICAL to the
+    * single-level quantizer's (splitting only touches oversized
+    * cells). Leaf ids compose collision-free as
+    * (parent+1)·max(fanout,nlist)+subIdx; ids strictly grow with
+    * depth. maxDepth bounds the pathological all-identical-vectors
+    * cell (it cannot split — every member lands in one sub-cell).
+    *
+    * Centroids are the first `nlist` vectors (deterministic,
+    * oracle-checkable); a fitted quantizer drops in via the
+    * [[ivfKmeansTopK]] Lloyd fit with the identical downstream plan.
+    * Component labeling uses the cell-confined one-pass union-find
+    * ([[Dedup.componentsWithinGroups]]) — edges cannot span leaf
+    * cells, so no iterative label propagation is needed. The oversized
+    * cell-id list broadcast per round is ≤ n/cellCap ids (KB–MB at any
+    * realistic scale).
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int, threshold: Double): DataFrame = {
+                    nlist: Int, threshold: Double, cellCap: Int = 4096,
+                    fanout: Int = 16, maxDepth: Int = 8): DataFrame = {
     val e = prepped(vecs, idCol, vecCol)
     val cent = e.filter(col("id") < nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("cosc").desc, col("cid"))
-    val cells = e.crossJoin(broadcast(cent))
+    var cells = e.crossJoin(broadcast(cent))
       .withColumn("cosc", round(
         scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(wAssign))
       .where(col("crk") === 1)
       .select(col("id"), col("cid").as("cell"), col("v"), col("nrm"))
-      .localCheckpoint() // feeds the pair join twice + the final output
+      .localCheckpoint() // feeds size probe / split rounds / pair join / output
+    val step = math.max(fanout, nlist).toLong
+    var depth = 0
+    var splitting = true
+    while (splitting && depth < maxDepth) {
+      val over = cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__cn"))
+        .where(col("__cn") > cellCap)
+      if (over.limit(1).count() == 0) splitting = false
+      else {
+        val tagged = cells.join(broadcast(over), Seq("cell"), "left")
+        val okRows = tagged.where(col("__cn").isNull)
+          .select(col("id"), col("cell"), col("v"), col("nrm"))
+        val overRows = tagged.where(col("__cn").isNotNull)
+          .select(col("id"), col("cell"), col("v"), col("nrm"), col("__cn"))
+        // Second-level centroids: fanout members STRIDE-SAMPLED by
+        // id-rank across each oversized cell (rank 1, 1+⌈cn/fanout⌉,
+        // …) — deterministic like the coarse min-id pick, but covers
+        // the whole cell even when ids correlate with geometry (the
+        // fanout lowest ids alone can huddle in one corner and leave a
+        // leaf that re-splits dozens of rounds without shrinking).
+        val wSub = Window.partitionBy(col("cell")).orderBy(col("id"))
+        val strideCol = ((col("__cn") + lit(fanout - 1)) / lit(fanout))
+          .cast("long")
+        val subCent = overRows
+          .withColumn("__rn", row_number().over(wSub))
+          .withColumn("__stride", strideCol)
+          .where(((col("__rn") - 1) % col("__stride")) === 0)
+          .select(col("cell"),
+            ((col("__rn") - 1) / col("__stride")).cast("long").as("sub"),
+            col("v").as("cv"), col("nrm").as("cn"))
+        val wReassign = Window.partitionBy(col("id"))
+          .orderBy(col("cosc").desc, col("sub"))
+        val splitRows = overRows.join(subCent, Seq("cell"))
+          .withColumn("cosc", round(
+            scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
+          .withColumn("crk", row_number().over(wReassign))
+          .where(col("crk") === 1)
+          .select(col("id"),
+            ((col("cell") + 1) * step + col("sub")).as("cell"),
+            col("v"), col("nrm"))
+        cells = okRows.union(splitRows).localCheckpoint()
+        depth += 1
+      }
+    }
     val a = cells.select(col("cell"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = cells.select(col("cell"), col("id").as("id_b"),

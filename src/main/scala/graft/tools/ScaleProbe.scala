@@ -197,11 +197,13 @@ object ScaleProbe {
       // count and the tail bucket held thousands of vectors at 100×.)
       run("te11 knn graph", k, VectorOps.knnGraph(emb, "vec_id", "embedding",
         nbits = 6 + (31 - Integer.numberOfLeadingZeros(k)), k = 3))
-      // SemDeDup's contract: nlist grows with the corpus (~√n) so the
-      // expected cell — and the per-cell pair work — stays bounded.
+      // SemDeDup's contract: FIXED coarse nlist + hierarchical cell
+      // splitting above cellCap. (The previous nlist≈√n contract was
+      // n^1.5 twice over — E|cell|=√n pair work AND an n×√n assignment
+      // pass; measured 33.6× time at 100× data. Capped leaves make
+      // both stages corpus-linear.)
       run("te10 SemDeDup", k, VectorOps.semanticDedup(emb, "vec_id",
-          "embedding", nlist = math.max(16, math.sqrt((embBase * k).toDouble).toInt),
-          threshold = 0.4),
+          "embedding", nlist = 16, threshold = 0.4, cellCap = 256),
         allowBroadcastCross = true)
       // Auto range-join rule: points grow k×, intervals k/10×, domain
       // k× — expected matches stay linear in k. The run() assertion is

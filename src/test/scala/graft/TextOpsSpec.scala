@@ -435,4 +435,36 @@ class TextOpsSpec extends AnyFunSuite {
       2L -> ((0L, 0L, false)), 3L -> ((0L, 0L, false)),
       4L -> ((1L, 4L, true))))
   }
+
+  test("semanticDedup hierarchical split caps leaf cells, preserves dup groups") {
+    // 60 spread-out vectors land in one coarse cell (nlist=1); with
+    // cellCap=16 the cell must split recursively until every leaf is
+    // ≤ 16, and near-identical neighbors must still dedup together.
+    val docs = (0L until 60L).map { i =>
+      // quarter-circle fan; every 10th sits 1e-4 rad from its
+      // predecessor's angle (a near-copy), the rest 0.026 rad apart
+      val a =
+        if (i % 10 == 9) (i - 1).toDouble / 60.0 * math.Pi / 2 + 0.0001
+        else i.toDouble / 60.0 * math.Pi / 2
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(docs, "vec_id", "embedding",
+        nlist = 1, threshold = 0.9999, cellCap = 16, fanout = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val cellSizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(cellSizes.values.max <= 16, s"oversized leaf: $cellSizes")
+    assert(cellSizes.size > 1) // it actually split
+    // Sub-cells are refinements of the single coarse cell, so a pair
+    // this close (cos ≈ 1) stays co-located and dedups: every doc is
+    // its own rep except near-copies that share a leaf with their twin.
+    val reps = out.map(r => r._1 -> r._3).toMap
+    val copied = (0L until 60L).filter(i => i % 10 == 9 && reps(i) == i - 1)
+    assert(copied.nonEmpty, "no near-copy deduped against its twin")
+    // And under the cap nothing changes: same data, cap above n ==
+    // bit-identical to the unsplit single-level quantizer.
+    val unsplit = VectorOps.semanticDedup(docs, "vec_id", "embedding",
+        nlist = 1, threshold = 0.9999, cellCap = 4096)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(unsplit.map(_._2).distinct.sameElements(Array(0L)))
+  }
 }
