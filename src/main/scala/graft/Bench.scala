@@ -33,38 +33,37 @@ object Bench {
       (dt, ok)
     }
 
-    // Best of two attempts per query, taken as two FULL PASSES over the
-    // suite rather than back-to-back: this VM sees co-tenant CPU-steal
-    // waves lasting minutes, which inflate a contiguous stretch of
-    // queries 10-50x — back-to-back attempts land in the same wave,
-    // while attempts a whole suite apart are decorrelated from it.
+    // MEDIAN of three attempts per query, taken as three FULL PASSES
+    // over the suite rather than back-to-back: this VM sees co-tenant
+    // CPU-steal waves lasting minutes, which inflate a contiguous
+    // stretch of queries 10-50x — back-to-back attempts land in the
+    // same wave, while attempts a whole suite apart are decorrelated
+    // from it. The median (not the best) is what the artifact reports:
+    // one noisy run can neither fake a 3x regression nor mask a real
+    // one, and an improvement must show up in two of three runs to
+    // move the number.
     // Optional iteration aid: SPARK_GRAFT_ONLY=q01,q02 times a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val pass1 = named.map { case (name, fn) => attempt(name, fn) }
-    val pass2 = named.map { case (name, fn) => attempt(name, fn) }
-    val twoPass = named.lazyZip(pass1).lazyZip(pass2).map {
-      case ((name, fn), (dt1, ok1), (dt2, ok2)) =>
-        val ok = ok1 || ok2
-        val dt = (ok1, ok2) match {
-          case (true, true)  => math.min(dt1, dt2)
-          case (true, false) => dt1
-          case (false, _)    => dt2
-        }
-        (name, fn, dt, ok, math.max(dt1, dt2))
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val passes = (1 to nRuns).map { _ =>
+      named.map { case (name, fn) => attempt(name, fn) }
     }
-    // Adaptive third attempt: a steal wave can cover the SAME query in
-    // both passes. A query whose two runs disagree badly, or whose best
-    // is still slow, gets one more shot at yet another point in time.
-    val results = twoPass.map { case (name, fn, dt, ok, worst) =>
-      val suspect = ok && (worst > dt * 1.5 || dt > 3.0)
-      val best = if (suspect) {
-        val (dt3, ok3) = attempt(name, fn)
-        if (ok3) math.min(dt, dt3) else dt
-      } else dt
-      System.err.println(f"[bench] $name%-28s $best%8.2f s (best of ${if (suspect) 3 else 2})")
-      (name, best, ok)
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val runs = passes.map(_(i))
+      val oks = runs.collect { case (dt, true) => dt }.sorted
+      val ok = oks.nonEmpty
+      val dt = oks.length match {
+        case 0 => runs.map(_._1).max
+        // With an even number of successes, the LOWER middle: steal
+        // waves only ever inflate, so the upper middle is the likelier
+        // contaminated one.
+        case n => oks((n - 1) / 2)
+      }
+      System.err.println(
+        f"[bench] $name%-28s $dt%8.2f s (median of ${oks.length})")
+      (name, dt, ok)
     }
     // Failed queries are reported as negative timings plus an errors
     // list, so a failure can't masquerade as a fast run in the JSON.
@@ -87,7 +86,7 @@ object Bench {
     val errs = if (failed.isEmpty) "" else failed.mkString(""","errors":[""", ",", "]")
     val total = results.map(_._2).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errs,"sf":$sf}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$nRuns,"queries":$qs$errs,"sf":$sf}"""
     // Full per-query artifact, immune to any stdout tail truncation.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
