@@ -21,6 +21,7 @@ object SparkEntry {
     operators.DsParityExt2,
     operators.DsParityExt3,
     operators.JdbcParity,
+    operators.LogParity,
     operators.TpchGate
   )
 

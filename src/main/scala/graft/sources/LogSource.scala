@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partitioned-log source — Kafka semantics over append-only local
+  * segment files, for environments with no broker (the reference's
+  * Kafka table connector, flink-connectors/flink-connector-kafka
+  * .../table/KafkaDynamicSource.java:74, is permanently env-blocked
+  * here; this source proves the same seams end-to-end: per-partition
+  * monotone offsets, offset-map checkpointing, partitioned parallel
+  * reads, bounded-admission triggers, and exactly-once resume).
+  *
+  * Layout: `<path>/partition=<p>/<start>.log`, where `<start>` is the
+  * 20-digit zero-padded offset of the segment's first record and each
+  * record is one UTF-8 line (records must not contain newlines) — the
+  * Kafka segment-roll discipline: segments are immutable once written,
+  * appends create a new segment named by the next offset, so a
+  * record's offset is segment start + line index, and the log end
+  * needs only the LAST segment's line count (older counts are implied
+  * by the next segment's name). Readers are handed the segment list
+  * at planning time, one split per log partition, exactly as Kafka
+  * maps one split per topic-partition.
+  *
+  * Batch reads scan every partition 0→end. Streaming reads are a
+  * [[MicroBatchStream]] whose offset is the per-partition next-record
+  * map (serialized sorted, e.g. `{"0":12,"3":40}`); `latestOffset`
+  * re-discovers partitions (new ones start at 0, like Kafka partition
+  * discovery) and admits at most `maxRecordsPerTrigger` records per
+  * trigger, pro-rated across lagging partitions. planInputPartitions
+  * is a pure function of (start, end), so a replayed batch after a
+  * crash re-reads the identical slice and an idempotent sink
+  * (parquet `_spark_metadata`, memory sink batch dedup) yields
+  * end-to-end exactly-once.
+  *
+  * Local paths make this test/emulation-grade; on a cluster the same
+  * layout on a DFS mount works unchanged (planning lists files on the
+  * driver, readers stream bytes from shared storage).
+  */
+class LogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-log"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new LogTable()
+}
+
+object LogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  private val SegName = """(\d{20})\.log""".r
+  private val PartDir = """partition=(\d+)""".r
+
+  private def partDir(path: String, p: Int): Path =
+    Paths.get(path, s"partition=$p")
+
+  /** Append records as ONE new immutable segment starting at the
+    * partition's current end offset (the Kafka segment roll).
+    */
+  def append(path: String, partition: Int, records: Seq[String]): Unit = {
+    require(records.forall(!_.contains('\n')),
+      "log records must not contain newlines")
+    val dir = partDir(path, partition)
+    Files.createDirectories(dir)
+    val start = endOffset(dir)
+    val f = dir.resolve(f"$start%020d.log")
+    Files.write(f, records.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Segment (start offset, file path) list for a partition, sorted. */
+  private[sources] def segments(dir: Path): Seq[(Long, String)] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap { f =>
+        f.getFileName.toString match {
+          case SegName(s) => Some((s.toLong, f.toString))
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1)
+
+  private[sources] def countLines(file: String): Long = {
+    val s = Files.lines(Paths.get(file))
+    try s.count() finally s.close()
+  }
+
+  /** End offset (= next record's offset) of one partition dir: last
+    * segment's name + its line count; earlier counts are implied.
+    */
+  private[sources] def endOffset(dir: Path): Long =
+    segments(dir).lastOption
+      .map { case (s, f) => s + countLines(f) }
+      .getOrElse(0L)
+
+  /** Discover partitions and their end offsets. */
+  private[sources] def endOffsets(path: String): Map[Int, Long] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) Map.empty
+    else Files.list(root).iterator().asScala
+      .flatMap { d =>
+        d.getFileName.toString match {
+          case PartDir(p) if Files.isDirectory(d) =>
+            Some(p.toInt -> endOffset(d))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private[graft] def offsetsToJson(m: Map[Int, Long]): String =
+    m.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+
+  private[graft] def offsetsFromJson(s: String): Map[Int, Long] =
+    s.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+      }.toMap
+
+  /** One split per log partition over [start, end), carrying the
+    * planning-time segment list so readers do no directory listing.
+    */
+  private[sources] def plan(path: String, start: Map[Int, Long],
+                            end: Map[Int, Long]): Array[InputPartition] =
+    end.toSeq.sorted.flatMap { case (p, e) =>
+      val s = start.getOrElse(p, 0L)
+      if (e <= s) None
+      else Some(LogInputPartition(p, s, e,
+        segments(partDir(path, p)).toArray))
+    }.toArray
+}
+
+private[sources] class LogTable extends Table with SupportsRead {
+  override def name(): String = "graft-log"
+  override def schema(): StructType = LogSource.schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.MICRO_BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-log requires a 'path' option"))
+    val maxPerTrigger = options.getLong("maxRecordsPerTrigger", Long.MaxValue)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = LogSource.schema
+        override def toBatch: Batch = new LogBatch(path)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new LogMicroBatchStream(path, maxPerTrigger)
+      }
+    }
+  }
+}
+
+private[sources] case class LogInputPartition(partition: Int, start: Long,
+    end: Long, segs: Array[(Long, String)]) extends InputPartition
+
+private[sources] class LogBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    LogSource.plan(path, Map.empty, LogSource.endOffsets(path))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory()
+}
+
+private[sources] case class LogOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = LogSource.offsetsToJson(offsets)
+}
+
+private[sources] class LogMicroBatchStream(path: String, maxPerTrigger: Long)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    LogOffset(LogSource.endOffsets(path).map { case (p, _) => p -> 0L })
+
+  // latestOffset is called after the planner knows the last committed
+  // offset only via planInputPartitions, so admission control tracks
+  // the last end this stream handed out.
+  private var lastEnd: Map[Int, Long] = Map.empty
+
+  override def latestOffset(): Offset = {
+    val avail = LogSource.endOffsets(path)
+    val admitted =
+      if (maxPerTrigger == Long.MaxValue) avail
+      else {
+        // Pro-rate the budget across lagging partitions (Kafka's
+        // maxOffsetsPerTrigger discipline), minimum 1 per lagging
+        // partition so no partition starves.
+        val lags = avail.map { case (p, e) =>
+          p -> math.max(e - lastEnd.getOrElse(p, 0L), 0L)
+        }
+        val totalLag = lags.values.sum
+        if (totalLag <= maxPerTrigger) avail
+        else avail.map { case (p, e) =>
+          val lag = lags(p)
+          val grant =
+            if (lag == 0L) 0L
+            else math.max(maxPerTrigger * lag / totalLag, 1L)
+          p -> math.min(lastEnd.getOrElse(p, 0L) + grant, e)
+        }
+      }
+    lastEnd = admitted
+    LogOffset(admitted)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LogOffset(LogSource.offsetsFromJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    LogSource.plan(path, start.asInstanceOf[LogOffset].offsets,
+      end.asInstanceOf[LogOffset].offsets)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] class LogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogInputPartition]
+    new PartitionReader[InternalRow] {
+      // Segments overlapping [start, end) — a segment is skipped when
+      // it starts at/after `end`, or when the NEXT segment's start
+      // shows it ends at/before `start`.
+      private val wanted = p.segs.indices.filter { i =>
+        val segStart = p.segs(i)._1
+        val nextStart =
+          if (i + 1 < p.segs.length) Some(p.segs(i + 1)._1) else None
+        segStart < p.end && nextStart.forall(_ > p.start)
+      }.map(p.segs)
+      private var segIdx = 0
+      private var reader: java.io.BufferedReader = _
+      private var offset = 0L
+      private var curOffset = 0L
+      private var curLine: String = _
+
+      override def next(): Boolean = {
+        var found = false
+        var exhausted = false
+        while (!found && !exhausted) {
+          if (reader == null) {
+            if (segIdx >= wanted.length) exhausted = true
+            else {
+              val (segStart, file) = wanted(segIdx)
+              reader = Files.newBufferedReader(
+                Paths.get(file), StandardCharsets.UTF_8)
+              offset = segStart
+            }
+          } else {
+            val line = reader.readLine()
+            if (line == null) { close(); segIdx += 1 }
+            else {
+              val o = offset; offset += 1
+              if (o >= p.end) { close(); exhausted = true }
+              else if (o >= p.start) {
+                curOffset = o; curLine = line; found = true
+              }
+            }
+          }
+        }
+        found
+      }
+      override def get(): InternalRow = new GenericInternalRow(
+        Array[Any](p.partition, curOffset, UTF8String.fromString(curLine)))
+      override def close(): Unit = {
+        if (reader != null) { reader.close(); reader = null }
+      }
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.LogSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the graft-log partitioned-log source end-to-end: batch scan,
+  * segment-rolled offsets, admission-controlled micro-batches, and the
+  * Kafka-shaped exactly-once contract — kill a query MID-SEGMENT (an
+  * offset strictly inside a segment file committed, the rest not) and
+  * restart from the checkpoint with no loss and no duplicates.
+  */
+class LogSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch read returns every record with per-segment offsets") {
+    val dir = tmp("graft-log")
+    LogSource.append(dir, 0, Seq("a0", "a1", "a2"))
+    LogSource.append(dir, 0, Seq("a3", "a4")) // segment roll at offset 3
+    LogSource.append(dir, 1, Seq("b0"))
+    val got = spark.read.format("graft-log").option("path", dir).load()
+      .as[(Int, Long, String)].collect().toSet
+    assert(got == Set((0, 0L, "a0"), (0, 1L, "a1"), (0, 2L, "a2"),
+      (0, 3L, "a3"), (0, 4L, "a4"), (1, 0L, "b0")))
+  }
+
+  test("batch read plans one split per log partition") {
+    val dir = tmp("graft-log")
+    LogSource.append(dir, 0, Seq("x"))
+    LogSource.append(dir, 1, Seq("y"))
+    LogSource.append(dir, 2, Seq("z"))
+    val df = spark.read.format("graft-log").option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("offset json round-trips") {
+    val m = Map(0 -> 12L, 3 -> 40L, 11 -> 7L)
+    assert(LogSource.offsetsFromJson(LogSource.offsetsToJson(m)) == m)
+    assert(LogSource.offsetsToJson(m) == """{"0":12,"3":40,"11":7}""")
+  }
+
+  test("streaming honors maxRecordsPerTrigger and drains completely") {
+    val dir = tmp("graft-log")
+    LogSource.append(dir, 0, (0 until 7).map(i => s"a$i"))
+    LogSource.append(dir, 1, (0 until 3).map(i => s"b$i"))
+    val q = spark.readStream.format("graft-log").option("path", dir)
+      .option("maxRecordsPerTrigger", 4).load()
+      .writeStream.format("memory").queryName("logadm")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("logadm").as[(Int, Long, String)].collect()
+    assert(got.length == 10)
+    assert(got.toSet.map((r: (Int, Long, String)) => (r._1, r._2)) ==
+      (0 until 7).map((0, _)).toSet ++ (0 until 3).map((1, _)).toSet)
+    // Admission really batched: > 2 batches for 10 rows at 4/trigger.
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("exactly-once: kill mid-segment, restart resumes with no loss/dup") {
+    val dir = tmp("graft-log")
+    val ckpt = tmp("graft-log-ck")
+    val out = tmp("graft-log-out")
+    // One 5-record segment; admission 2/trigger, a single trigger
+    // commits offsets [0,2) — strictly inside the segment file.
+    LogSource.append(dir, 0, (0 until 5).map(i => s"a$i"))
+    def start(trigger: Option[Trigger]) = {
+      val r = spark.readStream.format("graft-log").option("path", dir)
+        .option("maxRecordsPerTrigger", 2).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+      trigger.foreach(r.trigger)
+      r.start()
+    }
+    val q1 = start(Some(Trigger.Once()))
+    q1.awaitTermination()
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill == 2, s"one admission-capped batch, got $afterKill")
+    // Data arrives while the query is down: a mid-stream append to the
+    // live partition AND a brand-new partition (Kafka partition
+    // discovery).
+    LogSource.append(dir, 0, Seq("a5"))
+    LogSource.append(dir, 1, Seq("b0", "b1"))
+    val q2 = start(None)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).as[(Int, Long, String)].collect().toSet
+    assert(got == (0 until 6).map(i => (0, i.toLong, s"a$i")).toSet ++
+      Set((1, 0L, "b0"), (1, 1L, "b1")))
+  }
+}
