@@ -445,6 +445,109 @@ object EventTimeParity extends QueryModule {
           DEFINE V AS V.event_type = 'view',
                  P AS P.event_type = 'purchase'
         ) ORDER BY user_id, first_tus, first_view_id""")
+    },
+
+    // Multi-column PARTITION BY (the reference's MatchRecognizeITCase
+    // partitions on two keys): within each (user, event_type)
+    // substream, an immediately-consecutive low→high value crossing.
+    // The L/H predicates are disjoint, so SKIP PAST LAST ROW can never
+    // drop a candidate and the lead() oracle is exact.
+    "m07_multi_partition" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("m07_events")
+      env.sqlQuery("""
+        SELECT user_id, event_type, low_id, high_id, low_tus
+        FROM m07_events MATCH_RECOGNIZE (
+          PARTITION BY user_id, event_type
+          ORDER BY tus, event_id
+          MEASURES L.event_id AS low_id, H.event_id AS high_id,
+                   FIRST(L.tus) AS low_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (L H)
+          DEFINE L AS L.value < 50.0, H AS H.value >= 50.0
+        ) ORDER BY user_id, event_type, low_tus, low_id""")
+    },
+
+    // AFTER MATCH SKIP TO FIRST <var> (flink-cep SkipToFirstStrategy):
+    // greedy view-run + purchase, re-entering at the run's FIRST view
+    // (= one past the match start, the strategy's no-regress guard), so
+    // EVERY in-window suffix of the run re-matches with the same
+    // purchase — n overlapping matches where SKIP PAST LAST ROW emits
+    // one and SKIP TO LAST V (m06) emits two.
+    "m08_skip_to_first" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m08_events")
+      env.sqlQuery("""
+        SELECT user_id, first_view_id, n_views, purchase_id, first_tus
+        FROM m08_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(V.event_id) AS first_view_id,
+                   COUNT(V.event_id) AS n_views,
+                   P.event_id AS purchase_id,
+                   FIRST(V.tus) AS first_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO FIRST V
+          PATTERN (V+ P) WITHIN INTERVAL '24' HOUR
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) ORDER BY user_id, first_tus, first_view_id""")
+    },
+
+    // Bounded-range quantifier E{2,3} (greedy, so a long error run
+    // binds its LAST three errors — the earliest start from which
+    // {2,3}-then-signup can complete) with a BINDING 24h WITHIN (the
+    // median 3-error-suffix-to-signup span is ~30h): when the last-3
+    // suffix overruns the window the NFA advances one error and
+    // matches the last-2 suffix instead.
+    "m09_times_range" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m09_events")
+      env.sqlQuery("""
+        SELECT user_id, first_err_id, n_errs, signup_id, first_tus
+        FROM m09_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(E.event_id) AS first_err_id,
+                   COUNT(E.event_id) AS n_errs,
+                   R.event_id AS signup_id,
+                   FIRST(E.tus) AS first_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (E{2,3} R) WITHIN INTERVAL '24' HOUR
+          DEFINE E AS E.event_type = 'error',
+                 R AS R.event_type = 'signup'
+        ) ORDER BY user_id, first_tus, first_err_id""")
+    },
+
+    // Three-step pattern with a NEGATION define (X is any non-signup
+    // row — the "wildcard gap" idiom): signup, one arbitrary event,
+    // purchase, strictly consecutive. X <> signup also makes candidate
+    // overlap impossible, so the two-lead oracle is exact.
+    "m10_wildcard_gap" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m10_events")
+      env.sqlQuery("""
+        SELECT user_id, signup_id, gap_id, gap_type, purchase_id, signup_tus
+        FROM m10_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES S.event_id AS signup_id, X.event_id AS gap_id,
+                   X.event_type AS gap_type, P.event_id AS purchase_id,
+                   S.tus AS signup_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S X P)
+          DEFINE S AS S.event_type = 'signup',
+                 X AS X.event_type <> 'signup',
+                 P AS P.event_type = 'purchase'
+        ) ORDER BY user_id, signup_tus, signup_id""")
     }
   )
 
@@ -802,6 +905,111 @@ object EventTimeParity extends QueryModule {
       SELECT user_id, last_view_id AS first_view_id, CAST(1 AS BIGINT) AS n_views,
              purchase_id, last_tus AS first_tus
       FROM full_matches WHERE n_views >= 2
-      ORDER BY user_id, first_tus, first_view_id"""
+      ORDER BY user_id, first_tus, first_view_id""",
+
+    // L and H have disjoint predicates, so matches can't overlap and
+    // every (low, next-is-high) row pair is a match: plain lead()
+    // within the two-key partition.
+    "m07_multi_partition" -> """
+      SELECT user_id, event_type, event_id AS low_id, id1 AS high_id,
+             tus AS low_tus
+      FROM (
+        SELECT user_id, event_type, event_id, value, epoch_us(ts) AS tus,
+               lead(value) OVER w AS v1, lead(event_id) OVER w AS id1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY epoch_us(ts), event_id))
+      WHERE value < 50.0 AND v1 >= 50.0
+      ORDER BY user_id, event_type, low_tus, low_id""",
+
+    // SKIP TO FIRST V re-enters one past each match's start (the
+    // strategy's no-regress guard, first V = start), so every view of
+    // the run whose own suffix fits the 24h window emits a match with
+    // the shared purchase — one row per in-window view.
+    "m08_skip_to_first" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'view'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1
+        FROM g GROUP BY user_id, run_id),
+      matches AS (
+        SELECT r.user_id, r.run_id, r.p1, nxt.event_id AS purchase_id,
+               nxt.tus AS ptus
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+        WHERE nxt.event_type = 'purchase')
+      SELECT m.user_id, g.event_id AS first_view_id,
+             CAST(m.p1 - g.pos + 1 AS BIGINT) AS n_views,
+             m.purchase_id, g.tus AS first_tus
+      FROM matches m
+      JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
+      WHERE m.ptus - g.tus < 86400000000
+      ORDER BY m.user_id, first_tus, first_view_id""",
+
+    // Greedy E{2,3}: the match is the last-3 suffix of the error run
+    // when its span to the signup fits WITHIN 24 hours, else the NFA
+    // advances one error and takes the last-2 suffix; runs of 2 bind
+    // both errors. One match per run (SKIP PAST LAST ROW).
+    "m09_times_range" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'error' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'error'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1, count(1) AS n
+        FROM g GROUP BY user_id, run_id),
+      cand AS (
+        SELECT r.user_id, r.n, nxt.event_id AS signup_id, nxt.tus AS ptus,
+               max(CASE WHEN g.pos = r.p1 - 2 THEN g.tus END) AS t3,
+               max(CASE WHEN g.pos = r.p1 - 2 THEN g.event_id END) AS id3,
+               max(CASE WHEN g.pos = r.p1 - 1 THEN g.tus END) AS t2,
+               max(CASE WHEN g.pos = r.p1 - 1 THEN g.event_id END) AS id2
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+          AND nxt.event_type = 'signup'
+        JOIN g ON g.user_id = r.user_id AND g.run_id = r.run_id
+        GROUP BY r.user_id, r.run_id, r.p1, r.n, nxt.event_id, nxt.tus)
+      SELECT user_id,
+             CASE WHEN n >= 3 AND ptus - t3 < 86400000000
+                  THEN id3 ELSE id2 END AS first_err_id,
+             CAST(CASE WHEN n >= 3 AND ptus - t3 < 86400000000
+                  THEN 3 ELSE 2 END AS BIGINT) AS n_errs,
+             signup_id,
+             CASE WHEN n >= 3 AND ptus - t3 < 86400000000
+                  THEN t3 ELSE t2 END AS first_tus
+      FROM cand
+      WHERE (n >= 3 AND ptus - t3 < 86400000000)
+         OR (n >= 2 AND ptus - t2 < 86400000000)
+      ORDER BY user_id, first_tus, first_err_id""",
+
+    // X <> signup makes overlap impossible (no candidate can start on
+    // a consumed X or P row), so the two-lead formulation is exact.
+    "m10_wildcard_gap" -> """
+      SELECT user_id, event_id AS signup_id, id1 AS gap_id, t1 AS gap_type,
+             id2 AS purchase_id, tus AS signup_tus
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+               lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      WHERE event_type = 'signup' AND t1 <> 'signup' AND t2 = 'purchase'
+      ORDER BY user_id, signup_tus, signup_id"""
   )
 }
