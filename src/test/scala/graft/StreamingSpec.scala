@@ -900,4 +900,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == got.map(p => (p._1, p._2)).distinct.length)
     assert(got.forall(p => p._3 >= 0.3 && p._1 < p._2))
   }
+
+  test("RocksDB state store: topN and temporalJoin run; state survives restart") {
+    // The reference's RocksDB state backend
+    // (flink-state-backends/flink-statebackend-rocksdb) maps to
+    // Spark's RocksDBStateStoreProvider — same stateful operators,
+    // out-of-heap state. The provider is read per-query at start, so
+    // scoping the conf to this test is safe.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // streamingTopN on RocksDB, with a provider-engagement check via
+      // the rocksdb* custom state metrics.
+      val in = MemoryStream[SEv]
+      val out = StatefulOps.streamingTopN[Long, SEv](
+        in.toDS(), 2, _.k, (a, b) => a.v > b.v)
+      val q = out.writeStream.format("memory").queryName("rdb_topn")
+        .outputMode("update").start()
+      in.addData(SEv(1, ts(1), 10.0, "a"), SEv(1, ts(2), 5.0, "b"))
+      q.processAllAvailable()
+      in.addData(SEv(1, ts(3), 7.0, "c"))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged; state metrics: ${metrics.mkString(",")}")
+      q.stop()
+      val rows = spark.table("rdb_topn").as[Change[SEv]].collect()
+      assert(rows.filter(_.kind == "+I").map(c => (c.rank, c.value.tag)).toSet
+        == Set((1, "a"), (2, "b")))
+      assert(rows.filter(_.kind == "+U").map(c => (c.rank, c.value.tag)).toSet
+        == Set((2, "c")))
+
+      // temporalJoin whose right-version state must survive a restart
+      // from the checkpoint on the RocksDB store.
+      val lIn = MemoryStream[SEv]
+      val rIn = MemoryStream[SEv]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rdb-ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rdb-out").toString
+      def start() = StatefulOps.temporalJoin[Long, SEv, SEv](
+          lIn.toDS(), rIn.toDS(), _.k, _.k, _.ts.getTime, _.ts.getTime)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      rIn.addData(SEv(1, ts(10), 100.0, "v1")) // version into RocksDB state
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // v1 must come back from the store
+      lIn.addData(SEv(1, ts(15), 0.0, "probe15"))
+      q2.processAllAvailable()
+      lIn.addData(SEv(1, ts(99), 0.0, "flush"))
+      rIn.addData(SEv(1, ts(99), 0.0, "rflush"))
+      q2.processAllAvailable(); q2.stop()
+      val joined = spark.read.parquet(outDir).as[AsOfMatch[SEv, SEv]].collect()
+        .map(m => m.left.tag -> m.right.map(_.tag)).toMap
+      assert(joined("probe15") == Some("v1"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
