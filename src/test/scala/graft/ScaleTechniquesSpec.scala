@@ -27,6 +27,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("hot-salted join spreads the hot key across partitions, exactly") {
+    // One key holds 10% of a self-joined index (the td03/te03 skew
+    // shape). Plain shuffle join lands every hot pair on ONE task;
+    // saltedInnerHot must (a) return the identical pair set and
+    // (b) spread the hot key's output over >= saltFactor/2 partitions.
+    // Broadcast/AQE are disabled so partition ids reflect the shuffle.
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val idx = spark.range(500)
+        .select(col("id"), when(col("id") % 10 === 0, lit(0L))
+          .otherwise(col("id") + 1000).as("sh"))
+      val a = idx.select(col("sh"), col("id").as("id_a"))
+      val b = idx.select(col("sh"), col("id").as("id_b"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("id_a") < col("id_b"))
+      val plain = pairs(a.join(b, Seq("sh")))
+      val salted = pairs(SkewJoin.saltedInnerHot(
+        a, b, "sh", col("id_a"), saltFactor = 8, hotThreshold = 10L))
+      val plainSet = plain.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val saltedSet = salted.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(saltedSet == plainSet && plainSet.size == 50 * 49 / 2)
+      def hotParts(df: org.apache.spark.sql.DataFrame): Long =
+        df.where(col("sh") === 0)
+          .select(spark_partition_id().as("p")).distinct().count()
+      assert(hotParts(plain) == 1L) // the straggler
+      // 8 salts hash into the session's 4 shuffle partitions; full
+      // spread = most of them (vs exactly 1 unsalted).
+      assert(hotParts(salted) >= 3L, "hot key not spread")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
