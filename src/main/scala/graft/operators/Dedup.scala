@@ -51,10 +51,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           smallGraphEdgeCap: Long = 1000000L): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b"))
+    // Checkpoint BEFORE the symmetric union: materializing the union
+    // itself would execute the (possibly expensive — LSH mining) pair
+    // pipeline once per branch; checkpointing the directed pairs runs
+    // it once and both union branches read the blocks.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val edges = p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
     // Adaptive strategy pick, the broadcast-join-threshold pattern: a
     // near-dup pair graph is usually TINY relative to the corpus (it
     // holds only the duplicated slice), so when the materialized edge

@@ -162,6 +162,46 @@ object ScaleProbe {
       })
       run("td22 bigram LM", k,
         TextOps.bigramLmScore(docs, "doc_id", "text"))
+      // PII scrub: pure map-side compiled-regex pass; every 5th doc
+      // carries an email + phone so the redact branch actually fires.
+      run("td21 PII redact", k,
+        TextOps.piiRedact(docs.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" a.user@example.com 555-123-4567")))
+            .otherwise(col("text"))), "doc_id", "text"))
+      // Priority canonical selection over the same LSH pair graph as
+      // td16 — adds one min(struct) aggregate + keyed join back.
+      run("td24 priority dedup", k, graft.operators.Dedup.priorityKeepers(
+        docs, col("doc_id"), pmod(hash(col("doc_id") * 31), lit(100)),
+        TextOps.minhashLshPairsIdx(
+            TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"))))
+      // VAD gaps-and-islands: typed per-payload energy pass + one
+      // doc-keyed window + one keyed aggregate.
+      run("mm05 speech segments", k, {
+        import spark.implicits._
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        docs.select(col("doc_id"), col("text").cast("binary").as("p"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            val frames = bytes.length / 100
+            Iterator.tabulate(frames) { f =>
+              var i = f * 100; var sumsq = 0L
+              while (i < f * 100 + 100) {
+                val v = bytes(i) & 0xff; sumsq += v.toLong * v; i += 1
+              }
+              (id, f, sumsq)
+            }
+          }.toDF("doc_id", "frame_idx", "energy")
+          // mm05 itself cuts at 981000 (8-bit audio); synthetic vocab
+          // bytes average ~60, so the probe cuts lower to keep the
+          // window/aggregate stages under real load.
+          .where(col("energy") > 360000L)
+          .withColumn("island", col("frame_idx") - row_number().over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("frame_idx")).as("s"), max(col("frame_idx")).as("e"),
+            count(lit(1)).as("n"))
+      })
       // GD training: O(iters) aggregate jobs whatever the corpus size —
       // wall time should track the scan cost, not blow up with rounds.
       // Both ops legitimately broadcast-cross the 1-row total/centroid
