@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
 object LogParity extends QueryModule {
   import OracleSafe._
 
-  /** Deterministic scratch dir per sf dir; wiped before each seed. */
-  private def scratch(dir: String): String = {
+  /** Deterministic scratch dir per (query, sf dir); wiped per seed. */
+  private def scratch(name: String, dir: String): String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-log-kfk01_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft-log-${name}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
@@ -46,7 +46,7 @@ object LogParity extends QueryModule {
     // not the 100 TB write path.
     "kfk01_log_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      val base = scratch(dir)
+      val base = scratch("kfk01", dir)
       val lines = Tables.load(s, dir, "orders")
         .select(pmod(col("o_orderkey"), lit(4)).cast("int").as("p"),
           col("o_orderkey"),
@@ -69,11 +69,57 @@ object LogParity extends QueryModule {
           dsum(col("o_totalprice")).as("sum_price"),
           sum(col("offset")).cast("long").as("sum_off"))
         .orderBy("part_id", "o_orderstatus")
+    },
+
+    // The WRITE half: the same truth goes through LogSource.write —
+    // the distributed sink with task-commit staging and commit-time
+    // offset assignment (the KafkaDynamicSink discipline: the log, not
+    // the writer, owns offsets). Routing repartitions by the partition
+    // column and sorts within tasks by key, so assigned offsets are
+    // again the per-partition key rank and the SAME oracle shape
+    // checks the write→read round trip bit-for-bit.
+    "kfk02_log_sink_roundtrip" -> { (s, dir) =>
+      val base = scratch("kfk02", dir)
+      val src = Tables.load(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(4)).cast("int").as("partition"),
+          col("o_orderkey").as("k"),
+          concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("value"))
+      LogSource.write(
+        src.repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("k"))
+          .select("partition", "value"),
+        base)
+      s.read.format("graft-log").option("path", base).load()
+        .select(col("partition").as("part_id"), col("offset"),
+          split(col("value"), "\\|").as("f"))
+        .select(col("part_id"), col("offset"),
+          col("f").getItem(1).as("o_orderstatus"),
+          col("f").getItem(2).cast("double").as("o_totalprice"))
+        .groupBy(col("part_id"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("offset")).cast("long").as("sum_off"))
+        .orderBy("part_id", "o_orderstatus")
     }
   )
 
   override def oracleSql: Map[String, String] = Map(
     "kfk01_log_roundtrip" -> s"""
+      WITH src AS (
+        SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey % 4
+                 ORDER BY o_orderkey) - 1 AS off
+        FROM orders)
+      SELECT part_id, o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price,
+             CAST(sum(off) AS BIGINT) AS sum_off
+      FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Identical oracle to kfk01: the sink's commit-time offsets must
+    // reproduce the same per-partition key ranks.
+    "kfk02_log_sink_roundtrip" -> s"""
       WITH src AS (
         SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,
                o_totalprice,

@@ -139,6 +139,98 @@ object LogSource {
         k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
       }.toMap
 
+  // ------------------------------------------------------------ write path
+
+  /** Distributed batch APPEND into the log — the sink half of the
+    * Kafka parity story (KafkaDynamicSink's semantics: records are
+    * routed by a partition column, offsets are assigned by the LOG at
+    * commit time, not by the writer). Tasks stage one file per log
+    * partition they hold (task-attempt-unique name, renamed on task
+    * success — the AvroFormat task-commit protocol); the driver's job
+    * commit then walks each log partition's staged files IN TASK
+    * ORDER, names each as a segment at the partition's current end
+    * offset, and moves it into place. A failed job leaves only an
+    * unreferenced `_staging-*` dir; readers never see a half commit.
+    *
+    * `df` must have columns (`partition` int, `value` string). Rows
+    * keep their within-task order, so a caller wanting deterministic
+    * offsets repartitions by `partition` and sorts within partitions.
+    */
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val stagingName = s"_staging-${java.util.UUID.randomUUID()}"
+    val staging = Paths.get(path, stagingName)
+    val stagingStr = staging.toString // Path is not serializable
+    Files.createDirectories(staging)
+    try {
+      val staged: Array[(Int, Int, String, Long)] = // (taskId, p, file, n)
+        df.select(org.apache.spark.sql.functions.col("partition").cast("int"),
+            org.apache.spark.sql.functions.col("value"))
+          .queryExecution.toRdd.mapPartitionsWithIndex { (tid, it) =>
+            val ctx = org.apache.spark.TaskContext.get()
+            val stagingDir = Paths.get(stagingStr)
+            val writers = scala.collection.mutable.Map.empty[Int,
+              (java.io.BufferedWriter, java.nio.file.Path, Array[Long])]
+            it.foreach { row =>
+              val p = row.getInt(0)
+              val v = row.getUTF8String(1).toString
+              val (w, _, n) = writers.getOrElseUpdate(p, {
+                val attempt = stagingDir.resolve(
+                  f"attempt-$tid%05d-p$p%05d-${ctx.taskAttemptId()}.seg")
+                (Files.newBufferedWriter(attempt), attempt, Array(0L))
+              })
+              w.write(v); w.write('\n'); n(0) += 1
+            }
+            writers.iterator.map { case (p, (w, attempt, n)) =>
+              w.close()
+              // task commit: rename to the attempt-free name (first
+              // attempt to commit wins; CREATE_NEW-like via ATOMIC_MOVE)
+              val committed = stagingDir.resolve(f"task-$tid%05d-p$p%05d.seg")
+              try Files.move(attempt, committed,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileAlreadyExistsException =>
+                Files.delete(attempt) }
+              (tid, p, committed.toString, n(0))
+            }.toArray.iterator
+          }.collect()
+      // Job commit on the driver: per log partition, task order.
+      staged.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (p, files) =>
+        val dir = partDir(path, p)
+        Files.createDirectories(dir)
+        var start = endOffset(dir)
+        files.sortBy(_._1).foreach { case (_, _, f, n) =>
+          Files.move(Paths.get(f), dir.resolve(f"$start%020d.log"))
+          start += n
+        }
+      }
+    } finally {
+      // staging holds only uncommitted leftovers now
+      if (Files.isDirectory(staging)) {
+        Files.list(staging).iterator().asScala.foreach(Files.delete)
+        Files.delete(staging)
+      }
+    }
+  }
+
+  /** Exactly-once streaming APPEND: foreachBatch + a per-batch marker
+    * file, the idempotent-sink discipline Structured Streaming's
+    * docs prescribe for non-transactional stores — a replayed epoch
+    * (crash between sink write and checkpoint commit) sees its marker
+    * and skips, so the log gains each batch exactly once.
+    */
+  def streamSink(df: org.apache.spark.sql.DataFrame, path: String,
+                 checkpointLocation: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val marker = Paths.get(path, f"_batch-$batchId%020d")
+        if (!Files.exists(marker)) {
+          write(batch, path)
+          Files.createDirectories(Paths.get(path))
+          Files.createFile(marker)
+        }
+        ()
+      }
+
   /** One split per log partition over [start, end), carrying the
     * planning-time segment list so readers do no directory listing.
     */

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sources.LogSource
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -62,6 +63,42 @@ class LogSourceSpec extends AnyFunSuite {
       (0 until 7).map((0, _)).toSet ++ (0 until 3).map((1, _)).toSet)
     // Admission really batched: > 2 batches for 10 rows at 4/trigger.
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("batch write assigns contiguous offsets at commit; appends continue them") {
+    val dir = tmp("graft-log-w")
+    val df1 = Seq((0, "a0"), (0, "a1"), (1, "b0")).toDF("partition", "value")
+    LogSource.write(df1.repartition(2, col("partition"))
+      .sortWithinPartitions(col("partition"), col("value")), dir)
+    val df2 = Seq((0, "a2"), (2, "c0")).toDF("partition", "value")
+    LogSource.write(df2.repartition(2, col("partition"))
+      .sortWithinPartitions(col("partition"), col("value")), dir)
+    val got = spark.read.format("graft-log").option("path", dir).load()
+      .as[(Int, Long, String)].collect().toSet
+    assert(got == Set((0, 0L, "a0"), (0, 1L, "a1"), (0, 2L, "a2"),
+      (1, 0L, "b0"), (2, 0L, "c0")))
+  }
+
+  test("streamSink appends each batch exactly once across a restart") {
+    val srcDir = tmp("graft-log-src")
+    val dstDir = tmp("graft-log-dst")
+    val ckpt = tmp("graft-log-sck")
+    LogSource.append(srcDir, 0, Seq("x0", "x1"))
+    def start() = LogSource.streamSink(
+      spark.readStream.format("graft-log").option("path", srcDir).load()
+        .select(col("partition"), col("value")),
+      dstDir, ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    LogSource.append(srcDir, 0, Seq("x2"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.format("graft-log").option("path", dstDir).load()
+      .as[(Int, Long, String)].collect().toSet
+    assert(got == Set((0, 0L, "x0"), (0, 1L, "x1"), (0, 2L, "x2")))
+    // The idempotence markers exist — a replayed epoch would skip.
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dstDir))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("_batch-")))
   }
 
   test("exactly-once: kill mid-segment, restart resumes with no loss/dup") {
