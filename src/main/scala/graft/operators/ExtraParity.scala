@@ -102,6 +102,30 @@ object ExtraParity extends QueryModule {
             (lit(0.15 / cnt) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
       }
       pr.select(col("n").as("node"), round(col("r"), 9).as("rank")).orderBy("node")
+    },
+
+    // Batch iteration #3: the GENERAL vertex-centric API (Gelly
+    // scatter-gather, reference flink-gelly
+    // .../spargel/ScatterGatherIteration.java) instead of a hand-rolled
+    // loop — fixed-round Bellman-Ford SSSP over the undirected
+    // customer↔supplier order graph with deterministic integer weights
+    // derived from the endpoint keys, source = minimum node id. Six
+    // supersteps as ONE lazy linear plan; exact long arithmetic, so the
+    // recursive-CTE oracle replays every round.
+    "it03_sssp" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .union(base.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1)
+      val nodes = edges.select(col("src").as("n")).distinct()
+      val src0 = edges.agg(min(col("src"))).collect()(0).getLong(0)
+      Pregel.sssp(nodes, edges, src0, rounds = 6)
+        .where(col("attr") < Pregel.Unreached)
+        .select(col("n").as("node"), col("attr").as("dist"))
+        .orderBy("node")
     }
   )
 
@@ -170,6 +194,35 @@ object ExtraParity extends QueryModule {
         FROM pr pr0
         WHERE pr0.iter < 5)
       SELECT n AS node, round(r, 9) AS rank FROM pr WHERE iter = 5
+      ORDER BY node""",
+
+    // Fixed-round Bellman-Ford: after 6 rounds each node holds the
+    // cheapest <=6-hop distance — an exact integer function of the
+    // graph, replayed round for round (sentinel = 2^60; sentinel + w
+    // relaxations lose every least(), identically in both engines).
+    "it03_sssp" -> """
+      WITH RECURSIVE
+      base AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM base
+                UNION ALL SELECT b, a FROM base),
+      wedges AS (SELECT src, dst, (src + dst) % 9 + 1 AS w FROM edges),
+      nodes AS (SELECT DISTINCT src AS n FROM edges),
+      s0 AS (SELECT min(src) AS s FROM edges),
+      d(iter, n, dist) AS (
+        SELECT 0, n, CASE WHEN n = (SELECT s FROM s0) THEN CAST(0 AS BIGINT)
+                     ELSE CAST(1152921504606846976 AS BIGINT) END
+        FROM nodes
+        UNION ALL
+        SELECT d0.iter + 1, d0.n,
+          least(d0.dist, coalesce((
+            SELECT min(d2.dist + e.w)
+            FROM d d2 JOIN wedges e ON d2.n = e.src
+            WHERE e.dst = d0.n AND d2.iter = d0.iter),
+            CAST(1152921504606846976 AS BIGINT)))
+        FROM d d0 WHERE d0.iter < 6)
+      SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d
+      WHERE iter = 6 AND dist < 1152921504606846976
       ORDER BY node""",
 
     "it01_connected_components" -> """

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vertex-centric bulk-synchronous iteration — the general form of the
+  * reference's Gelly scatter-gather / vertex-centric APIs
+  * (flink-libraries/flink-gelly .../spargel/ScatterGatherIteration.java,
+  * .../pregel/VertexCentricIteration.java), of which it01/it02 were
+  * hand-rolled instances. One superstep = ONE edge join + ONE keyed
+  * message aggregate + ONE vertex join, fully distributed; supersteps
+  * compose LAZILY (the it02 pattern), so `rounds` supersteps run as a
+  * single linear plan with the edge exchange reused across rounds
+  * instead of a checkpoint per round — at cluster scale the edge list
+  * shuffles once and every round streams over it.
+  *
+  * Fixed-round execution (no convergence test) is deliberate: it keeps
+  * results an exact function of (graph, rounds), which is what lets a
+  * recursive-CTE oracle replay the computation round for round; callers
+  * needing convergence-driven stopping wrap it in the
+  * [[Dedup.connectedComponents]]-style driver loop with localCheckpoint
+  * lineage truncation.
+  */
+object Pregel {
+
+  /** Run `rounds` supersteps over `vertices` (`n`, `attr`) and `edges`
+    * (`src`, `dst`, `w`).
+    *
+    * @param sendMsg  message from a source vertex along an edge:
+    *                 (src attr, edge weight) => message value
+    * @param mergeMsg aggregate over all messages reaching a vertex
+    *                 (e.g. `min`, `sum` — must be partial-aggregable)
+    * @param update   (old attr, merged msg — null when no messages
+    *                 arrived) => new attr
+    */
+  def iterate(vertices: DataFrame, edges: DataFrame, rounds: Int)(
+      sendMsg: (Column, Column) => Column,
+      mergeMsg: Column => Column,
+      update: (Column, Column) => Column): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var v = vertices.select(col("n"), col("attr"))
+    for (_ <- 0 until rounds) {
+      val msgs = v.join(e, col("n") === col("src"))
+        .select(col("dst"), sendMsg(col("attr"), col("w")).as("__m"))
+        .groupBy(col("dst")).agg(mergeMsg(col("__m")).as("__msg"))
+      v = v.join(msgs, col("n") === col("dst"), "left")
+        .select(col("n"), update(col("attr"), col("__msg")).as("attr"))
+    }
+    v
+  }
+
+  /** Sentinel "unreachable" distance for [[sssp]] — large enough to
+    * dominate any real path, small enough that sentinel + weight can
+    * never overflow a long.
+    */
+  val Unreached: Long = 1L << 60
+
+  /** Fixed-round Bellman-Ford single-source shortest paths over
+    * integer-weighted edges: after `rounds` supersteps every node
+    * carries the cheapest distance using at most `rounds` hops — an
+    * exact long-arithmetic function of the graph that a SQL oracle
+    * reproduces. Returns (`n`, `attr` = distance, [[Unreached]] where
+    * no ≤rounds-hop path exists).
+    */
+  def sssp(nodes: DataFrame, edges: DataFrame, source: Long,
+           rounds: Int): DataFrame =
+    iterate(
+      nodes.select(col("n"),
+        when(col("n") === source, lit(0L)).otherwise(lit(Unreached)).as("attr")),
+      edges, rounds)(
+      sendMsg = (attr, w) => attr + w, // sentinel + w still >> any path
+      mergeMsg = m => min(m),
+      update = (old, msg) => least(old, coalesce(msg, lit(Unreached))))
+}

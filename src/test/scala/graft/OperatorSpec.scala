@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Pregel, WindowOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -76,5 +76,25 @@ class OperatorSpec extends AnyFunSuite {
     val out = WindowOps.countTumble(df, Seq(col("k")), Seq(col("t")), 3)
       .groupBy("win_id").count().as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 1L))
+  }
+
+  test("Pregel SSSP relaxes shortest paths; isolated nodes stay unreached") {
+    // 1-2 (1), 2-3 (1), 1-3 (5), 3-4 (2), undirected; 9 isolated.
+    val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("n")
+    val out = Pregel.sssp(nodes, edges, source = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L,
+      9L -> Pregel.Unreached))
+  }
+
+  test("Pregel fixed rounds bound path length (1 round reaches 1 hop)") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("n")
+    val one = Pregel.sssp(nodes, edges, 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(2L) == 1L && one(3L) == Pregel.Unreached)
   }
 }
