@@ -652,6 +652,62 @@ object TextOps {
         (col("__s6") >= floor(col("__tot") / col("__n")).cast("long")).as("selected"))
   }
 
+  /** ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array ExactSubstr dedup re-expressed relationally):
+    * every n-token window that occurs more than once in the corpus is
+    * kept ONLY at its first occurrence (minimum (doc, pos)); every
+    * token covered by a non-canonical duplicate window is dropped, and
+    * the surviving tokens are reassembled. Returns
+    * (id, n_tokens, n_removed, clean_text) for every document.
+    *
+    * Scale anatomy: windows are an (id, pos, gram) index (the td19
+    * substrate with positions); duplicate grams and their canonical
+    * occurrence come from ONE hash aggregate (canonical = min of the
+    * composite id*1e6+pos — engine-exact integer ordering, no struct
+    * comparison semantics to match across engines); removal positions
+    * explode each non-canonical window into its n positions (n is a
+    * constant); the kept set is one anti-join; reassembly is one keyed
+    * sort-aggregate. Everything shuffles by gram or by (id, pos) —
+    * corpus-linear, no pair join anywhere, unlike the O(n²)-adjacent
+    * suffix-array construction the paper uses single-node.
+    */
+  def exactSubstrRemove(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w")))
+      .localCheckpoint() // feeds windows, totals, and the kept anti-join
+    val withLeads = toks.select(col("id") +: col("pos") +: col("w") +:
+      (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
+    val allParts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    val wins = withLeads
+      .where(allParts.map(_.isNotNull).reduce(_ && _))
+      .select(col("id"), col("pos").as("q"), concat_ws(" ", allParts: _*).as("g"))
+    val dups = wins.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"), min(col("id") * 1000000L + col("q")).as("__keep"))
+      .where(col("__c") >= 2)
+      .select(col("g"), col("__keep"))
+    val rm = wins.join(dups, "g")
+      .where(col("id") * 1000000L + col("q") =!= col("__keep"))
+      .select(col("id"), explode(sequence(col("q"), col("q") + n - 1)).as("pos"))
+      .distinct()
+    val keptText = toks.join(rm, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    val totals = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    totals.join(keptText, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     rareMax: Long = 2L, flagRatio: Double = 0.5): DataFrame = {
     val bi = ngramCountIndex(docs, idCol, textCol, 2)

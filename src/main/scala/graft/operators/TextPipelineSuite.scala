@@ -372,6 +372,17 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // ExactSubstr-style duplicated-span REMOVAL: every 8-token window
+    // occurring more than once in the corpus survives only at its
+    // first (doc, pos); covered tokens elsewhere are dropped and the
+    // text reassembled — the step beyond td18/td19's span DETECTION.
+    "td25_exact_substr_rm" -> { (s, dir) =>
+      TextOps.exactSubstrRemove(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Train a linear quality probe on the cluster (distributed batch
     // GD, 5 rounds, driver-held 4-float model) against the is-English
     // label, then score + threshold every doc — the
@@ -769,6 +780,43 @@ object TextPipelineSuite extends QueryModule {
       SELECT l.id AS doc_id, l.cluster, k.keep_id, (l.id = k.keep_id) AS keep
       FROM lab l JOIN keepers k USING (cluster)
       ORDER BY doc_id""",
+
+    // Canonical occurrence = min of the composite doc_id*1e6+pos —
+    // plain integer ordering both engines agree on; removal positions
+    // are the union of each non-canonical window's 8 covered slots.
+    "td25_exact_substr_rm" -> """
+      WITH ws AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      t AS (
+        SELECT doc_id, CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos,
+               unnest(ws) AS w
+        FROM ws),
+      wins AS (
+        SELECT doc_id, CAST(unnest(range(0, len(ws) - 7)) AS BIGINT) AS q,
+               unnest(list_transform(range(0, len(ws) - 7),
+                 i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                      ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                      ws[i+7] || ' ' || ws[i+8])) AS g
+        FROM ws WHERE len(ws) >= 8),
+      dups AS (
+        SELECT g, min(doc_id * 1000000 + q) AS keep_key
+        FROM wins GROUP BY g HAVING count(1) >= 2),
+      rm AS (
+        SELECT DISTINCT w.doc_id, CAST(unnest(range(w.q, w.q + 8)) AS BIGINT) AS pos
+        FROM wins w JOIN dups d ON w.g = d.g
+        WHERE w.doc_id * 1000000 + w.q <> d.keep_key),
+      kept AS (
+        SELECT t.doc_id, count(1) AS n_kept,
+               string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text
+        FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.pos = rm.pos
+        WHERE rm.doc_id IS NULL
+        GROUP BY t.doc_id),
+      totals AS (SELECT doc_id, count(1) AS n_tokens FROM t GROUP BY doc_id)
+      SELECT totals.doc_id, totals.n_tokens,
+             CAST(totals.n_tokens - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(kept.clean_text, '') AS clean_text
+      FROM totals LEFT JOIN kept ON totals.doc_id = kept.doc_id
+      ORDER BY totals.doc_id""",
 
     // Training arithmetic mirrored exactly: rational features (integer
     // div + power-of-two scales), per-round floor-scaled gradient sums,

@@ -152,6 +152,10 @@ object ScaleProbe {
         allowBroadcastCross = true)
       run("td18 line dedup", k,
         TextOps.lineDedup(docs, "doc_id", "text", chunkWords = 10))
+      // ExactSubstr removal: gram-keyed aggregate + anti-join +
+      // reassembly — the near-copy density keeps the dup set loaded.
+      run("td25 exact-substr rm", k,
+        TextOps.exactSubstrRemove(docs, "doc_id", "text", n = 8))
       run("td19 dup spans", k,
         TextOps.dupSpanStats(docs, "doc_id", "text", n = 15))
       run("td20 DSIR select", k, {

@@ -168,6 +168,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("dim <= 64")))
   }
 
+  test("exactSubstrRemove keeps first occurrence, strips covered tokens elsewhere") {
+    // Docs 1 and 2 share the 4-gram "a b c d" (doc 1 first); doc 3 is
+    // clean. Doc 2 loses exactly the 4 covered tokens, keeps its tail.
+    val docs = Seq(
+      (1L, "a b c d x y"),
+      (2L, "a b c d tail words here"),
+      (3L, "nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.exactSubstrRemove(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 0L, "a b c d x y")))
+    assert(out(2L) == ((7L, 4L, "tail words here")))
+    assert(out(3L) == ((4L, 0L, "nothing shared at all")))
+  }
+
+  test("exactSubstrRemove drops overlapping duplicate spans as a union of covers") {
+    // One doc repeats a span INTERNALLY: windows overlap; the second
+    // occurrence's covered positions are removed, first kept.
+    val docs = Seq(
+      (1L, "p q r s p q r s"), // "p q r s" twice, 4-gram dup at q=0 and q=4
+      (2L, "unrelated filler text only"))
+      .toDF("doc_id", "text")
+    val out = TextOps.exactSubstrRemove(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._2 == 4L)          // 4 tokens removed
+    assert(out(1L)._3 == "p q r s")   // first occurrence survives
+  }
+
   test("linearProbe learns to rank the labeled class above the mean") {
     // long docs labeled 1, short docs labeled 0: the word-count
     // feature separates them, so after 5 GD rounds every positive doc
