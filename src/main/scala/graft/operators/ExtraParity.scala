@@ -126,6 +126,46 @@ object ExtraParity extends QueryModule {
         .where(col("attr") < Pregel.Unreached)
         .select(col("n").as("node"), col("attr").as("dist"))
         .orderBy("node")
+    },
+
+    // Graph parity #4: triangle enumeration (Gelly's
+    // flink-libraries/flink-gelly/.../library/TriangleEnumerator.java)
+    // over the co-supplier graph (suppliers sharing an order). The
+    // scalable degree-ordered algorithm: orient every edge from its
+    // lower-(degree, id) endpoint to the higher one, build wedges by
+    // joining the oriented list with itself on the apex, and close each
+    // wedge against the oriented edge set — wedge fan-out is bounded by
+    // the SMALLER endpoint degree, so hub nodes never self-join (the
+    // standard O(E^1.5) bound instead of Σdeg²). Output: per-supplier
+    // triangle membership counts.
+    "it04_triangle_count" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val und = li.as("x").join(li.as("y"), Seq("ok"))
+        .where(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+      val deg = und.select(col("a").as("n")).union(und.select(col("b")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // Orient a→b iff (deg(a), a) < (deg(b), b); ties impossible on id.
+      val ori = und
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("lo"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("hi"))
+        .localCheckpoint()
+      val wedges = ori.as("e1").join(ori.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        .select(col("e1.lo").as("apex"), col("e1.hi").as("u"), col("e2.hi").as("v"))
+      // Both sides are id-normalized (und has a<b, wedges have u<v), so
+      // closure is a plain hash-joinable equi-join.
+      val tri = wedges.join(und, col("u") === col("a") && col("v") === col("b"))
+        .select(col("apex"), col("u"), col("v"))
+      tri.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
+        .groupBy(col("supp")).agg(count(lit(1)).cast("long").as("n_tri"))
+        .orderBy("supp")
     }
   )
 
@@ -224,6 +264,26 @@ object ExtraParity extends QueryModule {
       SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d
       WHERE iter = 6 AND dist < 1152921504606846976
       ORDER BY node""",
+
+    // Triangles once each via the canonical a<b<c triple join — the
+    // oracle is orientation-free, so it independently checks the
+    // degree-ordered enumeration.
+    "it04_triangle_count" -> """
+      WITH und AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      members AS (
+        SELECT x AS supp FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT supp, CAST(count(1) AS BIGINT) AS n_tri
+      FROM members GROUP BY supp ORDER BY supp""",
 
     "it01_connected_components" -> """
       WITH RECURSIVE

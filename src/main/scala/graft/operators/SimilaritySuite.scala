@@ -377,6 +377,77 @@ object SimilaritySuite extends QueryModule {
           sum(when(col("is_boundary"), 1L).otherwise(0L)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Cross-modal retrieval: the image modality drives a query into the
+    // embedding space. Each doc's payload goes through the REAL PNG
+    // decode (mm01 path) to a brightness scalar, brightness quantizes
+    // docs into 16 buckets, each bucket's member embeddings (doc_id =
+    // vec_id) form a centroid, and the top-3 members per bucket by
+    // dot(member, centroid) come back — the image→cluster→ANN-probe
+    // shape of a multimodal curation pipeline. All vector arithmetic is
+    // floor-scaled longs (dims explode once; the centroid side is 16×64
+    // rows, which AQE broadcasts back onto the member scan), so at
+    // scale the corpus is read once and never reshuffled by dim.
+    "mm06_crossmodal_topk" -> { (s, dir) =>
+      import s.implicits._
+      val bright = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val n = bytes.length
+          val w0 = 8 + n % 24
+          val h0 = 6 + n % 18
+          val src = new java.awt.image.BufferedImage(
+            w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h0) {
+            var x = 0
+            while (x < w0) {
+              val r = (x * 31 + y * 17 + n) % 256
+              val g = (x * 13 + y * 29 + n * 3) % 256
+              val b = (x * 7 + y * 11 + n * 5) % 256
+              src.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(src, "png", buf)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          var s0 = 0L
+          y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              s0 += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (id, s0.toDouble / (3.0 * img.getWidth * img.getHeight))
+        })
+        .toDF("doc_id", "f3")
+        .select(col("doc_id"), floor(col("f3") / 16).cast("int").as("bucket"))
+      val ex = bright
+        .join(Tables.load(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("bucket"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("bucket"), col("vec_id"), col("d"),
+          floor(col("x").cast("double") * 1e7).cast("long").as("xs"))
+      val cent = ex.groupBy(col("bucket"), col("d"))
+        .agg(floor(sum(col("xs")).cast("double") / count(lit(1))).cast("long").as("c"))
+      val dots = ex.join(cent, Seq("bucket", "d"))
+        .groupBy(col("bucket"), col("vec_id"))
+        .agg(sum(col("xs") * col("c")).cast("long").as("dot_s"))
+      val rw = Window.partitionBy(col("bucket"))
+        .orderBy(col("dot_s").desc, col("vec_id"))
+      dots.withColumn("rnk", row_number().over(rw))
+        .filter(col("rnk") <= 3)
+        .select(col("bucket"), col("rnk"), col("vec_id"), col("dot_s"))
+        .orderBy("bucket", "rnk")
     }
   )
 
@@ -998,6 +1069,49 @@ object SimilaritySuite extends QueryModule {
                OVER (PARTITION BY doc_id ORDER BY frame_idx
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
       FROM d
-      ORDER BY doc_id, frame_idx"""
+      ORDER BY doc_id, frame_idx""",
+
+    // Brightness via the mm01 pixel formula (PNG is lossless, so the
+    // decoded raster equals the synthesized one); all vector math in
+    // floor-scaled longs exactly as the Spark side computes it.
+    "mm06_crossmodal_topk" -> """
+      WITH base AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               8 + octet_length(encode(text)) % 24 AS w,
+               6 + octet_length(encode(text)) % 18 AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, x, y,
+               (x * 31 + y * 17 + n) % 256 AS r,
+               (x * 13 + y * 29 + n * 3) % 256 AS g,
+               (x * 7 + y * 11 + n * 5) % 256 AS b
+        FROM base,
+             LATERAL (SELECT unnest(range(0, w)) AS x),
+             LATERAL (SELECT unnest(range(0, h)) AS y)),
+      bright AS (
+        SELECT doc_id,
+               CAST(floor((CAST(sum(r + g + b) AS BIGINT)
+                 / (3.0 * any_value(w) * any_value(h))) / 16) AS INT) AS bucket
+        FROM px GROUP BY doc_id),
+      ex AS (
+        SELECT b.bucket, e.vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(e.embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1e7) AS BIGINT))) AS xs
+        FROM bright b JOIN embeddings e ON b.doc_id = e.vec_id),
+      cent AS (
+        SELECT bucket, d,
+               CAST(floor(CAST(sum(xs) AS DOUBLE) / count(1)) AS BIGINT) AS c
+        FROM ex GROUP BY 1, 2),
+      dots AS (
+        SELECT ex.bucket, ex.vec_id, CAST(sum(ex.xs * cent.c) AS BIGINT) AS dot_s
+        FROM ex JOIN cent ON ex.bucket = cent.bucket AND ex.d = cent.d
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT bucket, vec_id, dot_s,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY dot_s DESC, vec_id) AS rnk
+        FROM dots)
+      SELECT bucket, CAST(rnk AS INT) AS rnk, vec_id, dot_s
+      FROM rk WHERE rnk <= 3 ORDER BY bucket, rnk"""
   )
 }
