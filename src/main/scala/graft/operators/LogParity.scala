@@ -101,6 +101,55 @@ object LogParity extends QueryModule {
           dsum(col("o_totalprice")).as("sum_price"),
           sum(col("offset")).cast("long").as("sum_off"))
         .orderBy("part_id", "o_orderstatus")
+    },
+
+    // Upsert-log semantics — the reference's upsert-kafka connector
+    // (flink-connectors/flink-connector-kafka/.../table/
+    // UpsertKafkaDynamicTableFactory.java): a keyed log where each
+    // record is the key's new image (+U) and an empty payload is a
+    // tombstone (-D); reading materializes the table by keeping each
+    // key's LAST record in offset order and dropping tombstoned keys
+    // (ChangelogNormalize over the log — StreamExecChangelogNormalize
+    // is exactly what Flink plans on top of upsert-kafka). Script per
+    // order: v1 = original image, v2 (status 'O' only) = updated
+    // image, tombstone for o_orderkey%10==0 — written through the real
+    // staged-commit sink in (key, seq) order so offsets are
+    // deterministic.
+    "kfk03_upsert_log" -> { (s, dir) =>
+      val base = scratch("kfk03", dir)
+      val b = Tables.load(s, dir, "orders")
+      val v1 = b.select(col("o_orderkey").as("k"), lit(0).as("seq"),
+        concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).as("value"))
+      val v2 = b.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("k"), lit(1).as("seq"),
+          concat_ws("|", col("o_orderkey"), lit("F"),
+            col("o_totalprice") * 1.1).as("value"))
+      val tomb = b.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit(2).as("seq"),
+          concat(col("o_orderkey").cast("string"), lit("|")).as("value"))
+      LogSource.write(
+        v1.unionAll(v2).unionAll(tomb)
+          .withColumn("partition", pmod(col("k"), lit(4)).cast("int"))
+          .repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("k"), col("seq"))
+          .select("partition", "value"),
+        base)
+      val read = s.read.format("graft-log").option("path", base).load()
+        .select(col("offset"), split(col("value"), "\\|", 2).as("f"))
+        .select(col("offset"), col("f").getItem(0).cast("long").as("k"),
+          col("f").getItem(1).as("payload"))
+        .withColumn("__rowkind",
+          when(col("payload") === "", "-D").otherwise("+U"))
+      ChangelogOps.normalize(read, Seq(col("k")), Seq(col("offset")),
+          col("__rowkind"))
+        .select(col("k"), split(col("payload"), "\\|").as("p"))
+        .select(col("p").getItem(0).as("o_orderstatus"),
+          col("p").getItem(1).cast("double").as("o_totalprice"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -129,6 +178,19 @@ object LogParity extends QueryModule {
       SELECT part_id, o_orderstatus, count(1) AS n_orders,
              ${dsumSql("o_totalprice")} AS sum_price,
              CAST(sum(off) AS BIGINT) AS sum_off
-      FROM src GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Materialized upsert state = last image per surviving key: 'O'
+    // orders were re-imaged as ('F', price*1.1); key%10 keys tombstoned.
+    "kfk03_upsert_log" -> s"""
+      WITH fin AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'F'
+                    ELSE o_orderstatus END AS st,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT st AS o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("p")} AS sum_price
+      FROM fin GROUP BY 1 ORDER BY 1"""
   )
 }
