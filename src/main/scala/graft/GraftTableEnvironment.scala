@@ -93,10 +93,64 @@ class GraftTableEnvironment private (val spark: SparkSession) {
         // (graft.sources.JdbcConnector maps the option keys onto
         // Spark's JDBC source).
         graft.sources.JdbcConnector.read(spark, stmt.options)
+      case "kafka" =>
+        // Kafka-dialect table over the engine's partitioned-log
+        // emulation (KafkaDynamicSource.java:74 is env-blocked — no
+        // broker; graft-log reproduces partition/offset semantics).
+        // 'path' locates the log ('topic' optionally a subdirectory);
+        // the value format decodes each record: json → declared
+        // schema, raw → one string column, debezium-json/canal-json/
+        // maxwell-json → CdcFormats changelog rows (+ __rowkind),
+        // exactly Flink's kafka-with-CDC-format table.
+        val log = logRead(stmt.options)
+        stmt.options.getOrElse("format", "json") match {
+          case "json" =>
+            log.select(org.apache.spark.sql.functions
+              .from_json(log("value"), schema).as("r")).select("r.*")
+          case "raw" =>
+            if (schema.fields.length != 1)
+              throw new IllegalArgumentException(
+                "raw format requires a single-column schema")
+            log.select(log("value").cast(schema.fields(0).dataType)
+              .as(schema.fields(0).name))
+          case "debezium-json" =>
+            graft.sources.CdcFormats.debeziumJson(
+              log.select("offset", "value"), log("value"), schema)
+              .drop("value", "offset")
+          case "canal-json" =>
+            graft.sources.CdcFormats.canalJson(
+              log.select("offset", "value"), log("value"), schema)
+              .drop("value", "offset")
+          case "maxwell-json" =>
+            graft.sources.CdcFormats.maxwellJson(
+              log.select("offset", "value"), log("value"), schema)
+              .drop("value", "offset")
+          case other => throw new IllegalArgumentException(
+            s"unsupported kafka value format '$other'")
+        }
+      case "upsert-kafka" =>
+        // UpsertKafkaDynamicTableFactory semantics: keyed log, each
+        // record the key's new image, empty payload = tombstone; the
+        // table IS the materialization (Flink plans ChangelogNormalize
+        // on top — here it's folded into the binding). Emulated wire
+        // encoding: "<pk csv>|<value json>", tombstone "<pk csv>|".
+        if (stmt.primaryKey.isEmpty)
+          throw new IllegalArgumentException(
+            "upsert-kafka requires a PRIMARY KEY")
+        import org.apache.spark.sql.functions._
+        val log = logRead(stmt.options)
+          .select(col("offset"), split(col("value"), "\\|", 2).as("f"))
+          .select(col("offset"), col("f").getItem(0).as("__key"),
+            col("f").getItem(1).as("__payload"))
+        val latest = graft.operators.ChangelogOps.normalize(
+          log.withColumn("__rowkind",
+            when(col("__payload") === "", "-D").otherwise("+U")),
+          Seq(col("__key")), Seq(col("offset")), col("__rowkind"))
+        latest.select(from_json(col("__payload"), schema).as("r")).select("r.*")
       case "values" | "" =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       case other => throw new IllegalArgumentException(
-        s"unsupported connector '$other' (supported: filesystem, datagen, jdbc, values)")
+        s"unsupported connector '$other' (supported: filesystem, datagen, jdbc, kafka, upsert-kafka, values)")
     }
     val withComputed = stmt.computed.foldLeft(base) {
       case (df, (n, e)) => df.withColumn(n, expr(e))
@@ -104,6 +158,16 @@ class GraftTableEnvironment private (val spark: SparkSession) {
     createTemporaryView(stmt.name, withComputed,
       watermark = stmt.watermark, primaryKey = stmt.primaryKey)
     okResult()
+  }
+
+  /** Bind a kafka-dialect table's log directory: 'path' is the log
+    * root, 'topic' optionally a subdirectory under it.
+    */
+  private def logRead(options: Map[String, String]): DataFrame = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("kafka connector requires 'path'"))
+    val full = options.get("topic").fold(path)(t => s"$path/$t")
+    spark.read.format("graft-log").option("path", full).load()
   }
 
   private def okResult(): DataFrame = {

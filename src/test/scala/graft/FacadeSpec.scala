@@ -169,6 +169,48 @@ class FacadeSpec extends AnyFunSuite {
     env.executeSql("DROP TABLE IF EXISTS ddl_empty")
   }
 
+  test("kafka-dialect DDL binds the log emulation with json and CDC formats") {
+    val env = GraftTableEnvironment.create(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddl-kafka").toString
+    graft.sources.LogSource.append(s"$base/t1", 0, Seq(
+      """{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""))
+    env.executeSql(s"""
+      CREATE TABLE k_json (id BIGINT, name STRING)
+      WITH ('connector' = 'kafka', 'path' = '$base', 'topic' = 't1',
+            'format' = 'json')""")
+    assert(spark.table("k_json").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    graft.sources.LogSource.append(s"$base/t2", 0, Seq(
+      """{"after":{"id":1,"name":"a"},"op":"c"}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"a2"},"op":"u"}"""))
+    env.executeSql(s"""
+      CREATE TABLE k_dbz (id BIGINT, name STRING)
+      WITH ('connector' = 'kafka', 'path' = '$base', 'topic' = 't2',
+            'format' = 'debezium-json')""")
+    val kinds = spark.table("k_dbz").select("__rowkind", "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(kinds == Seq(("+I", "a"), ("+U", "a2"), ("-U", "a")))
+
+    env.executeSql("DROP TABLE IF EXISTS k_json")
+    env.executeSql("DROP TABLE IF EXISTS k_dbz")
+  }
+
+  test("upsert-kafka DDL materializes keep-last state with tombstones") {
+    val env = GraftTableEnvironment.create(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddl-upsert").toString
+    graft.sources.LogSource.append(base, 0, Seq(
+      """1|{"id":1,"v":10}""", """2|{"id":2,"v":20}""",
+      """1|{"id":1,"v":11}""", "2|"))
+    env.executeSql(s"""
+      CREATE TABLE uk (id BIGINT, v INT, PRIMARY KEY (id) NOT ENFORCED)
+      WITH ('connector' = 'upsert-kafka', 'path' = '$base')""")
+    val rows = spark.table("uk").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 11)))
+    env.executeSql("DROP TABLE IF EXISTS uk")
+  }
+
   test("FOR SYSTEM_TIME AS OF rewrites to the versioned-interval join") {
     val env = GraftTableEnvironment.create(spark)
     // versioned rates: currency EUR at t=10 rate 1.0, t=20 rate 2.0
