@@ -144,28 +144,7 @@ object ExtraParity extends QueryModule {
       val und = li.as("x").join(li.as("y"), Seq("ok"))
         .where(col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
-      val deg = und.select(col("a").as("n")).union(und.select(col("b")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      // Orient a→b iff (deg(a), a) < (deg(b), b); ties impossible on id.
-      val ori = und
-        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
-        .select(
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("a")).otherwise(col("b")).as("lo"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-            col("b")).otherwise(col("a")).as("hi"))
-        .localCheckpoint()
-      val wedges = ori.as("e1").join(ori.as("e2"),
-          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-        .select(col("e1.lo").as("apex"), col("e1.hi").as("u"), col("e2.hi").as("v"))
-      // Both sides are id-normalized (und has a<b, wedges have u<v), so
-      // closure is a plain hash-joinable equi-join.
-      val tri = wedges.join(und, col("u") === col("a") && col("v") === col("b"))
-        .select(col("apex"), col("u"), col("v"))
-      tri.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
-        .groupBy(col("supp")).agg(count(lit(1)).cast("long").as("n_tri"))
-        .orderBy("supp")
+      Pregel.triangleCounts(und).orderBy("supp")
     }
   )
 

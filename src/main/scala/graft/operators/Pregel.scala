@@ -71,4 +71,37 @@ object Pregel {
       sendMsg = (attr, w) => attr + w, // sentinel + w still >> any path
       mergeMsg = m => min(m),
       update = (old, msg) => least(old, coalesce(msg, lit(Unreached))))
+
+  /** Per-node triangle membership counts over an undirected edge list
+    * `und` (`a`, `b`, id-normalized a<b, no duplicates) — Gelly's
+    * TriangleEnumerator (flink-libraries/flink-gelly/.../library/
+    * TriangleEnumerator.java), via the scalable degree-ordered
+    * algorithm: orient each edge from its lower-(degree, id) endpoint
+    * to the higher one, enumerate wedges from the oriented list
+    * (fan-out bounded by the SMALLER endpoint degree — hub nodes never
+    * self-join, the O(E^1.5) bound), close each wedge against the
+    * undirected set with a plain equi-join (both pair encodings are
+    * id-ordered). Each triangle surfaces exactly once: its unique
+    * minimum-(degree, id) apex.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).union(und.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ori = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+      .localCheckpoint()
+    val wedges = ori.as("e1").join(ori.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("apex"), col("e1.hi").as("u"), col("e2.hi").as("v"))
+    val tri = wedges.join(und, col("u") === col("a") && col("v") === col("b"))
+      .select(col("apex"), col("u"), col("v"))
+    tri.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
+      .groupBy(col("supp")).agg(count(lit(1)).cast("long").as("n_tri"))
+  }
 }

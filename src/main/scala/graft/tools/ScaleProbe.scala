@@ -269,6 +269,73 @@ object ScaleProbe {
         pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
       })
       spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      // CDC decode + normalize: the format decode is a stateless
+      // narrow map fused into the scan; normalize adds exactly one
+      // key shuffle — total cost must track the scan.
+      run("cdc debezium decode", k, {
+        import org.apache.spark.sql.types._
+        val physical = StructType(Seq(StructField("id", LongType),
+          StructField("t", StringType)))
+        val r = struct(col("doc_id").as("id"), col("text").as("t"))
+        val events = docs
+          .select(col("doc_id"), lit(1).as("seq"),
+            graft.sources.CdcFormats.toDebeziumJson(r, lit("+I")).as("json"))
+          .unionAll(docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), lit(2).as("seq"),
+              to_json(struct(r.as("before"), r.as("after"),
+                lit("u").as("op"))).as("json")))
+        val parsed = graft.sources.CdcFormats.debeziumJson(
+          events, col("json"), physical)
+        val kindRank = when(col("__rowkind") === "+I", 0)
+          .when(col("__rowkind") === "-U", 1).otherwise(2)
+        graft.operators.ChangelogOps.normalize(parsed, Seq(col("id")),
+          Seq(col("seq"), kindRank), col("__rowkind"))
+      })
+      // Triangle counts: ~4 lineitems per order, supplier domain m/10
+      // → edge count and per-node degree stay constant-density as m
+      // grows; degree-ordered wedges keep the work near-linear.
+      run("it04 triangles", k, {
+        val m = docBase * k
+        val li = spark.read.format("graft-datagen").schema("li_id bigint")
+          .option("numRows", m.toString)
+          .option("partitions", spark.sparkContext.defaultParallelism.toString)
+          .load()
+          .select((col("li_id") / 4).cast("long").as("ok"),
+            pmod(hash(col("li_id")), lit(math.max(m / 10, 10L))).as("sk"))
+        val und = li.as("x").join(li.as("y"), Seq("ok"))
+          .where(col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        graft.operators.Pregel.triangleCounts(und)
+      })
+      // Cross-modal top-k: one narrow brightness pass, one id join,
+      // one dim explode (64×), centroid aggregate broadcast back —
+      // corpus scanned once, never reshuffled by dim.
+      run("mm06 crossmodal", k, {
+        import spark.implicits._
+        val bright = docs
+          .select(col("doc_id"), col("text").cast("binary").as("p"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            var s0 = 0L; var i = 0
+            while (i < bytes.length) { s0 += bytes(i) & 0xff; i += 1 }
+            (id, if (bytes.length == 0) 0 else (s0 / bytes.length).toInt / 16)
+          }).toDF("doc_id", "bucket")
+        val ex = bright
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select(col("bucket"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("bucket"), col("vec_id"), col("d"),
+            floor(col("x").cast("double") * 1e7).cast("long").as("xs"))
+        val cent = ex.groupBy(col("bucket"), col("d"))
+          .agg(floor(sum(col("xs")).cast("double") / count(lit(1)))
+            .cast("long").as("c"))
+        val dots = ex.join(cent, Seq("bucket", "d"))
+          .groupBy(col("bucket"), col("vec_id"))
+          .agg(sum(col("xs") * col("c")).cast("long").as("dot_s"))
+        val w = Window.partitionBy(col("bucket"))
+          .orderBy(col("dot_s").desc, col("vec_id"))
+        dots.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      })
     }
     spark.stop()
   }
