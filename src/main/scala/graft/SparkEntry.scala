@@ -22,6 +22,7 @@ object SparkEntry {
     operators.DsParityExt3,
     operators.JdbcParity,
     operators.LogParity,
+    operators.PipelineExt,
     operators.CdcParity,
     operators.TpchGate
   )

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-image perceptual-hash row (typed output of the decode loop). */
+case class PHashRow(doc_id: Long, phash: Long)
+
+/** Pipeline extensions: lexical retrieval (BM25), embedding int8
+  * quantization, token chunking, exact-quota stratified sampling and
+  * image perceptual-hash dedup — the curation steps around the dedup /
+  * ANN core (RetrievalOps has the scale notes per operator).
+  */
+object PipelineExt extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-5 lexical retrieval; every 400th doc is a query, its
+    // first 6 words the query terms. Rational idf (log-free) per the
+    // bit-exact oracle contract — see RetrievalOps.bm25TopK.
+    "td26_bm25_topk" -> { (s, dir) =>
+      RetrievalOps.bm25TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", _ % 400 === 0, nTerms = 6, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // Sliding-window chunking: 64-token chunks, stride 48 (16-token
+    // overlap); md5 per chunk for downstream exact dedup.
+    "td27_chunk_overlap" -> { (s, dir) =>
+      RetrievalOps.chunkDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Exact-quota stratified sample (200 docs per lang) selected by
+    // deterministic hash order via the distributed histogram — no
+    // whole-stratum sort (see RetrievalOps.stratifiedQuota).
+    "td28_stratified_sample" -> { (s, dir) =>
+      RetrievalOps.stratifiedQuota(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", quota = 200)
+        .orderBy("stratum", "h", "doc_id")
+    },
+
+    // Symmetric int8 quantization of the embedding corpus with
+    // saturation count and reconstruction error per vector.
+    "te13_int8_quant" -> { (s, dir) =>
+      RetrievalOps.int8Quantize(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
+    // Image perceptual-hash (blockwise average hash) dedup clusters:
+    // REAL PNG encode+decode per payload (mm01's codec path), 32-bit
+    // block-mean hash over the decoded raster (8x4 grid, integer
+    // cross-multiplied mean comparisons — no float), clusters grouped
+    // by hash. The pixel function is deterministic in the payload
+    // length, which is what lets the oracle replay the raster in SQL.
+    "mm07_phash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val n = bytes.length
+          val w0 = 8 + n % 24
+          val h0 = 6 + n % 18
+          val src = new java.awt.image.BufferedImage(
+            w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h0) {
+            var x = 0
+            while (x < w0) {
+              val r = (x * 31 + y * 17 + n) % 256
+              val g = (x * 13 + y * 29 + n * 3) % 256
+              val b = (x * 7 + y * 11 + n * 5) % 256
+              src.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(src, "png", buf)
+          // REAL decode; PNG is lossless so the raster round-trips.
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bsum = Array.ofDim[Long](4, 8)
+          val bcnt = Array.ofDim[Long](4, 8)
+          y = 0
+          while (y < h) {
+            val by = y * 4 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = ((rgb >> 16) & 0xff) * 299L +
+                ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+              val bx = x * 8 / w
+              bsum(by)(bx) += lum
+              bcnt(by)(bx) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          var tsum = 0L; var tcnt = 0L
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 8) { tsum += bsum(by)(bx); tcnt += bcnt(by)(bx); bx += 1 }
+            by += 1
+          }
+          var hash = 0L
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 8) {
+              // block mean > global mean, compared exactly in integers
+              if (bsum(by)(bx) * tcnt > tsum * bcnt(by)(bx))
+                hash |= 1L << (by * 8 + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          PHashRow(id, hash)
+        })
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
+        .orderBy("phash")
+    }
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "td26_bm25_topk" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      toks AS (SELECT doc_id, dl, unnest(w) AS term FROM base),
+      qterms AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+          FROM base WHERE doc_id % 400 = 0)),
+      termlist AS (SELECT DISTINCT term FROM qterms),
+      tf AS (
+        SELECT t.doc_id, t.term, t.dl, CAST(count(1) AS BIGINT) AS tf
+        FROM toks t JOIN termlist q USING (term)
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) *
+               ((tf * 2.2) / (tf + 1.2 * (0.25 +
+                 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS s
+        FROM tf JOIN dft USING (term) CROSS JOIN stats),
+      perdoc AS (
+        SELECT q.query_id, s.doc_id,
+               CAST(sum(CAST(floor(s.s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+        FROM qterms q JOIN scored s USING (term)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rk
+        FROM perdoc)
+      SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "td27_chunk_overlap" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               len(string_split(lower(text), ' ')) AS dl
+        FROM documents),
+      st AS (
+        SELECT doc_id, w,
+               CAST(unnest(range(0, dl, 48)) AS BIGINT) AS start
+        FROM base)
+      SELECT doc_id,
+             start // 48 AS chunk_id,
+             start,
+             CAST(len(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)]) AS BIGINT) AS n_tok,
+             md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_id""",
+
+    "td28_stratified_sample" -> """
+      WITH h AS (
+        SELECT lang AS stratum, CAST(doc_id AS BIGINT) AS doc_id,
+               (doc_id * 2654435761) % 1000000007 AS h
+        FROM documents),
+      ranked AS (
+        SELECT stratum, doc_id, h,
+               row_number() OVER (PARTITION BY stratum
+                 ORDER BY h, doc_id) AS rk
+        FROM h)
+      SELECT stratum, doc_id, h
+      FROM ranked WHERE rk <= 200 ORDER BY stratum, h, doc_id""",
+
+    "te13_int8_quant" -> """
+      WITH ex AS (
+        SELECT vec_id,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+      q AS (
+        SELECT ex.vec_id, x, maxabs,
+               CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale
+        FROM ex JOIN mx USING (vec_id)),
+      c AS (
+        SELECT vec_id, maxabs, scale, x,
+               CAST(floor(x * scale + 0.5) AS BIGINT) AS code
+        FROM q),
+      e AS (
+        SELECT vec_id, maxabs, code,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE abs(x - code / scale) END AS err
+        FROM c)
+      SELECT vec_id, max(maxabs) AS maxabs,
+             CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+             CAST(count(1) AS BIGINT) AS n_dims,
+             CAST(sum(CAST(floor(err * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sae
+      FROM e GROUP BY vec_id ORDER BY vec_id""",
+
+    "mm07_phash_dedup" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      ns AS (SELECT DISTINCT n, 8 + n % 24 AS w, 6 + n % 18 AS h FROM d),
+      px AS (
+        SELECT n,
+               ((x * 31 + y * 17 + n) % 256) * 299 +
+               ((x * 13 + y * 29 + n * 3) % 256) * 587 +
+               ((x * 7 + y * 11 + n * 5) % 256) * 114 AS lum,
+               (x * 8) // w AS bx, (y * 4) // h AS by
+        FROM ns,
+             LATERAL (SELECT unnest(range(0, w)) AS x),
+             LATERAL (SELECT unnest(range(0, h)) AS y)),
+      blocks AS (
+        SELECT n, bx, by, CAST(sum(lum) AS BIGINT) AS bsum,
+               CAST(count(1) AS BIGINT) AS bcnt
+        FROM px GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT n, CAST(sum(bsum) AS BIGINT) AS tsum,
+               CAST(sum(bcnt) AS BIGINT) AS tcnt
+        FROM blocks GROUP BY 1),
+      hashes AS (
+        SELECT b.n,
+               CAST(sum(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+                 THEN (CAST(1 AS BIGINT) << (b.by * 8 + b.bx))
+                 ELSE 0 END) AS BIGINT) AS phash
+        FROM blocks b JOIN tot t USING (n) GROUP BY 1),
+      ph AS (SELECT d.doc_id, hs.phash FROM d JOIN hashes hs USING (n))
+      SELECT phash, CAST(count(1) AS BIGINT) AS n_images,
+             min(doc_id) AS canonical_id
+      FROM ph GROUP BY 1 ORDER BY phash"""
+  )
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-retrieval and corpus-curation primitives a training-data
+  * pipeline needs beyond dedup: BM25 lexical top-k retrieval, int8
+  * embedding quantization (the storage path for 100 TB vector
+  * corpora), sliding-window token chunking, and exact-quota
+  * stratified sampling via a distributed hash histogram.
+  *
+  * Everything follows the repo's bit-exact oracle contract: no
+  * transcendental functions in scored paths (Java `Math.log` and
+  * DuckDB `ln` are not guaranteed to agree in the last ulp), all
+  * order-dependent float sums accumulated as floor-scaled longs, all
+  * rounding via `floor(x + 0.5)` (identical in both engines, unlike
+  * HALF_UP decimal rounding).
+  */
+object RetrievalOps {
+
+  /** BM25 top-k lexical retrieval (k1 = 1.2, b = 0.75) with a
+    * RATIONAL idf — `(N - df + 0.5) / (df + 0.5)` without the log.
+    * The log is a monotone per-term transform; dropping it keeps every
+    * arithmetic step an IEEE-exact +,-,*,/ chain that DuckDB replays
+    * bit-for-bit (same reason td20's DSIR selection is log-free).
+    * Semantics parity: the tf-saturation and length-normalization
+    * terms are exactly Robertson's; ranking differs from log-idf BM25
+    * only when a multi-term score trades a high-df term against a
+    * low-df one at 1e-6 resolution.
+    *
+    * Scale shape: the corpus token index is pruned by a broadcast
+    * semi-join against the (tiny) query-term list BEFORE any
+    * aggregation, so tf/df aggregates touch only matching postings —
+    * the corpus is scanned once and never reshuffled on anything
+    * wider than (doc_id, term) for surviving terms. Document frequency
+    * is corpus-global (counted on the pruned posting list, which
+    * retains every posting of a query term). Global N and Σdl are a
+    * two-scalar aggregate broadcast via crossJoin. Top-k per query is
+    * a window over (query, doc) partials — queries are few by
+    * construction, docs per query bounded by postings of its terms.
+    *
+    * @param docs      corpus with an id and a text column
+    * @param queryPred picks the query docs (e.g. doc_id % 400 === 0)
+    * @param nTerms    first-N words of a query doc form its term set
+    * @param k         results per query
+    * @return (query_id, doc_id, score, rk) — score is the floor-scaled
+    *         (1e6) BM25 sum as a double
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryPred: Column => Column, nTerms: Int, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.words(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+    val qterms = base.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("w"), 1, nTerms)).as("term"))
+      .distinct()
+    val termList = qterms.select("term").distinct()
+    // prune postings before aggregating: corpus-linear, map-side gate
+    val tf = toks.join(broadcast(termList), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val scored = tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * ((col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))))
+    val perDoc = qterms.join(scored, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(floor(col("s") * lit(1e6)).cast("long")).cast("double") / lit(1e6))
+        .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+
+  /** Symmetric per-vector int8 quantization — the storage/transport
+    * format for embedding corpora (4x smaller than float32; PQ's
+    * (te07) coarse cousin). scale = 127 / max|x|; code =
+    * floor(x*scale + 0.5) (round-half-up, identical in both engines);
+    * reconstruction error accumulated as floor-scaled (1e9) longs so
+    * the sum is aggregation-order-free. Two aggregates over the
+    * exploded (id, d, x) index, corpus never reshuffled on anything
+    * but vec_id — linear and partial-agg friendly.
+    *
+    * @return (vec_id, maxabs, n_sat, n_dims, sae) where n_sat counts
+    *         saturated codes (|code| = 127) and sae is the summed
+    *         absolute reconstruction error
+    */
+  def int8Quantize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = vecs.select(col(idCol).as("vec_id"),
+        posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("d", "x")))
+    val mx = ex.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("maxabs"))
+    ex.join(mx, Seq("vec_id"))
+      .withColumn("scale",
+        when(col("maxabs") === 0, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+      .withColumn("code", floor(col("x") * col("scale") + lit(0.5)).cast("long"))
+      .withColumn("err",
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(abs(col("x") - col("code") / col("scale"))))
+      .groupBy(col("vec_id"))
+      .agg(max(col("maxabs")).as("maxabs"),
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        count(lit(1)).as("n_dims"),
+        (sum(floor(col("err") * lit(1e9)).cast("long")).cast("double") / lit(1e9))
+          .as("sae"))
+  }
+
+  /** Sliding-window token chunking with overlap: chunk i covers
+    * tokens [i*stride, i*stride + size). The training-data prep step
+    * that turns documents into fixed-budget sequences with context
+    * overlap. Pure map-side (explode of a per-doc `sequence`), no
+    * shuffle at all — each output row carries the chunk's md5 so
+    * downstream exact-dedup (td01) composes without materializing
+    * chunk text twice.
+    *
+    * @return (doc_id, chunk_id, start, n_tok, chunk_md5)
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.words(col(textCol)).as("w"))
+      .withColumn("dl", org.apache.spark.sql.functions.size(col("w")))
+    base.select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("dl") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        org.apache.spark.sql.functions.size(slice(col("w"), col("start") + 1, lit(size)))
+          .cast("long").as("n_tok"),
+        md5(array_join(slice(col("w"), col("start") + 1, lit(size)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** Exact-quota stratified sampling by deterministic hash order,
+    * computed WITHOUT a per-stratum global sort. Selection rule: per
+    * stratum, keep the `quota` docs with the smallest
+    * (h, id) where h = (id * 2654435761) % 1000000007 — a fixed
+    * multiplicative hash both engines evaluate exactly in BIGINT.
+    *
+    * At scale a per-stratum `row_number` window is a single-partition
+    * sort of the whole stratum (strata are few and huge). Instead:
+    * bucket h into 1024 h-ordered ranges, aggregate per-(stratum,
+    * bucket) counts (bounded: strata x 1024 rows, collected to the
+    * driver like a broadcast threshold), pick per stratum the
+    * boundary bucket where the cumulative count crosses the quota,
+    * then take all docs below the boundary and rank ONLY inside the
+    * boundary bucket (≈ stratum/1024 rows). The full stratum is never
+    * sorted; the corpus is scanned twice, shuffled once on the tiny
+    * histogram and once on the boundary-bucket rows.
+    *
+    * @return (stratum, doc_id, h) — the selected sample
+    */
+  def stratifiedQuota(docs: DataFrame, idCol: String, strataCol: String,
+                      quota: Int): DataFrame = {
+    val HMod = 1000000007L
+    val NBuckets = 1024L
+    val bucketWidth = HMod / NBuckets + 1 // h-ordered ranges
+    val hashed = docs.select(col(strataCol).as("stratum"),
+        col(idCol).cast("long").as("doc_id"))
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(HMod))
+      .withColumn("bucket", (col("h") / lit(bucketWidth)).cast("long"))
+    // bounded histogram: |strata| x 1024 rows max
+    val hist = hashed.groupBy(col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getAs[Any]("stratum"))
+    // per stratum: boundary bucket + how many to take from it
+    val bounds = hist.map { case (stratum, rows) =>
+      val sorted = rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        .sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      if (total <= quota) (stratum, Long.MaxValue, 0L) // whole stratum fits
+      else {
+        var cum = 0L
+        var boundary = 0L
+        var fromBoundary = 0L
+        val it = sorted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (b, c) = it.next()
+          if (cum + c >= quota) { boundary = b; fromBoundary = quota - cum; found = true }
+          else cum += c
+        }
+        (stratum, boundary, fromBoundary)
+      }
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val boundsDf = bounds.map { case (s, b, f) => (s.asInstanceOf[String], b, f) }
+      .toDF("stratum", "boundary", "from_boundary")
+    val joined = hashed.join(broadcast(boundsDf), Seq("stratum"))
+    val below = joined.where(col("bucket") < col("boundary"))
+    val wB = Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))
+    val atBoundary = joined.where(col("bucket") === col("boundary"))
+      .withColumn("rk", row_number().over(wB))
+      .where(col("rk") <= col("from_boundary"))
+    below.select(col("stratum"), col("doc_id"), col("h"))
+      .unionAll(atBoundary.select(col("stratum"), col("doc_id"), col("h")))
+  }
+}

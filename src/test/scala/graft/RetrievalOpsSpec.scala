@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.RetrievalOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("chunkDocs covers every token with the configured overlap") {
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text100), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = RetrievalOps.chunkDocs(df, "doc_id", "text", size = 64, stride = 48)
+      .select("doc_id", "chunk_id", "start", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: starts 0/48/96 with 64, 52, 4 tokens; doc 2: one short chunk
+    assert(chunks == Set((1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L), (1L, 2L, 96L, 4L),
+      (2L, 0L, 0L, 3L)))
+  }
+
+  test("stratifiedQuota equals the per-stratum hash-order rank selection") {
+    val docs = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    for (quota <- Seq(5, 50, 400)) {
+      val got = RetrievalOps.stratifiedQuota(docs, "doc_id", "lang", quota)
+        .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+      val naive = docs
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .where(col("rk") <= quota)
+        .select(col("lang"), col("doc_id")).as[(String, Long)].collect().toSet
+      assert(got == naive, s"quota=$quota")
+    }
+  }
+
+  test("int8Quantize saturates at the max component and is exact on zeros") {
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = RetrievalOps.int8Quantize(df, "vec_id", "embedding")
+      .select("vec_id", "maxabs", "n_sat", "n_dims")
+      .as[(Long, Double, Long, Long)].collect().toMap2
+    assert(rows(1L) == ((1.0, 1L, 3L)))
+    assert(rows(2L) == ((0.0, 0L, 2L)))
+  }
+
+  private implicit class Tup4Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("bm25TopK ranks the doc holding the rare query term first") {
+    // query doc 0 mentions "zebra" (rare) and "the" (everywhere).
+    val docs = Seq(
+      (0L, "zebra the"),
+      (1L, "zebra runs far"),
+      (2L, "the the the common words here"),
+      (3L, "the common words again and again"),
+      (4L, "more the common filler text")
+    ).toDF("doc_id", "text")
+    val top = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        _ === 0L, nTerms = 2, k = 3)
+      .select("query_id", "doc_id", "rk").as[(Long, Long, Int)]
+      .collect().sortBy(_._3).map(_._2).toSeq
+    // self first (has both terms, short), then the only other zebra doc
+    assert(top.head == 0L)
+    assert(top(1) == 1L)
+  }
+}
