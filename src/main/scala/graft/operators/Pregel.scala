@@ -49,6 +49,37 @@ object Pregel {
     v
   }
 
+  /** Monotone supersteps fused via zero-weight self-loops: when the
+    * vertex update is "keep the better of old attr and merged message"
+    * (least/greatest-style) and `sendMsg(attr, selfWeight) == attr`,
+    * adding a self-loop per vertex makes the old attribute just
+    * another incoming message — each superstep then references the
+    * vertex frame ONCE (one join + one aggregate), so the logical
+    * plan stays LINEAR in rounds. The general [[iterate]] references
+    * the vertex frame twice per round (message join + update join),
+    * doubling the plan each superstep; physical exchange reuse keeps
+    * that executable but analysis/codegen cost still grows with the
+    * tree. For min/max-propagation algorithms (SSSP, reachability,
+    * label propagation) this fused form is the at-scale shape.
+    */
+  def iterateMonotone(vertices: DataFrame, edges: DataFrame, rounds: Int,
+                      selfWeight: Column = lit(0L))(
+      sendMsg: (Column, Column) => Column,
+      mergeMsg: Column => Column): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .union(vertices.select(col("n").as("src"), col("n").as("dst"),
+        selfWeight.as("w")))
+      .localCheckpoint()
+    var v = vertices.select(col("n"), col("attr"))
+    for (_ <- 0 until rounds) {
+      v = v.join(e, col("n") === col("src"))
+        .select(col("dst"), sendMsg(col("attr"), col("w")).as("__m"))
+        .groupBy(col("dst")).agg(mergeMsg(col("__m")).as("attr"))
+        .withColumnRenamed("dst", "n")
+    }
+    v
+  }
+
   /** Sentinel "unreachable" distance for [[sssp]] — large enough to
     * dominate any real path, small enough that sentinel + weight can
     * never overflow a long.
@@ -64,13 +95,12 @@ object Pregel {
     */
   def sssp(nodes: DataFrame, edges: DataFrame, source: Long,
            rounds: Int): DataFrame =
-    iterate(
+    iterateMonotone(
       nodes.select(col("n"),
         when(col("n") === source, lit(0L)).otherwise(lit(Unreached)).as("attr")),
       edges, rounds)(
       sendMsg = (attr, w) => attr + w, // sentinel + w still >> any path
-      mergeMsg = m => min(m),
-      update = (old, msg) => least(old, coalesce(msg, lit(Unreached))))
+      mergeMsg = m => min(m)) // self-loop w=0 carries the old attr
 
   /** Per-node triangle membership counts over an undirected edge list
     * `und` (`a`, `b`, id-normalized a<b, no duplicates) — Gelly's
