@@ -41,6 +41,22 @@ object PipelineExt extends QueryModule {
         .orderBy("stratum", "h", "doc_id")
     },
 
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine
+    // top-20 (vector, brute-force baseline — srpBucket/ivfTopK are
+    // the at-scale drop-ins with the same columns) by reciprocal-rank
+    // fusion in exact integer arithmetic, top-10 per query.
+    "te14_rrf_hybrid" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+        _ % 400 === 0, nTerms = 6, k = 20)
+      val vec = VectorOps.bruteForceTopK(
+          emb.filter(col("vec_id") % 400 === 0), emb, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+      RetrievalOps.rrfFuse(lex, vec, k = 10)
+        .orderBy("query_id", "rk")
+    },
+
     // Symmetric int8 quantization of the embedding corpus with
     // saturation count and reconstruction error per vector.
     "te13_int8_quant" -> { (s, dir) =>
@@ -195,6 +211,79 @@ object PipelineExt extends QueryModule {
         FROM h)
       SELECT stratum, doc_id, h
       FROM ranked WHERE rk <= 200 ORDER BY stratum, h, doc_id""",
+
+    "te14_rrf_hybrid" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      toks AS (SELECT doc_id, dl, unnest(w) AS term FROM base),
+      qterms AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+          FROM base WHERE doc_id % 400 = 0)),
+      termlist AS (SELECT DISTINCT term FROM qterms),
+      tf AS (
+        SELECT t.doc_id, t.term, t.dl, CAST(count(1) AS BIGINT) AS tf
+        FROM toks t JOIN termlist q USING (term)
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) *
+               ((tf * 2.2) / (tf + 1.2 * (0.25 +
+                 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS s
+        FROM tf JOIN dft USING (term) CROSS JOIN stats),
+      perdoc AS (
+        SELECT q.query_id, s.doc_id,
+               CAST(sum(CAST(floor(s.s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+        FROM qterms q JOIN scored s USING (term)
+        GROUP BY 1, 2),
+      lex AS (
+        SELECT query_id, doc_id, rk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rk
+          FROM perdoc) WHERE rk <= 20),
+      ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 400 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      vscored AS (
+        SELECT dots.query_id, dots.doc_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.doc_id = nc.vec_id),
+      vec AS (
+        SELECT query_id, doc_id, rk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id) AS rk
+          FROM vscored) WHERE rk <= 20),
+      fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1000000000 // (60 + l.rk), 0) +
+               coalesce(1000000000 // (60 + v.rk), 0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+      SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf, CAST(rk AS INT) AS rk
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused)
+      WHERE rk <= 10 ORDER BY query_id, rk""",
 
     "te13_int8_quant" -> """
       WITH ex AS (

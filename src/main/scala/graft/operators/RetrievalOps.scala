@@ -82,6 +82,34 @@ object RetrievalOps {
       .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
   }
 
+  /** Reciprocal-rank fusion of a lexical and a vector candidate list —
+    * hybrid retrieval, the standard two-tower serving pattern. Each
+    * list contributes `1e9 div (60 + rank)` (Cormack's RRF with k=60,
+    * kept in exact integer division so both engines agree to the
+    * digit); a doc absent from one list contributes 0 from it. The
+    * two lists are joined full-outer on (query, doc) and re-ranked by
+    * the fused score. Inputs are whatever top-k shape produced them —
+    * at corpus scale the vector side comes from srpBucket/ivfTopK
+    * instead of the brute-force baseline, same columns.
+    *
+    * @param lex (query_id, doc_id, rk) lexical ranks
+    * @param vec (query_id, doc_id, rk) vector ranks
+    * @param k   fused results per query
+    * @return (query_id, doc_id, rrf, rk)
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val v = vec.select(col("query_id"), col("doc_id"), col("rk").as("rk_vec"))
+    val fused = l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000 DIV (60 + rk_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 DIV (60 + rk_vec)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rk"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/transport
     * format for embedding corpora (4x smaller than float32; PQ's
     * (te07) coarse cousin). scale = 127 / max|x|; code =
