@@ -14,6 +14,76 @@ case class PHashRow(doc_id: Long, phash: Long)
   */
 object PipelineExt extends QueryModule {
 
+  /** 32-bit blockwise average hash of a media payload: synthesize the
+    * deterministic PNG for the payload (pixels a function of its byte
+    * length — stands in for upstream media bytes), run the REAL codec
+    * round trip, then hash the decoded raster over an 8x4 block grid
+    * with integer cross-multiplied mean comparisons (no float). One
+    * bounded loop per payload; linear in corpus size.
+    */
+  def phashOfPayload(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val w0 = 8 + n % 24
+    val h0 = 6 + n % 18
+    val src = new java.awt.image.BufferedImage(
+      w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h0) {
+      var x = 0
+      while (x < w0) {
+        val r = (x * 31 + y * 17 + n) % 256
+        val g = (x * 13 + y * 29 + n * 3) % 256
+        val b = (x * 7 + y * 11 + n * 5) % 256
+        src.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", buf)
+    // REAL decode; PNG is lossless so the raster round-trips.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bsum = Array.ofDim[Long](4, 8)
+    val bcnt = Array.ofDim[Long](4, 8)
+    y = 0
+    while (y < h) {
+      val by = y * 4 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+        val bx = x * 8 / w
+        bsum(by)(bx) += lum
+        bcnt(by)(bx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var tsum = 0L; var tcnt = 0L
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 8) { tsum += bsum(by)(bx); tcnt += bcnt(by)(bx); bx += 1 }
+      by += 1
+    }
+    var hash = 0L
+    by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 8) {
+        // block mean > global mean, compared exactly in integers
+        if (bsum(by)(bx) * tcnt > tsum * bcnt(by)(bx))
+          hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-5 lexical retrieval; every 400th doc is a query, its
     // first 6 words the query terms. Rational idf (log-free) per the
@@ -77,66 +147,7 @@ object PipelineExt extends QueryModule {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
-          val n = bytes.length
-          val w0 = 8 + n % 24
-          val h0 = 6 + n % 18
-          val src = new java.awt.image.BufferedImage(
-            w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h0) {
-            var x = 0
-            while (x < w0) {
-              val r = (x * 31 + y * 17 + n) % 256
-              val g = (x * 13 + y * 29 + n * 3) % 256
-              val b = (x * 7 + y * 11 + n * 5) % 256
-              src.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(src, "png", buf)
-          // REAL decode; PNG is lossless so the raster round-trips.
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(buf.toByteArray))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val bsum = Array.ofDim[Long](4, 8)
-          val bcnt = Array.ofDim[Long](4, 8)
-          y = 0
-          while (y < h) {
-            val by = y * 4 / h
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = ((rgb >> 16) & 0xff) * 299L +
-                ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
-              val bx = x * 8 / w
-              bsum(by)(bx) += lum
-              bcnt(by)(bx) += 1L
-              x += 1
-            }
-            y += 1
-          }
-          var tsum = 0L; var tcnt = 0L
-          var by = 0
-          while (by < 4) {
-            var bx = 0
-            while (bx < 8) { tsum += bsum(by)(bx); tcnt += bcnt(by)(bx); bx += 1 }
-            by += 1
-          }
-          var hash = 0L
-          by = 0
-          while (by < 4) {
-            var bx = 0
-            while (bx < 8) {
-              // block mean > global mean, compared exactly in integers
-              if (bsum(by)(bx) * tcnt > tsum * bcnt(by)(bx))
-                hash |= 1L << (by * 8 + bx)
-              bx += 1
-            }
-            by += 1
-          }
-          PHashRow(id, hash)
+          PHashRow(id, phashOfPayload(bytes))
         })
         .toDF()
         .groupBy(col("phash"))

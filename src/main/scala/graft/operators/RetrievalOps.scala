@@ -188,8 +188,21 @@ object RetrievalOps {
     *
     * @return (stratum, doc_id, h) — the selected sample
     */
+  /** Cap on distinct strata: the histogram the driver collects is
+    * |strata| x 1024 rows, so a high-cardinality strata column (a
+    * mistaken doc-id, say) must fail loudly instead of OOMing the
+    * driver. Checked with an O(cap) limit-probe, never a full count.
+    */
+  val MaxStrata: Int = 10000
+
   def stratifiedQuota(docs: DataFrame, idCol: String, strataCol: String,
                       quota: Int): DataFrame = {
+    val nStrata = docs.select(col(strataCol)).distinct()
+      .limit(MaxStrata + 1).count()
+    require(nStrata <= MaxStrata,
+      s"stratifiedQuota saw more than $MaxStrata distinct strata in " +
+        s"'$strataCol' — the driver-side histogram is |strata| x 1024 " +
+        "rows; partition the corpus or use a coarser stratum key")
     val HMod = 1000000007L
     val NBuckets = 1024L
     val bucketWidth = HMod / NBuckets + 1 // h-ordered ranges

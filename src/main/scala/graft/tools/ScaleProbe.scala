@@ -336,6 +336,50 @@ object ScaleProbe {
           .orderBy(col("dot_s").desc, col("vec_id"))
         dots.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       })
+      import graft.operators.RetrievalOps
+      // BM25: fixed query batch (base corpus's every-25th id) — the
+      // serving shape; corpus-side cost is the pruned-postings tf/df
+      // aggregation, which must track the scan.
+      run("td26 BM25 topk", k,
+        RetrievalOps.bm25TopK(docs, "doc_id", "text",
+          id => id % 25 === 0 && id < docBase, nTerms = 6, k = 5))
+      // Chunking: pure map-side sequence-explode, zero shuffles.
+      run("td27 chunking", k,
+        RetrievalOps.chunkDocs(docs, "doc_id", "text", size = 64, stride = 48))
+      // Stratified quota: histogram + boundary-bucket ranking only —
+      // the per-stratum window never sees a whole stratum.
+      run("td28 stratified quota", k,
+        RetrievalOps.stratifiedQuota(
+          docs.withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          "doc_id", "lang", quota = 1000))
+      // int8 quantization: two aggregates over the exploded index.
+      run("te13 int8 quant", k,
+        RetrievalOps.int8Quantize(emb, "vec_id", "embedding"))
+      // RRF hybrid: the BM25 leg above fused with the bucketed SRP
+      // vector leg (both fixed-batch); fusion adds one outer join +
+      // one window over per-query candidate lists.
+      run("te14 RRF hybrid", k, {
+        val lex = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+          id => id % 25 === 0 && id < docBase, nTerms = 6, k = 20)
+        val vec = srpProbe(spark, emb,
+            col("vec_id") % 25 === 0 && col("vec_id") < embBase)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+        RetrievalOps.rrfFuse(lex, vec, k = 10)
+      })
+      // Image phash: one bounded codec loop per payload + a hash
+      // group-by — linear, shuffles only the 8-byte hashes.
+      run("mm07 image phash", k, {
+        import spark.implicits._
+        docs.select(col("doc_id"), col("text").cast("binary").as("p"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, b) =>
+            (id, graft.operators.PipelineExt.phashOfPayload(b))
+          })
+          .toDF("doc_id", "phash")
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
+      })
     }
     spark.stop()
   }
