@@ -153,6 +153,41 @@ object PipelineExt extends QueryModule {
         .groupBy(col("phash"))
         .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
         .orderBy("phash")
+    },
+
+    // Image NEAR-dup: hamming-close pairs between distinct phash
+    // classes via the pigeonhole banded join (4 bands of 8 bits —
+    // hamming <= 3 guarantees an equal band), verified with
+    // bit_count(xor). The pair join runs over hash CLASSES, not
+    // images: class count is bounded by the 32-bit hash space and in
+    // practice tiny relative to the corpus, so the quadratic surface
+    // never touches image rows (the simhash td04 design, in pixel
+    // space).
+    "mm08_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val classes = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          PHashRow(id, phashOfPayload(bytes))
+        })
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"))
+      val bands = classes.select(col("phash"), col("n_images"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr("shiftright(phash, band * 8) & 255"))
+      val a = bands.select(col("band"), col("bv"), col("phash").as("pa"),
+        col("n_images").as("n_a"))
+      val b = bands.select(col("band"), col("bv"), col("phash").as("pb"),
+        col("n_images").as("n_b"))
+      a.join(b, Seq("band", "bv")).where(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"), col("n_a"), col("n_b")).distinct()
+        .withColumn("dist", expr("bit_count(pa ^ pb)"))
+        .where(col("dist") <= 3)
+        .select(col("pa").as("phash_a"), col("pb").as("phash_b"),
+          col("dist").cast("int").as("dist"), col("n_a"), col("n_b"))
+        .orderBy("phash_a", "phash_b")
     }
   )
 
@@ -350,6 +385,50 @@ object PipelineExt extends QueryModule {
       ph AS (SELECT d.doc_id, hs.phash FROM d JOIN hashes hs USING (n))
       SELECT phash, CAST(count(1) AS BIGINT) AS n_images,
              min(doc_id) AS canonical_id
-      FROM ph GROUP BY 1 ORDER BY phash"""
+      FROM ph GROUP BY 1 ORDER BY phash""",
+
+    "mm08_phash_neardup" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      ns AS (SELECT DISTINCT n, 8 + n % 24 AS w, 6 + n % 18 AS h FROM d),
+      px AS (
+        SELECT n,
+               ((x * 31 + y * 17 + n) % 256) * 299 +
+               ((x * 13 + y * 29 + n * 3) % 256) * 587 +
+               ((x * 7 + y * 11 + n * 5) % 256) * 114 AS lum,
+               (x * 8) // w AS bx, (y * 4) // h AS by
+        FROM ns,
+             LATERAL (SELECT unnest(range(0, w)) AS x),
+             LATERAL (SELECT unnest(range(0, h)) AS y)),
+      blocks AS (
+        SELECT n, bx, by, CAST(sum(lum) AS BIGINT) AS bsum,
+               CAST(count(1) AS BIGINT) AS bcnt
+        FROM px GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT n, CAST(sum(bsum) AS BIGINT) AS tsum,
+               CAST(sum(bcnt) AS BIGINT) AS tcnt
+        FROM blocks GROUP BY 1),
+      hashes AS (
+        SELECT b.n,
+               CAST(sum(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+                 THEN (CAST(1 AS BIGINT) << (b.by * 8 + b.bx))
+                 ELSE 0 END) AS BIGINT) AS phash
+        FROM blocks b JOIN tot t USING (n) GROUP BY 1),
+      ph AS (SELECT d.doc_id, hs.phash FROM d JOIN hashes hs USING (n)),
+      classes AS (
+        SELECT phash, CAST(count(1) AS BIGINT) AS n_images
+        FROM ph GROUP BY 1),
+      bands AS (
+        SELECT phash, n_images, CAST(b AS BIGINT) AS band,
+               (phash >> (CAST(b AS INT) * 8)) & 255 AS bv
+        FROM classes, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.phash AS pa, b.phash AS pb,
+               a.n_images AS n_a, b.n_images AS n_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.phash < b.phash)
+      SELECT pa AS phash_a, pb AS phash_b,
+             CAST(bit_count(xor(pa, pb)) AS INT) AS dist, n_a, n_b
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+      ORDER BY phash_a, phash_b"""
   )
 }
