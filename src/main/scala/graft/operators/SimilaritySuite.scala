@@ -391,7 +391,16 @@ object SimilaritySuite extends QueryModule {
     // scale the corpus is read once and never reshuffled by dim.
     "mm06_crossmodal_topk" -> { (s, dir) =>
       import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      // Decode ONLY documents that have an embedding (semi-join gate
+      // before the codec pass — media decode is the expensive stage,
+      // never spend it on rows the pipeline drops), and decode them
+      // ONCE: the exploded feature frame below is consumed by both the
+      // centroid and the scoring aggregate, so it is checkpointed
+      // instead of recomputed per consumer.
       val bright = Tables.load(s, dir, "documents")
+        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+          "left_semi")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
@@ -432,11 +441,12 @@ object SimilaritySuite extends QueryModule {
         .toDF("doc_id", "f3")
         .select(col("doc_id"), floor(col("f3") / 16).cast("int").as("bucket"))
       val ex = bright
-        .join(Tables.load(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .join(emb, col("doc_id") === col("vec_id"))
         .select(col("bucket"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("bucket"), col("vec_id"), col("d"),
           floor(col("x").cast("double") * 1e7).cast("long").as("xs"))
+        .localCheckpoint()
       val cent = ex.groupBy(col("bucket"), col("d"))
         .agg(floor(sum(col("xs")).cast("double") / count(lit(1))).cast("long").as("c"))
       val dots = ex.join(cent, Seq("bucket", "d"))

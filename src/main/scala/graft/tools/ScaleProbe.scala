@@ -342,7 +342,8 @@ object ScaleProbe {
       // aggregation, which must track the scan.
       run("td26 BM25 topk", k,
         RetrievalOps.bm25TopK(docs, "doc_id", "text",
-          id => id % 25 === 0 && id < docBase, nTerms = 6, k = 5))
+          id => id % 25 === 0 && id < docBase, nTerms = 6, k = 5),
+        allowBroadcastCross = true) // 1-row (N, sum_dl) stats frame
       // Chunking: pure map-side sequence-explode, zero shuffles.
       run("td27 chunking", k,
         RetrievalOps.chunkDocs(docs, "doc_id", "text", size = 64, stride = 48))
@@ -366,7 +367,7 @@ object ScaleProbe {
             col("vec_id") % 25 === 0 && col("vec_id") < embBase)
           .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
         RetrievalOps.rrfFuse(lex, vec, k = 10)
-      })
+      }, allowBroadcastCross = true) // BM25 leg's 1-row stats frame
       // Image phash: one bounded codec loop per payload + a hash
       // group-by — linear, shuffles only the 8-byte hashes.
       run("mm07 image phash", k, {
