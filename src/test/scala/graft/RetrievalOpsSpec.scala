@@ -51,6 +51,21 @@ class RetrievalOpsSpec extends AnyFunSuite {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("rrfFuse scores docs in both lists above single-list docs") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rk")
+    val vec = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rk")
+    val rows = RetrievalOps.rrfFuse(lex, vec, k = 10)
+      .select("doc_id", "rrf", "rk").as[(Long, Long, Int)]
+      .collect().sortBy(_._3)
+    // doc 11 appears in both lists (ranks 2 and 1) and must lead;
+    // 10 and 12 have identical single-list scores (rank 1 lex vs
+    // rank 2 vec -> 1e9/61 vs 1e9/62) so 10 (rank 1) comes second.
+    assert(rows.map(_._1).toSeq == Seq(11L, 10L, 12L))
+    assert(rows.head._2 == 1000000000L / 62 + 1000000000L / 61)
+    assert(rows(1)._2 == 1000000000L / 61)
+    assert(rows(2)._2 == 1000000000L / 62)
+  }
+
   test("bm25TopK ranks the doc holding the rare query term first") {
     // query doc 0 mentions "zebra" (rare) and "the" (everywhere).
     val docs = Seq(
