@@ -412,8 +412,12 @@ object TextOps {
     val b = chunks.select(col("c"), col("cv"), col("id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("c", "cv")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(expr("sim_a ^ sim_b")).as("hamming")).distinct()
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      // filter BEFORE the dedup shuffle: far-apart band collisions
+      // (the overwhelming majority) die map-side instead of riding
+      // through the distinct's exchange
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** C4-style corpus-wide line dedup, with fixed word-chunks standing in
