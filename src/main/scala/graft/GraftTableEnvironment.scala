@@ -18,6 +18,22 @@ import scala.collection.mutable
 class GraftTableEnvironment private (val spark: SparkSession) {
   private val watermarkDecl = mutable.Map[String, (String, String)]()
   private val primaryKeys = mutable.Map[String, Seq[String]]()
+  private val temporalFns = mutable.Map[String, (String, Seq[String], String)]()
+
+  /** Register a temporal TABLE FUNCTION over a versioned table — the
+    * reference's `Table.createTemporalTableFunction(timeAttr, key)` +
+    * `createTemporarySystemFunction(name, fn)` pair (resolved by the
+    * planner's LogicalCorrelateToJoinFromTemporalTableFunctionRule).
+    * Queries may then join it with the legacy spelling
+    * `FROM Orders o, LATERAL TABLE (name(o.ts)) AS r WHERE o.k = r.k`,
+    * which executeSql rewrites to the same validity-interval join as
+    * `FOR SYSTEM_TIME AS OF`.
+    */
+  def createTemporalTableFunction(fnName: String, table: String,
+      timeAttr: String, primaryKey: Seq[String]): Unit = {
+    require(primaryKey.nonEmpty, "temporal table function needs a primary key")
+    temporalFns(fnName) = (table, primaryKey, timeAttr)
+  }
 
   /** DQL/DML/DDL passthrough to Spark SQL (gap functions registered).
     * Three dialect gaps are bridged first: Flink group-window syntax
@@ -45,7 +61,8 @@ class GraftTableEnvironment private (val spark: SparkSession) {
       return okResult()
     }
     val rw = graft.sql.TemporalSql.rewrite(
-      graft.sql.FlinkSqlWindows.rewrite(sql),
+      graft.sql.TemporalSql.rewriteFunctions(
+        graft.sql.FlinkSqlWindows.rewrite(sql), temporalFns.get),
       name => (primaryKey(name),
         declaredWatermark(name).map(_._1).getOrElse("")))
     if (graft.cep.MatchRecognize.containsClause(rw))

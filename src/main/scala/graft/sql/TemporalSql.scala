@@ -87,4 +87,46 @@ object TemporalSql {
         rewrite(sql.substring(0, m.start) + newJoin + rest, meta)
     }
   }
+
+  // The legacy temporal TABLE FUNCTION spelling (reference docs
+  // "Temporal Table Function"; planner resolves it through
+  // LogicalCorrelateToJoinFromTemporalTableFunctionRule.scala):
+  // `FROM Orders o, LATERAL TABLE (Rates(o.ts)) [AS] r WHERE
+  // o.cur = r.cur`. The comma-join segment is rewritten to the same
+  // validity-interval join as FOR SYSTEM_TIME — time containment in
+  // the ON clause, the key equality stays wherever the user wrote it
+  // (the reference's rule does exactly this split).
+  private val LateralRe =
+    ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\(" +
+      "([^()]*)\\)\\s*\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)?").r
+
+  def containsFunctionClause(sql: String): Boolean =
+    LateralRe.findFirstIn(sql).isDefined
+
+  /** Rewrite every `LATERAL TABLE (fn(expr))` temporal-function join.
+    * `fnMeta(fn)` supplies (versioned table, primary key columns,
+    * version time column) from the environment's
+    * createTemporalTableFunction registrations; unknown functions are
+    * left untouched (they may be genuine UDTFs for LATERAL VIEW).
+    */
+  def rewriteFunctions(sql: String,
+      fnMeta: String => Option[(String, Seq[String], String)]): String =
+    LateralRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        fnMeta(m.group(1)) match {
+          case None => sql // not a temporal function — leave as-is
+          case Some((table, pk, vt)) =>
+            val asOf = m.group(2).trim
+            val alias = Option(m.group(3)).getOrElse(table.split('.').last)
+            val pks = pk.mkString(", ")
+            val versioned =
+              s"(SELECT *, $vt AS __vt_from, lead($vt) OVER " +
+                s"(PARTITION BY $pks ORDER BY $vt) AS __vt_to FROM $table) AS $alias"
+            val newJoin = s" JOIN $versioned ON $asOf >= $alias.__vt_from " +
+              s"AND ($alias.__vt_to IS NULL OR $asOf < $alias.__vt_to)"
+            rewriteFunctions(
+              sql.substring(0, m.start) + newJoin + sql.substring(m.end), fnMeta)
+        }
+    }
 }

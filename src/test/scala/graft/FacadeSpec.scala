@@ -235,6 +235,31 @@ class FacadeSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1.0), (3L, 1.0), (4L, 2.0)))
   }
 
+  test("legacy LATERAL TABLE temporal function join matches FOR SYSTEM_TIME") {
+    val env = GraftTableEnvironment.create(spark)
+    Seq((1L, "EUR", 5L), (2L, "EUR", 10L), (3L, "EUR", 15L),
+      (4L, "EUR", 25L), (5L, "USD", 12L))
+      .toDF("order_id", "currency", "ts")
+      .createOrReplaceTempView("tf_orders")
+    Seq(("EUR", 10L, 1.0), ("EUR", 20L, 2.0), ("USD", 15L, 3.0))
+      .toDF("currency", "vt", "rate")
+      .createOrReplaceTempView("tf_rates")
+    // Table.createTemporalTableFunction(vt, currency) +
+    // createTemporarySystemFunction("Rates", ...) equivalent:
+    env.createTemporalTableFunction("Rates", "tf_rates", "vt", Seq("currency"))
+    val got = env.executeSql("""
+      SELECT o.order_id, r.rate
+      FROM tf_orders o, LATERAL TABLE (Rates(o.ts)) AS r
+      WHERE o.currency = r.currency
+      ORDER BY o.order_id""")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 1.0), (3L, 1.0), (4L, 2.0)))
+    // An unregistered function name must pass through untouched.
+    assert(graft.sql.TemporalSql.rewriteFunctions(
+      "SELECT * FROM t, LATERAL TABLE (Other(x))", _ => None)
+      .contains("LATERAL TABLE (Other(x))"))
+  }
+
   test("lookup join probes once per distinct key within a partition (LRU cache)") {
     LookupCounter.probes.set(0)
     val ds = spark.range(100).as[Long].map(i => (i, i % 5)) // 5 distinct keys
