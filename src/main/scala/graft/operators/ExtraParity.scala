@@ -133,6 +133,30 @@ object ExtraParity extends QueryModule {
         .orderBy("node")
     },
 
+    // Batch iteration #5: DELTA iteration (flink-java
+    // DeltaIteration.java — solution set + workset, early termination
+    // when the workset empties). Converged SSSP over the it03 graph:
+    // the workset holds only last-round-improved vertices, so settled
+    // regions stop generating join work; a 20-round budget converges
+    // well before the cap, and the fixed-20-round oracle equals the
+    // converged fixpoint (post-convergence rounds are no-ops).
+    "it05_sssp_delta" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+        .distinct()
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .union(base.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1)
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("n")).distinct()
+      val src0 = edges.agg(min(col("src"))).collect()(0).getLong(0)
+      Pregel.ssspDelta(nodes, edges, src0, rounds = 20)
+        .where(col("attr") < Pregel.Unreached)
+        .select(col("n").as("node"), col("attr").as("dist"))
+        .orderBy("node")
+    },
+
     // Graph parity #4: triangle enumeration (Gelly's
     // flink-libraries/flink-gelly/.../library/TriangleEnumerator.java)
     // over the top-8 co-supplier graph: per supplier, its 8 strongest
@@ -260,6 +284,34 @@ object ExtraParity extends QueryModule {
     // Triangles once each via the canonical a<b<c triple join — the
     // oracle is orientation-free, so it independently checks the
     // degree-ordered enumeration.
+    // Fixed-20-round Bellman-Ford fixpoint — identical CTE shape to
+    // it03, run past convergence so it equals the delta iteration's
+    // early-terminated answer.
+    "it05_sssp_delta" -> """
+      WITH RECURSIVE
+      base AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM base
+                UNION ALL SELECT b, a FROM base),
+      wedges AS (SELECT src, dst, (src + dst) % 9 + 1 AS w FROM edges),
+      nodes AS (SELECT DISTINCT src AS n FROM edges),
+      s0 AS (SELECT min(src) AS s FROM edges),
+      d(iter, n, dist) AS (
+        SELECT 0, n, CASE WHEN n = (SELECT s FROM s0) THEN CAST(0 AS BIGINT)
+                     ELSE CAST(1152921504606846976 AS BIGINT) END
+        FROM nodes
+        UNION ALL
+        SELECT d0.iter + 1, d0.n,
+          least(d0.dist, coalesce((
+            SELECT min(d2.dist + e.w)
+            FROM d d2 JOIN wedges e ON d2.n = e.src
+            WHERE e.dst = d0.n AND d2.iter = d0.iter),
+            CAST(1152921504606846976 AS BIGINT)))
+        FROM d d0 WHERE d0.iter < 20)
+      SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d
+      WHERE iter = 20 AND dist < 1152921504606846976
+      ORDER BY node""",
+
     "it04_triangle_count" -> """
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
       co AS (

@@ -97,4 +97,20 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(one(2L) == 1L && one(3L) == Pregel.Unreached)
   }
+
+  test("delta-iteration SSSP converges early and matches the superstep result") {
+    // same graph as the relax test; a generous round budget must
+    // early-terminate on the empty workset with the converged answer
+    val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("n")
+    val delta = Pregel.ssspDelta(nodes, edges, source = 1L, rounds = 50)
+      .as[(Long, Long)].collect().toMap
+    val full = Pregel.sssp(nodes, edges, source = 1L, rounds = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(delta == full)
+    assert(delta == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L,
+      9L -> Pregel.Unreached))
+  }
 }
