@@ -307,6 +307,26 @@ object ScaleProbe {
           .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
         graft.operators.Pregel.triangleCounts(und)
       })
+      // Delta-iteration SSSP: the workset shrinks to the improving
+      // frontier, so per-round join work tracks the frontier, not the
+      // graph; rounds-to-convergence is a property of the diameter
+      // (constant here), so total time must track the edge count.
+      run("it05 sssp delta", k, {
+        val m = docBase * k
+        val li = spark.read.format("graft-datagen").schema("li_id bigint")
+          .option("numRows", m.toString)
+          .option("partitions", spark.sparkContext.defaultParallelism.toString)
+          .load()
+          .select((col("li_id") / 4).cast("long").as("ok"),
+            pmod(hash(col("li_id")), lit(math.max(m / 10, 10L))).as("sk"))
+        val base = li.select(col("ok").as("a"),
+          (col("sk") + 1000000000L).as("b")).distinct()
+        val edges = base.select(col("a").as("src"), col("b").as("dst"))
+          .union(base.select(col("b").as("src"), col("a").as("dst")))
+          .withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1)
+        val nodes = edges.select(col("src").as("n")).distinct()
+        graft.operators.Pregel.ssspDelta(nodes, edges, source = 0L, rounds = 20)
+      })
       // Cross-modal top-k: one narrow brightness pass, one id join,
       // one dim explode (64×), centroid aggregate broadcast back —
       // corpus scanned once, never reshuffled by dim.
