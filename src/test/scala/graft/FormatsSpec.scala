@@ -58,6 +58,41 @@ class FormatsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") || !scan.contains("day#"))
   }
 
+  test("compressed sinks round-trip (flink-compress parity)") {
+    // the reference's flink-compress wraps bulk writers in a codec;
+    // Spark's writers take the codec as an option
+    src.write.mode("overwrite").option("compression", "gzip")
+      .option("header", "true").csv(s"$dir/csvgz")
+    assert(new java.io.File(s"$dir/csvgz").listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/csvgz")
+    assert(back.count() == src.count())
+    src.write.mode("overwrite").option("compression", "deflate")
+      .json(s"$dir/jsondef")
+    assert(spark.read.json(s"$dir/jsondef").count() == src.count())
+  }
+
+  test("sequence-file round-trip (flink-sequence-file parity)") {
+    // the reference's SequenceFileWriterFactory writes (key, value)
+    // Writables; Spark covers the format through the Hadoop RDD API
+    import org.apache.hadoop.io.{LongWritable, Text}
+    val path = s"$dir/seq"
+    val rows = src.select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].rdd
+      .map { case (k, v) => (new LongWritable(k), new Text(v)) }
+    rows.saveAsNewAPIHadoopFile[
+      org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat[
+        LongWritable, Text]](path)
+    val back = spark.sparkContext
+      .sequenceFile[LongWritable, Text](path)
+      .map { case (k, v) => (k.get(), v.toString) }
+      .toDF("n_nationkey", "n_name")
+    val exp = src.select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toSet
+    assert(back.as[(Long, String)].collect().toSet == exp)
+  }
+
   test("overwrite mode replaces prior output") {
     val p = s"$dir/ow"
     spark.range(10).write.mode("overwrite").parquet(p)
