@@ -111,6 +111,43 @@ object PipelineExt extends QueryModule {
         .orderBy("stratum", "h", "doc_id")
     },
 
+    // URL canonicalization dedup — the CommonCrawl/C4 pre-dedup step:
+    // raw URLs differing in host case, query-parameter order, and
+    // utm_* tracking params collapse to one canonical form (lowercase
+    // host + path + sorted non-tracking params), then exact dedup by
+    // canonical URL. The URL is synthesized deterministically per doc
+    // (two raw spellings per canonical identity, alternating by
+    // parity — so the canonicalization provably merges distinct raw
+    // strings); everything downstream is the real pipeline: pure
+    // map-side string work plus one hash aggregate. The spelling
+    // alternates by doc_id div 200 — the canonical identity's period —
+    // so every canonical class spanning both generations merges two
+    // distinct raw forms (asserted by n_raw_forms).
+    "td29_url_dedup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("h", pmod(col("doc_id"), lit(50)))
+        .withColumn("p", pmod(col("doc_id"), lit(200)))
+        .withColumn("q", pmod(col("doc_id"), lit(100)))
+        .withColumn("url",
+          when(pmod((col("doc_id") / 200).cast("long"), lit(2)) === 0,
+            concat(lit("https://Host"), col("h"), lit(".Example.COM/path/"),
+              col("p"), lit("?id="), col("q"), lit("&utm_source=feed&ref="),
+              col("h")))
+            .otherwise(concat(lit("https://host"), col("h"),
+              lit(".example.com/path/"), col("p"), lit("?ref="), col("h"),
+              lit("&id="), col("q"), lit("&utm_campaign=x"))))
+      val host = lower(regexp_extract(col("url"), "^https://([^/]+)", 1))
+      val path = regexp_extract(col("url"), "^https://[^/]+([^?]*)", 1)
+      val kept = array_join(array_sort(filter(
+        split(substring_index(col("url"), "?", -1), "&"),
+        kv => not(kv.startsWith("utm_")))), "&")
+      d.withColumn("canon", concat(host, path, lit("?"), kept))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"),
+          count_distinct(col("url")).as("n_raw_forms"))
+        .orderBy("canon")
+    },
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine
     // top-20 (vector, brute-force baseline — srpBucket/ivfTopK are
     // the at-scale drop-ins with the same columns) by reciprocal-rank
@@ -257,6 +294,33 @@ object PipelineExt extends QueryModule {
         FROM h)
       SELECT stratum, doc_id, h
       FROM ranked WHERE rk <= 200 ORDER BY stratum, h, doc_id""",
+
+    "td29_url_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               doc_id % 50 AS h, doc_id % 200 AS p, doc_id % 100 AS q
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id // 200) % 2 = 0
+                 THEN 'https://Host' || h || '.Example.COM/path/' || p ||
+                      '?id=' || q || '&utm_source=feed&ref=' || h
+                 ELSE 'https://host' || h || '.example.com/path/' || p ||
+                      '?ref=' || h || '&id=' || q || '&utm_campaign=x'
+               END AS url
+        FROM d),
+      c AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^https://([^/]+)', 1)) ||
+               regexp_extract(url, '^https://[^/]+([^?]*)', 1) || '?' ||
+               array_to_string(list_sort(list_filter(
+                 string_split(string_split(url, '?')[2], '&'),
+                 kv -> NOT starts_with(kv, 'utm_'))), '&') AS canon
+        FROM u)
+      SELECT canon, CAST(count(1) AS BIGINT) AS n_docs,
+             min(doc_id) AS canonical_id,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+      FROM c GROUP BY 1 ORDER BY canon""",
 
     "te14_rrf_hybrid" -> """
       WITH base AS (
