@@ -156,6 +156,39 @@ class ExampleUsageSpec extends AnyFunSuite {
     assert(hourly.count() > 0 && cumulative.count() > hourly.count())
   }
 
+  test("example: kappa pipeline — CDC events over the log, normalized to state") {
+    // The integrated story: a debezium-format changelog lands in the
+    // partitioned log (the kafka stand-in), is re-read, parsed into
+    // __rowkind rows, and ChangelogNormalize'd to current state —
+    // upsert-kafka end to end through this engine's own pieces.
+    import graft.operators.ChangelogOps
+    import graft.sources.{CdcFormats, LogSource}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-kappa").toString
+    def ev(op: String, k: Long, amt: Double) = op match {
+      case "c" => s"""{"before":null,"after":{"k":$k,"amt":$amt},"op":"c"}"""
+      case "u" => s"""{"before":{"k":$k,"amt":0.0},"after":{"k":$k,"amt":$amt},"op":"u"}"""
+      case _   => s"""{"before":{"k":$k,"amt":$amt},"after":null,"op":"d"}"""
+    }
+    // kafka's contract: a key's events all land in ONE partition, so
+    // (partition, offset) totally orders each key's history
+    LogSource.append(dir, 0,
+      Seq(ev("c", 1, 10.0), ev("u", 1, 20.0), ev("c", 3, 7.0), ev("d", 3, 7.0)))
+    LogSource.append(dir, 1, Seq(ev("c", 2, 5.0)))
+    val physical = StructType(Seq(
+      StructField("k", LongType), StructField("amt", DoubleType)))
+    val raw = spark.read.format("graft-log").option("path", dir).load()
+    val parsed = CdcFormats.debeziumJson(raw, col("value"), physical)
+    val kindRank = when(col("__rowkind") === "+I", 0)
+      .when(col("__rowkind") === "-U", 1)
+      .when(col("__rowkind") === "+U", 2).otherwise(3)
+    val state = ChangelogOps.normalize(parsed, Seq(col("k")),
+        Seq(col("offset"), kindRank), col("__rowkind"))
+      .select(col("k"), col("amt")).as[(Long, Double)].collect().toMap
+    // key 1 upserted to 20, key 2 inserted, key 3 insert+delete -> gone
+    assert(state == Map(1L -> 20.0, 2L -> 5.0))
+  }
+
   test("example: datagen source feeds batch and streaming alike") {
     val df = spark.read.format("graft-datagen")
       .option("numRows", 500).option("partitions", 4).load()
