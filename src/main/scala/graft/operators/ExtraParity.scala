@@ -173,10 +173,15 @@ object ExtraParity extends QueryModule {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-      val co = li.as("x").join(li.as("y"), Seq("ok"))
-        .where(col("x.sk") =!= col("y.sk"))
+      // count each unordered pair once (sk<sk join halves the pair
+      // stream through the shuffle+aggregate), then mirror for the
+      // per-supplier ranking — same counts, half the join volume
+      val coHalf = li.as("x").join(li.as("y"), Seq("ok"))
+        .where(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("s"), col("y.sk").as("p"))
         .agg(count(lit(1)).as("c"))
+      val co = coHalf.unionAll(
+        coHalf.select(col("p").as("s"), col("s").as("p"), col("c")))
       val w = Window.partitionBy(col("s")).orderBy(col("c").desc, col("p"))
       val top = co.withColumn("rk", row_number().over(w)).where(col("rk") <= 8)
       val und = top.select(least(col("s"), col("p")).as("a"),
