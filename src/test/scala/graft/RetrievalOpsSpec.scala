@@ -37,6 +37,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: stratifiedQuota equals the rank selection for random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    // Random (corpus size, strata count, quota) incl. the boundary
+    // shapes the histogram must get right: quota 1, quota == stratum
+    // size, quota > stratum size, single-bucket strata.
+    val cases = for {
+      n <- Gen.choose(1, 400)
+      nStrata <- Gen.choose(1, 4)
+      quota <- Gen.oneOf(Gen.choose(1, 5), Gen.choose(1, n + 50))
+    } yield (n, nStrata, quota)
+    val prop = Prop.forAll(cases) { case (n, nStrata, quota) =>
+      val docs = (1L to n.toLong)
+        .map(i => (i, s"s${i % nStrata}")).toDF("doc_id", "lang")
+      val got = RetrievalOps.stratifiedQuota(docs, "doc_id", "lang", quota)
+        .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+      val naive = docs
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .where(col("rk") <= quota)
+        .select(col("lang"), col("doc_id")).as[(String, Long)].collect().toSet
+      got == naive
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("int8Quantize saturates at the max component and is exact on zeros") {
     val df = Seq((1L, Seq(1.0f, -0.5f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
