@@ -152,6 +152,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"gram join was broadcast:\n$plan")
   }
 
+  test("BM25 prunes postings through a BROADCAST term list (plan shape)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = graft.operators.RetrievalOps.bm25TopK(docs, "doc_id", "text",
+      _ % 400 === 0, nTerms = 6, k = 5)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // the corpus token stream must hit a broadcast join on the (tiny)
+    // query-term list BEFORE any aggregation, and the only
+    // nested-loop shape allowed is the 1-row stats broadcast-cross
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"nested loop that is not the stats cross:\n${bnlj.mkString("\n")}")
+  }
+
   test("PQ scoring joins codes against a BROADCAST ADC table (plan shape)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val r = graft.operators.VectorOps.pqTopK(emb, "vec_id", "embedding",
