@@ -164,6 +164,30 @@ object PipelineExt extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Matryoshka-truncation recall: rank neighbors by the FIRST-16-dim
+    // prefix of each embedding and measure top-5 agreement against the
+    // full 64-dim ranking — the eval that decides how far an MRL-style
+    // embedding can be truncated for cheap first-stage retrieval.
+    // Both rankings are the exact brute-force baseline (guarded); at
+    // corpus scale the truncated leg is the one that gets an
+    // IVF/SRP index, the overlap join shape is unchanged.
+    "te15_matryoshka_recall" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+      val full = VectorOps.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val tEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val tQ = tEmb.filter(col("vec_id") % 25 === 0)
+      val trunc = VectorOps.bruteForceTopK(tQ, tEmb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      full.join(trunc.withColumn("m", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"),
+          count(lit(1)).as("k"))
+        .orderBy("query_id")
+    },
+
     // Symmetric int8 quantization of the embedding corpus with
     // saturation count and reconstruction error per vector.
     "te13_int8_quant" -> { (s, dir) =>
@@ -394,6 +418,55 @@ object PipelineExt extends QueryModule {
                  ORDER BY rrf DESC, doc_id) AS rk
         FROM fused)
       WHERE rk <= 10 ORDER BY query_id, rk""",
+
+    "te15_matryoshka_recall" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      full_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT dots.query_id, dots.vec_id,
+                 row_number() OVER (PARTITION BY dots.query_id
+                   ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            dots.vec_id) AS rk
+          FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                    JOIN norms nc ON dots.vec_id = nc.vec_id)
+        WHERE rk <= 5),
+      ex16 AS (SELECT * FROM ex WHERE d < 16),
+      norms16 AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex16 GROUP BY vec_id),
+      dots16 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex16 q JOIN ex16 c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      trunc_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT dots16.query_id, dots16.vec_id,
+                 row_number() OVER (PARTITION BY dots16.query_id
+                   ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            dots16.vec_id) AS rk
+          FROM dots16 JOIN norms16 nq ON dots16.query_id = nq.vec_id
+                      JOIN norms16 nc ON dots16.vec_id = nc.vec_id)
+        WHERE rk <= 5)
+      SELECT f.query_id AS query_id,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(count(1) AS BIGINT) AS k
+      FROM full_rk f LEFT JOIN trunc_rk t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY f.query_id ORDER BY f.query_id""",
 
     "te13_int8_quant" -> """
       WITH ex AS (
