@@ -148,6 +148,14 @@ object PipelineExt extends QueryModule {
         .orderBy("canon")
     },
 
+    // Gopher-rules quality gate: per-doc boolean verdicts + keep —
+    // the pass/fail filter stage (exact integer thresholds; see
+    // TextOps.gopherRules).
+    "td30_gopher_rules" -> { (s, dir) =>
+      TextOps.gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine
     // top-20 (vector, brute-force baseline — srpBucket/ivfTopK are
     // the at-scale drop-ins with the same columns) by reciprocal-rank
@@ -418,6 +426,33 @@ object PipelineExt extends QueryModule {
                  ORDER BY rrf DESC, doc_id) AS rk
         FROM fused)
       WHERE rk <= 10 ORDER BY query_id, rk""",
+
+    "td30_gopher_rules" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      st AS (
+        SELECT doc_id,
+               CAST(count(1) AS BIGINT) AS nw,
+               CAST(sum(len(w)) AS BIGINT) AS sumlen,
+               CAST(sum(CASE WHEN len(w) <= 4
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(max(len(w)) AS BIGINT) AS maxlen,
+               CAST(count(DISTINCT CASE WHEN w IN
+                 ('the','a','data','row','value','query','table')
+                 THEN w END) AS BIGINT) AS n_stop
+        FROM w GROUP BY 1)
+      SELECT doc_id,
+             nw BETWEEN 30 AND 80 AS r_wordcount,
+             (sumlen * 10 >= nw * 42 AND sumlen * 10 <= nw * 50) AS r_meanlen,
+             (n_short * 2 >= nw) AS r_shortfrac,
+             (n_stop >= 6) AS r_stop,
+             (maxlen <= 7) AS r_maxlen,
+             (nw BETWEEN 30 AND 80
+              AND sumlen * 10 >= nw * 42 AND sumlen * 10 <= nw * 50
+              AND n_short * 2 >= nw AND n_stop >= 6
+              AND maxlen <= 7) AS keep
+      FROM st ORDER BY doc_id""",
 
     "te15_matryoshka_recall" -> """
       WITH ex AS (

@@ -732,4 +732,41 @@ object TextOps {
         (expr("(__nr * 1000000L) div n_bigrams") / lit(1e6)).as("rare_ratio"),
         (col("__nr") / col("n_bigrams") >= flagRatio).as("flagged"))
   }
+
+  /** Gopher-style quality GATE (Rae et al. rule family, adapted to the
+    * whitespace-token corpus): per-document boolean verdicts — word
+    * count band, mean-word-length band, alphabetic-word fraction,
+    * stopword presence, max-word-length cap — and the conjunction as
+    * `keep`. Every ratio threshold is an integer cross-multiplication
+    * (`10*n_alpha >= 7*nw`, never a float division), so the gate is
+    * bit-exact across engines and partial-aggregation-safe. One token
+    * explode + one keyed aggregate; corpus-linear, no driver state.
+    * Unlike td06's continuous quality SCORES, this is the pass/fail
+    * filter stage a pipeline applies before dedup.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 30, maxWords: Int = 80): DataFrame = {
+    // "function words" of this corpus's vocabulary (stands in for the
+    // natural-language stopword list; rule shape is what matters)
+    val stopwords = Seq("the", "a", "data", "row", "value", "query", "table")
+    val st = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(length(col("w")).cast("long")).as("sumlen"),
+        sum(when(length(col("w")) <= 4, 1L).otherwise(0L)).as("n_short"),
+        max(length(col("w")).cast("long")).as("maxlen"),
+        countDistinct(when(col("w").isin(stopwords: _*), col("w"))).as("n_stop"))
+    st.select(col("doc_id"),
+        col("nw").between(minWords, maxWords).as("r_wordcount"),
+        // mean word length in [4.2, 5.0], via x10 integer cross-mult
+        (col("sumlen") * 10 >= col("nw") * 42 &&
+          col("sumlen") * 10 <= col("nw") * 50).as("r_meanlen"),
+        (col("n_short") * 2 >= col("nw")).as("r_shortfrac"),
+        (col("n_stop") >= 6).as("r_stop"),
+        (col("maxlen") <= 7).as("r_maxlen"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_shortfrac") &&
+          col("r_stop") && col("r_maxlen"))
+  }
 }
