@@ -19,6 +19,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(2L) == Seq("a b c", "b c d"))
   }
 
+  test("gopherRules verdicts fire per rule on crafted documents") {
+    val docs = Seq(
+      // 1: too short (3 words) but otherwise fine tokens
+      (1L, "the a data"),
+      // 2: 30 words, mean 4.67, 16/30 short, all 7 function words,
+      // max length 6 -> passes every rule
+      (2L, (Seq("the", "a", "data", "row", "value", "query", "table") ++
+        Seq.fill(12)("scan") ++ Seq.fill(11)("column")).mkString(" ")),
+      // 3: long words -> fails maxlen and meanlen bands
+      (3L, Seq.fill(35)("supercalifragilistic").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "r_wordcount", "r_meanlen", "r_maxlen", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((false, false, true, false))) // short, mean 2.67 < 4.2
+    assert(r(2L) == ((true, true, true, true)))
+    assert(r(3L) == ((true, false, false, false)))
+  }
+
   test("connectedComponents labels chains/cycles; clusterKeepers keeps min per cluster") {
     // chain 1-2-3 (via transitivity), cycle 10-11-12-10, singleton 20
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
