@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-image perceptual-hash row (typed output of the decode loop). */
@@ -190,6 +191,42 @@ object PipelineExt extends QueryModule {
       val trunc = VectorOps.bruteForceTopK(tQ, tEmb, "vec_id", "embedding", 5)
         .select(col("query_id"), col("vec_id"))
       full.join(trunc.withColumn("m", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"),
+          count(lit(1)).as("k"))
+        .orderBy("query_id")
+    },
+
+    // Binary sign-code retrieval recall: binarize each embedding to a
+    // 63-bit sign code (bit d set iff x_d > 0; the top bit stays
+    // clear so BIGINT shift/sum arithmetic is overflow-free in BOTH
+    // engines — 32x smaller than float32), rank neighbors by hamming
+    // distance, and measure top-5
+    // agreement against the full cosine ranking — te15's truncation
+    // eval for the binarization axis. The hamming leg is pure integer
+    // (popcount of xor); at corpus scale the codes ARE the index
+    // (te03's buckets generalized to full-width codes).
+    "te16_binary_recall" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+      val full = VectorOps.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val codes = emb
+        .select(col("vec_id"),
+          posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("d", "x")))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr(
+            "CASE WHEN x > 0 AND d < 63 THEN shiftleft(1L, d) ELSE 0L END"))
+          .cast("long").as("code"))
+      val qc = codes.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val ham = qc.join(broadcast(codes), col("query_id") =!= col("vec_id"))
+        .withColumn("hamming", bit_count(expr("qcode ^ code")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      full.join(ham.withColumn("m", lit(1L)), Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"),
           count(lit(1)).as("k"))
@@ -453,6 +490,49 @@ object PipelineExt extends QueryModule {
               AND n_short * 2 >= nw AND n_stop >= 6
               AND maxlen <= 7) AS keep
       FROM st ORDER BY doc_id""",
+
+    "te16_binary_recall" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      full_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT dots.query_id, dots.vec_id,
+                 row_number() OVER (PARTITION BY dots.query_id
+                   ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            dots.vec_id) AS rk
+          FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                    JOIN norms nc ON dots.vec_id = nc.vec_id)
+        WHERE rk <= 5),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN x > 0 AND d < 63
+                 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END) AS BIGINT) AS code
+        FROM ex GROUP BY 1),
+      ham_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS rk
+          FROM codes q JOIN codes c
+            ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+        WHERE rk <= 5)
+      SELECT f.query_id AS query_id,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(count(1) AS BIGINT) AS k
+      FROM full_rk f LEFT JOIN ham_rk t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY f.query_id ORDER BY f.query_id""",
 
     "te15_matryoshka_recall" -> """
       WITH ex AS (
