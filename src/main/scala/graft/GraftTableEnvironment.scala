@@ -15,7 +15,8 @@ import scala.collection.mutable
   * in a streaming context), primary-key metadata (drives upsert/dedup
   * behavior), and registration of the engine's gap functions.
   */
-class GraftTableEnvironment private (val spark: SparkSession) {
+class GraftTableEnvironment private (val spark: SparkSession,
+                                     val isStreamingMode: Boolean) {
   private val watermarkDecl = mutable.Map[String, (String, String)]()
   private val primaryKeys = mutable.Map[String, Seq[String]]()
   private val temporalFns = mutable.Map[String, (String, Seq[String], String)]()
@@ -130,27 +131,40 @@ class GraftTableEnvironment private (val spark: SparkSession) {
                 "raw format requires a single-column schema")
             log.select(log("value").cast(schema.fields(0).dataType)
               .as(schema.fields(0).name))
+          // In streaming mode the CDC views RETAIN the log offset (the
+          // reference's `offset` metadata column, KafkaDynamicSource
+          // SOURCE metadata): the downstream stateful
+          // ChangelogNormalize (CdcStream.normalize) needs a
+          // per-partition ordering to version a key's events.
           case "debezium-json" =>
-            graft.sources.CdcFormats.debeziumJson(
+            val d = graft.sources.CdcFormats.debeziumJson(
               log.select("offset", "value"), log("value"), schema)
-              .drop("value", "offset")
+              .drop("value")
+            if (isStreamingMode) d else d.drop("offset")
           case "canal-json" =>
-            graft.sources.CdcFormats.canalJson(
+            val d = graft.sources.CdcFormats.canalJson(
               log.select("offset", "value"), log("value"), schema)
-              .drop("value", "offset")
+              .drop("value")
+            if (isStreamingMode) d else d.drop("offset")
           case "maxwell-json" =>
-            graft.sources.CdcFormats.maxwellJson(
+            val d = graft.sources.CdcFormats.maxwellJson(
               log.select("offset", "value"), log("value"), schema)
-              .drop("value", "offset")
+              .drop("value")
+            if (isStreamingMode) d else d.drop("offset")
           case other => throw new IllegalArgumentException(
             s"unsupported kafka value format '$other'")
         }
       case "upsert-kafka" =>
         // UpsertKafkaDynamicTableFactory semantics: keyed log, each
-        // record the key's new image, empty payload = tombstone; the
-        // table IS the materialization (Flink plans ChangelogNormalize
-        // on top — here it's folded into the binding). Emulated wire
-        // encoding: "<pk csv>|<value json>", tombstone "<pk csv>|".
+        // record the key's new image, empty payload = tombstone; Flink
+        // plans ChangelogNormalize on top. In batch mode the binding
+        // folds the normalize in and the table IS the materialization;
+        // in streaming mode it runs the STATEFUL normalize
+        // (CdcStream.normalize — StreamExecChangelogNormalize) and the
+        // view is the resulting upsert changelog (+U/-D with
+        // `__rowkind`), which an upsert sink (CdcStream.upsertSink)
+        // materializes. Emulated wire encoding: "<pk csv>|<value
+        // json>", tombstone "<pk csv>|".
         if (stmt.primaryKey.isEmpty)
           throw new IllegalArgumentException(
             "upsert-kafka requires a PRIMARY KEY")
@@ -159,11 +173,29 @@ class GraftTableEnvironment private (val spark: SparkSession) {
           .select(col("offset"), split(col("value"), "\\|", 2).as("f"))
           .select(col("offset"), col("f").getItem(0).as("__key"),
             col("f").getItem(1).as("__payload"))
-        val latest = graft.operators.ChangelogOps.normalize(
-          log.withColumn("__rowkind",
-            when(col("__payload") === "", "-D").otherwise("+U")),
-          Seq(col("__key")), Seq(col("offset")), col("__rowkind"))
-        latest.select(from_json(col("__payload"), schema).as("r")).select("r.*")
+          .withColumn("__rowkind",
+            when(col("__payload") === "", "-D").otherwise("+U"))
+        if (isStreamingMode) {
+          val norm = graft.streaming.CdcStream
+            .normalize(log, Seq("__key"), "offset")
+            .withColumn("__r", from_json(col("__payload"), schema))
+          // PRIMARY KEY fields decode from the KEY bytes (Flink's
+          // upsert-kafka contract — the key format owns them), so a
+          // tombstone (empty payload) still carries its key; value
+          // fields come from the payload and are null on tombstones.
+          val keyParts = split(col("__key"), ",")
+          val fields = schema.fields.map { f =>
+            val ki = stmt.primaryKey.indexOf(f.name)
+            if (ki >= 0)
+              element_at(keyParts, ki + 1).cast(f.dataType).as(f.name)
+            else col("__r." + f.name).as(f.name)
+          }
+          norm.select(col("offset") +: fields.toSeq :+ col("__rowkind"): _*)
+        } else {
+          val latest = graft.operators.ChangelogOps.normalize(
+            log, Seq(col("__key")), Seq(col("offset")), col("__rowkind"))
+          latest.select(from_json(col("__payload"), schema).as("r")).select("r.*")
+        }
       case "values" | "" =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       case other => throw new IllegalArgumentException(
@@ -178,13 +210,24 @@ class GraftTableEnvironment private (val spark: SparkSession) {
   }
 
   /** Bind a kafka-dialect table's log directory: 'path' is the log
-    * root, 'topic' optionally a subdirectory under it.
+    * root, 'topic' optionally a subdirectory under it. In a streaming
+    * environment (EnvironmentSettings.inStreamingMode — the
+    * reference's default for the kafka connector) the binding is the
+    * MicroBatchStream read path with checkpointed (partition, offset)
+    * resume; 'scan.max-records-per-trigger' maps to Kafka's
+    * maxOffsetsPerTrigger admission control. In batch mode it is a
+    * bounded 0→end scan (the reference's 1.14 batch-runtime read).
     */
   private def logRead(options: Map[String, String]): DataFrame = {
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("kafka connector requires 'path'"))
     val full = options.get("topic").fold(path)(t => s"$path/$t")
-    spark.read.format("graft-log").option("path", full).load()
+    if (isStreamingMode) {
+      val r = spark.readStream.format("graft-log").option("path", full)
+      options.get("scan.max-records-per-trigger")
+        .fold(r)(v => r.option("maxRecordsPerTrigger", v))
+        .load()
+    } else spark.read.format("graft-log").option("path", full).load()
   }
 
   private def okResult(): DataFrame = {
@@ -343,8 +386,18 @@ class GraftStatementSet private[graft] (env: GraftTableEnvironment) {
 }
 
 object GraftTableEnvironment {
-  def create(spark: SparkSession): GraftTableEnvironment = {
+  def create(spark: SparkSession): GraftTableEnvironment =
+    create(spark, inStreamingMode = false)
+
+  /** EnvironmentSettings.inStreamingMode()/inBatchMode() parity
+    * (flink-table-api-java .../EnvironmentSettings.java): a streaming
+    * environment binds unbounded connectors (kafka/upsert-kafka) to
+    * the MicroBatchStream read path, a batch environment to bounded
+    * scans. Same DDL, same decode, same downstream operators — the
+    * reference's unified-runtime contract.
+    */
+  def create(spark: SparkSession, inStreamingMode: Boolean): GraftTableEnvironment = {
     FlinkFunctions.registerAll(spark)
-    new GraftTableEnvironment(spark)
+    new GraftTableEnvironment(spark, inStreamingMode)
   }
 }

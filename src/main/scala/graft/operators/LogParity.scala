@@ -150,6 +150,52 @@ object LogParity extends QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // Streaming CDC end-to-end — the reference's flagship loop
+    // (KafkaDynamicSource → debezium-json decode →
+    // StreamExecChangelogNormalize → upsert sink), run BOUNDED for the
+    // oracle: the cdc02 debezium event script lands in a 4-partition
+    // log (per-key order preserved within a partition, Kafka's
+    // contract), a STREAMING query reads it through the
+    // MicroBatchStream path under admission control (multiple epochs),
+    // CdcStream.normalize collapses it statefully per key, the upsert
+    // sink materializes epoch deltas, and the final merge-on-read
+    // state is aggregated. Same oracle as batch cdc02 — the two paths
+    // must converge (kill/restart variants run in CdcStreamSpec).
+    "kfk04_cdc_stream_normalize" -> { (s, dir) =>
+      val base = scratch("kfk04", dir)
+      val logDir = s"$base/log"
+      val ev = CdcParity.debeziumEvents(s, dir)
+      LogSource.write(
+        ev.withColumn("partition", pmod(col("k"), lit(4)).cast("int"))
+          .repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("k"), col("seq"))
+          .select(col("partition"), col("json").as("value")),
+        logDir)
+      val src = s.readStream.format("graft-log").option("path", logDir)
+        .option("maxRecordsPerTrigger", 100000).load()
+      val parsed = graft.sources.CdcFormats.debeziumJson(
+          src.select(col("offset"), col("value")), col("value"),
+          CdcParity.physical)
+        .drop("value")
+      // A 'u' record explodes to a (-U, +U) pair at ONE offset: the
+      // kind rank breaks the tie so the version totally orders a key.
+      val kindRank = when(col("__rowkind") === "+I", 0)
+        .when(col("__rowkind") === "-U", 1)
+        .when(col("__rowkind") === "+U", 2).otherwise(3)
+      val versioned = parsed.withColumn("__version",
+        col("offset") * 4 + kindRank)
+      val norm = graft.streaming.CdcStream.normalize(
+        versioned, Seq("o_orderkey"), "__version")
+      val q = graft.streaming.CdcStream.upsertSink(
+        norm, s"$base/state", s"$base/ckpt").start()
+      try { q.processAllAvailable() } finally q.stop()
+      graft.streaming.CdcStream.readState(
+          s, s"$base/state", Seq("o_orderkey"), "__version")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -191,6 +237,17 @@ object LogParity extends QueryModule {
         FROM orders WHERE o_orderkey % 10 <> 0)
       SELECT st AS o_orderstatus, count(1) AS n_orders,
              ${dsumSql("p")} AS sum_price
+      FROM fin GROUP BY 1 ORDER BY 1""",
+
+    // Identical oracle to cdc02: the streaming stateful pipeline must
+    // converge to the same normalized state as the batch normalize.
+    "kfk04_cdc_stream_normalize" -> s"""
+      WITH fin AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS st,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT st AS o_orderstatus, count(1) AS n, ${dsumSql("p")} AS sum_price
       FROM fin GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -101,6 +101,11 @@ object Pregel {
       edges, rounds)(
       sendMsg = (attr, w) => attr + w, // sentinel + w still >> any path
       mergeMsg = m => min(m)) // self-loop w=0 carries the old attr
+      // iterateMonotone rebuilds the frame from message DESTINATIONS,
+      // so a directed edge list can surface dst-only vertices absent
+      // from `nodes`; the semi-join restores the contract that the
+      // output vertex set is exactly the input vertex set.
+      .join(nodes.select(col("n")), Seq("n"), "left_semi")
 
   /** DataSet delta iteration (reference flink-java
     * .../operators/DeltaIteration.java; Gelly's scatter-gather runs on

@@ -178,31 +178,23 @@ object RetrievalOps {
     * At scale a per-stratum `row_number` window is a single-partition
     * sort of the whole stratum (strata are few and huge). Instead:
     * bucket h into 1024 h-ordered ranges, aggregate per-(stratum,
-    * bucket) counts (bounded: strata x 1024 rows, collected to the
-    * driver like a broadcast threshold), pick per stratum the
-    * boundary bucket where the cumulative count crosses the quota,
+    * bucket) counts into a histogram (≤ |strata| x 1024 rows, fully
+    * distributed — each stratum's ≤1024 buckets fit one window
+    * partition), pick per stratum the boundary bucket where the
+    * cumulative count crosses the quota via a cumulative-sum window,
+    * broadcast the |strata|-row boundary frame back onto the corpus,
     * then take all docs below the boundary and rank ONLY inside the
     * boundary bucket (≈ stratum/1024 rows). The full stratum is never
-    * sorted; the corpus is scanned twice, shuffled once on the tiny
-    * histogram and once on the boundary-bucket rows.
+    * sorted, NOTHING corpus- or histogram-scale ever reaches the
+    * driver, and the stratum column keeps its native type end to end
+    * (int buckets work as well as strings). The corpus is scanned
+    * twice, shuffled once on the tiny histogram and once on the
+    * boundary-bucket rows.
     *
     * @return (stratum, doc_id, h) — the selected sample
     */
-  /** Cap on distinct strata: the histogram the driver collects is
-    * |strata| x 1024 rows, so a high-cardinality strata column (a
-    * mistaken doc-id, say) must fail loudly instead of OOMing the
-    * driver. Checked with an O(cap) limit-probe, never a full count.
-    */
-  val MaxStrata: Int = 10000
-
   def stratifiedQuota(docs: DataFrame, idCol: String, strataCol: String,
                       quota: Int): DataFrame = {
-    val nStrata = docs.select(col(strataCol)).distinct()
-      .limit(MaxStrata + 1).count()
-    require(nStrata <= MaxStrata,
-      s"stratifiedQuota saw more than $MaxStrata distinct strata in " +
-        s"'$strataCol' — the driver-side histogram is |strata| x 1024 " +
-        "rows; partition the corpus or use a coarser stratum key")
     val HMod = 1000000007L
     val NBuckets = 1024L
     val bucketWidth = HMod / NBuckets + 1 // h-ordered ranges
@@ -210,37 +202,30 @@ object RetrievalOps {
         col(idCol).cast("long").as("doc_id"))
       .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(HMod))
       .withColumn("bucket", (col("h") / lit(bucketWidth)).cast("long"))
-    // bounded histogram: |strata| x 1024 rows max
+    // distributed histogram: ≤ |strata| x 1024 rows, never collected
     val hist = hashed.groupBy(col("stratum"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .collect()
-      .groupBy(_.getAs[Any]("stratum"))
-    // per stratum: boundary bucket + how many to take from it
-    val bounds = hist.map { case (stratum, rows) =>
-      val sorted = rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
-        .sortBy(_._1)
-      val total = sorted.map(_._2).sum
-      if (total <= quota) (stratum, Long.MaxValue, 0L) // whole stratum fits
-      else {
-        var cum = 0L
-        var boundary = 0L
-        var fromBoundary = 0L
-        val it = sorted.iterator
-        var found = false
-        while (it.hasNext && !found) {
-          val (b, c) = it.next()
-          if (cum + c >= quota) { boundary = b; fromBoundary = quota - cum; found = true }
-          else cum += c
-        }
-        (stratum, boundary, fromBoundary)
-      }
-    }.toSeq
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val boundsDf = bounds.map { case (s, b, f) => (s.asInstanceOf[String], b, f) }
-      .toDF("stratum", "boundary", "from_boundary")
-    val joined = hashed.join(broadcast(boundsDf), Seq("stratum"))
-    val below = joined.where(col("bucket") < col("boundary"))
+    // cumulative count of the buckets BEFORE each bucket, per stratum
+    // (≤1024 rows per window partition — bounded by construction)
+    val wCum = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    // boundary = first bucket where the running total reaches the
+    // quota; strata whose total is ≤ quota produce NO boundary row and
+    // are kept whole via the left join below. |strata| rows out.
+    val boundsDf = cum
+      .where(col("cum_before") + col("cnt") >= quota.toLong)
+      .groupBy(col("stratum"))
+      .agg(min_by(
+        struct(col("bucket").as("boundary"),
+          (lit(quota.toLong) - col("cum_before")).as("from_boundary")),
+        col("bucket")).as("bb"))
+      .select(col("stratum"), col("bb.boundary").as("boundary"),
+        col("bb.from_boundary").as("from_boundary"))
+    val joined = hashed.join(broadcast(boundsDf), Seq("stratum"), "left")
+    val below = joined.where(col("boundary").isNull ||
+      col("bucket") < col("boundary"))
     val wB = Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))
     val atBoundary = joined.where(col("bucket") === col("boundary"))
       .withColumn("rk", row_number().over(wB))

@@ -735,8 +735,9 @@ object TextOps {
 
   /** Gopher-style quality GATE (Rae et al. rule family, adapted to the
     * whitespace-token corpus): per-document boolean verdicts — word
-    * count band, mean-word-length band, alphabetic-word fraction,
-    * stopword presence, max-word-length cap — and the conjunction as
+    * count band, mean-word-length band, short-word (length ≤ 4)
+    * fraction, stopword presence, max-word-length cap — and the
+    * conjunction as
     * `keep`. Every ratio threshold is an integer cross-multiplication
     * (`10*n_alpha >= 7*nw`, never a float division), so the gate is
     * bit-exact across engines and partial-aggregation-safe. One token

@@ -285,40 +285,67 @@ private[sources] case class LogOffset(offsets: Map[Int, Long]) extends Offset {
 }
 
 private[sources] class LogMicroBatchStream(path: String, maxPerTrigger: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset =
     LogOffset(LogSource.endOffsets(path).map { case (p, _) => p -> 0L })
 
-  // latestOffset is called after the planner knows the last committed
-  // offset only via planInputPartitions, so admission control tracks
-  // the last end this stream handed out.
-  private var lastEnd: Map[Int, Long] = Map.empty
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
 
-  override def latestOffset(): Offset = {
-    val avail = LogSource.endOffsets(path)
-    val admitted =
-      if (maxPerTrigger == Long.MaxValue) avail
-      else {
-        // Pro-rate the budget across lagging partitions (Kafka's
-        // maxOffsetsPerTrigger discipline), minimum 1 per lagging
-        // partition so no partition starves.
+  /** Trigger.AvailableNow (KafkaMicroBatchStream's contract): snapshot
+    * the log end at query start; the drain runs rate-limited batches
+    * up to the snapshot and stops — records appended after the
+    * snapshot wait for the next run.
+    */
+  private var availableNowCap: Option[Map[Int, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LogSource.endOffsets(path))
+
+  /** Admission control through the engine-supplied START offset (the
+    * last committed end) — the SupportsAdmissionControl contract the
+    * Kafka source implements (KafkaMicroBatchStream.latestOffset):
+    * lag is measured from where the query actually is, so a RESTARTED
+    * query budgets from its checkpoint, not from offset 0. The budget
+    * is pro-rated across lagging partitions (maxOffsetsPerTrigger
+    * discipline), minimum 1 per lagging partition so none starves.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogOffset].offsets
+    val avail = availableNowCap.getOrElse(LogSource.endOffsets(path))
+    val admitted = limit match {
+      case _: ReadAllAvailable => avail
+      case mr: ReadMaxRows =>
+        val budget = mr.maxRows()
         val lags = avail.map { case (p, e) =>
-          p -> math.max(e - lastEnd.getOrElse(p, 0L), 0L)
+          p -> math.max(e - from.getOrElse(p, 0L), 0L)
         }
         val totalLag = lags.values.sum
-        if (totalLag <= maxPerTrigger) avail
+        if (totalLag <= budget) avail
         else avail.map { case (p, e) =>
           val lag = lags(p)
           val grant =
             if (lag == 0L) 0L
-            else math.max(maxPerTrigger * lag / totalLag, 1L)
-          p -> math.min(lastEnd.getOrElse(p, 0L) + grant, e)
+            else math.max(budget * lag / totalLag, 1L)
+          p -> math.min(from.getOrElse(p, 0L) + grant, e)
         }
-      }
-    lastEnd = admitted
+      case other => throw new UnsupportedOperationException(
+        s"graft-log does not support read limit $other")
+    }
     LogOffset(admitted)
   }
+
+  /** Unlimited latest — lag/progress reporting, never batch planning. */
+  override def reportLatestOffset(): Offset =
+    LogOffset(LogSource.endOffsets(path))
+
+  // Dead when SupportsAdmissionControl is present; the engine always
+  // calls the two-argument form.
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset() unused: graft-log implements SupportsAdmissionControl")
 
   override def deserializeOffset(json: String): Offset =
     LogOffset(LogSource.offsetsFromJson(json))

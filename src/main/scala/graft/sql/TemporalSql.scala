@@ -96,9 +96,14 @@ object TemporalSql {
   // validity-interval join as FOR SYSTEM_TIME — time containment in
   // the ON clause, the key equality stays wherever the user wrote it
   // (the reference's rule does exactly this split).
+  // The optional alias group is guarded against clause keywords (the
+  // same trap JoinRe's (?!ON\b) avoids): an alias-less spelling like
+  // `LATERAL TABLE (Rates(o.ts)) WHERE ...` must not capture WHERE.
   private val LateralRe =
     ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\(" +
-      "([^()]*)\\)\\s*\\)\\s*(?:AS\\s+)?([A-Za-z_]\\w*)?").r
+      "([^()]*)\\)\\s*\\)\\s*(?:AS\\s+)?" +
+      "(?!(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|JOIN|LEFT|RIGHT|FULL|" +
+      "INNER|CROSS|UNION|INTERSECT|EXCEPT|ON|AND|OR)\\b)([A-Za-z_]\\w*)?").r
 
   def containsFunctionClause(sql: String): Boolean =
     LateralRe.findFirstIn(sql).isDefined
@@ -115,7 +120,13 @@ object TemporalSql {
       case None => sql
       case Some(m) =>
         fnMeta(m.group(1)) match {
-          case None => sql // not a temporal function — leave as-is
+          case None =>
+            // Not a temporal function (may be a genuine UDTF) — leave
+            // THIS match as-is but keep scanning: a later registered
+            // temporal function in the same statement must still be
+            // rewritten.
+            sql.substring(0, m.end) +
+              rewriteFunctions(sql.substring(m.end), fnMeta)
           case Some((table, pk, vt)) =>
             val asOf = m.group(2).trim
             val alias = Option(m.group(3)).getOrElse(table.split('.').last)

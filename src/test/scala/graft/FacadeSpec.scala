@@ -258,6 +258,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(graft.sql.TemporalSql.rewriteFunctions(
       "SELECT * FROM t, LATERAL TABLE (Other(x))", _ => None)
       .contains("LATERAL TABLE (Other(x))"))
+    // ... but a REGISTERED temporal function LATER in the same
+    // statement must still rewrite (the scan keeps going past the
+    // unknown match instead of bailing out).
+    val mixed = graft.sql.TemporalSql.rewriteFunctions(
+      "SELECT * FROM t, LATERAL TABLE (Other(x)), LATERAL TABLE (Rates(t.ts)) AS r",
+      fn => if (fn == "Rates") Some(("tf_rates", Seq("currency"), "vt")) else None)
+    assert(mixed.contains("LATERAL TABLE (Other(x))"))
+    assert(mixed.contains("__vt_from"), s"registered fn left unrewritten: $mixed")
+    // Alias-less spelling followed by a clause keyword: WHERE must not
+    // be captured as the alias (the table name becomes the alias).
+    val aliasless = graft.sql.TemporalSql.rewriteFunctions(
+      "SELECT * FROM tf_orders o, LATERAL TABLE (Rates(o.ts)) WHERE o.currency = tf_rates.currency",
+      fn => if (fn == "Rates") Some(("tf_rates", Seq("currency"), "vt")) else None)
+    assert(aliasless.contains("WHERE o.currency"), s"WHERE swallowed: $aliasless")
+    assert(aliasless.contains("AS tf_rates"), s"default alias missing: $aliasless")
   }
 
   test("lookup join probes once per distinct key within a partition (LRU cache)") {

@@ -101,34 +101,44 @@ class LogSourceSpec extends AnyFunSuite {
       .iterator().asScala.exists(_.getFileName.toString.startsWith("_batch-")))
   }
 
-  test("exactly-once: kill mid-segment, restart resumes with no loss/dup") {
+  test("exactly-once: crash mid-segment, restart resumes with no loss/dup") {
     val dir = tmp("graft-log")
     val ckpt = tmp("graft-log-ck")
     val out = tmp("graft-log-out")
-    // One 5-record segment; admission 2/trigger, a single trigger
-    // commits offsets [0,2) — strictly inside the segment file.
+    // One 5-record segment; admission 2/trigger, so epoch 0 commits
+    // offsets [0,2) — strictly inside the segment file. A crash is
+    // injected BEFORE epoch 1 writes (the sink raises), leaving the
+    // checkpoint mid-segment: the restart must seek INTO the segment.
     LogSource.append(dir, 0, (0 until 5).map(i => s"a$i"))
-    def start(trigger: Option[Trigger]) = {
-      val r = spark.readStream.format("graft-log").option("path", dir)
+    def start(failAtEpoch: Option[Long], availableNow: Boolean) = {
+      val w = spark.readStream.format("graft-log").option("path", dir)
         .option("maxRecordsPerTrigger", 2).load()
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt).outputMode("append")
-      trigger.foreach(r.trigger)
-      r.start()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          if (failAtEpoch.contains(epoch)) sys.error("injected crash")
+          val d = java.nio.file.Paths.get(out, f"epoch=$epoch%020d")
+          if (!Files.exists(d)) b.write.parquet(d.toString)
+          ()
+        }
+      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
     }
-    val q1 = start(Some(Trigger.Once()))
-    q1.awaitTermination()
-    val afterKill = spark.read.parquet(out).count()
-    assert(afterKill == 2, s"one admission-capped batch, got $afterKill")
+    val q1 = start(Some(1L), availableNow = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    val afterKill = spark.read.parquet(out + "/epoch=*").count()
+    assert(afterKill == 2, s"one admission-capped epoch, got $afterKill")
     // Data arrives while the query is down: a mid-stream append to the
     // live partition AND a brand-new partition (Kafka partition
     // discovery).
     LogSource.append(dir, 0, Seq("a5"))
     LogSource.append(dir, 1, Seq("b0", "b1"))
-    val q2 = start(None)
+    val q2 = start(None, availableNow = false)
     q2.processAllAvailable(); q2.stop()
-    val got = spark.read.parquet(out).as[(Int, Long, String)].collect().toSet
-    assert(got == (0 until 6).map(i => (0, i.toLong, s"a$i")).toSet ++
+    val got = spark.read.parquet(out + "/epoch=*")
+      .as[(Int, Long, String)].collect()
+    assert(got.length == got.toSet.size, "no duplicates across epochs")
+    assert(got.toSet == (0 until 6).map(i => (0, i.toLong, s"a$i")).toSet ++
       Set((1, 0L, "b0"), (1, 1L, "b1")))
   }
 }

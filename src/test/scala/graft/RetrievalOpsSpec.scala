@@ -37,6 +37,28 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedQuota is fully lazy: no Spark job (no driver collect) until the result is consumed") {
+    // The boundary pick must be computed distributively — building the
+    // plan may not run ANY job (the old implementation collected a
+    // |strata| x 1024 histogram to the driver at call time). Also
+    // covers the non-string-stratum regression: an int stratum column
+    // must work end to end.
+    val docs = (1L to 300L).map(i => (i, (i % 3).toInt)).toDF("doc_id", "bucket3")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = RetrievalOps.stratifiedQuota(docs, "doc_id", "bucket3", 10)
+      Thread.sleep(500) // listener bus is async; drain before asserting
+      assert(jobs.get() == 0, "stratifiedQuota ran a job during plan construction")
+      assert(result.count() == 30) // int strata column works (3 strata x 10)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("property: stratifiedQuota equals the rank selection for random corpora") {
     import org.scalacheck.{Gen, Prop}
     // Random (corpus size, strata count, quota) incl. the boundary
