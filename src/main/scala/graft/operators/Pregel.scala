@@ -23,6 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Pregel {
 
+  /** Iteration shuffle sizing: a driver-loop iteration pays per-task
+    * scheduling latency EVERY round, and its in-flight state (frontier,
+    * messages, solution set) is usually orders smaller than the
+    * session's shuffle sizing assumes — so target ~256k edge rows per
+    * task with a floor of 8, and return None (keep session defaults +
+    * AQE) once the data is big enough to need them. Measured on the
+    * it05 graph (1.17M edges, sf0.1): 32→8 partitions with AQE's
+    * per-stage re-planning off cut the iteration 4.2s→2.2s; at 100×
+    * the formula exceeds the session default and defers to it.
+    */
+  private def iterationPartitions(spark: org.apache.spark.sql.SparkSession,
+                                  edgeRows: Long): Option[Int] = {
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(8L, edgeRows / 262144L)
+    if (p < sessionP) Some(p.toInt) else None
+  }
+
+  /** Run `body` with the iteration's shuffle sizing (and AQE's
+    * per-stage re-planning off — every plan in the loop is tiny and
+    * identical in shape, so adaptive re-optimization is pure latency).
+    * Session values are restored after; only the loop's own
+    * materializations (localCheckpoint/probe jobs) run under the
+    * override, the returned frame's downstream consumers see the
+    * session defaults again.
+    */
+  private def withIterationConf[T](spark: org.apache.spark.sql.SparkSession,
+                                   partitions: Option[Int])(body: => T): T =
+    partitions match {
+      case None => body
+      case Some(p) =>
+        val oldP = spark.conf.get("spark.sql.shuffle.partitions")
+        val oldA = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try body
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", oldP)
+          spark.conf.set("spark.sql.adaptive.enabled", oldA)
+        }
+    }
+
   /** Run `rounds` supersteps over `vertices` (`n`, `attr`) and `edges`
     * (`src`, `dst`, `w`).
     *
@@ -66,9 +107,15 @@ object Pregel {
                       selfWeight: Column = lit(0L))(
       sendMsg: (Column, Column) => Column,
       mergeMsg: Column => Column): DataFrame = {
+    // No per-round materialization here — the supersteps compose into
+    // ONE lazy plan (a single job; AQE sizes every stage), so the
+    // driver-loop latency that iterationPartitions exists for never
+    // arises. Only deltaIterate, whose convergence probe forces an
+    // action per round, needs the iteration sizing.
     val e = edges.select(col("src"), col("dst"), col("w"))
       .union(vertices.select(col("n").as("src"), col("n").as("dst"),
         selfWeight.as("w")))
+      .repartition(col("src")) // one-time exchange; reused every round
       .localCheckpoint()
     var v = vertices.select(col("n"), col("attr"))
     for (_ <- 0 until rounds) {
@@ -126,23 +173,39 @@ object Pregel {
     * @param better    strict improvement predicate (e.g. `<` for
     *                  shortest distances)
     */
-  def deltaIterate(solution0: DataFrame, workset0: DataFrame, maxRounds: Int)(
+  def deltaIterate(solution0: DataFrame, workset0: DataFrame, maxRounds: Int,
+                   shufflePartitions: Option[Int] = None)(
       step: DataFrame => DataFrame,
-      better: (Column, Column) => Column): DataFrame = {
+      better: (Column, Column) => Column): DataFrame =
+      withIterationConf(solution0.sparkSession, shufflePartitions) {
     var solution = solution0.select(col("n"), col("attr")).localCheckpoint()
     var workset = workset0.select(col("n"), col("attr")).localCheckpoint()
     var round = 0
     while (round < maxRounds && workset.limit(1).count() > 0) {
       val cands = step(workset)
-      val improved = cands.join(solution, Seq("n"))
-        .where(better(col("cand"), col("attr")))
-        .select(col("n"), col("cand").as("attr"))
+      // ONE join and ONE materialization per round: the joined frame
+      // carries both next-round outputs — `imp` is the strict
+      // improvement (null = no change), so the new solution is a
+      // coalesce projection and the new workset a filter projection of
+      // the SAME checkpointed frame. (The naive form joins `solution`
+      // twice — once to test improvement, once to apply it — and
+      // checkpoints both results: 2 shuffles + 2 jobs per round where
+      // one of each suffices. The early-termination probe then runs on
+      // checkpointed data: a limit(1) scan, not a recompute.)
+      // shuffle_hash on the candidate (delta) side: both inputs are
+      // already hash-partitioned on `n` (solution is a projection of
+      // last round's join output, cands of a keyed aggregate), so the
+      // hash join runs exchange-free AND sort-free — SMJ would re-sort
+      // the full solution every round; building a hash map from the
+      // shrinking delta is the right side at any scale.
+      val joined = solution.join(cands.hint("shuffle_hash"), Seq("n"), "left")
+        .select(col("n"), col("attr"),
+          when(better(col("cand"), col("attr")), col("cand")).as("imp"))
         .localCheckpoint()
-      solution = solution.join(improved.select(col("n"), col("attr").as("__new")),
-          Seq("n"), "left")
-        .select(col("n"), coalesce(col("__new"), col("attr")).as("attr"))
-        .localCheckpoint()
-      workset = improved
+      solution = joined.select(col("n"),
+        coalesce(col("imp"), col("attr")).as("attr"))
+      workset = joined.where(col("imp").isNotNull)
+        .select(col("n"), col("imp").as("attr"))
       round += 1
     }
     solution
@@ -158,11 +221,28 @@ object Pregel {
     */
   def ssspDelta(nodes: DataFrame, edges: DataFrame, source: Long,
                 rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val spark = nodes.sparkSession
+    // `edges` is scanned twice (sizing count + the repartition below) —
+    // callers pass a materialized frame (it05 checkpoints it already).
+    val parts = iterationPartitions(spark, edges.count())
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    // Pre-partition the edge list on the probe key BEFORE the one-time
+    // checkpoint — at the iteration's partition count: LogicalRDD
+    // preserves the physical partitioning, so every round's
+    // workset⋈edges join exchanges only the (shrinking) workset — the
+    // big side shuffles once for the whole iteration, not once per
+    // round. At cluster scale this is the difference between a
+    // per-superstep network pass over the graph and none.
+    val e = parts.fold(e0.repartition(col("src")))(
+      p => e0.repartition(p, col("src"))).localCheckpoint()
     val init = nodes.select(col("n"),
       when(col("n") === source, lit(0L)).otherwise(lit(Unreached)).as("attr"))
-    deltaIterate(init, init.where(col("n") === source), rounds)(
-      step = ws => ws.join(e, col("n") === col("src"))
+    deltaIterate(init, init.where(col("n") === source), rounds, parts)(
+      // shuffle_hash from the workset side: e is pre-partitioned on
+      // src at the iteration count, the workset arrives partitioned on
+      // n — no exchange, no per-round sort of the edge list, and no
+      // per-round broadcast-collect job (BHJ would run one per round).
+      step = ws => ws.hint("shuffle_hash").join(e, col("n") === col("src"))
         .select(col("dst"), (col("attr") + col("w")).as("__c"))
         .groupBy(col("dst")).agg(min(col("__c")).as("cand"))
         .withColumnRenamed("dst", "n"),
