@@ -57,12 +57,17 @@ object SimilaritySuite extends QueryModule {
       // interpreted transform lambda isn't re-inlined per candidate pair
       // and the bucket join parallelizes (same pattern as cosinePairs).
       val nbits = 8
+      // localCheckpoint (not just a repartition): the frame now feeds
+      // THREE consumers — the query side, the corpus side, and the
+      // hot-bucket probe, which is a separate action and would
+      // re-execute the transform lambdas without a materialization.
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
         .withColumn("bucket", VectorOps.srpBucket(col("v"), nbits))
         .withColumn("nrm",
           sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
         .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"),
           explode(VectorOps.srpProbes(col("bucket"), nbits)).as("bucket"),
@@ -71,7 +76,13 @@ object SimilaritySuite extends QueryModule {
         col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      q.join(c, Seq("bucket")).where(col("query_id") =!= col("vec_id"))
+      // Hot-bucket-salted probe join (SkewJoin.saltedInnerHot): a
+      // degenerate corpus that hashes into one SRP bucket would
+      // otherwise put the whole candidate expansion on one task; the
+      // probe is one 2^nbits-row aggregate, identical results.
+      SkewJoin.saltedInnerHot(q, c, "bucket", col("query_id"),
+          saltFactor = 16, hotThreshold = 4096L)
+        .where(col("query_id") =!= col("vec_id"))
         .withColumn("cos", round(
           (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
             / (col("qn") * col("cn")), 6))

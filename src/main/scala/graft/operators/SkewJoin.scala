@@ -52,6 +52,10 @@ object SkewJoin {
       .where(col("__hn") > hotThreshold)
       .select(col(key), lit(true).as("__hot"))
       .localCheckpoint()
+    // Common case — no hot keys: return the PLAIN join so auto-wired
+    // call sites (LSH/SRP bucket mining) pay only the probe aggregate,
+    // not the tag joins + two-branch union of the salted plan shape.
+    if (hot.isEmpty) return left.join(right, Seq(key))
     val l = left.join(broadcast(hot), Seq(key), "left")
     val r = right.join(broadcast(hot), Seq(key), "left")
     val cold = l.where(col("__hot").isNull).drop("__hot")

@@ -109,11 +109,34 @@ object TextOps {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing any LSH bucket. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = bands.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+  /** Distinct candidate pairs (id_a < id_b) sharing any LSH bucket.
+    *
+    * Skew-hardened: the pair expansion of a bucket with n members is
+    * n², and a plain equi-join lands ALL of it on one task — an
+    * adversarial corpus (one boilerplate page duplicated 100k times
+    * collides in every band) turns the mining join into a single
+    * straggler (measured in SkewProbe: straggler share 1.000 for a
+    * full-side hot key). The join therefore routes through
+    * [[SkewJoin.saltedInnerHot]]: ONE aggregate over the band index
+    * finds buckets above `hotBucketThreshold` members (broadcast-sized
+    * list by construction), only those buckets' rows join salted
+    * (spread over `saltFactor` tasks), the cold majority joins plain —
+    * identical result set, bounded per-task pair expansion
+    * (hotBucketThreshold²·saltFactor worst case per task).
+    */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     hotBucketThreshold: Long = 4096L,
+                     saltFactor: Int = 16): DataFrame = {
+    // Materialize the band index once: the hot probe is a SEPARATE
+    // action (its result must exist before the join plan is built), so
+    // without this the upstream signature aggregate would run twice.
+    val k = bands.select(struct(col("band"), col("bh")).as("__bk"),
+      col(idCol).as("__id")).localCheckpoint()
+    val a = k.select(col("__bk"), col("__id").as("id_a"))
+    val b = k.select(col("__bk"), col("__id").as("id_b"))
+    SkewJoin.saltedInnerHot(a, b, "__bk", col("id_a"), saltFactor,
+        hotBucketThreshold)
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 

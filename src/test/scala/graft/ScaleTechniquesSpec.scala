@@ -64,6 +64,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("candidatePairs auto-salts hot LSH buckets; result identical to the plain mining join") {
+    import graft.operators.TextOps
+    // Adversarial corpus shape: 120 boilerplate documents collide in
+    // EVERY band (one n² hot bucket per band), 100 normal documents
+    // land in singleton buckets. The wired-in hot probe must engage
+    // (bucket size 120 > threshold 50) and the candidate set must be
+    // exactly the plain join's.
+    val hot = spark.range(120).select(col("id"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", col("band") * 7919L)
+    val cold = spark.range(500, 600).select(col("id"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", col("id") * 1000L + col("band"))
+    val bands = hot.unionByName(cold)
+    val maxBucket = bands.groupBy(col("band"), col("bh"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxBucket == 120L, "fixture must exceed the hot threshold")
+    val got = TextOps.candidatePairs(bands, "id",
+        hotBucketThreshold = 50L, saltFactor = 8)
+      .as[(Long, Long)].collect().toSet
+    val plain = bands.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == plain)
+    assert(plain.size == 120 * 119 / 2) // all boilerplate pairs, once each
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
