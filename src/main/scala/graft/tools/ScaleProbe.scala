@@ -401,6 +401,139 @@ object ScaleProbe {
           .groupBy(col("phash"))
           .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_id"))
       })
+      // URL canonicalization dedup (td29's shape): map-side regex +
+      // param sort, one hash aggregate — must stay scan-linear.
+      run("td29 url dedup", k, {
+        val d = docs
+          .withColumn("h", pmod(col("doc_id"), lit(50)))
+          .withColumn("p", pmod(col("doc_id"), lit(200)))
+          .withColumn("url",
+            when(pmod((col("doc_id") / 200).cast("long"), lit(2)) === 0,
+              concat(lit("https://Host"), col("h"), lit(".Example.COM/x/"),
+                col("p"), lit("?id="), col("p"), lit("&utm_source=f")))
+              .otherwise(concat(lit("https://host"), col("h"),
+                lit(".example.com/x/"), col("p"), lit("?id="), col("p"))))
+        val host = lower(regexp_extract(col("url"), "^https://([^/]+)", 1))
+        val path = regexp_extract(col("url"), "^https://[^/]+([^?]*)", 1)
+        val kept = array_join(array_sort(filter(
+          split(substring_index(col("url"), "?", -1), "&"),
+          kv => not(kv.startsWith("utm_")))), "&")
+        d.withColumn("canon", concat(host, path, lit("?"), kept))
+          .groupBy(col("canon"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      })
+      // Gopher gate (td30): one token explode + one keyed aggregate.
+      run("td30 gopher rules", k,
+        TextOps.gopherRules(docs, "doc_id", "text"))
+      // Matryoshka first-stage retrieval (te15's truncated leg at its
+      // scale shape): the 16-dim prefix goes through the SRP bucket
+      // index with the fixed query batch — the brute-force legs in the
+      // oracle query are guarded baselines, this is the drop-in.
+      run("te15 trunc-prefix ANN", k, srpProbe(spark,
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        isQ(col("vec_id"))))
+      // Binary sign-code retrieval (te16's scale shape): 63-bit codes
+      // from one aggregate, then a PIGEONHOLE-banded candidate join
+      // (4×16-bit chunks — hamming ≤3 guarantees a shared chunk) and
+      // exact popcount re-rank. The oracle query's broadcast of the
+      // code list caps at executor memory; the banded index is the
+      // any-scale form (codes shuffle on chunk keys like td04).
+      run("te16 binary-code ANN", k, {
+        val codes = emb
+          .select(col("vec_id"),
+            posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("d", "x")))
+          .groupBy(col("vec_id"))
+          .agg(sum(expr(
+              "CASE WHEN x > 0 AND d < 63 THEN shiftleft(1L, d) ELSE 0L END"))
+            .cast("long").as("code"))
+          .localCheckpoint() // feeds both sides of the band join
+        val banded = codes.select(col("vec_id"), col("code"),
+            explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+              expr(s"(code >> ${i * 16}) & 65535").as("chunk"))): _*)).as("b"))
+          .select(col("vec_id"), col("code"), col("b.band").as("band"),
+            col("b.chunk").as("chunk"))
+        val qb = banded.where(isQ(col("vec_id")))
+          .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+            col("band"), col("chunk"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("vec_id"))
+        qb.join(banded, Seq("band", "chunk"))
+          .where(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"), col("qcode"), col("code"))
+          .distinct()
+          .withColumn("hamming", bit_count(expr("qcode ^ code")))
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      })
+      // Upsert-log materialization (kfk03's shape): staged-commit write
+      // of a keyed changelog, read back, keep-last per key in offset
+      // order, tombstones dropped — write amplification + one key
+      // shuffle, both linear.
+      run("kfk03 upsert log", k, {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-kfk03-$k").toString
+        val v1 = docs.select(col("doc_id").as("key"), lit(0).as("seq"),
+          concat(col("doc_id"), lit("|v1")).as("value"))
+        val v2 = docs.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("key"), lit(1).as("seq"),
+            concat(col("doc_id"), lit("|v2")).as("value"))
+        val tomb = docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("key"), lit(2).as("seq"),
+            concat(col("doc_id"), lit("|")).as("value"))
+        graft.sources.LogSource.write(
+          v1.unionAll(v2).unionAll(tomb)
+            .withColumn("partition", pmod(col("key"), lit(8)).cast("int"))
+            .repartition(8, col("partition"))
+            .sortWithinPartitions(col("partition"), col("key"), col("seq"))
+            .select("partition", "value"), dir)
+        val read = spark.read.format("graft-log").option("path", dir).load()
+          .select(col("offset"), split(col("value"), "\\|", 2).as("f"))
+          .select(col("offset"), col("f").getItem(0).cast("long").as("key"),
+            col("f").getItem(1).as("payload"))
+          .withColumn("__rowkind",
+            when(col("payload") === "", "-D").otherwise("+U"))
+        graft.operators.ChangelogOps.normalize(read, Seq(col("key")),
+          Seq(col("offset")), col("__rowkind"))
+      })
+      // Canal + Maxwell decode (cdc03/cdc04's shape): same contract as
+      // the debezium probe — stateless narrow decode fused into the
+      // scan, one key shuffle for normalize.
+      run("cdc03 canal decode", k, {
+        import org.apache.spark.sql.types._
+        val physical = StructType(Seq(StructField("id", LongType),
+          StructField("t", StringType)))
+        val r = struct(col("doc_id").as("id"), col("text").as("t"))
+        val events = docs
+          .select(col("doc_id"), lit(1).as("seq"), to_json(struct(
+            array(r).as("data"), lit("INSERT").as("type"))).as("json"))
+          .unionAll(docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), lit(2).as("seq"), to_json(struct(
+              array(r).as("data"), array(r).as("old"),
+              lit("UPDATE").as("type"))).as("json")))
+        val parsed = graft.sources.CdcFormats.canalJson(
+          events, col("json"), physical)
+        val kindRank = when(col("__rowkind") === "+I", 0)
+          .when(col("__rowkind") === "-U", 1).otherwise(2)
+        graft.operators.ChangelogOps.normalize(parsed, Seq(col("id")),
+          Seq(col("seq"), kindRank), col("__rowkind"))
+      })
+      run("cdc04 maxwell decode", k, {
+        import org.apache.spark.sql.types._
+        val physical = StructType(Seq(StructField("id", LongType),
+          StructField("t", StringType)))
+        val r = struct(col("doc_id").as("id"), col("text").as("t"))
+        val events = docs
+          .select(col("doc_id"), lit(1).as("seq"),
+            graft.sources.CdcFormats.toMaxwellJson(r, lit("+I")).as("json"))
+          .unionAll(docs.where(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), lit(2).as("seq"), to_json(struct(
+              r.as("data"), r.as("old"), lit("update").as("type"))).as("json")))
+        val parsed = graft.sources.CdcFormats.maxwellJson(
+          events, col("json"), physical)
+        val kindRank = when(col("__rowkind") === "+I", 0)
+          .when(col("__rowkind") === "-U", 1).otherwise(2)
+        graft.operators.ChangelogOps.normalize(parsed, Seq(col("id")),
+          Seq(col("seq"), kindRank), col("__rowkind"))
+      })
     }
     spark.stop()
   }
