@@ -17,12 +17,16 @@ import org.apache.spark.sql.types._
   * SELECT ... FROM tbl MATCH_RECOGNIZE (
   *   PARTITION BY k1 [, k2 ...]
   *   ORDER BY ts [, tieBreak ...]
-  *   MEASURES A.col AS a, FIRST(B.col) AS b0, LAST(B.col) AS b1
+  *   MEASURES [RUNNING|FINAL] A.col AS a,
+  *            [RUNNING|FINAL] FIRST(B.col [, n]) AS b0,
+  *            [RUNNING|FINAL] LAST(B.col [, n]) AS b1,
+  *            COUNT(B.col) AS nb
   *   [ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
   *    SKIP TO FIRST v | SKIP TO LAST v]
   *   PATTERN (A B+ C? D{2} E{1,3}) [WITHIN INTERVAL 'n' unit]
-  *   DEFINE A AS A.x = 'v' AND A.y > 3 [, B AS ...]
+  *   DEFINE A AS A.x = 'v' AND A.y > 3,
+  *          D AS D.price < PREV(D.price [, n]) [AND ... NEXT(D.x) ...]
   * ) [AS alias]
   * }}}
   *
@@ -43,9 +47,20 @@ object MatchRecognize {
 
   // ---------------------------------------------------------------- spec
 
+  /** `offset` is SQL:2016's logical navigation offset: FIRST(V.c, 1)
+    * is the SECOND row bound to V, LAST(V.c, 1) the second-to-last.
+    * A RUNNING/FINAL prefix parses and is semantically uniform here:
+    * under ONE ROW PER MATCH (the reference planner's only output
+    * mode) every measure is evaluated on the COMPLETE match, where
+    * RUNNING and FINAL coincide (SQL:2016 §R010; the reference's
+    * MatchRecognizeITCase exercises both spellings against identical
+    * expected output).
+    */
   sealed trait Measure { def alias: String; def variable: String; def column: String }
-  final case class FirstOf(variable: String, column: String, alias: String) extends Measure
-  final case class LastOf(variable: String, column: String, alias: String) extends Measure
+  final case class FirstOf(variable: String, column: String, alias: String,
+                           offset: Int = 0) extends Measure
+  final case class LastOf(variable: String, column: String, alias: String,
+                          offset: Int = 0) extends Measure
   /** COUNT(X.col) — events bound to the variable (0 when optional/unbound). */
   final case class CountOf(variable: String, column: String, alias: String) extends Measure
 
@@ -66,17 +81,46 @@ object MatchRecognize {
         throw new IllegalArgumentException(s"MATCH_RECOGNIZE: unknown column $column"))
       val v = row.get(i)
       if (v == null) return false
-      val c = compareValues(v, lit)
-      op match {
-        case "="          => c == 0
-        case "<>" | "!="  => c != 0
-        case "<"          => c < 0
-        case "<="         => c <= 0
-        case ">"          => c > 0
-        case ">="         => c >= 0
-      }
+      cmpOp(op, compareValues(v, lit))
     }
   }
+
+  /** Column-vs-column comparison — the shape PREV/NEXT navigation
+    * lowers to (`D.price < PREV(D.price)` reads the pre-computed
+    * lag column of the SAME row). SQL three-valued logic: a null on
+    * either side (e.g. PREV at the partition head) fails the
+    * predicate.
+    */
+  final case class CmpCol(colA: String, op: String, colB: String) extends Pred {
+    def eval(row: Row, idx: Map[String, Int]): Boolean = {
+      val a = row.get(idx.getOrElse(colA,
+        throw new IllegalArgumentException(s"MATCH_RECOGNIZE: unknown column $colA")))
+      val b = row.get(idx.getOrElse(colB,
+        throw new IllegalArgumentException(s"MATCH_RECOGNIZE: unknown column $colB")))
+      if (a == null || b == null) return false
+      cmpOp(op, compareValues(a, b))
+    }
+  }
+
+  private def cmpOp(op: String, c: Int): Boolean = op match {
+    case "="          => c == 0
+    case "<>" | "!="  => c != 0
+    case "<"          => c < 0
+    case "<="         => c <= 0
+    case ">"          => c > 0
+    case ">="         => c >= 0
+  }
+
+  /** PREV/NEXT in DEFINE are PHYSICAL row navigation over the ordered
+    * partition (SQL:2016 §R020 — unlike FIRST/LAST they ignore
+    * variable bindings), so they lower to lag/lead window columns
+    * computed in ONE declarative pass before the NFA runs; the NFA
+    * predicate then reads the current row only. Encoded column names
+    * carry (direction, offset, source column).
+    */
+  private[cep] def navColName(dir: String, n: Int, column: String): String =
+    s"__mr_nav_${dir}${n}_$column"
+  private val NavColRe = "__mr_nav_(p|n)(\\d+)_(.+)".r
 
   private def compareValues(v: Any, lit: Any): Int = (v, lit) match {
     case (a: Number, b: Number) =>
@@ -154,16 +198,20 @@ object MatchRecognize {
     splitTopLevel(s, ',').map { m =>
       val parts = m.trim.split("(?i)\\s+AS\\s+")
       require(parts.length == 2, s"measure needs AS alias: $m")
-      val (expr, alias) = (parts(0).trim, parts(1).trim)
-      val firstRe = "(?i)^FIRST\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)$".r
-      val lastRe = "(?i)^LAST\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)$".r
+      // RUNNING/FINAL prefixes parse and coincide under ONE ROW PER
+      // MATCH (see the Measure scaladoc).
+      val expr = parts(0).trim.replaceFirst("(?i)^(?:RUNNING|FINAL)\\s+", "")
+      val alias = parts(1).trim
+      val firstRe = "(?i)^FIRST\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)$".r
+      val lastRe = "(?i)^LAST\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)$".r
       val countRe = "(?i)^COUNT\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)$".r
       val bareRe = "^(\\w+)\\.(\\w+)$".r
+      def off(o: String): Int = Option(o).map(_.toInt).getOrElse(0)
       expr match {
-        case firstRe(v, c) => FirstOf(v, c, alias)
-        case lastRe(v, c)  => LastOf(v, c, alias)
-        case countRe(v, c) => CountOf(v, c, alias)
-        case bareRe(v, c)  => FirstOf(v, c, alias) // SQL: unqualified nav = FIRST
+        case firstRe(v, c, o) => FirstOf(v, c, alias, off(o))
+        case lastRe(v, c, o)  => LastOf(v, c, alias, off(o))
+        case countRe(v, c)    => CountOf(v, c, alias)
+        case bareRe(v, c)     => FirstOf(v, c, alias) // SQL: unqualified nav = FIRST
         case other => throw new IllegalArgumentException(s"unsupported measure: $other")
       }
     }
@@ -218,6 +266,7 @@ object MatchRecognize {
     var pos = 0
     def peek: Option[String] = if (pos < toks.length) Some(toks(pos)) else None
     def take(): String = { val t = toks(pos); pos += 1; t }
+    val refRe = "(\\w+)\\.(\\w+)".r
     def orExpr(): Pred = {
       var l = andExpr()
       while (peek.exists(_.equalsIgnoreCase("OR"))) { take(); l = Or(l, andExpr()) }
@@ -235,24 +284,47 @@ object MatchRecognize {
         require(take() == ")", s"unbalanced parens in: $s"); p
       case _ => cmp()
     }
+    def selfCol(ref: String): String = ref match {
+      case refRe(v, c) =>
+        require(v.equalsIgnoreCase(variable),
+          s"DEFINE for $variable references $v — cross-variable predicates unsupported")
+        c
+      case bare => bare
+    }
+    // An operand is a column reference (plain or PREV/NEXT-navigated,
+    // which lowers to the pre-computed lag/lead column) or a literal.
+    def operand(): Either[String, Any] = {
+      val t = take()
+      if ((t.equalsIgnoreCase("PREV") || t.equalsIgnoreCase("NEXT")) &&
+          peek.contains("(")) {
+        take() // (
+        val c = selfCol(take())
+        val n = if (peek.contains(",")) { take(); take().toInt } else 1
+        require(take() == ")", s"unbalanced parens in navigation: $s")
+        Left(navColName(if (t.equalsIgnoreCase("PREV")) "p" else "n", n, c))
+      } else if (t.startsWith("'")) Right(t.stripPrefix("'").stripSuffix("'"))
+      else if (t.head.isDigit || (t.length > 1 && t.head == '-')) {
+        Right(if (t.contains('.')) t.toDouble else t.toLong)
+      } else Left(selfCol(t))
+    }
     def cmp(): Pred = {
-      val ref = take()
-      val refRe = "(\\w+)\\.(\\w+)".r
-      val colName = ref match {
-        case refRe(v, c) =>
-          require(v.equalsIgnoreCase(variable),
-            s"DEFINE for $variable references $v — cross-variable predicates unsupported")
-          c
-        case bare => bare
-      }
+      val lhs = operand()
       val op = take()
       require(Set("=", "<>", "!=", "<", "<=", ">", ">=")(op), s"unsupported operator $op in: $s")
-      val litTok = take()
-      val lit: Any =
-        if (litTok.startsWith("'")) litTok.stripPrefix("'").stripSuffix("'")
-        else if (litTok.contains('.')) litTok.toDouble
-        else litTok.toLong
-      Cmp(colName, op, lit)
+      val rhs = operand()
+      (lhs, rhs) match {
+        case (Left(a), Right(l))  => Cmp(a, op, l)
+        case (Left(a), Left(b))   => CmpCol(a, op, b)
+        case (Right(l), Left(b))  =>
+          // flip `lit op col` to `col flipped-op lit`
+          val flipped = op match {
+            case "<" => ">"; case "<=" => ">="; case ">" => "<"
+            case ">=" => "<="; case other => other
+          }
+          Cmp(b, flipped, l)
+        case _ => throw new IllegalArgumentException(
+          s"literal-vs-literal comparison in: $s")
+      }
     }
     val p = orExpr()
     require(pos == toks.length, s"trailing tokens in predicate: $s")
@@ -269,14 +341,14 @@ object MatchRecognize {
         val end = s.indexOf('\'', i + 1)
         require(end > i, s"unterminated string literal in: $s")
         out += s.substring(i, end + 1); i = end + 1
-      } else if (c == '(' || c == ')') { out += c.toString; i += 1 }
+      } else if (c == '(' || c == ')' || c == ',') { out += c.toString; i += 1 }
       else if ("<>!=".contains(c)) {
         val two = s.substring(i, math.min(i + 2, s.length))
         if (Set("<>", "!=", "<=", ">=").contains(two)) { out += two; i += 2 }
         else { out += c.toString; i += 1 }
       } else {
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && !"()<>!='".contains(s.charAt(j))) j += 1
+        while (j < s.length && !s.charAt(j).isWhitespace && !"(),<>!='".contains(s.charAt(j))) j += 1
         out += s.substring(i, j); i = j
       }
     }
@@ -354,7 +426,29 @@ object MatchRecognize {
       case _: DateType      => unix_micros(col(ordCols.head).cast(TimestampType))
       case _                => col(ordCols.head).cast(LongType)
     }
-    val prepared = df.withColumn("__mr_time_us", timeExpr)
+    // PREV/NEXT navigation columns: one lag/lead window pass over the
+    // (partition, order) the clause already declares — the NFA then
+    // evaluates current-row-only predicates. At scale this adds no
+    // shuffle: the window shares the match's own partitioning.
+    def predCols(p: Pred): Seq[String] = p match {
+      case And(l, r)       => predCols(l) ++ predCols(r)
+      case Or(l, r)        => predCols(l) ++ predCols(r)
+      case Not(q)          => predCols(q)
+      case Cmp(c, _, _)    => Seq(c)
+      case CmpCol(a, _, b) => Seq(a, b)
+    }
+    val navCols = spec.defines.values.flatMap(predCols).toSeq.distinct.collect {
+      case n @ NavColRe(dir, off, src) => (n, dir, off.toInt, src)
+    }
+    val navWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(spec.partitionBy.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+    val prepared = navCols.foldLeft(df.withColumn("__mr_time_us", timeExpr)) {
+      case (d, (name, dir, off, src)) =>
+        val nav = if (dir == "p") org.apache.spark.sql.functions.lag(col(src), off)
+                  else org.apache.spark.sql.functions.lead(col(src), off)
+        d.withColumn(name, nav.over(navWindow))
+    }
     val pIdx = prepared.schema.fieldNames.zipWithIndex.toMap
 
     val steps = spec.pattern.map { case (v, q) =>
@@ -372,10 +466,13 @@ object MatchRecognize {
       val ci = pIdx(m.column)
       val v = m.variable
       m match {
-        case _: FirstOf => (mt: Match[Row]) =>
-          mt.bindings.find(_._1.equalsIgnoreCase(v)).map(_._2.head.get(ci)).orNull
-        case _: LastOf => (mt: Match[Row]) =>
-          mt.bindings.find(_._1.equalsIgnoreCase(v)).map(_._2.last.get(ci)).orNull
+        case f: FirstOf => (mt: Match[Row]) =>
+          mt.bindings.find(_._1.equalsIgnoreCase(v))
+            .flatMap(_._2.lift(f.offset)).map(_.get(ci)).orNull
+        case l: LastOf => (mt: Match[Row]) =>
+          mt.bindings.find(_._1.equalsIgnoreCase(v))
+            .flatMap(b => b._2.lift(b._2.length - 1 - l.offset))
+            .map(_.get(ci)).orNull
         case _: CountOf => (mt: Match[Row]) =>
           mt.bindings.find(_._1.equalsIgnoreCase(v))
             .map(_._2.count(_.get(ci) != null).toLong).getOrElse(0L)

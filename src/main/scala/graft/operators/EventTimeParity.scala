@@ -548,6 +548,86 @@ object EventTimeParity extends QueryModule {
                  X AS X.event_type <> 'signup',
                  P AS P.event_type = 'purchase'
         ) ORDER BY user_id, signup_tus, signup_id""")
+    },
+
+    // PREV() navigation in DEFINE (SQL:2016 §R020; the reference's
+    // MatchRecognizeITCase "Ticker" V-shape): a strict down-tick
+    // immediately followed by an up-tick. PREV is PHYSICAL row
+    // navigation, lowered to one lag() window pass before the NFA —
+    // see MatchRecognize.navColName. D and U are row-disjoint
+    // (value < prev vs value > prev), so SKIP PAST LAST ROW can never
+    // suppress a candidate and the self-join oracle is exact.
+    "m11_prev_navigation" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("value")).createOrReplaceTempView("m11_events")
+      env.sqlQuery("""
+        SELECT user_id, down_id, up_id, down_value, down_tus
+        FROM m11_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES D.event_id AS down_id, U.event_id AS up_id,
+                   D.value AS down_value, FIRST(D.tus) AS down_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D U)
+          DEFINE D AS D.value < PREV(D.value),
+                 U AS U.value > PREV(U.value)
+        ) ORDER BY user_id, down_tus, down_id""")
+    },
+
+    // RUNNING vs FINAL measure semantics plus LAST(V.x, 1) logical
+    // offset over a quantified variable: under ONE ROW PER MATCH both
+    // prefixes evaluate on the complete match (RUNNING LAST ==
+    // FINAL LAST — the oracle asserts the equality by computing the
+    // same value for both output columns); the offset navigates to the
+    // second-to-last bound row, NULL when the run has a single view.
+    "m12_final_running_measures" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type")).createOrReplaceTempView("m12_events")
+      env.sqlQuery("""
+        SELECT user_id, first_view_id, last_view_id, run_last_view_id,
+               penult_view_id, n_views, first_tus
+        FROM m12_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES FIRST(V.event_id) AS first_view_id,
+                   FINAL LAST(V.event_id) AS last_view_id,
+                   RUNNING LAST(V.event_id) AS run_last_view_id,
+                   FINAL LAST(V.event_id, 1) AS penult_view_id,
+                   FINAL COUNT(V.event_id) AS n_views,
+                   FIRST(V.tus) AS first_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) ORDER BY user_id, first_tus, first_view_id""")
+    },
+
+    // PREV with an explicit offset of 2 AND forward NEXT navigation in
+    // one DEFINE: a local "peak" — strictly above the value two rows
+    // back and above the next row. Single-variable pattern, so every
+    // qualifying row is its own match and the lag/lead oracle is
+    // trivially exact; partition heads (no 2-back row) and tails (no
+    // next row) fail the null-comparison, matching SQL semantics.
+    "m13_prev_offset_next" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      ev(s, dir).select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("value")).createOrReplaceTempView("m13_events")
+      env.sqlQuery("""
+        SELECT user_id, peak_id, peak_value, peak_tus
+        FROM m13_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY tus, event_id
+          MEASURES S.event_id AS peak_id, S.value AS peak_value,
+                   FIRST(S.tus) AS peak_tus
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S)
+          DEFINE S AS S.value > PREV(S.value, 2) AND S.value > NEXT(S.value)
+        ) ORDER BY user_id, peak_tus, peak_id""")
     }
   )
 
@@ -1010,6 +1090,71 @@ object EventTimeParity extends QueryModule {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       WHERE event_type = 'signup' AND t1 <> 'signup' AND t2 = 'purchase'
-      ORDER BY user_id, signup_tus, signup_id"""
+      ORDER BY user_id, signup_tus, signup_id""",
+
+    // Down-tick/up-tick pairs: PREV is lag() over the same
+    // (partition, order); D/U predicates are row-disjoint so every
+    // qualifying (i, i+1) pair is an emitted match.
+    "m11_prev_navigation" -> """
+      WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+               row_number() OVER w AS pos, lag(value) OVER w AS pv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT a.user_id, a.event_id AS down_id, b.event_id AS up_id,
+             a.value AS down_value, a.tus AS down_tus
+      FROM s a JOIN s b ON b.user_id = a.user_id AND b.pos = a.pos + 1
+      WHERE a.pv IS NOT NULL AND a.value < a.pv AND b.value > b.pv
+      ORDER BY 1, 5, 2""",
+
+    // Maximal view-runs followed immediately by a purchase; RUNNING
+    // LAST == FINAL LAST under ONE ROW PER MATCH (same arg_max twice),
+    // LAST(V, 1) is the run's second-to-last view (NULL on singleton
+    // runs — the CASE max).
+    "m12_final_running_measures" -> """
+      WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS pos,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      g AS (
+        SELECT *, sum(CASE WHEN coalesce(prev_type, '') <> 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY pos) AS run_id
+        FROM s WHERE event_type = 'view'),
+      runs AS (
+        SELECT user_id, run_id, max(pos) AS p1
+        FROM g GROUP BY user_id, run_id),
+      matches AS (
+        SELECT r.user_id, r.run_id, r.p1, nxt.event_id AS purchase_id
+        FROM runs r
+        JOIN s nxt ON nxt.user_id = r.user_id AND nxt.pos = r.p1 + 1
+        WHERE nxt.event_type = 'purchase')
+      SELECT m.user_id,
+             arg_min(g.event_id, g.pos) AS first_view_id,
+             arg_max(g.event_id, g.pos) AS last_view_id,
+             arg_max(g.event_id, g.pos) AS run_last_view_id,
+             max(CASE WHEN g.pos = m.p1 - 1 THEN g.event_id END) AS penult_view_id,
+             CAST(count(1) AS BIGINT) AS n_views,
+             min(g.tus) AS first_tus
+      FROM matches m
+      JOIN g ON g.user_id = m.user_id AND g.run_id = m.run_id
+      GROUP BY m.user_id, m.run_id, m.p1, m.purchase_id
+      ORDER BY 1, 7, 2""",
+
+    // Local peaks: above the value two rows back (PREV offset 2) and
+    // above the next row (NEXT); null navigation at partition
+    // heads/tails fails the predicate in both engines.
+    "m13_prev_offset_next" -> """
+      WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+               lag(value, 2) OVER w AS pv2, lead(value) OVER w AS nv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, event_id AS peak_id, value AS peak_value, tus AS peak_tus
+      FROM s
+      WHERE pv2 IS NOT NULL AND nv IS NOT NULL AND value > pv2 AND value > nv
+      ORDER BY user_id, peak_tus, peak_id"""
   )
 }

@@ -38,6 +38,46 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(s.defines.keySet == Set("V", "C", "P"))
   }
 
+  test("PREV/NEXT navigation, RUNNING/FINAL prefixes, FIRST/LAST offsets parse") {
+    val s = MatchRecognize.parse("""
+      PARTITION BY k
+      ORDER BY t
+      MEASURES RUNNING LAST(B.x) AS rl, FINAL LAST(B.x, 1) AS pen,
+               FINAL FIRST(B.x, 2) AS third, FINAL COUNT(B.x) AS nb
+      PATTERN (A B+)
+      DEFINE A AS A.x < PREV(A.x) AND A.x > PREV(A.x, 2),
+             B AS B.x > NEXT(B.x)
+    """)
+    assert(s.measures == Seq(
+      MatchRecognize.LastOf("B", "x", "rl"),
+      MatchRecognize.LastOf("B", "x", "pen", 1),
+      MatchRecognize.FirstOf("B", "x", "third", 2),
+      MatchRecognize.CountOf("B", "x", "nb")))
+    // navigation lowers to encoded lag/lead column references
+    val a = s.defines("A")
+    assert(a == MatchRecognize.And(
+      MatchRecognize.CmpCol("x", "<", "__mr_nav_p1_x"),
+      MatchRecognize.CmpCol("x", ">", "__mr_nav_p2_x")))
+    assert(s.defines("B") == MatchRecognize.CmpCol("x", ">", "__mr_nav_n1_x"))
+    // null navigation (partition head) fails the predicate
+    import org.apache.spark.sql.Row
+    val idx = Map("x" -> 0, "__mr_nav_p1_x" -> 1, "__mr_nav_p2_x" -> 2)
+    assert(!a.eval(Row(5L, null, null), idx))
+    assert(a.eval(Row(5L, 7L, 4L), idx))
+  }
+
+  test("literal-on-the-left comparisons flip onto the column") {
+    val s = MatchRecognize.parse("""
+      ORDER BY t
+      PATTERN (A)
+      DEFINE A AS 3 < A.v
+    """)
+    import org.apache.spark.sql.Row
+    val idx = Map("v" -> 0, "t" -> 1)
+    assert(s.defines("A").eval(Row(4L, 0L), idx))
+    assert(!s.defines("A").eval(Row(3L, 0L), idx))
+  }
+
   test("predicate parser handles AND/OR/NOT, parens, numeric comparisons") {
     val s = MatchRecognize.parse("""
       ORDER BY t
