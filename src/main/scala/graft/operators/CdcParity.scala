@@ -146,6 +146,58 @@ object CdcParity extends QueryModule {
           to_json(struct(current.as("data"), lit("delete").as("type"))).as("json"))
       kindAgg(CdcFormats.maxwellJson(
         inserts.unionAll(updates).unionAll(deletes), col("json"), physical))
+    },
+
+    // Canal READABLE METADATA + pkNames-driven key selection
+    // (CanalJsonDecodingFormat.ReadableMetadata): every event carries
+    // database/table/pkNames/ts; the normalize key is NOT hard-coded —
+    // it is extracted from the stream's pkNames declaration
+    // (CdcFormats.canalPkNames), exactly how the reference's planner
+    // keys ChangelogNormalize off the format metadata when the DDL
+    // declares no PRIMARY KEY. Event script = cdc02's (insert all,
+    // update 'O' rows to ('F', price*1.1), delete key%10==0), so the
+    // final state matches the cdc02 oracle; the metadata columns ride
+    // into the aggregate to prove they decode.
+    "cdc05_canal_pknames" -> { (s, dir) =>
+      val b = base(s, dir)
+      val orig = row(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updated = row(col("o_orderkey"), lit("F"), col("o_totalprice") * 1.1)
+      val current = row(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "F").otherwise(col("o_orderstatus")),
+        when(col("o_orderstatus") === "O", col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+      def meta(seq: Int) = Seq(
+        lit("ordersdb").as("database"), lit("orders").as("table"),
+        array(lit("o_orderkey")).as("pkNames"),
+        (col("o_orderkey") * 10 + seq).as("ts"))
+      val inserts = b.select(col("o_orderkey").as("k"), lit(1).as("seq"),
+        to_json(struct(Seq(array(orig).as("data"),
+          lit("INSERT").as("type")) ++ meta(1): _*)).as("json"))
+      val updates = b.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("k"), lit(2).as("seq"),
+          to_json(struct(Seq(array(updated).as("data"),
+            array(row(lit(null).cast("bigint"), col("o_orderstatus"),
+              col("o_totalprice"))).as("old"),
+            lit("UPDATE").as("type")) ++ meta(2): _*)).as("json"))
+      val deletes = b.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit(3).as("seq"),
+          to_json(struct(Seq(array(current).as("data"),
+            lit("DELETE").as("type")) ++ meta(3): _*)).as("json"))
+      val parsed = CdcFormats.canalJson(
+        inserts.unionAll(updates).unionAll(deletes), col("json"), physical,
+        withMetadata = true)
+      val pk = CdcFormats.canalPkNames(parsed)
+      val kindRank = when(col("__rowkind") === "+I", 0)
+        .when(col("__rowkind") === "-U", 1)
+        .when(col("__rowkind") === "+U", 2).otherwise(3)
+      ChangelogOps.normalize(parsed, pk.map(col), Seq(col("seq"), kindRank),
+          col("__rowkind"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          count_distinct(col("__table")).cast("long").as("n_tables"),
+          max(col("__db")).as("db"),
+          max(col("__ingest_ts") - col("o_orderkey") * 10).as("max_seq"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -210,5 +262,20 @@ object CdcParity extends QueryModule {
         UNION ALL
         SELECT '-U', count(1), ${dsumSql("p")},
                CAST(sum(k) AS BIGINT) FROM b WHERE st = 'P'
-      ) ORDER BY __rowkind""")
+      ) ORDER BY __rowkind""",
+
+    // Final state equals cdc02's; metadata adds the constant db/table
+    // and the per-key winning sequence (2 where an update superseded
+    // the insert — every 'F' group has one — else 1).
+    "cdc05_canal_pknames" -> s"""
+      WITH fin AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS st,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS p,
+               CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS seq
+        FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT st AS o_orderstatus, count(1) AS n, ${dsumSql("p")} AS sum_price,
+             CAST(1 AS BIGINT) AS n_tables, 'ordersdb' AS db,
+             CAST(max(seq) AS BIGINT) AS max_seq
+      FROM fin GROUP BY 1 ORDER BY 1""")
 }

@@ -89,13 +89,28 @@ object CdcFormats {
     finish(df, emitted)
   }
 
-  /** Parse a Canal-JSON column (batched `data`/`old` arrays). */
+  /** Parse a Canal-JSON column (batched `data`/`old` arrays).
+    *
+    * `withMetadata` additionally surfaces the envelope's READABLE
+    * METADATA (reference `CanalJsonDecodingFormat.ReadableMetadata`,
+    * flink-formats/flink-json .../canal/CanalJsonDecodingFormat.java:135-200):
+    * `__db` (database), `__table`, `__pk_names` (array — canal's
+    * per-message primary-key declaration, which drives
+    * ChangelogNormalize key selection downstream, see
+    * [[canalPkNames]]), and `__ingest_ts` (canal's `ts`, epoch ms).
+    */
   def canalJson(df: DataFrame, jsonCol: Column, physical: StructType,
-                ignoreParseErrors: Boolean = false): DataFrame = {
+                ignoreParseErrors: Boolean = false,
+                withMetadata: Boolean = false): DataFrame = {
+    val metaFields = Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("pkNames", org.apache.spark.sql.types.ArrayType(StringType)),
+      StructField("ts", org.apache.spark.sql.types.LongType))
     val envelope = StructType(Seq(
       StructField("data", org.apache.spark.sql.types.ArrayType(physical)),
       StructField("old", org.apache.spark.sql.types.ArrayType(physical)),
-      StructField("type", StringType)))
+      StructField("type", StringType)) ++
+      (if (withMetadata) metaFields else Nil))
     val m = from_json(jsonCol, envelope)
     val data = m.getField("data")
     val old = m.getField("old")
@@ -110,7 +125,27 @@ object CdcFormats {
       if (ignoreParseErrors) known
       else when(typ.isNotNull && !typ.isin("INSERT", "UPDATE", "DELETE", "CREATE"),
         raise_error(concat(lit("Unknown canal type: "), typ))).otherwise(known)
-    finish(df, emitted)
+    val base =
+      if (!withMetadata) df
+      else df.withColumn("__db", m.getField("database"))
+        .withColumn("__table", m.getField("table"))
+        .withColumn("__pk_names", m.getField("pkNames"))
+        .withColumn("__ingest_ts", m.getField("ts"))
+    finish(base, emitted)
+  }
+
+  /** Canal's `pkNames`-declared primary key, extracted from a decoded
+    * (withMetadata) canal frame — the key ChangelogNormalize keys on
+    * when the table DDL declares none (the reference planner reads it
+    * off the format's `pk-names` metadata column). One
+    * metadata-discovery lookup of a single row — table-level metadata,
+    * not a corpus-scale collect; fails loudly on a pk-less stream.
+    */
+  def canalPkNames(decoded: DataFrame): Seq[String] = {
+    val r = decoded.select(col("__pk_names"))
+      .where(col("__pk_names").isNotNull).limit(1).collect()
+    require(r.nonEmpty, "canal stream carries no pkNames metadata")
+    r(0).getSeq[String](0)
   }
 
   /** Parse a Maxwell-JSON column (single-row `data`/`old`). */
