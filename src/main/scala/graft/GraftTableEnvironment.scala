@@ -223,10 +223,29 @@ class GraftTableEnvironment private (val spark: SparkSession,
       throw new IllegalArgumentException("kafka connector requires 'path'"))
     val full = options.get("topic").fold(path)(t => s"$path/$t")
     if (isStreamingMode) {
-      val r = spark.readStream.format("graft-log").option("path", full)
+      var r = spark.readStream.format("graft-log").option("path", full)
       options.get("scan.max-records-per-trigger")
-        .fold(r)(v => r.option("maxRecordsPerTrigger", v))
-        .load()
+        .foreach(v => r = r.option("maxRecordsPerTrigger", v))
+      // KafkaConnectorOptions.SCAN_STARTUP_MODE: earliest/latest/
+      // specific-offsets map onto the log source's startup position;
+      // group-offsets is meaningless here (the checkpoint IS the group
+      // position) and timestamp needs record timestamps the log lacks.
+      options.get("scan.startup.mode").foreach {
+        case "earliest-offset" => r = r.option("startupMode", "earliest")
+        case "latest-offset"   => r = r.option("startupMode", "latest")
+        case "specific-offsets" =>
+          r = r.option("startupMode", "specific")
+            .option("specificOffsets", options.getOrElse(
+              "scan.startup.specific-offsets",
+              throw new IllegalArgumentException(
+                "specific-offsets startup requires 'scan.startup.specific-offsets'")))
+        case other => throw new IllegalArgumentException(
+          s"unsupported scan.startup.mode '$other' (supported: " +
+            "earliest-offset, latest-offset, specific-offsets; " +
+            "group-offsets is the checkpoint itself here, timestamp " +
+            "needs record timestamps the graft-log format lacks)")
+      }
+      r.load()
     } else spark.read.format("graft-log").option("path", full).load()
   }
 

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
 object CdcParity extends QueryModule {
   import OracleSafe._
 
-  private[operators] val physical = StructType(Seq(
+  private[graft] val physical = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType)))
@@ -39,7 +39,7 @@ object CdcParity extends QueryModule {
   /** The per-order debezium event stream: seq 1 = c, seq 2 = u (status
     * 'O' only), seq 3 = d (o_orderkey%10==0, current image as before).
     */
-  private[operators] def debeziumEvents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def debeziumEvents(s: SparkSession, dir: String): DataFrame = {
     val b = base(s, dir)
     val orig = row(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val updated = row(col("o_orderkey"), lit("F"), col("o_totalprice") * 1.1)

@@ -65,12 +65,27 @@ object CdcFormats {
     * `ignoreParseErrors`, unknown ops produce no rows; in strict mode an
     * unknown op raises.
     */
+  /** `withMetadata` surfaces the reference's debezium READABLE
+    * METADATA (DebeziumJsonDecodingFormat.ReadableMetadata,
+    * flink-formats/flink-json .../debezium/DebeziumJsonDecodingFormat.java:126-233):
+    * `__ingest_ts` (envelope ts_ms), `__src_props` (the `source` map,
+    * parsed MAP<STRING,STRING> exactly like the reference), and the
+    * derived `__src_ts` / `__db` / `__src_schema` / `__table`
+    * (source.ts_ms/db/schema/table lookups — the same map-key reads
+    * the reference's converters do).
+    */
   def debeziumJson(df: DataFrame, jsonCol: Column, physical: StructType,
                    schemaInclude: Boolean = false,
-                   ignoreParseErrors: Boolean = false): DataFrame = {
+                   ignoreParseErrors: Boolean = false,
+                   withMetadata: Boolean = false): DataFrame = {
+    val metaFields = Seq(
+      StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      StructField("source", org.apache.spark.sql.types.MapType(
+        StringType, StringType)))
     val envelope = StructType(Seq(
       StructField("before", physical), StructField("after", physical),
-      StructField("op", StringType)))
+      StructField("op", StringType)) ++
+      (if (withMetadata) metaFields else Nil))
     val schema =
       if (schemaInclude) StructType(Seq(StructField("payload", envelope)))
       else envelope
@@ -86,7 +101,18 @@ object CdcFormats {
       if (ignoreParseErrors) known
       else when(op.isNotNull && !op.isin("c", "r", "u", "d"),
         raise_error(concat(lit("Unknown debezium op: "), op))).otherwise(known)
-    finish(df, emitted)
+    val base =
+      if (!withMetadata) df
+      else {
+        val src = m.getField("source")
+        df.withColumn("__ingest_ts", m.getField("ts_ms"))
+          .withColumn("__src_props", src)
+          .withColumn("__src_ts", element_at(src, "ts_ms").cast("long"))
+          .withColumn("__db", element_at(src, "db"))
+          .withColumn("__src_schema", element_at(src, "schema"))
+          .withColumn("__table", element_at(src, "table"))
+      }
+    finish(base, emitted)
   }
 
   /** Parse a Canal-JSON column (batched `data`/`old` arrays).
@@ -148,12 +174,25 @@ object CdcFormats {
     r(0).getSeq[String](0)
   }
 
-  /** Parse a Maxwell-JSON column (single-row `data`/`old`). */
+  /** Parse a Maxwell-JSON column (single-row `data`/`old`).
+    *
+    * `withMetadata` surfaces the reference's maxwell READABLE METADATA
+    * (MaxwellJsonDecodingFormat.ReadableMetadata:126-167): `__db`
+    * (database), `__table`, `__pk_names` (primary_key_columns), and
+    * `__ingest_ts` (maxwell's `ts`, epoch seconds).
+    */
   def maxwellJson(df: DataFrame, jsonCol: Column, physical: StructType,
-                  ignoreParseErrors: Boolean = false): DataFrame = {
+                  ignoreParseErrors: Boolean = false,
+                  withMetadata: Boolean = false): DataFrame = {
+    val metaFields = Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("primary_key_columns",
+        org.apache.spark.sql.types.ArrayType(StringType)),
+      StructField("ts", org.apache.spark.sql.types.LongType))
     val envelope = StructType(Seq(
       StructField("data", physical), StructField("old", physical),
-      StructField("type", StringType)))
+      StructField("type", StringType)) ++
+      (if (withMetadata) metaFields else Nil))
     val m = from_json(jsonCol, envelope)
     val data = m.getField("data")
     val old = m.getField("old")
@@ -166,7 +205,13 @@ object CdcFormats {
       if (ignoreParseErrors) known
       else when(typ.isNotNull && !typ.isin("insert", "update", "delete", "bootstrap-start", "bootstrap-complete"),
         raise_error(concat(lit("Unknown maxwell type: "), typ))).otherwise(known)
-    finish(df, emitted)
+    val base =
+      if (!withMetadata) df
+      else df.withColumn("__db", m.getField("database"))
+        .withColumn("__table", m.getField("table"))
+        .withColumn("__pk_names", m.getField("primary_key_columns"))
+        .withColumn("__ingest_ts", m.getField("ts"))
+    finish(base, emitted)
   }
 
   /** Encode rows to Debezium JSON — the sink half

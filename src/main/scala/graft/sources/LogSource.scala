@@ -139,6 +139,20 @@ object LogSource {
         k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
       }.toMap
 
+  /** Parse Flink's `scan.startup.specific-offsets` syntax
+    * (KafkaConnectorOptionsUtil.parseSpecificOffsets:334):
+    * `partition:0,offset:42;partition:1,offset:300`.
+    */
+  private[graft] def parseSpecificOffsets(s: String): Map[Int, Long] =
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { part =>
+      val kv = part.split(",").map(_.trim.split(":").map(_.trim))
+      val m = kv.map(a => a(0) -> a(1)).toMap
+      require(m.contains("partition") && m.contains("offset"),
+        s"malformed specific-offsets entry '$part' — expected " +
+          "'partition:<p>,offset:<o>[;...]'")
+      m("partition").toInt -> m("offset").toLong
+    }.toMap
+
   // ------------------------------------------------------------ write path
 
   /** Distributed batch APPEND into the log — the sink half of the
@@ -259,12 +273,23 @@ private[sources] class LogTable extends Table with SupportsRead {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-log requires a 'path' option"))
     val maxPerTrigger = options.getLong("maxRecordsPerTrigger", Long.MaxValue)
+    // Startup position (KafkaConnectorOptions.SCAN_STARTUP_MODE parity):
+    // earliest (default), latest (only records appended after the query
+    // starts), or specific offsets per partition. group-offsets is
+    // inapplicable (the checkpoint IS the group position here) and
+    // timestamp needs per-record timestamps the log does not carry —
+    // both rejected upstream in the DDL binding.
+    val startupMode = Option(options.get("startupMode")).getOrElse("earliest")
+    val specific = Option(options.get("specificOffsets"))
+      .map(LogSource.parseSpecificOffsets).getOrElse(Map.empty)
+    require(Set("earliest", "latest", "specific")(startupMode),
+      s"unsupported startupMode '$startupMode' (earliest | latest | specific)")
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = LogSource.schema
         override def toBatch: Batch = new LogBatch(path)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LogMicroBatchStream(path, maxPerTrigger)
+          new LogMicroBatchStream(path, maxPerTrigger, startupMode, specific)
       }
     }
   }
@@ -284,13 +309,22 @@ private[sources] case class LogOffset(offsets: Map[Int, Long]) extends Offset {
   override def json(): String = LogSource.offsetsToJson(offsets)
 }
 
-private[sources] class LogMicroBatchStream(path: String, maxPerTrigger: Long)
+private[sources] class LogMicroBatchStream(path: String, maxPerTrigger: Long,
+    startupMode: String = "earliest", specific: Map[Int, Long] = Map.empty)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxRows}
 
-  override def initialOffset(): Offset =
-    LogOffset(LogSource.endOffsets(path).map { case (p, _) => p -> 0L })
+  /** Only consulted on a FRESH query — a checkpointed restart resumes
+    * from the committed offsets, exactly like Kafka's startup modes.
+    * `specific` partitions absent from the map start at earliest.
+    */
+  override def initialOffset(): Offset = startupMode match {
+    case "latest" => LogOffset(LogSource.endOffsets(path))
+    case "specific" => LogOffset(LogSource.endOffsets(path)
+      .map { case (p, _) => p -> specific.getOrElse(p, 0L) })
+    case _ => LogOffset(LogSource.endOffsets(path).map { case (p, _) => p -> 0L })
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()

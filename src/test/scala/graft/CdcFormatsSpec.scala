@@ -85,6 +85,44 @@ class CdcFormatsSpec extends AnyFunSuite {
     assert(got == Seq(("+I", 1.0), ("+U", 5.0), ("-D", 5.0), ("-U", 1.0)))
   }
 
+  test("readable metadata decodes for all three formats (withMetadata)") {
+    // Debezium: envelope ts_ms + source map (ts_ms/db/schema/table) —
+    // DebeziumJsonDecodingFormat.ReadableMetadata.
+    val dbz = Seq(
+      """{"after":{"id":1,"name":"a","v":1.0},"op":"c","ts_ms":1700000001000,
+         "source":{"ts_ms":"1699999999000","db":"shop","schema":"pub","table":"t1","version":"1.9"}}"""
+        .replaceAll("\n\\s*", "")).toDF("json")
+    val d = CdcFormats.debeziumJson(dbz, col("json"), physical,
+        withMetadata = true)
+      .select(col("__ingest_ts"), col("__src_ts"), col("__db"),
+        col("__src_schema"), col("__table"),
+        element_at(col("__src_props"), "version"))
+      .as[(Long, Long, String, String, String, String)].head()
+    assert(d == ((1700000001000L, 1699999999000L, "shop", "pub", "t1", "1.9")))
+    // Canal: database/table/pkNames/ts — CanalJsonDecodingFormat.
+    val canal = Seq(
+      """{"data":[{"id":2,"name":"b","v":2.0}],"type":"INSERT",
+         "database":"shop","table":"t2","pkNames":["id"],"ts":1700000002000}"""
+        .replaceAll("\n\\s*", "")).toDF("json")
+    val c = CdcFormats.canalJson(canal, col("json"), physical,
+        withMetadata = true)
+      .select(col("__db"), col("__table"), col("__pk_names"), col("__ingest_ts"))
+      .as[(String, String, Seq[String], Long)].head()
+    assert(c == (("shop", "t2", Seq("id"), 1700000002000L)))
+    assert(CdcFormats.canalPkNames(CdcFormats.canalJson(canal, col("json"),
+      physical, withMetadata = true)) == Seq("id"))
+    // Maxwell: database/table/primary_key_columns/ts.
+    val mx = Seq(
+      """{"data":{"id":3,"name":"c","v":3.0},"type":"insert",
+         "database":"shop","table":"t3","primary_key_columns":["id"],"ts":1700000003}"""
+        .replaceAll("\n\\s*", "")).toDF("json")
+    val x = CdcFormats.maxwellJson(mx, col("json"), physical,
+        withMetadata = true)
+      .select(col("__db"), col("__table"), col("__pk_names"), col("__ingest_ts"))
+      .as[(String, String, Seq[String], Long)].head()
+    assert(x == (("shop", "t3", Seq("id"), 1700000003L)))
+  }
+
   test("serialize halves round-trip through their parsers") {
     val rows = Seq((1L, "a", 1.5, "+I"), (1L, "a", 1.5, "-D"),
       (2L, "b", 2.5, "+U"), (2L, "b", 2.0, "-U"))

@@ -65,6 +65,34 @@ class LogSourceSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("startup modes: latest skips history, specific-offsets starts mid-partition") {
+    val dir = tmp("graft-log-start")
+    LogSource.append(dir, 0, Seq("a0", "a1", "a2"))
+    LogSource.append(dir, 1, Seq("b0", "b1"))
+    // latest-offset: a fresh query sees ONLY post-start appends.
+    val qLatest = spark.readStream.format("graft-log").option("path", dir)
+      .option("startupMode", "latest").load()
+      .writeStream.format("memory").queryName("start_latest")
+      .outputMode("append").start()
+    qLatest.processAllAvailable()
+    LogSource.append(dir, 0, Seq("a3"))
+    qLatest.processAllAvailable(); qLatest.stop()
+    assert(spark.table("start_latest").as[(Int, Long, String)].collect().toSet ==
+      Set((0, 3L, "a3")))
+    // specific-offsets (Flink option syntax): partition 0 from offset 2,
+    // partition 1 unlisted -> earliest.
+    assert(LogSource.parseSpecificOffsets(
+      "partition:0,offset:42;partition:1,offset:300") == Map(0 -> 42L, 1 -> 300L))
+    val qSpec = spark.readStream.format("graft-log").option("path", dir)
+      .option("startupMode", "specific")
+      .option("specificOffsets", "partition:0,offset:2").load()
+      .writeStream.format("memory").queryName("start_specific")
+      .outputMode("append").start()
+    qSpec.processAllAvailable(); qSpec.stop()
+    assert(spark.table("start_specific").as[(Int, Long, String)].collect().toSet ==
+      Set((0, 2L, "a2"), (0, 3L, "a3"), (1, 0L, "b0"), (1, 1L, "b1")))
+  }
+
   test("batch write assigns contiguous offsets at commit; appends continue them") {
     val dir = tmp("graft-log-w")
     val df1 = Seq((0, "a0"), (0, "a1"), (1, "b0")).toDF("partition", "value")
