@@ -152,6 +152,47 @@ object LogParity extends QueryModule {
         .orderBy("o_orderstatus")
     },
 
+    // scan.startup.mode = specific-offsets (KafkaConnectorOptions):
+    // the same key-sorted orders log as kfk02, but the STREAMING read
+    // starts every partition at offset 1000 — the oracle reproduces
+    // the per-partition suffix via the same row_number rank that
+    // assigns the offsets. Runs through the MicroBatchStream path with
+    // the exactly-once parquet sink, so the startup position composes
+    // with checkpointing (a restart resumes from committed offsets,
+    // not the startup position — Kafka's contract).
+    "kfk05_startup_offsets" -> { (s, dir) =>
+      val base = scratch("kfk05", dir)
+      val src = Tables.load(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(4)).cast("int").as("partition"),
+          col("o_orderkey").as("k"),
+          concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("value"))
+      LogSource.write(
+        src.repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("k"))
+          .select("partition", "value"),
+        s"$base/log")
+      val q = s.readStream.format("graft-log").option("path", s"$base/log")
+        .option("startupMode", "specific")
+        .option("specificOffsets", (0 until 4)
+          .map(p => s"partition:$p,offset:1000").mkString(";"))
+        .load()
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("partition").as("part_id"), col("offset"),
+          split(col("value"), "\\|").as("f"))
+        .select(col("part_id"), col("offset"),
+          col("f").getItem(1).as("o_orderstatus"),
+          col("f").getItem(2).cast("double").as("o_totalprice"))
+        .groupBy(col("part_id"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("offset")).cast("long").as("sum_off"))
+        .orderBy("part_id", "o_orderstatus")
+    },
+
     // Streaming CDC end-to-end — the reference's flagship loop
     // (KafkaDynamicSource → debezium-json decode →
     // StreamExecChangelogNormalize → upsert sink), run BOUNDED for the
@@ -238,6 +279,20 @@ object LogParity extends QueryModule {
       SELECT st AS o_orderstatus, count(1) AS n_orders,
              ${dsumSql("p")} AS sum_price
       FROM fin GROUP BY 1 ORDER BY 1""",
+
+    // kfk01's oracle restricted to the per-partition suffix from
+    // offset 1000 — the startup position in rank terms.
+    "kfk05_startup_offsets" -> s"""
+      WITH src AS (
+        SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey % 4
+                 ORDER BY o_orderkey) - 1 AS off
+        FROM orders)
+      SELECT part_id, o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price,
+             CAST(sum(off) AS BIGINT) AS sum_off
+      FROM src WHERE off >= 1000 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Identical oracle to cdc02: the streaming stateful pipeline must
     // converge to the same normalized state as the batch normalize.
