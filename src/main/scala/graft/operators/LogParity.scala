@@ -229,8 +229,18 @@ object LogParity extends QueryModule {
         col("offset") * 4 + kindRank)
       val norm = graft.streaming.CdcStream.normalize(
         versioned, Seq("o_orderkey"), "__version")
-      val q = graft.streaming.CdcStream.upsertSink(
-        norm, s"$base/state", s"$base/ckpt").start()
+      // Stateful-shuffle sizing (the Pregel iterationPartitions
+      // rationale applied to streaming): the keyed state here is
+      // ~|orders| rows and the query commits EVERY state-store
+      // partition at EVERY epoch, so 32 stores × 3 admission-capped
+      // epochs is mostly per-store commit latency. Size the shuffle to
+      // the state, restore after (the conf binds at query start).
+      val prevP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try graft.streaming.CdcStream.upsertSink(
+          norm, s"$base/state", s"$base/ckpt").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevP)
       try { q.processAllAvailable() } finally q.stop()
       graft.streaming.CdcStream.readState(
           s, s"$base/state", Seq("o_orderkey"), "__version")
