@@ -233,6 +233,54 @@ object TextOps {
     jaccardVerifyIdx(cands, mat).where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup against a PERSISTED LSH index — the
+    * nightly-crawl production shape (the batch forms above re-mine the
+    * whole corpus; a running dedup service must not): the existing
+    * corpus is indexed ONCE into two append-only parquet-able frames —
+    * the band index (`id`, `band`, `bh`) and the hashed shingle index
+    * (`id`, `sh`) — and each new batch computes only ITS OWN bands,
+    * joins them against stored ∪ new, and exact-verifies the
+    * candidates. Work is O(|batch| + colliding postings), never
+    * O(corpus): the stored corpus enters only through the band join
+    * (pruned to shared buckets, hot buckets auto-salted like
+    * [[candidatePairs]]) and the verify join (pruned to candidate
+    * ids). Index maintenance = the caller appending the batch's
+    * bands/shingles to the store.
+    *
+    * @param newIdx         the new batch's hashed shingle index
+    *                       (shingleHashIndex output)
+    * @param storedBands    the persisted band index of the corpus
+    * @param storedShingles the persisted shingle index of the corpus
+    * @return canonical (id_a < id_b, jaccard) pairs with ≥ one side in
+    *         the new batch — identical to what a full re-mine would
+    *         report for those pairs
+    */
+  def incrementalNearDupIdx(newIdx: DataFrame, storedBands: DataFrame,
+                            storedShingles: DataFrame, threshold: Double,
+                            numPerms: Int = 64, rowsPerBand: Int = 2,
+                            hotBucketThreshold: Long = 4096L,
+                            saltFactor: Int = 16): DataFrame = {
+    val newMat = newIdx.select(col("id"), col("sh")).localCheckpoint()
+    val newBands = lshBands(minhashSignatureIdx(newMat, numPerms), "id",
+        numPerms, rowsPerBand)
+      .localCheckpoint() // probe side + union side + the hot probe
+    val a = newBands.select(struct(col("band"), col("bh")).as("__bk"),
+      col("id").as("id_new"))
+    val b = newBands.unionByName(
+        storedBands.select(col("id"), col("band"), col("bh")))
+      .select(struct(col("band"), col("bh")).as("__bk"),
+        col("id").as("id_other"))
+    val cands = SkewJoin.saltedInnerHot(a, b, "__bk", col("id_new"),
+        saltFactor, hotBucketThreshold)
+      .where(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+    jaccardVerifyIdx(cands,
+        newMat.unionByName(storedShingles.select(col("id"), col("sh"))))
+      .where(col("jaccard") >= threshold)
+  }
+
   // Array-column adapters (tests / small inputs).
   def allPairsJaccard(docs: DataFrame, idCol: String, shinglesCol: String,
                       threshold: Double, forceExact: Boolean = false): DataFrame =

@@ -79,6 +79,30 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental near-dup against a PERSISTED index — the nightly
+    // batch shape: 80% of the corpus (doc_id % 5 != 0) is indexed once
+    // (band + shingle indexes written to parquet, read back), the new
+    // 20% batch mines ONLY its own bands against stored ∪ new. Result
+    // = exactly the full re-mine's pairs that involve a new doc (the
+    // oracle is td02's exact Jaccard restricted to those pairs).
+    "td31_incremental_neardup" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-td31_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val all = shingles(s, dir)
+      val existing = all.where(col("id") % 5 =!= 0)
+      val newBatch = all.where(col("id") % 5 === 0)
+      TextOps.lshBands(TextOps.minhashSignatureIdx(existing, 64), "id", 64, 2)
+        .write.mode("overwrite").parquet(s"$store/bands")
+      existing.write.mode("overwrite").parquet(s"$store/shingles")
+      TextOps.incrementalNearDupIdx(newBatch,
+          s.read.parquet(s"$store/bands"),
+          s.read.parquet(s"$store/shingles"), 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // SimHash (60-bit) near-dups, hamming ≤ 3, pigeonhole-banded join.
     "td04_simhash" -> { (s, dir) =>
       val sim = TextOps.simhash60Idx(wordsIdx(s, dir).distinct(), "doc_id")
@@ -405,6 +429,24 @@ object TextPipelineSuite extends QueryModule {
 
     "td02_ngram_jaccard" -> exactJaccardSql,
     "td03_minhash_lsh" -> exactJaccardSql,
+
+    // td02's exact Jaccard restricted to pairs involving a new-batch
+    // (doc_id % 5 = 0) document.
+    "td31_incremental_neardup" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+        AND (id_a % 5 = 0 OR id_b % 5 = 0)
+      ORDER BY id_a, id_b""",
 
     "td04_simhash" -> """
       WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
