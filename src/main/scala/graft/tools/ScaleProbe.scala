@@ -516,6 +516,21 @@ object ScaleProbe {
         graft.operators.ChangelogOps.normalize(parsed, Seq(col("id")),
           Seq(col("seq"), kindRank), col("__rowkind"))
       })
+      // Incremental near-dup (td31's shape): the 80% "existing corpus"
+      // index is PRE-BUILT before the timed window opens (in production
+      // it already exists on disk); timed work = the 20% batch's bands
+      // + the pruned joins. NOTE the corpus GROWS with the scale while
+      // the batch grows with it too (both ×k) — the interesting check
+      // is that the time tracks the batch, not Σ|corpus|² collisions.
+      val all31 = TextOps.shingleHashIndex(docs, "doc_id", "text", 3)
+        .localCheckpoint()
+      val existing31 = all31.where(col("id") % 5 =!= 0)
+      val storedBands31 = TextOps.lshBands(
+          TextOps.minhashSignatureIdx(existing31, 64), "id", 64, 2)
+        .localCheckpoint()
+      run("td31 incremental near-dup", k,
+        TextOps.incrementalNearDupIdx(all31.where(col("id") % 5 === 0),
+          storedBands31, existing31, 0.8))
       run("cdc04 maxwell decode", k, {
         import org.apache.spark.sql.types._
         val physical = StructType(Seq(StructField("id", LongType),
