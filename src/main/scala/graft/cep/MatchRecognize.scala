@@ -510,6 +510,23 @@ object MatchRecognize {
     * ROW only, per the streaming CEP contract.
     */
   def runStream(df: DataFrame, spec: Spec): DataFrame = {
+    // PREV/NEXT lower to lag/lead windows, which Structured Streaming
+    // cannot run (non-time windows need the whole ordered partition).
+    // Fail with the reason instead of Spark's opaque analysis error;
+    // the batch path supports them fully.
+    def usesNav(p: Pred): Boolean = p match {
+      case And(l, r)       => usesNav(l) || usesNav(r)
+      case Or(l, r)        => usesNav(l) || usesNav(r)
+      case Not(q)          => usesNav(q)
+      case Cmp(c0, _, _)   => NavColRe.findFirstIn(c0).isDefined
+      case CmpCol(a, _, b) =>
+        NavColRe.findFirstIn(a).isDefined || NavColRe.findFirstIn(b).isDefined
+    }
+    require(!spec.defines.values.exists(usesNav),
+      "PREV/NEXT navigation in DEFINE is batch-only: it lowers to a " +
+        "lag/lead window over the ordered partition, which an unbounded " +
+        "stream cannot materialize (run the clause on the batch table, " +
+        "or rewrite the predicate against buffered event-time state)")
     val c = compile(df, spec)
     val timeI = c.timeI
     val matches = graft.streaming.StatefulOps.cepStream[String, Row](
