@@ -103,6 +103,42 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Character-trigram profile language ID — the real n-gram
+    // classifier (fastText/CLD shape) next to td05's marker-word
+    // heuristic: per-language top-200 trigram profiles trained on a
+    // 75% split (one count aggregate + one bounded window over the
+    // trigram vocabulary), held-out docs scored by how many of their
+    // trigram OCCURRENCES hit each profile (one broadcast join on the
+    // trigram key), argmax with deterministic ties. Output is the
+    // confusion matrix — integer end to end, trivially oracle-exact,
+    // and every stage map-side or bounded except the one corpus-linear
+    // trigram explode.
+    "td32_trigram_langid" -> { (s, dir) =>
+      val tri = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+        .where(length(col("t")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("tri"))
+      val wProf = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tri"))
+      val prof = tri.where(col("doc_id") % 4 =!= 0)
+        .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wProf)).where(col("rk") <= 200)
+        .select(col("lang").as("p_lang"), col("tri"))
+      val scores = tri.where(col("doc_id") % 4 === 0)
+        .join(broadcast(prof), Seq("tri"))
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(count(lit(1)).as("score"))
+      val wPred = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("p_lang"))
+      scores.withColumn("rk", row_number().over(wPred)).where(col("rk") === 1)
+        .groupBy(col("lang"), col("p_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .orderBy("lang", "predicted")
+    },
+
     // SimHash (60-bit) near-dups, hamming ≤ 3, pigeonhole-banded join.
     "td04_simhash" -> { (s, dir) =>
       val sim = TextOps.simhash60Idx(wordsIdx(s, dir).distinct(), "doc_id")
@@ -429,6 +465,31 @@ object TextPipelineSuite extends QueryModule {
 
     "td02_ngram_jaccard" -> exactJaccardSql,
     "td03_minhash_lsh" -> exactJaccardSql,
+
+    // Same split/profile/score/argmax, replayed in SQL; DuckDB's
+    // range(1, n) is exclusive, matching sequence(1, n-2) inclusive.
+    "td32_trigram_langid" -> """
+      WITH t AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+                 WHERE len(lower(text)) >= 3),
+      tri AS (SELECT doc_id, lang,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> substr(t, i, 3))) AS tri
+              FROM t),
+      prof AS (SELECT lang AS p_lang, tri FROM (
+                 SELECT lang, tri,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY count(1) DESC, tri) AS rk
+                 FROM tri WHERE doc_id % 4 <> 0 GROUP BY lang, tri)
+               WHERE rk <= 200),
+      sc AS (SELECT d.doc_id, d.lang, p.p_lang, count(1) AS score
+             FROM tri d JOIN prof p ON d.tri = p.tri
+             WHERE d.doc_id % 4 = 0
+             GROUP BY 1, 2, 3),
+      pred AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, p_lang) AS rk FROM sc)
+      SELECT lang, p_lang AS predicted, count(1) AS n_docs,
+             CAST(sum(score) AS BIGINT) AS sum_score
+      FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // td02's exact Jaccard restricted to pairs involving a new-batch
     // (doc_id % 5 = 0) document.
