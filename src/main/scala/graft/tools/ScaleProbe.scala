@@ -531,6 +531,33 @@ object ScaleProbe {
       run("td31 incremental near-dup", k,
         TextOps.incrementalNearDupIdx(all31.where(col("id") % 5 === 0),
           storedBands31, existing31, 0.8))
+      // Trigram language ID (td32): trigram explode (corpus-linear) +
+      // bounded profile window + broadcast-profile score join.
+      run("td32 trigram langid", k, {
+        val d = docs.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        val tri = d.select(col("doc_id"), col("lang"),
+            lower(col("text")).as("t"))
+          .where(length(col("t")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+            .as("tri"))
+        val wProf = Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("tri"))
+        val prof = tri.where(col("doc_id") % 4 =!= 0)
+          .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(wProf)).where(col("rk") <= 200)
+          .select(col("lang").as("p_lang"), col("tri"))
+        val wPred = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))
+        tri.where(col("doc_id") % 4 === 0)
+          .join(broadcast(prof), Seq("tri"))
+          .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+          .agg(count(lit(1)).as("score"))
+          .withColumn("rk", row_number().over(wPred)).where(col("rk") === 1)
+          .groupBy(col("lang"), col("p_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+      })
       run("cdc04 maxwell decode", k, {
         import org.apache.spark.sql.types._
         val physical = StructType(Seq(StructField("id", LongType),
