@@ -100,6 +100,34 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Serving from a PERSISTED IVF index — td31's incremental story on
+    // the vector side: the cell assignment is built once and written
+    // CELL-PARTITIONED to parquet (the natural layout the ivfTopK
+    // scaladoc names); queries then probe the STORE. The broadcast
+    // probe join on the partition column engages dynamic partition
+    // pruning, so unprobed cells' files are never read — asserted in
+    // SimilaritySpec alongside result equality with te05 (same oracle).
+    "te17_ivf_persisted" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te17_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val ranked = VectorOps.ivfRanked(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 16)
+      ranked.where(col("crk") === 1)
+        .select(col("id").as("vec_id"), col("cid").as("cell"),
+          col("v"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cell").parquet(store)
+      // partition-column values come back as the inferred (int) type —
+      // restore the index's declared long cell id
+      val stored = s.read.parquet(store)
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+          col("v").as("cv2"), col("nrm").as("cn2"))
+      val probes = ranked.where(col("id") % 25 === 0 && col("crk") <= 2)
+        .select(col("id").as("query_id"), col("cid").as("cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      VectorOps.ivfServe(stored, probes, 5).orderBy("query_id", "rk")
+    },
+
     // IVF with a k-means-FITTED quantizer (1 deterministic Lloyd
     // iteration: exact-decimal means, id tie-breaks) — the fit itself is
     // oracle-checked, not just the search.
@@ -472,6 +500,50 @@ object SimilaritySuite extends QueryModule {
     }
   )
 
+  private val ivfOracleSql = """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 2 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id, cl.cell
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE p.query_id <> cl.vec_id),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id, cand.cell,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, cell,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, cell, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk"""
+
   override def oracleSql: Map[String, String] = Map(
     "te01_cosine_pairs" -> """
       WITH ex AS (
@@ -571,49 +643,11 @@ object SimilaritySuite extends QueryModule {
       WHERE rk <= 5
       ORDER BY query_id, rk""",
 
-    "te05_ann_ivf" -> """
-      WITH ex AS (
-        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
-               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
-        FROM embeddings),
-      norms AS (
-        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
-        FROM ex GROUP BY vec_id),
-      cdots AS (
-        SELECT e.vec_id, c.vec_id AS cid,
-               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
-        GROUP BY 1, 2),
-      cranked AS (
-        SELECT cdots.vec_id AS vec_id, cid,
-               row_number() OVER (PARTITION BY cdots.vec_id
-                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
-        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
-                   JOIN norms nc ON cdots.cid = nc.vec_id),
-      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
-      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
-                 WHERE crk <= 2 AND vec_id % 25 = 0),
-      cand AS (
-        SELECT p.query_id, cl.vec_id, cl.cell
-        FROM probes p JOIN cells cl USING (cell)
-        WHERE p.query_id <> cl.vec_id),
-      dots AS (
-        SELECT cand.query_id, cand.vec_id, cand.cell,
-               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM cand JOIN ex q ON q.vec_id = cand.query_id
-                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
-        GROUP BY 1, 2, 3),
-      scored AS (
-        SELECT query_id, dots.vec_id AS vec_id, cell,
-               round(dot / (nq.nrm * nc.nrm), 6) AS cos
-        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
-                  JOIN norms nc ON dots.vec_id = nc.vec_id)
-      SELECT query_id, vec_id, cell, cos, rk FROM (
-        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, vec_id) AS INT) AS rk
-        FROM scored)
-      WHERE rk <= 5
-      ORDER BY query_id, rk""",
+    "te05_ann_ivf" -> ivfOracleSql,
+
+    // Identical oracle: serving from the persisted cell-partitioned
+    // index must reproduce the in-memory IVF result bit for bit.
+    "te17_ivf_persisted" -> ivfOracleSql,
 
     "te06_ann_ivf_kmeans" -> """
       WITH ex AS (

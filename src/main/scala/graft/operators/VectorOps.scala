@@ -136,22 +136,45 @@ object VectorOps {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               isQuery: Column => Column, nlist: Int, nprobe: Int,
               k: Int): DataFrame = {
-    val e = prepped(vecs, idCol, vecCol)
-    val cent = e.filter(col("id") < nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("cosc").desc, col("cid"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("cosc", round(
-        scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
-      .select(col("id"), col("v"), col("nrm"), col("cid"), col("cosc"))
-      .withColumn("crk", row_number().over(wAssign))
+    val ranked = ivfRanked(vecs, idCol, vecCol, nlist)
     val cells = ranked.where(col("crk") === 1)
       .select(col("id").as("vec_id"), col("cid").as("cell"),
         col("v").as("cv2"), col("nrm").as("cn2"))
     val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
       .select(col("id").as("query_id"), col("cid").as("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
+    ivfServe(cells, probes, k)
+  }
+
+  /** The coarse-quantizer assignment half of [[ivfTopK]]: every vector
+    * cosine-ranked against the broadcast centroid set. `crk = 1` rows
+    * are the cell assignment (the INDEX — te17 persists exactly this,
+    * cell-partitioned); `crk <= nprobe` rows of a query subset are its
+    * probe list.
+    */
+  private[graft] def ivfRanked(vecs: DataFrame, idCol: String,
+                               vecCol: String, nlist: Int): DataFrame = {
+    val e = prepped(vecs, idCol, vecCol)
+    val cent = e.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cosc").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cosc", round(
+        scaledToDouble(dot_scaled(col("v"), col("cv"))) / (col("nrm") * col("cn")), 6))
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("cosc"))
+      .withColumn("crk", row_number().over(wAssign))
+  }
+
+  /** The serving half of [[ivfTopK]]: broadcast probe list joined
+    * against the cell-keyed index (`vec_id`, `cell`, `cv2`, `cn2`),
+    * exact re-rank inside probed cells. When the index side is a
+    * cell-PARTITIONED parquet store, the broadcast join on the
+    * partition column lets dynamic partition pruning skip every
+    * unprobed cell's files — the corpus isn't even read.
+    */
+  private[graft] def ivfServe(cells: DataFrame, probes: DataFrame,
+                              k: Int): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(probes).join(cells, Seq("cell"))

@@ -94,6 +94,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.size == 120 * 119 / 2) // all boilerplate pairs, once each
   }
 
+  test("persisted IVF serving prunes unprobed cell partitions dynamically") {
+    import graft.operators.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ranked = VectorOps.ivfRanked(emb, "vec_id", "embedding", 16)
+    ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("cell"),
+        col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("v").as("cv2"), col("nrm").as("cn2"))
+    val probes = ranked.where(col("id") % 25 === 0 && col("crk") <= 2)
+      .select(col("id").as("query_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val served = VectorOps.ivfServe(stored, probes, 5)
+    assert(served.count() > 0)
+    // The broadcast probe join keys on the store's PARTITION column, so
+    // dynamic partition pruning must gate the scan: unprobed cells'
+    // files are skipped, the corpus is not read.
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the IVF store scan:\n$plan")
+    // ... and the result equals the un-persisted serve.
+    val direct = VectorOps.ivfServe(
+      ranked.where(col("crk") === 1)
+        .select(col("id").as("vec_id"), col("cid").as("cell"),
+          col("v").as("cv2"), col("nrm").as("cn2")),
+      probes, 5)
+    assert(served.collect().toSet == direct.collect().toSet)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
