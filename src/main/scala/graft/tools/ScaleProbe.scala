@@ -494,6 +494,30 @@ object ScaleProbe {
         graft.operators.ChangelogOps.normalize(read, Seq(col("key")),
           Seq(col("offset")), col("__rowkind"))
       })
+      // Persisted-IVF serving (te17's shape): the store is built and
+      // written OUTSIDE the timed window (it exists in production);
+      // timed work = probe join against the cell-partitioned store
+      // with dynamic partition pruning — must stay near-flat as the
+      // corpus grows because unprobed cells' files are never read.
+      locally {
+        val store = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-te17-$k").toString
+        val ranked = VectorOps.ivfRanked(emb, "vec_id", "embedding", 16)
+          .localCheckpoint()
+        ranked.where(col("crk") === 1)
+          .select(col("id").as("vec_id"), col("cid").as("cell"),
+            col("v"), col("nrm"))
+          .write.mode("overwrite").partitionBy("cell").parquet(store)
+        val probes = ranked.where(isQ(col("id")) && col("crk") <= 2)
+          .select(col("id").as("query_id"), col("cid").as("cell"),
+            col("v").as("qv"), col("nrm").as("qn"))
+          .localCheckpoint()
+        run("te17 persisted IVF serve", k, VectorOps.ivfServe(
+          spark.read.parquet(store)
+            .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("v").as("cv2"), col("nrm").as("cn2")),
+          probes, 5))
+      }
       // Canal + Maxwell decode (cdc03/cdc04's shape): same contract as
       // the debezium probe — stateless narrow decode fused into the
       // scan, one key shuffle for normalize.
