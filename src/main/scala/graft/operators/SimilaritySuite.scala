@@ -128,6 +128,18 @@ object SimilaritySuite extends QueryModule {
       VectorOps.ivfServe(stored, probes, 5).orderBy("query_id", "rk")
     },
 
+    // Attribute-FILTERED ANN (te18): tenant/label-scoped vector search
+    // — top-5 neighbours sharing the query's label. The label equality
+    // sits in the probe⋈cell join condition, so mismatched candidates
+    // never reach a dot product; nprobe is doubled to 4 because the
+    // 10-value label filter keeps ~1/10 of each probed cell.
+    "te18_filtered_ann" -> { (s, dir) =>
+      VectorOps.ivfFilteredTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", _ % 25 === 0,
+          nlist = 16, nprobe = 4, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // IVF with a k-means-FITTED quantizer (1 deterministic Lloyd
     // iteration: exact-decimal means, id tie-breaks) — the fit itself is
     // oracle-checked, not just the search.
@@ -418,6 +430,30 @@ object SimilaritySuite extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Cross-modal ALIGNMENT (mm09): snap each speech segment (mm05's
+    // audio modality, 100-byte frames) onto the video shot (mm04's
+    // modality, 64-byte frames) in progress when the segment starts —
+    // the transcript↔scene alignment step of a video curation
+    // pipeline. The two modalities tick in different frame units, so
+    // both are projected onto the shared BYTE timeline and matched
+    // with the event-time as-of join (latest shot start at or before
+    // the segment start) — one union + one running window per doc,
+    // the AsOfJoin scale shape, no per-segment lookups.
+    "mm09_transcript_align" -> { (s, dir) =>
+      val segs = queries("mm05_speech_segments")(s, dir)
+        .withColumn("seg_byte", col("start_frame").cast("long") * 100L)
+      val shots = queries("mm04_shot_boundaries")(s, dir)
+        .groupBy(col("doc_id"), col("shot_id"))
+        .agg(min(col("frame_idx")).as("shot_start_frame"))
+        .withColumn("shot_byte", col("shot_start_frame").cast("long") * 64L)
+      AsOfJoin.asOf(segs, shots, "doc_id", "seg_byte", "shot_byte",
+          Seq("shot_id", "shot_start_frame"))
+        .select(col("doc_id"), col("start_frame"), col("end_frame"),
+          col("n_frames"), col("asof.shot_id").as("shot_id"),
+          col("asof.shot_start_frame").as("shot_start_frame"))
+        .orderBy("doc_id", "start_frame")
+    },
+
     // Cross-modal retrieval: the image modality drives a query into the
     // embedding space. Each doc's payload goes through the REAL PNG
     // decode (mm01 path) to a brightness scalar, brightness quantizes
@@ -648,6 +684,55 @@ object SimilaritySuite extends QueryModule {
     // Identical oracle: serving from the persisted cell-partitioned
     // index must reproduce the in-memory IVF result bit for bit.
     "te17_ivf_persisted" -> ivfOracleSql,
+
+    // te05's oracle with the label filter applied at the candidate
+    // stage (pre-filter) and nprobe=4.
+    "te18_filtered_ann" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 4 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id, lq.label AS attr
+        FROM probes p JOIN cells cl USING (cell)
+             JOIN lab lq ON lq.vec_id = p.query_id
+             JOIN lab lc ON lc.vec_id = cl.vec_id AND lc.label = lq.label
+        WHERE p.query_id <> cl.vec_id),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id, cand.attr,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, attr,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, attr, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
 
     "te06_ann_ivf_kmeans" -> """
       WITH ex AS (
@@ -1105,6 +1190,59 @@ object SimilaritySuite extends QueryModule {
 
     // UTF-8 byte semantics as in mm03: hex pair i of encode(text) is
     // byte i, framed into 64-byte blocks.
+    // mm05's segments and mm04's shot starts projected onto the byte
+    // timeline; the as-of match is the greatest shot_start*64 at or
+    // below seg_start*100 (rank-1 of the inequality join — small
+    // per-doc shot lists keep the oracle quadratic surface tiny).
+    "mm09_transcript_align" -> """
+      WITH abytes AS (
+        SELECT doc_id, CAST((i - 1) // 100 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 100) * 100 + 1)) AS i)),
+      af AS (
+        SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS energy
+        FROM abytes GROUP BY doc_id, frame_idx),
+      sp AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM af WHERE energy > 981000),
+      segs AS (
+        SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+               count(1) AS n_frames
+        FROM sp GROUP BY doc_id, island),
+      vbytes AS (
+        SELECT doc_id, CAST((i - 1) // 64 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 64) * 64 + 1)) AS i)),
+      vf AS (
+        SELECT doc_id, frame_idx, CAST(sum(c) AS BIGINT) AS fsum
+        FROM vbytes GROUP BY doc_id, frame_idx),
+      vd AS (
+        SELECT doc_id, frame_idx,
+               fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+        FROM vf),
+      vs AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum(CASE WHEN coalesce(abs(delta) > 200, false) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+        FROM vd),
+      sh AS (
+        SELECT doc_id, shot_id, min(frame_idx) AS shot_start_frame
+        FROM vs GROUP BY doc_id, shot_id),
+      j AS (
+        SELECT s.doc_id, s.start_frame, s.end_frame, s.n_frames,
+               a.shot_id, a.shot_start_frame,
+               row_number() OVER (PARTITION BY s.doc_id, s.start_frame
+                 ORDER BY a.shot_start_frame DESC) AS rn
+        FROM segs s JOIN sh a ON s.doc_id = a.doc_id
+             AND a.shot_start_frame * 64 <= s.start_frame * 100)
+      SELECT doc_id, start_frame, end_frame, n_frames, shot_id, shot_start_frame
+      FROM j WHERE rn = 1
+      ORDER BY doc_id, start_frame""",
+
     "mm04_shot_boundaries" -> """
       WITH bytes AS (
         SELECT doc_id, CAST((i - 1) // 64 AS INT) AS frame_idx,

@@ -109,6 +109,72 @@ object TextOps {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
   }
 
+  /** MOSS-style robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * per document the fingerprint set is the MINIMUM word k-gram of each
+    * w-long sliding window over the gram sequence. Guarantee: any match
+    * of >= w+k-1 consecutive words between two documents shares at least
+    * one fingerprint, at ~2/(w+1) the density of the full shingle set —
+    * the storage/recall dial plagiarism and boilerplate detectors run
+    * on. Production winnowing minimizes a uniform HASH of the gram;
+    * this minimizes the gram itself (lexicographic) so the oracle
+    * reproduces the selection byte for byte — the plan shape (one keyed
+    * sort feeding a bounded running-window min) is identical either
+    * way, and selection density still averages the 2/(w+1) bound.
+    * Returns distinct (id, fp). Scale anatomy: one round-robin'd
+    * explode, ONE shuffle by id for both window passes (lead-gram
+    * completeness filter + windowed min share the sort), then the
+    * distinct — corpus-linear, no pair surface.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val exploded = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w0")))
+    val wordCols = col("w0") +: (1 until k).map(i =>
+      lead(col("w0"), i).over(wOrd).as(s"w$i"))
+    val grams = exploded
+      .select(col("id") +: col("pos") +: wordCols: _*)
+      .where((0 until k).map(i => col(s"w$i").isNotNull).reduce(_ && _))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("gram"))
+    grams
+      .withColumn("fp", min(col("gram")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)))
+      .withColumn("__full", lead(col("gram"), w - 1).over(wOrd).isNotNull)
+      .where(col("__full"))
+      .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Winnowing overlap mining: pairs sharing >= minShared fingerprints.
+    * Fingerprints held by more than bucketCap documents are dropped
+    * before the pair join (universal boilerplate — a MOSS "too common,
+    * ignore" list derived from the corpus itself), which bounds the
+    * per-fingerprint pair expansion at bucketCap²; the cap is part of
+    * the operator contract and lives in the oracle too. The join
+    * routes through [[SkewJoin.saltedInnerHot]] like the LSH mining
+    * path, so a sub-cap-but-hot fingerprint still can't serialize onto
+    * one task.
+    */
+  def winnowPairs(fps: DataFrame, minShared: Long, bucketCap: Int,
+                  saltFactor: Int = 16): DataFrame = {
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = fps
+      .withColumn("__n", count(lit(1)).over(wFp))
+      .where(col("__n") <= bucketCap).drop("__n")
+      .localCheckpoint() // hot probe below is a separate action
+    val a = capped.select(col("fp"), col("id").as("doc_a"))
+    val b = capped.select(col("fp"), col("id").as("doc_b"))
+    SkewJoin.saltedInnerHot(a, b, "fp", col("doc_a"), saltFactor,
+        hotThreshold = bucketCap.toLong.max(1024L))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Distinct candidate pairs (id_a < id_b) sharing any LSH bucket.
     *
     * Skew-hardened: the pair expansion of a bucket with n members is

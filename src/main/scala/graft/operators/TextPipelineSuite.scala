@@ -103,6 +103,21 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // MOSS-style robust winnowing (td33): the guaranteed-recall
+    // fingerprint family next to td03's probabilistic MinHash — any
+    // shared run of >= w+k-1 = 7 words between two docs is guaranteed
+    // to share a fingerprint, at ~2/(w+1) the density of the full
+    // 4-gram set. Fingerprints held by > 50 docs are dropped as
+    // corpus-derived boilerplate before the pair join (MOSS's
+    // "too-common, ignore" list); pairs sharing >= 2 surviving
+    // fingerprints come back with their shared count.
+    "td33_winnow_pairs" -> { (s, dir) =>
+      val fps = TextOps.winnowFingerprints(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 4, 4)
+      TextOps.winnowPairs(fps, minShared = 2, bucketCap = 50)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Character-trigram profile language ID — the real n-gram
     // classifier (fastText/CLD shape) next to td05's marker-word
     // heuristic: per-language top-200 trigram profiles trained on a
@@ -468,6 +483,34 @@ object TextPipelineSuite extends QueryModule {
 
     // Same split/profile/score/argmax, replayed in SQL; DuckDB's
     // range(1, n) is exclusive, matching sequence(1, n-2) inclusive.
+    // Winnowing selection replicated literally: 1-based gram positions,
+    // windowed min over the next w-1 grams, full windows only, the
+    // >50-doc boilerplate cap, then the shared-count pair join.
+    "td33_winnow_pairs" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                || ' ' || words[i+3] AS gram
+            FROM w, LATERAL (SELECT unnest(range(1, len(words) - 2)) AS i)
+            WHERE len(words) >= 4),
+      fp0 AS (
+        SELECT doc_id,
+               min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               lead(gram, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS lastg
+        FROM g),
+      fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE lastg IS NOT NULL),
+      capped AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS n FROM fps)
+        WHERE n <= 50)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(1) AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(1) >= 2
+      ORDER BY 1, 2""",
+
     "td32_trigram_langid" -> """
       WITH t AS (SELECT doc_id, lang, lower(text) AS t FROM documents
                  WHERE len(lower(text)) >= 3),

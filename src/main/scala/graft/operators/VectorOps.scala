@@ -146,6 +146,44 @@ object VectorOps {
     ivfServe(cells, probes, k)
   }
 
+  /** Attribute-FILTERED ANN over the IVF index: "nearest neighbours of
+    * q AMONG vectors sharing q's attribute" — the filtered
+    * vector-search shape retrieval stacks need for tenant / language /
+    * label / licence scoping. The attribute equality lands in the
+    * probe⋈cell JOIN CONDITION, so non-matching candidates are
+    * discarded by the join hash lookup BEFORE any dot product is
+    * evaluated (pre-filtering, not rerank-then-discard — a post-filter
+    * of an unfiltered top-k can return FEWER than k survivors or none).
+    * With a stored index partitioned by (cell, attr) — te17's layout
+    * plus the attribute — the same broadcast join prunes whole
+    * partitions via dynamic partition pruning instead. nprobe should
+    * rise with filter selectivity (an equality over `m` uniform values
+    * leaves ~1/m of each probed cell usable), which is why it stays a
+    * caller-chosen knob, same contract as [[ivfTopK]].
+    */
+  def ivfFilteredTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                      attrCol: String, isQuery: Column => Column,
+                      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val attrs = vecs.select(col(idCol).as("id"), col(attrCol).as("attr"))
+    val ranked = ivfRanked(vecs, idCol, vecCol, nlist).join(attrs, "id")
+    val cells = ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("ccell"),
+        col("v").as("cv2"), col("nrm").as("cn2"), col("attr").as("cattr"))
+    val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"), col("attr").as("qattr"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(cells, col("cell") === col("ccell") && col("qattr") === col("cattr"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv2"))) / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("qattr").as("attr"),
+        col("cos"), col("rk"))
+  }
+
   /** The coarse-quantizer assignment half of [[ivfTopK]]: every vector
     * cosine-ranked against the broadcast centroid set. `crk = 1` rows
     * are the cell assignment (the INDEX — te17 persists exactly this,

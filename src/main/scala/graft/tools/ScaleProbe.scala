@@ -234,6 +234,62 @@ object ScaleProbe {
           .withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(w))
           .where(abs(coalesce(col("delta"), lit(0L))) > 200)
       })
+      // td33 winnowing: one explode + one keyed window pass + the
+      // capped bucket join — the LSH mining anatomy with a guaranteed-
+      // recall fingerprint set ~2/(w+1) the shingle density.
+      run("td33 winnow pairs", k,
+        TextOps.winnowPairs(
+          TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 4),
+          minShared = 2, bucketCap = 50))
+      // te18 filtered ANN: the label equality lives INSIDE the
+      // probe⋈cell hash join condition — candidate work per probe
+      // SHRINKS vs te05's unfiltered serve, it never grows.
+      run("te18 filtered ANN", k, VectorOps.ivfFilteredTopK(
+          emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")),
+          "vec_id", "embedding", "label", isQ,
+          nlist = 16, nprobe = 4, k = 5),
+        allowBroadcastCross = true)
+      // mm09 alignment: the two modal frame passes + one AsOfJoin
+      // (union + running window per doc) — three keyed shuffles, all
+      // corpus-linear.
+      run("mm09 transcript align", k, {
+        import spark.implicits._
+        val wA = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val payloads = docs
+          .select(col("doc_id"), col("text").cast("binary").as("p"))
+          .as[(Long, Array[Byte])]
+        val segs = payloads.flatMap { case (id, bytes) =>
+            Iterator.tabulate(bytes.length / 100) { f =>
+              var i = f * 100; var sumsq = 0L
+              while (i < f * 100 + 100) {
+                val v = bytes(i) & 0xff; sumsq += v.toLong * v; i += 1
+              }
+              (id, f, sumsq)
+            }
+          }.toDF("doc_id", "frame_idx", "energy")
+          .where(col("energy") > 360000L)
+          .withColumn("island", col("frame_idx") - row_number().over(wA))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("frame_idx")).as("start_frame"))
+          .withColumn("seg_byte", col("start_frame").cast("long") * 100L)
+        val shots = payloads.flatMap { case (id, bytes) =>
+            Iterator.tabulate(bytes.length / 64) { f =>
+              var i = f * 64; var acc = 0L
+              while (i < f * 64 + 64) { acc += bytes(i) & 0xff; i += 1 }
+              (id, f, acc)
+            }
+          }.toDF("doc_id", "frame_idx", "fsum")
+          .withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(wA))
+          .withColumn("shot_id",
+            sum(when(coalesce(abs(col("delta")) > 200, lit(false)), 1L)
+              .otherwise(0L))
+              .over(wA.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("shot_id"))
+          .agg(min(col("frame_idx")).as("shot_start_frame"))
+          .withColumn("shot_byte", col("shot_start_frame").cast("long") * 64L)
+        graft.operators.AsOfJoin.asOf(segs, shots, "doc_id", "seg_byte",
+          "shot_byte", Seq("shot_id"))
+      })
       // knn graph: nbits grows with log₂ of the corpus so the expected
       // bucket — and the Σ|bucket|² pair work per bucket — stays
       // bounded. (This probe is what exposed the original one-round

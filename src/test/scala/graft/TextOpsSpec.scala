@@ -517,4 +517,65 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect()
     assert(unsplit.map(_._2).distinct.sameElements(Array(0L)))
   }
+
+  test("winnowing guarantees a shared fingerprint for any >= w+k-1-word match") {
+    // k=4, w=4: any shared run of >= 7 words must yield a shared
+    // fingerprint (the MOSS guarantee). Docs 1/2 share exactly a 7-word
+    // run embedded in different contexts; doc 3 shares nothing.
+    val shared = "qq ww ee rr tt yy uu"
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ff gg hh jj kk ll"),
+      (2L, s"zz xx $shared vv nn mm oo pp aa2 bb2 cc2"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 4)
+    val byDoc = fps.as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed fingerprint missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    // Density: winnowing selects far fewer fingerprints than grams.
+    val nGrams1 = docs.where(col("doc_id") === 1L)
+      .select(size(TextOps.words(col("text")))).as[Int].head() - 3
+    assert(byDoc(1L).size < nGrams1)
+    // And the pair miner surfaces (1,2) when the threshold admits it.
+    val pairs = TextOps.winnowPairs(fps, minShared = 1, bucketCap = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("winnowPairs drops fingerprints above the boilerplate cap") {
+    // 5 docs all carrying the same 7-word boilerplate run: with
+    // bucketCap >= 5 every pair surfaces; with bucketCap 4 the
+    // boilerplate fingerprints die and no pair survives.
+    val run = "the same legal footer appears every single time"
+    val docs = (1L to 5L).map(i => (i, s"doc$i unique$i words$i $run tail$i"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 4)
+    val open = TextOps.winnowPairs(fps, minShared = 1, bucketCap = 50).count()
+    val capped = TextOps.winnowPairs(fps, minShared = 1, bucketCap = 4).count()
+    assert(open == 10L, s"expected all C(5,2) pairs, got $open")
+    assert(capped == 0L, s"expected boilerplate suppressed, got $capped")
+  }
+
+  test("ivfFilteredTopK pre-filters: a closer cross-attribute vector never surfaces") {
+    // Vectors on a 2-D-ish layout inside 64 dims: queries are id%25==0.
+    // id 0's nearest overall neighbour (id 1) carries the OTHER label;
+    // pre-filtering must pick the farther same-label id 2 instead of
+    // returning the near mismatch or an empty result.
+    def vec(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val rows = Seq(
+      (0L, vec(1.0, 0.0), 0),   // query, label 0 (also centroid 0)
+      (1L, vec(0.99, 0.14), 1), // nearest, wrong label
+      (2L, vec(0.9, 0.44), 0),  // farther, right label
+      (3L, vec(-1.0, 0.1), 1),  // far, wrong label (also ~centroid space)
+      (25L, vec(0.0, 1.0), 1),  // second query, label 1
+      (26L, vec(0.1, 0.99), 1)) // its same-label neighbour
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.ivfFilteredTopK(df, "vec_id", "embedding", "label",
+        _ % 25 === 0, nlist = 2, nprobe = 2, k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L, s"query 0 matched ${out(0L)}, want same-label 2")
+    assert(out(25L) == 26L)
+  }
 }
