@@ -214,8 +214,13 @@ object LogParity extends QueryModule {
           .sortWithinPartitions(col("partition"), col("k"), col("seq"))
           .select(col("partition"), col("json").as("value")),
         logDir)
+      // Cap sized to 2 admission-controlled epochs at sf0.1 (~360k
+      // events): multi-epoch drain stays exercised (and mid-segment
+      // restart is CdcStreamSpec's job) while per-epoch fixed costs —
+      // state-store commits, delta-dir write, trigger latency — are
+      // paid twice, not four times.
       val src = s.readStream.format("graft-log").option("path", logDir)
-        .option("maxRecordsPerTrigger", 100000).load()
+        .option("maxRecordsPerTrigger", 200000).load()
       val parsed = graft.sources.CdcFormats.debeziumJson(
           src.select(col("offset"), col("value")), col("value"),
           CdcParity.physical)
