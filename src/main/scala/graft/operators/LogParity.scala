@@ -252,6 +252,44 @@ object LogParity extends QueryModule {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // Upsert-table COMPACTION (kfk06): three epoch deltas are built
+    // exactly as upsertSink lands them (per-epoch keep-latest incl.
+    // tombstones, -U dropped), CdcStream.compact folds them into ONE
+    // delta through the reader's own keep-latest expression (GC'ing
+    // tombstoned keys), and the post-compaction merge-on-read state
+    // must equal the uncompacted pipeline's — same oracle as
+    // cdc02/kfk04. The epoch split follows the event waves (inserts /
+    // updates / deletes), so the delete wave's tombstones genuinely
+    // mask earlier epochs until compaction collapses them.
+    "kfk06_upsert_compaction" -> { (s, dir) =>
+      val base = scratch("kfk06", dir)
+      val parsed = graft.sources.CdcFormats.debeziumJson(
+        CdcParity.debeziumEvents(s, dir), col("json"), CdcParity.physical)
+      val kindRank = when(col("__rowkind") === "+I", 0)
+        .when(col("__rowkind") === "-U", 1)
+        .when(col("__rowkind") === "+U", 2).otherwise(3)
+      val versioned = parsed
+        .withColumn("__version", col("seq").cast("long") * 4 + kindRank)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("__rowkind"), col("__version"))
+      for (e <- 1 to 3) {
+        Dedup.keepLast(
+            versioned.where(col("__version") >= e * 4L &&
+              col("__version") < (e + 1) * 4L)
+              .filter(col("__rowkind") =!= "-U"),
+            Seq(col("o_orderkey")), Seq(col("__version")))
+          .write.mode("overwrite")
+          .parquet(s"$base/state/delta=" + f"$e%020d")
+      }
+      graft.streaming.CdcStream.compact(
+        s, s"$base/state", Seq("o_orderkey"), "__version")
+      graft.streaming.CdcStream.readState(
+          s, s"$base/state", Seq("o_orderkey"), "__version")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -312,6 +350,16 @@ object LogParity extends QueryModule {
     // Identical oracle to cdc02: the streaming stateful pipeline must
     // converge to the same normalized state as the batch normalize.
     "kfk04_cdc_stream_normalize" -> s"""
+      WITH fin AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS st,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT st AS o_orderstatus, count(1) AS n, ${dsumSql("p")} AS sum_price
+      FROM fin GROUP BY 1 ORDER BY 1""",
+
+    // Identical oracle again: compaction must be invisible to readers.
+    "kfk06_upsert_compaction" -> s"""
       WITH fin AS (
         SELECT CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS st,
                CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1

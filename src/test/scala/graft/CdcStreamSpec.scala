@@ -170,4 +170,42 @@ class CdcStreamSpec extends AnyFunSuite {
       .select(col("k"), col("v")).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "b1")))
   }
+
+  test("compaction folds deltas to one dir, GCs tombstones, readers see identical state") {
+    val logDir = tmp("cdc-cmp-log"); val stateDir = tmp("cdc-cmp-state")
+    val ckpt = tmp("cdc-cmp-ckpt")
+    LogSource.append(logDir, 0, (1L to 6L).map(k => ins(k, s"a$k")))
+    LogSource.append(logDir, 0,
+      Seq(upd(1, "a1", "b1"), del(2, "a2"), del(6, "a6")))
+    // 3 records/trigger over 9 records → 3 epoch deltas.
+    val q = CdcStream.upsertSink(
+      pipeline(logDir, stateDir, ckpt, maxPerTrigger = 3), stateDir, ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    def deltaDirs = Files.list(java.nio.file.Paths.get(stateDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("delta=")).toSeq
+    assert(deltaDirs.size >= 2, s"need multiple deltas to compact: $deltaDirs")
+    val before = CdcStream.readState(spark, stateDir, Seq("k"), "__version")
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    CdcStream.compact(spark, stateDir, Seq("k"), "__version")
+    assert(deltaDirs.size == 1, s"compaction left $deltaDirs")
+    val after = CdcStream.readState(spark, stateDir, Seq("k"), "__version")
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    assert(after == before && after ==
+      Set((1L, "b1"), (3L, "a3"), (4L, "a4"), (5L, "a5")))
+    // Tombstones are gone from storage, not just masked at read time.
+    val stored = spark.read.parquet(s"$stateDir/delta=*")
+    assert(stored.filter(col("__rowkind") === "-D").count() == 0)
+    // And a FRESH delta appended after compaction still supersedes.
+    val late = Seq((250L, 3L, "c3", "+U", 1000L),
+        (251L, 4L, null.asInstanceOf[String], "-D", 1001L))
+      .toDF("offset", "k", "v", "__rowkind", "__version")
+    late.write.parquet(
+      java.nio.file.Paths.get(stateDir, f"delta=${99L}%020d").toString)
+    val v3 = CdcStream.readState(spark, stateDir, Seq("k"), "__version")
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    assert(v3 == Set((1L, "b1"), (3L, "c3"), (5L, "a5")))
+  }
 }
