@@ -171,6 +171,39 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got == Set((1L, "b1")))
   }
 
+  test("normalize state TTL evicts idle keys; a stale lower-version event re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Long)]
+    val out = CdcStream.normalize(
+      in.toDF().toDF("k", "v", "__rowkind", "__version"),
+      Seq("k"), "__version", stateTtlMs = Some(200L))
+    val q = out.writeStream.format("memory").queryName("cdcttl")
+      .outputMode("update").start()
+    def rows() = spark.table("cdcttl").collect()
+    def await(p: Array[org.apache.spark.sql.Row] => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!p(rows()) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(p(rows()))
+    }
+    try {
+      in.addData((1L, "a1", "+I", 10L))
+      await(_.nonEmpty)
+      Thread.sleep(600) // key 1 idles past its TTL
+      in.addData((2L, "b", "+I", 1L)) // next batch fires key 1's timer
+      await(_.exists(_.getLong(0) == 2L))
+      // Version 5 < the evicted version 10: WITHOUT eviction normalize
+      // suppresses it; its emission proves the state was dropped (and
+      // documents the reference's stale-resurface TTL hazard).
+      in.addData((1L, "stale", "+I", 5L))
+      await(_.count(_.getLong(0) == 1L) == 2)
+    } finally q.stop()
+    val k1 = spark.table("cdcttl").filter(col("k") === 1L)
+      .select(col("v"), col("__version")).as[(String, Long)].collect().toSet
+    assert(k1 == Set(("a1", 10L), ("stale", 5L)))
+  }
+
   test("compaction folds deltas to one dir, GCs tombstones, readers see identical state") {
     val logDir = tmp("cdc-cmp-log"); val stateDir = tmp("cdc-cmp-state")
     val ckpt = tmp("cdc-cmp-ckpt")
