@@ -109,6 +109,29 @@ object TextOps {
       .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
   }
 
+  /** b-bit MinHash signatures (Li & König, WWW'10 / CACM'11): keep
+    * only the low `bBits` bits of each of `numPerms` MinHash values —
+    * a 64/b-fold signature compression whose Jaccard estimator stays
+    * unbiased after collision correction (P[bits match] = C + (1-C)·J
+    * with C = 2^-b; solve for J). Permutation i hashes the shingle as
+    * the 60-bit prefix of md5("<gr>#<i>") — k INDEPENDENT hashes,
+    * exactly [[minhashSignatureIdx]]'s xxhash64(sh, i) pattern but
+    * replayable by the DuckDB oracle bit for bit. (A shared per-shingle
+    * value pushed through k linear perms is NOT enough: the globally
+    * minimal shingle then wins every perm and the b-bit entries of
+    * unrelated documents correlate — measured 8/16 spurious matches on
+    * disjoint sets before this was changed.) ONE codegen'd aggregate
+    * pass over the exploded shingle index.
+    * Input: (id, gr) distinct string shingles. Output: (id, b0..b{k-1}).
+    */
+  def bbitMinhashSig(idx: DataFrame, numPerms: Int, bBits: Int): DataFrame = {
+    val aggs = (0 until numPerms).map { i =>
+      (min(conv(substring(md5(concat_ws("#", col("gr"), lit(i.toString))),
+        1, 15), 16, 10).cast("long")) % lit(1L << bBits)).as(s"b$i")
+    }
+    idx.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MOSS-style robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * per document the fingerprint set is the MINIMUM word k-gram of each
     * w-long sliding window over the gram sequence. Guarantee: any match

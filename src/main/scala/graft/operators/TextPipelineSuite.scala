@@ -103,6 +103,36 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // b-bit MinHash (td34): the signature-compression estimator next
+    // to td03's full-width LSH — only the low 8 bits of 16 MinHash
+    // perms are kept (8× smaller signatures), and the collision-
+    // corrected match fraction estimates Jaccard on td03's lossless,
+    // exactly-oracled ≥0.8 pair set. n_match and the floor-scaled
+    // estimate are integer end to end; the perm family is md5-derived
+    // so the oracle replays every signature bit.
+    "td34_bbit_minhash" -> { (s, dir) =>
+      val idx = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
+      val sig = TextOps.bbitMinhashSig(idx, 16, 8)
+      val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
+      val a = sig.select(col("id").as("id_a") +:
+        (0 until 16).map(i => col(s"b$i").as(s"xa$i")): _*)
+      val b2 = sig.select(col("id").as("id_b") +:
+        (0 until 16).map(i => col(s"b$i").as(s"xb$i")): _*)
+      val m = (0 until 16).map(i =>
+        when(col(s"xa$i") === col(s"xb$i"), 1L).otherwise(0L)).reduce(_ + _)
+      pairs.join(a, "id_a").join(b2, "id_b")
+        .withColumn("n_match", m)
+        .withColumn("est_micro", floor(
+          greatest(col("n_match") * 256 - 16, lit(0L)) * 1000000L / 4080L)
+          .cast("long"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          col("n_match"), col("est_micro"))
+        .orderBy("id_a", "id_b")
+    },
+
     // MOSS-style robust winnowing (td33): the guaranteed-recall
     // fingerprint family next to td03's probabilistic MinHash — any
     // shared run of >= w+k-1 = 7 words between two docs is guaranteed
@@ -483,6 +513,40 @@ object TextPipelineSuite extends QueryModule {
 
     // Same split/profile/score/argmax, replayed in SQL; DuckDB's
     // range(1, n) is exclusive, matching sequence(1, n-2) inclusive.
+    // td03's exact >= 0.8 pair set, plus every b-bit signature replayed
+    // bit for bit (per-perm md5("<sh>#<i>") 60-bit prefix, low-8-bit
+    // mask) and the collision-corrected estimate in floor'd integer
+    // micros.
+    "td34_bbit_minhash" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      perms AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS i),
+      sig AS (SELECT id, i,
+                min(CAST('0x' || substring(
+                  md5(sh || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) % 256 AS mh
+              FROM e, perms GROUP BY 1, 2),
+      mm AS (SELECT p.id_a, p.id_b,
+                    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+             FROM pairs p
+             JOIN sig sa ON sa.id = p.id_a
+             JOIN sig sb ON sb.id = p.id_b AND sb.i = sa.i
+             GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.jaccard, mm.n_match,
+             CAST(greatest(mm.n_match * 256 - 16, 0) * 1000000 // 4080 AS BIGINT) AS est_micro
+      FROM pairs p JOIN mm ON p.id_a = mm.id_a AND p.id_b = mm.id_b
+      ORDER BY p.id_a, p.id_b""",
+
     // Winnowing selection replicated literally: 1-based gram positions,
     // windowed min over the next w-1 grams, full windows only, the
     // >50-doc boilerplate cap, then the shared-count pair join.

@@ -241,6 +241,22 @@ object ScaleProbe {
         TextOps.winnowPairs(
           TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 4),
           minShared = 2, bucketCap = 50))
+      // td34 b-bit minhash: the compressed-signature estimate over the
+      // LSH pair set — one md5 aggregate pass + the mining join.
+      run("td34 b-bit minhash", k, {
+        val bidx = docs.select(col("doc_id").as("id"),
+          explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
+        val sig = TextOps.bbitMinhashSig(bidx, 16, 8)
+        val bpairs = TextOps.minhashLshPairsIdx(
+          TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
+        val ba = sig.select(col("id").as("id_a") +:
+          (0 until 16).map(i => col(s"b$i").as(s"xa$i")): _*)
+        val bb = sig.select(col("id").as("id_b") +:
+          (0 until 16).map(i => col(s"b$i").as(s"xb$i")): _*)
+        val bm = (0 until 16).map(i =>
+          when(col(s"xa$i") === col(s"xb$i"), 1L).otherwise(0L)).reduce(_ + _)
+        bpairs.join(ba, "id_a").join(bb, "id_b").withColumn("n_match", bm)
+      })
       // te18 filtered ANN: the label equality lives INSIDE the
       // probe⋈cell hash join condition — candidate work per probe
       // SHRINKS vs te05's unfiltered serve, it never grows.

@@ -557,6 +557,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(capped == 0L, s"expected boilerplate suppressed, got $capped")
   }
 
+  test("b-bit minhash: identical shingle sets match all perms, disjoint sets estimate ~0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "one two three four five six seven eight nine")   // disjoint
+    ).toDF("doc_id", "text")
+    val idx = docs.select(col("doc_id").as("id"),
+      explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
+    val sig = TextOps.bbitMinhashSig(idx, 16, 8)
+    val rows = sig.collect().map(r => r.getLong(0) ->
+      (1 to 16).map(i => r.getLong(i))).toMap
+    assert(rows(1L) == rows(2L), "identical sets must share every b-bit entry")
+    assert(rows.values.forall(_.forall(v => v >= 0 && v < 256)))
+    val m13 = rows(1L).zip(rows(3L)).count { case (a, b) => a == b }
+    // C(16, 1/256): P[>=4 collisions] < 1e-6 — disjoint stays near 0.
+    assert(m13 <= 3, s"disjoint sets matched $m13/16 b-bit entries")
+  }
+
   test("ivfFilteredTopK pre-filters: a closer cross-attribute vector never surfaces") {
     // Vectors on a 2-D-ish layout inside 64 dims: queries are id%25==0.
     // id 0's nearest overall neighbour (id 1) carries the OTHER label;
