@@ -69,6 +69,18 @@ object ExtraParity extends QueryModule {
       Dedup.connectedComponents(pairs).orderBy("id")
     },
 
+    // Batch iteration #6: synchronous label propagation (3 rounds,
+    // most-frequent neighbour label, min tie-break) over it01's
+    // near-dup graph — the community-detection sibling of connected
+    // components; with the fixed round count and deterministic ties
+    // every round is replayed by the oracle's unrolled CTEs.
+    "it06_label_propagation" -> { (s, dir) =>
+      val idx = TextOps.shingleHashIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+      val pairs = TextOps.allPairsJaccardIdx(idx, 0.8)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Pregel.labelPropagation(pairs, rounds = 3).orderBy("id")
+    },
+
     // Batch iteration #2: PageRank (5 fixed rounds, damping 0.85) over
     // the customer→supplier order graph — the reference's DataSet bulk
     // iteration shape with a weighted-propagation body. Per-round work
@@ -371,6 +383,49 @@ object ExtraParity extends QueryModule {
       SELECT n.id, least(n.id, min(r.b)) AS label
       FROM nodes n LEFT JOIN reach r ON r.a = n.id
       GROUP BY n.id
-      ORDER BY n.id"""
+      ORDER BY n.id""",
+
+    // 3 synchronous LPA rounds unrolled (most-frequent neighbour
+    // label, min tie-break — deterministic, so each round replays).
+    "it06_label_propagation" -> """
+      WITH base AS (
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [] END AS shingles
+              FROM w),
+        e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+        sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                  FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM base
+        UNION SELECT id_b, id_a FROM base),
+      l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+      l1 AS (SELECT id, label FROM (
+               SELECT e.a AS id, l.label,
+                      row_number() OVER (PARTITION BY e.a
+                        ORDER BY count(1) DESC, l.label) AS rk
+               FROM edges e JOIN l0 l ON l.id = e.b
+               GROUP BY e.a, l.label) WHERE rk = 1),
+      l2 AS (SELECT id, label FROM (
+               SELECT e.a AS id, l.label,
+                      row_number() OVER (PARTITION BY e.a
+                        ORDER BY count(1) DESC, l.label) AS rk
+               FROM edges e JOIN l1 l ON l.id = e.b
+               GROUP BY e.a, l.label) WHERE rk = 1),
+      l3 AS (SELECT id, label FROM (
+               SELECT e.a AS id, l.label,
+                      row_number() OVER (PARTITION BY e.a
+                        ORDER BY count(1) DESC, l.label) AS rk
+               FROM edges e JOIN l2 l ON l.id = e.b
+               GROUP BY e.a, l.label) WHERE rk = 1)
+      SELECT id, label FROM l3 ORDER BY id"""
   )
 }

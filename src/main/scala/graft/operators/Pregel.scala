@@ -281,4 +281,42 @@ object Pregel {
     tri.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
       .groupBy(col("supp")).agg(count(lit(1)).cast("long").as("n_tri"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    * round count with deterministic ties: every node starts as its own
+    * label; each round it adopts its neighbours' most frequent label,
+    * ties broken toward the smallest label — fully deterministic, so
+    * the whole trajectory is oracle-replicable round by round (the
+    * async/random-order variant converges better but can't be
+    * hash-checked; same plan shape either way). Per round: ONE keyed
+    * join (neighbour labels) + ONE count aggregate + ONE rank window,
+    * all at the iteration's shuffle sizing; labels are checkpointed per
+    * round so the plan doesn't grow with rounds. Input `und` is an
+    * undirected edge list (a, b), mirrored internally. Output:
+    * (id, label) for every endpoint.
+    */
+  def labelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    val edges0 = und.select(col("a"), col("b"))
+      .unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val parts = iterationPartitions(spark, edges0.count())
+    withIterationConf(spark, parts) {
+      val edges = parts.map(p => edges0.repartition(p, col("b")))
+        .getOrElse(edges0).localCheckpoint()
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("c").desc, col("nl"))
+      for (_ <- 1 to rounds) {
+        labels = edges
+          .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+          .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select(col("a").as("id"), col("nl").as("label"))
+          .localCheckpoint()
+      }
+      labels
+    }
+  }
 }

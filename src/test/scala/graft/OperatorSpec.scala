@@ -113,4 +113,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(delta == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L,
       9L -> Pregel.Unreached))
   }
+
+  test("label propagation separates bridged triangles deterministically") {
+    // Two triangles joined by one bridge edge (3-10): after 3 sync
+    // rounds with min tie-breaks each triangle settles on one label and
+    // the bridge does NOT merge them (hand-traced trajectory).
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Pregel.labelPropagation(und, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
 }
