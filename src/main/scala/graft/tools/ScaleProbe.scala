@@ -379,6 +379,22 @@ object ScaleProbe {
           .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
         graft.operators.Pregel.triangleCounts(und)
       })
+      // Label propagation: per-round work is one neighbour join + one
+      // count aggregate over the edge list — fixed rounds, so total
+      // time must track the edge count.
+      run("it06 label propagation", k, {
+        val m = docBase * k
+        val li = spark.read.format("graft-datagen").schema("li_id bigint")
+          .option("numRows", m.toString)
+          .option("partitions", spark.sparkContext.defaultParallelism.toString)
+          .load()
+          .select((col("li_id") / 4).cast("long").as("ok"),
+            pmod(hash(col("li_id")), lit(math.max(m / 10, 10L))).as("sk"))
+        val und = li.as("x").join(li.as("y"), Seq("ok"))
+          .where(col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        graft.operators.Pregel.labelPropagation(und, rounds = 3)
+      })
       // Delta-iteration SSSP: the workset shrinks to the improving
       // frontier, so per-round join work tracks the frontier, not the
       // graph; rounds-to-convergence is a property of the diameter
