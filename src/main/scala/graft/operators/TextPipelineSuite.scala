@@ -103,6 +103,28 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Cluster-aware train/eval split (td35): the leakage-safe split a
+    // training pipeline must do — near-dup CLUSTERS move between
+    // splits atomically (component rep % 5 == 0 → eval), so train can
+    // never see a near-duplicate of an eval document. Exact pair graph
+    // here for the oracle; the at-scale twin swaps in td16's LSH-mined
+    // pairs with the identical downstream plan.
+    "td35_cluster_split" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idx = TextOps.shingleHashIndex(docs, "doc_id", "text", 3)
+      val pairs = TextOps.allPairsJaccardIdx(idx, 0.8)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("label"), col("doc_id")))
+        .withColumn("split",
+          when(pmod(col("rep"), lit(5)) === 0, "eval").otherwise("train"))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // b-bit MinHash (td34): the signature-compression estimator next
     // to td03's full-width LSH — only the low 8 bits of 16 MinHash
     // perms are kept (8× smaller signatures), and the collision-
@@ -513,6 +535,45 @@ object TextPipelineSuite extends QueryModule {
 
     // Same split/profile/score/argmax, replayed in SQL; DuckDB's
     // range(1, n) is exclusive, matching sequence(1, n-2) inclusive.
+    // it01's component labels left-joined onto ALL documents; isolated
+    // docs are their own rep.
+    "td35_cluster_split" -> """
+      WITH RECURSIVE
+      base AS (
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [] END AS shingles
+              FROM w),
+        e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+        sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                  FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM base
+        UNION SELECT id_b, id_a FROM base),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      ccl AS (
+        SELECT n.id, least(n.id, min(r.b)) AS label
+        FROM (SELECT DISTINCT a AS id FROM edges) n
+        LEFT JOIN reach r ON r.a = n.id
+        GROUP BY n.id)
+      SELECT d.doc_id,
+             coalesce(ccl.label, d.doc_id) AS rep,
+             CASE WHEN coalesce(ccl.label, d.doc_id) % 5 = 0
+               THEN 'eval' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN ccl ON ccl.id = d.doc_id
+      ORDER BY d.doc_id""",
+
     // td03's exact >= 0.8 pair set, plus every b-bit signature replayed
     // bit for bit (per-perm md5("<sh>#<i>") 60-bit prefix, low-8-bit
     // mask) and the collision-corrected estimate in floor'd integer
