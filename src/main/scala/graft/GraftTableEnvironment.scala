@@ -61,6 +61,39 @@ class GraftTableEnvironment private (val spark: SparkSession,
       watermarkDecl.remove(name); primaryKeys.remove(name)
       return okResult()
     }
+    // Catalog statements (SqlShowTables/SqlShowFunctions/SqlDescribeTable
+    // in the reference's flink-sql-parser; TableEnvironmentImpl routes
+    // them at executeInternal): answered from the same catalog state
+    // the programmatic listTables/listFunctions expose.
+    val trimmed = sql.trim
+    if (trimmed.matches("(?is)SHOW\\s+TABLES\\s*;?")) {
+      import spark.implicits._
+      return listTables().sorted.toDF("table name")
+    }
+    if (trimmed.matches("(?is)SHOW\\s+FUNCTIONS\\s*;?")) {
+      import spark.implicits._
+      return listFunctions().sorted.toDF("function name")
+    }
+    val explainRe = "(?is)EXPLAIN\\s+PLAN\\s+FOR\\s+(.+)".r
+    trimmed match {
+      case explainRe(stmt) =>
+        import spark.implicits._
+        return Seq(explainSql(stmt)).toDF("plan")
+      case _ =>
+    }
+    val descRe = "(?is)DESC(?:RIBE)?\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?".r
+    trimmed match {
+      case descRe(tbl) =>
+        import spark.implicits._
+        val pk = primaryKey(tbl).toSet
+        val wm = declaredWatermark(tbl)
+        return from(tbl).schema.fields.toSeq.map { f =>
+          (f.name, f.dataType.sql, f.nullable,
+            if (pk.contains(f.name)) "PRI" else null,
+            wm.filter(_._1 == f.name).map(_._2).orNull)
+        }.toDF("name", "type", "null", "key", "watermark")
+      case _ =>
+    }
     val rw = graft.sql.TemporalSql.rewrite(
       graft.sql.TemporalSql.rewriteFunctions(
         graft.sql.FlinkSqlWindows.rewrite(sql), temporalFns.get),

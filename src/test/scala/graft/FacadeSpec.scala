@@ -143,6 +143,28 @@ class FacadeSpec extends AnyFunSuite {
     assert(env.listFunctions().contains("split_index")) // gap function registered
   }
 
+  test("SHOW TABLES / SHOW FUNCTIONS / DESCRIBE / EXPLAIN PLAN FOR sql statements") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    env.executeSql("""
+      CREATE TABLE sf_show_t (k BIGINT, v STRING, ts TIMESTAMP_LTZ(3),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        PRIMARY KEY (k) NOT ENFORCED)
+      WITH ('connector' = 'datagen', 'number-of-rows' = '3')""")
+    val tables = env.executeSql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("sf_show_t") && tables.contains("events"))
+    val fns = env.executeSql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("split_index"))
+    val desc = env.executeSql("DESCRIBE sf_show_t").collect()
+      .map(r => r.getString(0) -> ((r.getString(3), r.getString(4)))).toMap
+    assert(desc("k") == (("PRI", null)))
+    assert(desc("ts")._2 != null) // watermark expression surfaces
+    assert(desc("v") == ((null, null)))
+    val plan = env.executeSql(
+      "EXPLAIN PLAN FOR SELECT count(1) FROM sf_show_t").collect()
+    assert(plan.length == 1 && plan.head.getString(0).contains("Physical Plan"))
+  }
+
   test("CREATE TABLE DDL with datagen and values connectors") {
     val env = GraftTableEnvironment.create(spark)
     env.executeSql("""
