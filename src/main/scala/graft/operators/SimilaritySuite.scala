@@ -128,6 +128,41 @@ object SimilaritySuite extends QueryModule {
       VectorOps.ivfServe(stored, probes, 5).orderBy("query_id", "rk")
     },
 
+    // INCREMENTAL IVF maintenance (te19): td31's nightly-batch story on
+    // the vector side. The 80% existing corpus builds the store (frozen
+    // quantizer = its 16 lowest-id vectors, cell-partitioned parquet);
+    // the 20% new batch is assigned against the SAME frozen centroids
+    // and APPENDED into its cells — the store is never rebuilt, the
+    // batch never reshuffled. Queries (all inside the new batch) then
+    // serve from the grown store; the oracle is the frozen-quantizer
+    // IVF over the full corpus, so append ≡ rebuild bit for bit.
+    "te19_ivf_incremental" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te19_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val emb = Tables.load(s, dir, "embeddings")
+      val existing = emb.where(col("vec_id") % 5 =!= 0)
+      val newBatch = emb.where(col("vec_id") % 5 === 0)
+      val cent = VectorOps.ivfCentroids(existing, "vec_id", "embedding", 16)
+        .localCheckpoint()
+      def cells(batch: org.apache.spark.sql.DataFrame) =
+        VectorOps.ivfAssign(batch, "vec_id", "embedding", cent)
+          .where(col("crk") === 1)
+          .select(col("id").as("vec_id"), col("cid").as("cell"),
+            col("v"), col("nrm"))
+      cells(existing).write.mode("overwrite").partitionBy("cell").parquet(store)
+      cells(newBatch).write.mode("append").partitionBy("cell").parquet(store)
+      val stored = s.read.parquet(store)
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+          col("v").as("cv2"), col("nrm").as("cn2"))
+      val probes = VectorOps.ivfAssign(
+          newBatch.where(col("vec_id") % 25 === 0), "vec_id", "embedding", cent)
+        .where(col("crk") <= 2)
+        .select(col("id").as("query_id"), col("cid").as("cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      VectorOps.ivfServe(stored, probes, 5).orderBy("query_id", "rk")
+    },
+
     // Attribute-FILTERED ANN (te18): tenant/label-scoped vector search
     // — top-5 neighbours sharing the query's label. The label equality
     // sits in the probe⋈cell join condition, so mismatched candidates
@@ -684,6 +719,56 @@ object SimilaritySuite extends QueryModule {
     // Identical oracle: serving from the persisted cell-partitioned
     // index must reproduce the in-memory IVF result bit for bit.
     "te17_ivf_persisted" -> ivfOracleSql,
+
+    // te05's oracle with the quantizer frozen to the 16 lowest
+    // EXISTING ids (vec_id % 5 <> 0): append ≡ rebuild, so the oracle
+    // is simply the frozen-quantizer IVF over the full corpus.
+    "te19_ivf_incremental" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cents AS (SELECT vec_id AS ccid FROM embeddings
+                WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d
+             JOIN cents ct ON ct.ccid = c.vec_id
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 2 AND vec_id % 25 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id, cl.cell
+        FROM probes p JOIN cells cl USING (cell)
+        WHERE p.query_id <> cl.vec_id),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id, cand.cell,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, dots.vec_id AS vec_id, cell,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, cell, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk""",
 
     // te05's oracle with the label filter applied at the candidate
     // stage (pre-filter) and nprobe=4.

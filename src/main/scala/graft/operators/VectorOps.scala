@@ -193,8 +193,31 @@ object VectorOps {
   private[graft] def ivfRanked(vecs: DataFrame, idCol: String,
                                vecCol: String, nlist: Int): DataFrame = {
     val e = prepped(vecs, idCol, vecCol)
-    val cent = e.filter(col("id") < nlist)
+    ivfAssignPrepped(e, e.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+  }
+
+  /** The `nlist` lowest-id vectors of this frame as a frozen quantizer
+    * (cid, cv, cn) — the centroid pick [[ivfRanked]] hardcodes,
+    * exposed so an INCREMENTAL index build can keep assigning new
+    * batches against the ORIGINAL centroids (te19): an IVF quantizer
+    * is frozen at build time, growth happens inside cells.
+    */
+  def ivfCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): DataFrame =
+    prepped(vecs, idCol, vecCol).orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Cosine-rank `vecs` against an explicit frozen centroid frame —
+    * crk = 1 rows are the cell assignment to append to a stored index,
+    * crk <= nprobe rows of a query batch are its probe list. The
+    * centroid frame is broadcast; the batch is never reshuffled.
+    */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                cent: DataFrame): DataFrame =
+    ivfAssignPrepped(prepped(vecs, idCol, vecCol), cent)
+
+  private def ivfAssignPrepped(e: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("cosc").desc, col("cid"))
     e.crossJoin(broadcast(cent))

@@ -265,6 +265,38 @@ object ScaleProbe {
           "vec_id", "embedding", "label", isQ,
           nlist = 16, nprobe = 4, k = 5),
         allowBroadcastCross = true)
+      // te19 incremental IVF: store pre-built on the 80% existing
+      // corpus OUTSIDE the timer (td31's convention); the timed cycle
+      // is the nightly increment — assign the 20% batch against the
+      // frozen broadcast quantizer, append into cells, serve the fixed
+      // query batch from the grown store.
+      if (onlyProbes.forall(_.exists("te19 IVF increment+serve".startsWith))) {
+        val store = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-te19-$k").toString
+        val existing = emb.where(col("vec_id") % 5 =!= 0)
+        val newBatch = emb.where(col("vec_id") % 5 === 0)
+        val cent = VectorOps.ivfCentroids(existing, "vec_id", "embedding", 16)
+          .localCheckpoint()
+        def cells(batch: org.apache.spark.sql.DataFrame) =
+          VectorOps.ivfAssign(batch, "vec_id", "embedding", cent)
+            .where(col("crk") === 1)
+            .select(col("id").as("vec_id"), col("cid").as("cell"),
+              col("v"), col("nrm"))
+        // store pre-built OUTSIDE the timed thunk (td31's convention)
+        cells(existing).write.mode("overwrite").partitionBy("cell").parquet(store)
+        run("te19 IVF increment+serve", k, {
+          cells(newBatch).write.mode("append").partitionBy("cell").parquet(store)
+          val stored = spark.read.parquet(store)
+            .select(col("cell").cast("long").as("cell"), col("vec_id"),
+              col("v").as("cv2"), col("nrm").as("cn2"))
+          val probes = VectorOps.ivfAssign(
+              newBatch.where(isQ(col("vec_id"))), "vec_id", "embedding", cent)
+            .where(col("crk") <= 2)
+            .select(col("id").as("query_id"), col("cid").as("cell"),
+              col("v").as("qv"), col("nrm").as("qn"))
+          VectorOps.ivfServe(stored, probes, 5)
+        }, allowBroadcastCross = true)
+      }
       // mm09 alignment: the two modal frame passes + one AsOfJoin
       // (union + running window per doc) — three keyed shuffles, all
       // corpus-linear.
