@@ -270,10 +270,13 @@ object LogParity extends QueryModule {
       val kindRank = when(col("__rowkind") === "+I", 0)
         .when(col("__rowkind") === "-U", 1)
         .when(col("__rowkind") === "+U", 2).otherwise(3)
+      // checkpointed ONCE: the JSON-encode harness + decode would
+      // otherwise re-execute per epoch write (3x) and again at compact
       val versioned = parsed
         .withColumn("__version", col("seq").cast("long") * 4 + kindRank)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"), col("__rowkind"), col("__version"))
+        .localCheckpoint()
       for (e <- 1 to 3) {
         Dedup.keepLast(
             versioned.where(col("__version") >= e * 4L &&
