@@ -74,18 +74,29 @@ object Pregel {
     * @param update   (old attr, merged msg — null when no messages
     *                 arrived) => new attr
     */
-  def iterate(vertices: DataFrame, edges: DataFrame, rounds: Int)(
+  def iterate(vertices: DataFrame, edges: DataFrame, rounds: Int,
+              checkpointInterval: Int = 4)(
       sendMsg: (Column, Column) => Column,
       mergeMsg: Column => Column,
       update: (Column, Column) => Column): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     var v = vertices.select(col("n"), col("attr"))
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       val msgs = v.join(e, col("n") === col("src"))
         .select(col("dst"), sendMsg(col("attr"), col("w")).as("__m"))
         .groupBy(col("dst")).agg(mergeMsg(col("__m")).as("__msg"))
       v = v.join(msgs, col("n") === col("dst"), "left")
         .select(col("n"), update(col("attr"), col("__msg")).as("attr"))
+      // Each round references `v` twice (message join + update join),
+      // so the lazy plan doubles per round; truncating lineage every
+      // `checkpointInterval` rounds caps the tree at 2^interval
+      // references while keeping most rounds job-free. Monotone
+      // algorithms should still prefer [[iterateMonotone]] — one
+      // reference per round, fully lazy, zero per-round jobs.
+      if (checkpointInterval > 0 && (r + 1) % checkpointInterval == 0
+          && r + 1 < rounds) {
+        v = v.localCheckpoint()
+      }
     }
     v
   }

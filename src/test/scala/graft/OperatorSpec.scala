@@ -114,6 +114,20 @@ class OperatorSpec extends AnyFunSuite {
       9L -> Pregel.Unreached))
   }
 
+  test("general iterate with checkpointing equals the unchecked plan (sum propagation)") {
+    // A NON-monotone body (message sums) so iterateMonotone doesn't
+    // apply: 6 rounds crossing the default checkpoint interval must
+    // produce exactly the interval-0 (never-checkpoint) result.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq((1L, 1L), (2L, 10L), (3L, 100L)).toDF("n", "attr")
+    def run(interval: Int) = Pregel.iterate(nodes, edges, rounds = 6, interval)(
+      sendMsg = (attr, w) => attr + w,
+      mergeMsg = m => sum(m),
+      update = (old, msg) => coalesce(msg, old))
+      .as[(Long, Long)].collect().toMap
+    assert(run(4) == run(0))
+  }
+
   test("label propagation separates bridged triangles deterministically") {
     // Two triangles joined by one bridge edge (3-10): after 3 sync
     // rounds with min tie-breaks each triangle settles on one label and
