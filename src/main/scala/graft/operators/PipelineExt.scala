@@ -197,6 +197,34 @@ object PipelineExt extends QueryModule {
         .orderBy("query_id")
     },
 
+    // ANN recall-vs-nprobe curve (te20): the accuracy/latency dial an
+    // IVF deployment tunes — recall@5 of the nprobe ∈ {1,2,4} serves
+    // measured against the exact top-5, aggregated per nprobe (3 rows,
+    // recall monotone in nprobe by construction). Integer recall
+    // micros; the exact leg is the guarded brute-force baseline, the
+    // eval-harness convention of te15/te16.
+    "te20_recall_curve" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+      val full = VectorOps.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val perN = Seq(1, 2, 4).map { np =>
+        VectorOps.ivfTopK(emb, "vec_id", "embedding", _ % 25 === 0,
+            nlist = 16, nprobe = np, k = 5)
+          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      val fullN = full.crossJoin(Seq(1, 2, 4).toDF("nprobe"))
+      fullN.join(perN.withColumn("m", lit(1L)),
+          Seq("nprobe", "query_id", "vec_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"))
+        .withColumn("recall_micro",
+          floor(col("n_overlap") * 1000000L / col("n_exact")).cast("long"))
+        .orderBy("nprobe")
+    },
+
     // Binary sign-code retrieval recall: binarize each embedding to a
     // 63-bit sign code (bit d set iff x_d > 0; the top bit stays
     // clear so BIGINT shift/sum arithmetic is overflow-free in BOTH
@@ -490,6 +518,73 @@ object PipelineExt extends QueryModule {
               AND n_short * 2 >= nw AND n_stop >= 6
               AND maxlen <= 7) AS keep
       FROM st ORDER BY doc_id""",
+
+    // The exact top-5 (te16's full_rk) against the IVF candidate sets
+    // of every nprobe tier, scored from the shared dot CTE.
+    "te20_recall_curve" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      full_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT dots.query_id, dots.vec_id,
+                 row_number() OVER (PARTITION BY dots.query_id
+                   ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            dots.vec_id) AS rk
+          FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                    JOIN norms nc ON dots.vec_id = nc.vec_id)
+        WHERE rk <= 5),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS query_id, cid AS cell, crk FROM cranked
+                 WHERE vec_id % 25 = 0),
+      nps AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
+      cand AS (
+        SELECT np.nprobe, p.query_id, cl.vec_id
+        FROM nps np JOIN probes p ON p.crk <= np.nprobe
+             JOIN cells cl ON cl.cell = p.cell
+        WHERE p.query_id <> cl.vec_id),
+      scored AS (
+        SELECT cand.nprobe, cand.query_id, cand.vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM cand
+        JOIN dots ON dots.query_id = cand.query_id AND dots.vec_id = cand.vec_id
+        JOIN norms nq ON cand.query_id = nq.vec_id
+        JOIN norms nc ON cand.vec_id = nc.vec_id),
+      approx AS (
+        SELECT nprobe, query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                     ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        WHERE rk <= 5),
+      fulln AS (SELECT np.nprobe, f.query_id, f.vec_id FROM nps np, full_rk f)
+      SELECT f.nprobe,
+             CAST(count(1) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+               // count(1) AS BIGINT) AS recall_micro
+      FROM fulln f LEFT JOIN approx a
+        ON f.nprobe = a.nprobe AND f.query_id = a.query_id AND f.vec_id = a.vec_id
+      GROUP BY f.nprobe ORDER BY f.nprobe""",
 
     "te16_binary_recall" -> """
       WITH ex AS (
