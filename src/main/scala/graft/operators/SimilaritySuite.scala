@@ -465,6 +465,27 @@ object SimilaritySuite extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ASR-batch chunking (mm10): td27's sliding-window chunking on the
+    // AUDIO axis — every mm05 speech segment is cut into fixed 3-frame
+    // windows at stride 2 (1-frame overlap, the context ASR batching
+    // wants), short tails clamped to the segment end, at least one
+    // chunk per segment. Pure integer arithmetic over the segment
+    // frame, map-side after the mm05 derivation.
+    "mm10_speech_chunks" -> { (s, dir) =>
+      val segs = queries("mm05_speech_segments")(s, dir)
+      val w = lit(3); val st = lit(2)
+      val n = lit(1) + greatest(lit(0),
+        ceil((col("n_frames") - w).cast("double") / st).cast("int"))
+      segs.withColumn("chunk_idx", explode(sequence(lit(0), n - 1)))
+        .withColumn("chunk_start", col("start_frame") + col("chunk_idx") * st)
+        .withColumn("chunk_end",
+          least(col("chunk_start") + w - 1, col("end_frame")))
+        .select(col("doc_id"), col("start_frame"), col("chunk_idx"),
+          col("chunk_start"), col("chunk_end"),
+          (col("chunk_end") - col("chunk_start") + 1).as("chunk_frames"))
+        .orderBy("doc_id", "start_frame", "chunk_idx")
+    },
+
     // Cross-modal ALIGNMENT (mm09): snap each speech segment (mm05's
     // audio modality, 100-byte frames) onto the video shot (mm04's
     // modality, 64-byte frames) in progress when the segment starts —
@@ -1275,6 +1296,36 @@ object SimilaritySuite extends QueryModule {
 
     // UTF-8 byte semantics as in mm03: hex pair i of encode(text) is
     // byte i, framed into 64-byte blocks.
+    // mm05's segments chunked by integer window arithmetic in SQL.
+    "mm10_speech_chunks" -> """
+      WITH bytes AS (
+        SELECT doc_id, CAST((i - 1) // 100 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 100) * 100 + 1)) AS i)),
+      f AS (
+        SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS energy
+        FROM bytes GROUP BY doc_id, frame_idx),
+      sp AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM f WHERE energy > 981000),
+      segs AS (
+        SELECT doc_id, min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+               count(1) AS n_frames
+        FROM sp GROUP BY doc_id, island),
+      ch AS (
+        SELECT doc_id, start_frame, end_frame, CAST(i AS INT) AS chunk_idx,
+               CAST(start_frame + i * 2 AS INT) AS chunk_start
+        FROM segs,
+             LATERAL (SELECT unnest(range(0,
+               1 + greatest(0, CAST(ceil((n_frames - 3) * 1.0 / 2) AS BIGINT)))) AS i))
+      SELECT doc_id, start_frame, chunk_idx, chunk_start,
+             CAST(least(chunk_start + 2, end_frame) AS INT) AS chunk_end,
+             CAST(least(chunk_start + 2, end_frame) - chunk_start + 1 AS INT) AS chunk_frames
+      FROM ch
+      ORDER BY doc_id, start_frame, chunk_idx""",
+
     // mm05's segments and mm04's shot starts projected onto the byte
     // timeline; the as-of match is the greatest shot_start*64 at or
     // below seg_start*100 (rank-1 of the inequality join — small
