@@ -481,6 +481,30 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing (td36): the corpus split into
+    // head/middle/tail TERTILES of the td22 bigram-LM score (head =
+    // most in-distribution — CCNet trains on head+middle and drops
+    // tail). ntile over (score desc, id) is deterministic in both
+    // engines; the score stays the exact integer micros underneath
+    // td22's output. The global ntile sort is the oracle-exact form —
+    // at corpus scale the tertile THRESHOLDS come from
+    // stratifiedQuota's distributed histogram instead, same contract.
+    "td36_ccnet_buckets" -> { (s, dir) =>
+      val lm = TextOps.bigramLmScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text", rareMax = 2L, flagRatio = 0.5)
+        .select(col("id").as("doc_id"),
+          round(col("avg_cond_p") * 1e6).cast("long").as("score_micro"))
+      val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      lm.withColumn("bucket", ntile(3).over(w))
+        .withColumn("tier", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), col("bucket")))
+        .groupBy(col("bucket"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_micro")).as("min_score_micro"),
+          max(col("score_micro")).as("max_score_micro"))
+        .orderBy("bucket")
+    },
+
     // Priority-based canonical selection: same LSH clusters as td16,
     // but the keeper is the best (source priority, id) doc — "prefer
     // the curated source" — instead of the minimum id.
@@ -1008,6 +1032,26 @@ object TextPipelineSuite extends QueryModule {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
           '\b\d{9,}\b', '[ID]', 'g')) AS clean_len
       FROM p ORDER BY doc_id""",
+
+    // td22's integer score, ntile(3) tertiles, per-tier stats.
+    "td36_ccnet_buckets" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bi AS (SELECT doc_id AS id, ws[i] || ' ' || ws[i+1] AS sh, ws[i] AS w1
+             FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+      c2 AS (SELECT sh, count(1) AS c2 FROM bi GROUP BY 1),
+      c1 AS (SELECT w1, count(1) AS c1 FROM bi GROUP BY 1),
+      lm AS (SELECT id AS doc_id,
+               CAST(sum((c2 * 1000000) // c1) // count(1) AS BIGINT) AS score_micro
+             FROM bi JOIN c2 USING (sh) JOIN c1 USING (w1) GROUP BY id),
+      b AS (SELECT doc_id, score_micro,
+              CAST(ntile(3) OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS bucket
+            FROM lm)
+      SELECT bucket,
+             CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+             CAST(max(score_micro) AS BIGINT) AS max_score_micro
+      FROM b GROUP BY bucket ORDER BY bucket""",
 
     "td22_bigram_lm" -> """
       WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
