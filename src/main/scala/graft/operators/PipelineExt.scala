@@ -197,6 +197,54 @@ object PipelineExt extends QueryModule {
         .orderBy("query_id")
     },
 
+    // Int8 SERVING recall (te21): te13 quantizes; this op retrieves
+    // with the quantized codes — integer dot products (the int8-SIMD
+    // production shape), de-scaled per candidate by maxabs/norm so
+    // ranking approximates cosine, top-5 agreement vs the exact float
+    // ranking. Everything rank-relevant is either exact integers or
+    // single-expression IEEE arithmetic written identically in the
+    // oracle, so the recall output is hash-exact. Brute-force candidate
+    // scope — the eval convention (the at-scale path puts these codes
+    // inside IVF cells).
+    "te21_int8_serve_recall" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 25 === 0)
+      val full = VectorOps.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val ex = emb.select(col("vec_id"),
+        posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("d", "x")))
+      val mx = ex.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("maxabs"))
+      val nrm = VectorOps.norms(emb, "vec_id", "embedding", "vec_id")
+      val codes = ex.join(mx, Seq("vec_id"))
+        .select(col("vec_id"), col("d"),
+          floor(col("x") * when(col("maxabs") === 0, lit(0.0))
+            .otherwise(lit(127.0) / col("maxabs")) + lit(0.5))
+            .cast("long").as("code"))
+      val qc = codes.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("d"), col("code").as("qcode"))
+      val intdot = qc.join(codes, Seq("d"))
+        .where(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qcode") * col("code")).as("intdot"))
+      val scored = intdot
+        .join(mx.select(col("vec_id").as("query_id"), col("maxabs").as("qm")), "query_id")
+        .join(mx.select(col("vec_id"), col("maxabs").as("cm")), "vec_id")
+        .join(nrm.select(col("vec_id").as("query_id"), col("nrm").as("qn")), "query_id")
+        .join(nrm.select(col("vec_id"), col("nrm").as("cn")), "vec_id")
+        .withColumn("score",
+          col("intdot").cast("double") * col("qm") * col("cm") / col("qn") / col("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val approx = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("query_id"), col("vec_id"))
+      full.join(approx.withColumn("m", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("m"), lit(0L))).cast("long").as("n_overlap"),
+          count(lit(1)).as("k"))
+        .orderBy("query_id")
+    },
+
     // ANN recall-vs-nprobe curve (te20): the accuracy/latency dial an
     // IVF deployment tunes — recall@5 of the nprobe ∈ {1,2,4} serves
     // measured against the exact top-5, aggregated per nprobe (3 rows,
@@ -518,6 +566,63 @@ object PipelineExt extends QueryModule {
               AND n_short * 2 >= nw AND n_stop >= 6
               AND maxlen <= 7) AS keep
       FROM st ORDER BY doc_id""",
+
+    // Quantization + integer dots exact; the de-scaling expression is
+    // written with the same left-to-right parenthesization as the
+    // Spark side so the IEEE doubles agree bit for bit.
+    "te21_int8_serve_recall" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      full_rk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT dots.query_id, dots.vec_id,
+                 row_number() OVER (PARTITION BY dots.query_id
+                   ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                            dots.vec_id) AS rk
+          FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                    JOIN norms nc ON dots.vec_id = nc.vec_id)
+        WHERE rk <= 5),
+      mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+      codes AS (
+        SELECT ex.vec_id, d,
+               CAST(floor(x * (CASE WHEN maxabs = 0 THEN 0.0
+                 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT) AS code
+        FROM ex JOIN mx ON ex.vec_id = mx.vec_id),
+      intdot AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(sum(q.code * c.code) AS BIGINT) AS intdot
+        FROM codes q JOIN codes c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      approx AS (
+        SELECT query_id, vec_id FROM (
+          SELECT i.query_id, i.vec_id,
+                 row_number() OVER (PARTITION BY i.query_id
+                   ORDER BY CAST(i.intdot AS DOUBLE) * qm.maxabs * cm.maxabs
+                            / nq.nrm / nc.nrm DESC, i.vec_id) AS rk
+          FROM intdot i
+          JOIN mx qm ON qm.vec_id = i.query_id
+          JOIN mx cm ON cm.vec_id = i.vec_id
+          JOIN norms nq ON nq.vec_id = i.query_id
+          JOIN norms nc ON nc.vec_id = i.vec_id)
+        WHERE rk <= 5)
+      SELECT f.query_id AS query_id,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(count(1) AS BIGINT) AS k
+      FROM full_rk f LEFT JOIN approx t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY f.query_id ORDER BY f.query_id""",
 
     // The exact top-5 (te16's full_rk) against the IVF candidate sets
     // of every nprobe tier, scored from the shared dot CTE.
