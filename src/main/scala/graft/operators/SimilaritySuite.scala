@@ -465,6 +465,25 @@ object SimilaritySuite extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Per-shot frame sampling (mm11): the downstream step mm04's shot
+    // ids exist for — keep the first 2 frames of every shot (a
+    // keyframe budget per scene), one rank window over the mm04
+    // output. Output carries the shot's frame count so the sampling
+    // ratio is visible.
+    "mm11_shot_sample" -> { (s, dir) =>
+      val shots = queries("mm04_shot_boundaries")(s, dir)
+      val w = Window.partitionBy(col("doc_id"), col("shot_id"))
+        .orderBy(col("frame_idx"))
+      shots
+        .withColumn("rk", row_number().over(w))
+        .withColumn("shot_frames", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"), col("shot_id"))))
+        .where(col("rk") <= 2)
+        .select(col("doc_id"), col("shot_id"), col("frame_idx"),
+          col("fsum"), col("shot_frames"))
+        .orderBy("doc_id", "shot_id", "frame_idx")
+    },
+
     // ASR-batch chunking (mm10): td27's sliding-window chunking on the
     // AUDIO axis — every mm05 speech segment is cut into fixed 3-frame
     // windows at stride 2 (1-frame overlap, the context ASR batching
@@ -1296,6 +1315,36 @@ object SimilaritySuite extends QueryModule {
 
     // UTF-8 byte semantics as in mm03: hex pair i of encode(text) is
     // byte i, framed into 64-byte blocks.
+    // mm04's frame/shot derivation + one rank window + a per-shot count.
+    "mm11_shot_sample" -> """
+      WITH bytes AS (
+        SELECT doc_id, CAST((i - 1) // 64 AS INT) AS frame_idx,
+               CAST('0x' || substring(hex(encode(text)), CAST(2 * i - 1 AS INT), 2) AS INT) AS c
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, (octet_length(encode(text)) // 64) * 64 + 1)) AS i)),
+      f AS (
+        SELECT doc_id, frame_idx, CAST(sum(c) AS BIGINT) AS fsum
+        FROM bytes GROUP BY doc_id, frame_idx),
+      d AS (
+        SELECT doc_id, frame_idx, fsum,
+               fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+        FROM f),
+      sh AS (
+        SELECT doc_id, frame_idx, fsum,
+               CAST(sum(CASE WHEN coalesce(abs(delta) > 200, false) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+        FROM d),
+      rk AS (
+        SELECT doc_id, shot_id, frame_idx, fsum,
+               row_number() OVER (PARTITION BY doc_id, shot_id ORDER BY frame_idx) AS rk,
+               count(1) OVER (PARTITION BY doc_id, shot_id) AS shot_frames
+        FROM sh)
+      SELECT doc_id, shot_id, frame_idx, fsum,
+             CAST(shot_frames AS BIGINT) AS shot_frames
+      FROM rk WHERE rk <= 2
+      ORDER BY doc_id, shot_id, frame_idx""",
+
     // mm05's segments chunked by integer window arithmetic in SQL.
     "mm10_speech_chunks" -> """
       WITH bytes AS (
