@@ -200,6 +200,37 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Persisted PQ index serving (te22): the trilogy's third leg
+    // (te17 stores IVF cells, te19 appends into them, this stores the
+    // PQ CODES + codebook). Build lands 8 one-byte codes per vector
+    // plus the 16×64-float codebook; at query time the query batch's
+    // ADC tables come from the stored CODEBOOK alone and score the
+    // stored CODES — the corpus floats are never read. Same oracle as
+    // te07: store-then-serve ≡ in-memory, bit for bit.
+    "te22_pq_persisted" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te22_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val emb = Tables.load(s, dir, "embeddings")
+      val sx = VectorOps.pqSubExplode(emb, "vec_id", "embedding", 8)
+      val cent = sx.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("sub").as("csub"),
+          col("dd").as("cdd"), col("x").as("cx"))
+      // offline build: codes + codebook persisted
+      VectorOps.pqArgmaxCodes(VectorOps.pqAdot(sx, cent))
+        .write.mode("overwrite").parquet(s"$store/codes")
+      cent.write.mode("overwrite").parquet(s"$store/codebook")
+      // serving: query ADC from the STORED codebook + query vectors
+      val qdot = VectorOps.pqAdot(
+          VectorOps.pqSubExplode(emb.where(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", 8),
+          s.read.parquet(s"$store/codebook"))
+        .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
+          col("cid"), col("dt"))
+      VectorOps.pqServe(s.read.parquet(s"$store/codes"), qdot, 5)
+        .orderBy("query_id", "rk")
+    },
+
     // Full FAISS IndexIVFPQ composition: IVF cells prune to nprobe=2
     // of 16 cells, PQ-ADC scores only those cells' codes into a
     // top-20 shortlist, exact cosine re-ranks the shortlist — the
@@ -611,6 +642,39 @@ object SimilaritySuite extends QueryModule {
     }
   )
 
+  private val pqOracleSql = """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS dd, x FROM ex),
+      cent AS (SELECT vec_id AS cid, sub, dd, x AS cx FROM sx WHERE vec_id < 16),
+      adot AS (
+        SELECT v.vec_id, v.sub, c.cid,
+               sum(CAST(floor((v.x * c.cx) * 1e12) AS BIGINT)) AS dt
+        FROM sx v JOIN cent c ON v.sub = c.sub AND v.dd = c.dd
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY dt DESC, cid) AS rk FROM adot)
+        WHERE rk = 1),
+      qdot AS (SELECT vec_id AS query_id, sub, cid, dt FROM adot
+               WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(sum(q.dt) AS DOUBLE) / 1e12 AS score
+        FROM codes c
+        JOIN qdot q ON c.sub = q.sub AND c.code = q.cid
+        WHERE q.query_id <> c.vec_id
+        GROUP BY 1, 2)
+      SELECT query_id, vec_id, round(score, 6) AS score, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY query_id, rk"""
+
   private val ivfOracleSql = """
       WITH ex AS (
         SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
@@ -927,38 +991,11 @@ object SimilaritySuite extends QueryModule {
       WHERE rk <= 5
       ORDER BY query_id, rk""",
 
-    "te07_ann_pq" -> """
-      WITH ex AS (
-        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
-               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
-        FROM embeddings),
-      sx AS (SELECT vec_id, d // 8 AS sub, d % 8 AS dd, x FROM ex),
-      cent AS (SELECT vec_id AS cid, sub, dd, x AS cx FROM sx WHERE vec_id < 16),
-      adot AS (
-        SELECT v.vec_id, v.sub, c.cid,
-               sum(CAST(floor((v.x * c.cx) * 1e12) AS BIGINT)) AS dt
-        FROM sx v JOIN cent c ON v.sub = c.sub AND v.dd = c.dd
-        GROUP BY 1, 2, 3),
-      codes AS (
-        SELECT vec_id, sub, cid AS code FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                      ORDER BY dt DESC, cid) AS rk FROM adot)
-        WHERE rk = 1),
-      qdot AS (SELECT vec_id AS query_id, sub, cid, dt FROM adot
-               WHERE vec_id % 25 = 0),
-      scored AS (
-        SELECT q.query_id, c.vec_id,
-               CAST(sum(q.dt) AS DOUBLE) / 1e12 AS score
-        FROM codes c
-        JOIN qdot q ON c.sub = q.sub AND c.code = q.cid
-        WHERE q.query_id <> c.vec_id
-        GROUP BY 1, 2)
-      SELECT query_id, vec_id, round(score, 6) AS score, rk FROM (
-        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY score DESC, vec_id) AS INT) AS rk
-        FROM scored)
-      WHERE rk <= 5
-      ORDER BY query_id, rk""",
+    "te07_ann_pq" -> pqOracleSql,
+
+    // Identical oracle: serving from the persisted code/codebook store
+    // must reproduce the in-memory PQ-ADC result bit for bit.
+    "te22_pq_persisted" -> pqOracleSql,
 
     // te05's IVF CTEs (cells/probes) feed te07's ADC machinery
     // restricted to the probed-cell candidate pairs, then te08's exact

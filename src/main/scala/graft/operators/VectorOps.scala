@@ -380,27 +380,54 @@ object VectorOps {
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
              isQuery: Column => Column, subDim: Int, nCent: Int,
              k: Int): DataFrame = {
-    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
-    val sx = explodeVec(vecs, idCol, vecCol, "vec_id")
-      .select(col("vec_id"), expr(s"d DIV $subDim").cast("int").as("sub"),
-        (col("d") % subDim).as("dd"), col("x"))
-      .repartition(parallelism)
+    val sx = pqSubExplode(vecs, idCol, vecCol, subDim)
     val cent = sx.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cid"), col("sub").as("csub"),
         col("dd").as("cdd"), col("x").as("cx"))
-    val adot = sx.join(broadcast(cent),
-        col("sub") === col("csub") && col("dd") === col("cdd"))
-      .groupBy(col("vec_id"), col("sub"), col("cid"))
-      .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
+    val adot = pqAdot(sx, cent)
       .localCheckpoint() // feeds codes + the query ADC table
-    val wA = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dt").desc, col("cid"))
-    val codes = adot.withColumn("rk", row_number().over(wA))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cid").as("code"))
     val qdot = adot.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
         col("cid"), col("dt"))
+    pqServe(pqArgmaxCodes(adot), qdot, k)
+  }
+
+  /** (vec_id, sub, dd, x) — the sub-vector explode PQ stages share. */
+  private[graft] def pqSubExplode(vecs: DataFrame, idCol: String,
+                                  vecCol: String, subDim: Int): DataFrame = {
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    explodeVec(vecs, idCol, vecCol, "vec_id")
+      .select(col("vec_id"), expr(s"d DIV $subDim").cast("int").as("sub"),
+        (col("d") % subDim).as("dd"), col("x"))
+      .repartition(parallelism)
+  }
+
+  /** Per-(vector, sub, centroid) scaled sub-dot against a BROADCAST
+    * codebook frame (cid, csub, cdd, cx). On the corpus it feeds the
+    * code argmax; on a query batch it IS the ADC lookup table.
+    */
+  private[graft] def pqAdot(sx: DataFrame, cent: DataFrame): DataFrame =
+    sx.join(broadcast(cent),
+        col("sub") === col("csub") && col("dd") === col("cdd"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
+
+  /** Nearest-centroid code per (vector, sub) — the stored PQ index. */
+  private[graft] def pqArgmaxCodes(adot: DataFrame): DataFrame = {
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dt").desc, col("cid"))
+    adot.withColumn("rk", row_number().over(wA))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+  }
+
+  /** ADC serving over a (possibly STORED) code table: the broadcast
+    * query ADC tables join the codes on (sub, code) and the per-pair
+    * score is one integer sum — the corpus's floats are never read at
+    * query time, which is the point of a persisted PQ index (te22).
+    */
+  private[graft] def pqServe(codes: DataFrame, qdot: DataFrame,
+                             k: Int): DataFrame = {
     val scored = codes.join(broadcast(qdot),
         col("sub") === col("qsub") && col("code") === col("cid"))
       .where(col("query_id") =!= col("vec_id"))
