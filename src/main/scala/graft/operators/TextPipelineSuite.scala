@@ -481,6 +481,37 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Contamination ATTRIBUTION (td37): for every contaminated doc
+    // (td10's > 0.2 5-gram overlap against the src0 benchmark), trace
+    // WHICH benchmark document contributed the most shared grams —
+    // the "where did the leak come from" report a decontamination
+    // audit needs. One inverted-index join doc-gram ⋈ bench-gram, a
+    // per-(doc, bench) count, rank-1 with min-bench-id ties.
+    "td37_contamination_source" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = TextOps.shingleHashIndex(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 5)
+      val bench = TextOps.shingleHashIndex(
+        docs.filter(col("source") === "src0"), "doc_id", "text", 5)
+      val joined = corpus.join(
+          bench.select(col("sh"), col("id").as("bench_id")), "sh")
+        .localCheckpoint() // feeds both aggregates below
+      // td10's contamination test: DISTINCT grams with any bench match
+      val nhits = joined.select(col("id"), col("sh")).distinct()
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      val hits = joined.groupBy(col("id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val sizes = corpus.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      val wTop = Window.partitionBy(col("id"))
+        .orderBy(col("n_shared").desc, col("bench_id"))
+      hits.join(sizes, "id").join(nhits, "id")
+        .where(col("n_hits") * 5 > col("n_grams")) // > 0.2 in x-mult
+        .withColumn("rk", row_number().over(wTop)).where(col("rk") === 1)
+        .select(col("id").as("doc_id"), col("bench_id"),
+          col("n_shared"), col("n_hits"), col("n_grams"))
+        .orderBy("doc_id")
+    },
+
     // CCNet-style perplexity bucketing (td36): the corpus split into
     // head/middle/tail TERTILES of the td22 bigram-LM score (head =
     // most in-distribution — CCNet trains on head+middle and drops
@@ -1032,6 +1063,42 @@ object TextPipelineSuite extends QueryModule {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
           '\b\d{9,}\b', '[ID]', 'g')) AS clean_len
       FROM p ORDER BY doc_id""",
+
+    // td10's gram CTEs + a per-(doc, bench-doc) shared-count and the
+    // same cross-multiplied > 0.2 contamination gate.
+    "td37_contamination_source" -> """
+      WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(words) >= 5
+                THEN list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            || ' ' || words[i+3] || ' ' || words[i+4]))
+                ELSE [] END AS grams
+            FROM w),
+      b AS (SELECT doc_id AS bench_id, unnest(grams) AS gr FROM g
+            WHERE source = 'src0'),
+      e AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE source <> 'src0'),
+      joined AS (SELECT e.doc_id, e.gr, b.bench_id FROM e JOIN b USING (gr)),
+      nhits AS (SELECT doc_id, count(DISTINCT gr) AS n_hits
+                FROM joined GROUP BY 1),
+      hits AS (SELECT doc_id, bench_id, count(1) AS n_shared
+               FROM joined GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g
+                WHERE source <> 'src0' AND len(grams) > 0),
+      ranked AS (
+        SELECT h.doc_id, h.bench_id, h.n_shared, nh.n_hits, s.n_grams,
+               row_number() OVER (PARTITION BY h.doc_id
+                 ORDER BY h.n_shared DESC, h.bench_id) AS rk
+        FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+             JOIN nhits nh ON h.doc_id = nh.doc_id
+        WHERE nh.n_hits * 5 > s.n_grams)
+      SELECT doc_id, bench_id,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_grams AS BIGINT) AS n_grams
+      FROM ranked WHERE rk = 1
+      ORDER BY doc_id""",
 
     // td22's integer score, ntile(3) tertiles, per-tier stats.
     "td36_ccnet_buckets" -> """
