@@ -23,6 +23,7 @@ object SparkEntry {
     operators.JdbcParity,
     operators.LogParity,
     operators.PipelineExt,
+    operators.PipelineExt2,
     operators.CdcParity,
     operators.TpchGate
   )

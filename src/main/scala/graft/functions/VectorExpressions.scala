@@ -152,11 +152,151 @@ object VectorExpressions {
     override def prettyName: String = "srp_bucket"
   }
 
+  /** ColBERT-style late-interaction (MaxSim) score between two
+    * multi-token embedding matrices, each flattened into one
+    * array<double> of `nTokens * tokenDim` (token i occupies slots
+    * [i*tokenDim, (i+1)*tokenDim)). Score =
+    * Σ_{query tokens i} max_{candidate tokens j} floor(cos(q_i, c_j) * 1e6)
+    * as LONG — every term is the floor-scaled integer micro-cosine, so
+    * the sum is order-independent and a SQL oracle replays it exactly
+    * (the same dot/norm arithmetic as DotScaledLong: per-element
+    * floor(x*y*1e12) longs, sqrt of the scaled self-dot).
+    *
+    * Zero-norm tokens are skipped on both sides (a query token with no
+    * valid candidate token contributes 0), mirroring the oracle's
+    * `WHERE tnrm > 0` token filter. One tight codegen'd loop per
+    * (query, candidate) pair replaces the exploded-token shuffle a
+    * dataframe formulation would need: the pair row count stays at
+    * |candidates|, not |candidates| * nTokens^2.
+    *
+    * Reference semantics: late-interaction scoring as in ColBERT
+    * (Khattab & Zaharia, SIGIR 2020); the reference engine has no CEP
+    * equivalent — this is part of the training-data/retrieval family.
+    */
+  case class MaxSimMicroLong(left: Expression, right: Expression, tokenDim: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val c = b.asInstanceOf[ArrayData]
+      val w = tokenDim
+      val nq = q.numElements() / w
+      val nc = c.numElements() / w
+      // candidate token norms once per pair
+      val cn = new Array[Double](nc)
+      var j = 0
+      while (j < nc) {
+        var s = 0L
+        var d = 0
+        while (d < w) {
+          val x = c.getDouble(j * w + d)
+          s += math.floor(x * x * 1e12).toLong
+          d += 1
+        }
+        cn(j) = math.sqrt(s / 1e12)
+        j += 1
+      }
+      var acc = 0L
+      var i = 0
+      while (i < nq) {
+        var qs = 0L
+        var d = 0
+        while (d < w) {
+          val x = q.getDouble(i * w + d)
+          qs += math.floor(x * x * 1e12).toLong
+          d += 1
+        }
+        val qn = math.sqrt(qs / 1e12)
+        if (qn != 0.0) {
+          var best = Long.MinValue
+          var found = false
+          j = 0
+          while (j < nc) {
+            if (cn(j) != 0.0) {
+              var dot = 0L
+              d = 0
+              while (d < w) {
+                dot += math.floor(q.getDouble(i * w + d) * c.getDouble(j * w + d) * 1e12).toLong
+                d += 1
+              }
+              val micro = math.floor(dot / 1e12 / (qn * cn(j)) * 1e6).toLong
+              if (!found || micro > best) { best = micro; found = true }
+            }
+            j += 1
+          }
+          if (found) acc += best
+        }
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val w = tokenDim
+        val nq = ctx.freshName("nq"); val nc = ctx.freshName("nc")
+        val cn = ctx.freshName("cn"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val d = ctx.freshName("d")
+        val s = ctx.freshName("s"); val qn = ctx.freshName("qn")
+        val x = ctx.freshName("x"); val dot = ctx.freshName("dot")
+        val best = ctx.freshName("best"); val found = ctx.freshName("found")
+        val micro = ctx.freshName("micro"); val acc = ctx.freshName("acc")
+        s"""
+           |int $nq = $a.numElements() / $w;
+           |int $nc = $b.numElements() / $w;
+           |double[] $cn = new double[$nc];
+           |for (int $j = 0; $j < $nc; $j++) {
+           |  long $s = 0L;
+           |  for (int $d = 0; $d < $w; $d++) {
+           |    double $x = $b.getDouble($j * $w + $d);
+           |    $s += (long) Math.floor($x * $x * 1e12);
+           |  }
+           |  $cn[$j] = Math.sqrt($s / 1e12);
+           |}
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $nq; $i++) {
+           |  long $s = 0L;
+           |  for (int $d = 0; $d < $w; $d++) {
+           |    double $x = $a.getDouble($i * $w + $d);
+           |    $s += (long) Math.floor($x * $x * 1e12);
+           |  }
+           |  double $qn = Math.sqrt($s / 1e12);
+           |  if ($qn != 0.0) {
+           |    long $best = Long.MIN_VALUE;
+           |    boolean $found = false;
+           |    for (int $j = 0; $j < $nc; $j++) {
+           |      if ($cn[$j] != 0.0) {
+           |        long $dot = 0L;
+           |        for (int $d = 0; $d < $w; $d++) {
+           |          $dot += (long) Math.floor(
+           |            $a.getDouble($i * $w + $d) * $b.getDouble($j * $w + $d) * 1e12);
+           |        }
+           |        long $micro = (long) Math.floor($dot / 1e12 / ($qn * $cn[$j]) * 1e6);
+           |        if (!$found || $micro > $best) { $best = $micro; $found = true; }
+           |      }
+           |    }
+           |    if ($found) $acc += $best;
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSimMicroLong =
+      copy(l, r)
+    override def prettyName: String = "max_sim_micro"
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Scaled-long dot product of two array<double> columns. */
   def dot_scaled(a: Column, b: Column): Column =
     column(DotScaledLong(expression(a), expression(b)))
+
+  /** Late-interaction MaxSim micro-score (see MaxSimMicroLong). */
+  def max_sim_micro(q: Column, c: Column, tokenDim: Int): Column =
+    column(MaxSimMicroLong(expression(q), expression(c), tokenDim))
 
   /** SRP-LSH bucket id of an array<double> column (see SrpBucketLong). */
   def srp_bucket(v: Column, nbits: Int): Column =

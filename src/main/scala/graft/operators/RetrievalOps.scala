@@ -233,4 +233,123 @@ object RetrievalOps {
     below.select(col("stratum"), col("doc_id"), col("h"))
       .unionAll(atBoundary.select(col("stratum"), col("doc_id"), col("h")))
   }
+
+  import graft.functions.VectorExpressions.{dot_scaled, max_sim_micro}
+
+  /** ColBERT-style late-interaction re-rank: a first-stage candidate
+    * list is re-scored by MaxSim over per-token embeddings — for each
+    * query token, the best-matching candidate token's micro-cosine,
+    * summed (Khattab & Zaharia, SIGIR 2020). The testdata carries one
+    * 64-dim vector per doc, so tokens are derived by viewing it as
+    * `nTokens` contiguous sub-vectors (dim/nTokens each) — a loudly
+    * documented stand-in with exactly the production plan shape: token
+    * matrices live in ONE array column per row, and the whole
+    * token-pair max/sum runs inside one codegen'd expression per
+    * (query, candidate) pair (`MaxSimMicroLong`), so the pair frame
+    * never explodes to token granularity and nothing token-scale is
+    * ever shuffled. Candidates come from any first stage (here the
+    * caller passes them in; at corpus scale that is ivfTopK/srpBucket);
+    * re-rank cost is |candidates| tight loops.
+    *
+    * @param vecs     (id, vector) corpus
+    * @param cand     (query_id, vec_id) first-stage candidates
+    * @param tokenDim width of each contiguous token sub-vector
+    * @param k        results per query
+    * @return (query_id, vec_id, score_micro, rk)
+    */
+  def maxSimRerank(vecs: DataFrame, idCol: String, vecCol: String,
+                   cand: DataFrame, tokenDim: Int, k: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+    val q = v.select(col("vid").as("query_id"), col("v").as("qv"))
+    val c = v.select(col("vid").as("vec_id"), col("v").as("cv"))
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("vec_id"))
+      .withColumn("score_micro", max_sim_micro(col("qv"), col("cv"), tokenDim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("score_micro"), col("rk"))
+  }
+
+  /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily select `kSel` of each query's
+    * `cand` candidates maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` with λ = 0.7,
+    * kept EXACT by integer arithmetic: relevance and pairwise
+    * similarity are floor-scaled micro-cosines (BIGINT), and the MMR
+    * objective is scaled by 10 (`mmr10 = 7·rel − 3·max_sim`), so both
+    * engines agree to the digit. Step 1 has no penalty term
+    * (`mmr10 = 7·rel`); ties break on the smaller vec_id.
+    *
+    * Scale shape: relevance needs one hash join of the candidate list
+    * against the vector corpus; pairwise sims are |cand|² PER QUERY
+    * (bounded by nCand, here ≤10 — never corpus-quadratic); the greedy
+    * itself runs per query over ≤nCand items + sims collected into ONE
+    * row (collect_list per query, bounded by construction), so the
+    * sequential part is O(kSel·nCand) per query inside a mapped
+    * Dataset — fully distributed across queries.
+    *
+    * @param vecs  (id, vector) corpus
+    * @param cand  (query_id, vec_id) candidate lists (≤ a few dozen per query)
+    * @param kSel  how many to select per query
+    * @return (query_id, step, vec_id, mmr10) — step 1..kSel in selection order
+    */
+  def mmrRerank(vecs: DataFrame, idCol: String, vecCol: String,
+                cand: DataFrame, kSel: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).as("vid"),
+        VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
+    // one materialization: v feeds the relevance join AND both sides
+    // of the pairwise-sim join (three consumers of the same lambda-cast
+    // frame — the localCheckpoint lesson from the salting probe)
+    val vc = v.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    val rel = cand
+      .join(vc.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(vc.select(col("vid").as("vec_id"), col("v").as("cv"), col("nrm").as("cn")), "vec_id")
+      .withColumn("rel_micro",
+        floor(dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12)
+          / (col("qn") * col("cn")) * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("rel_micro"))
+    val c2 = cand.select(col("query_id"), col("vec_id").as("b"))
+    val pairs = cand.select(col("query_id"), col("vec_id").as("a"))
+      .join(c2, Seq("query_id")).where(col("a") =!= col("b"))
+      .join(vc.select(col("vid").as("a"), col("v").as("av"), col("nrm").as("an")), "a")
+      .join(vc.select(col("vid").as("b"), col("v").as("bv"), col("nrm").as("bn")), "b")
+      .withColumn("sim_micro",
+        floor(dot_scaled(col("av"), col("bv")).cast("double") / lit(1e12)
+          / (col("an") * col("bn")) * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("a"), col("b"), col("sim_micro"))
+    val items = rel.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("rel_micro").as("_2"))).as("items"))
+    val prs = pairs.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("a").as("_1"), col("b").as("_2"),
+        col("sim_micro").as("_3"))).as("pairs"))
+    items.join(prs, Seq("query_id"))
+      .as[(Long, Seq[(Long, Long)], Seq[(Long, Long, Long)])]
+      .flatMap { case (qid, its, prs) =>
+        val sim = prs.map(p => (p._1, p._2) -> p._3).toMap
+        val out = Seq.newBuilder[(Long, Int, Long, Long)]
+        var selected = List.empty[Long]
+        var remaining = its.sortBy(_._1).toList
+        var step = 1
+        while (step <= kSel && remaining.nonEmpty) {
+          val scored = remaining.map { case (vid, rel) =>
+            val s =
+              if (selected.isEmpty) 7L * rel
+              else 7L * rel - 3L * selected.map(sv => sim((vid, sv))).max
+            (vid, s)
+          }
+          val (bestId, bestS) = scored.minBy { case (vid, s) => (-s, vid) }
+          out += ((qid, step, bestId, bestS))
+          selected ::= bestId
+          remaining = remaining.filterNot(_._1 == bestId)
+          step += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "step", "vec_id", "mmr10")
+  }
 }

@@ -133,4 +133,113 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(top.head == 0L)
     assert(top(1) == 1L)
   }
+
+  test("max_sim_micro matches a naive per-token reference (incl. zero-norm tokens)") {
+    import graft.functions.VectorExpressions.max_sim_micro
+    // 2 tokens x 2 dims; candidate 20 has a zero-norm second token,
+    // candidate 30 is all-zero on token 1.
+    val q = Array(1.0, 0.0, 0.5, 0.5)
+    val c20 = Array(0.6, 0.8, 0.0, 0.0)
+    val c30 = Array(0.0, 0.0, 1.0, 1.0)
+    def naive(qv: Array[Double], cv: Array[Double], w: Int): Long = {
+      def nrm(v: Array[Double], o: Int) =
+        math.sqrt((0 until w).map(d => math.floor(v(o + d) * v(o + d) * 1e12).toLong).sum / 1e12)
+      (0 until qv.length / w).map { i =>
+        val qn = nrm(qv, i * w)
+        if (qn == 0.0) 0L
+        else {
+          val ms = (0 until cv.length / w).flatMap { j =>
+            val cn = nrm(cv, j * w)
+            if (cn == 0.0) None
+            else {
+              val dot = (0 until w).map(d =>
+                math.floor(qv(i * w + d) * cv(j * w + d) * 1e12).toLong).sum
+              Some(math.floor(dot / 1e12 / (qn * cn) * 1e6).toLong)
+            }
+          }
+          if (ms.isEmpty) 0L else ms.max
+        }
+      }.sum
+    }
+    val got = Seq((10L, q, c20), (11L, q, c30))
+      .toDF("id", "qv", "cv")
+      .select($"id", max_sim_micro($"qv", $"cv", 2).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == naive(q, c20, 2))
+    assert(got(11L) == naive(q, c30, 2))
+    // sanity: q token 1 aligns exactly with c20 token 1 direction (cos<1
+    // only via the floor scaling), so the score is near 1e6 + best of token 2
+    assert(got(10L) >= 900000L)
+  }
+
+  test("mmrRerank greedy matches a naive reference and prefers diversity") {
+    // query 0 wants both aspects (1,1); candidate 2 is most relevant,
+    // 1 is redundant with 2, 3 covers the other aspect. MMR at λ=.7
+    // must select 2, then 3 (1's redundancy penalty sinks it), then 1.
+    val v = Map(
+      0L -> Array(1.0, 1.0),
+      1L -> Array(1.0, 0.0),
+      2L -> Array(0.995, 0.1),
+      3L -> Array(0.0, 1.0))
+    val vecs = v.toSeq.map { case (id, a) => (id, a.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val cand = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("query_id", "vec_id")
+    val got = RetrievalOps.mmrRerank(vecs, "vec_id", "embedding", cand, kSel = 3)
+      .select("step", "vec_id", "mmr10").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(2L, 3L, 1L))
+    // naive greedy with the identical integer arithmetic (float32 cast
+    // first, as the engine reads float embeddings)
+    def micro(a: Array[Double], b: Array[Double]): Long = {
+      val af = a.map(x => x.toFloat.toDouble); val bf = b.map(x => x.toFloat.toDouble)
+      val dot = af.zip(bf).map { case (x, y) => math.floor(x * y * 1e12).toLong }.sum
+      val na = math.sqrt(af.map(x => math.floor(x * x * 1e12).toLong).sum / 1e12)
+      val nb = math.sqrt(bf.map(x => math.floor(x * x * 1e12).toLong).sum / 1e12)
+      math.floor(dot / 1e12 / (na * nb) * 1e6).toLong
+    }
+    val ids = Seq(1L, 2L, 3L)
+    var selected = List.empty[Long]
+    val expect = (1 to 3).map { step =>
+      val rem = ids.filterNot(selected.contains)
+      val scored = rem.map { c =>
+        val s = if (selected.isEmpty) 7L * micro(v(0L), v(c))
+                else 7L * micro(v(0L), v(c)) -
+                  3L * selected.map(sv => micro(v(c), v(sv))).max
+        (c, s)
+      }
+      val (bid, bs) = scored.minBy { case (c, s) => (-s, c) }
+      selected ::= bid
+      (step, bid, bs)
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("temperature mixing boosts low-resource strata vs raw share") {
+    // replicate the td38 arithmetic on a skewed two-lang corpus
+    val docs = (1L to 100L).map(i =>
+        (i, if (i <= 90) "en" else "de", "w " * 10)) // en 90 docs, de 10
+      .toDF("doc_id", "lang", "text")
+    val per = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(org.apache.spark.sql.functions.size(
+          graft.operators.TextOps.words($"text")).cast("long")).as("n_tokens"))
+      .withColumn("s_scaled",
+        floor(sqrt($"n_tokens".cast("double")) * lit(1e6)).cast("long"))
+    val tot = per.agg(sum($"s_scaled").as("tot_s"), sum($"n_tokens").as("tot_t"))
+    val rows = per.crossJoin(tot)
+      .select($"lang",
+        expr("(n_tokens * 1000000) DIV tot_t").as("raw_micro"),
+        expr("(s_scaled * 1000000) DIV tot_s").as("w_micro"))
+      .as[(String, Long, Long)].collect().toMap2a
+    val (deRaw, deW) = rows("de")
+    val (enRaw, enW) = rows("en")
+    assert(deW > deRaw, "sqrt temperature must boost the low-resource lang")
+    assert(enW < enRaw, "and shrink the high-resource lang")
+    // micro weights sum to ~1e6 (integer-division dust only)
+    assert(deW + enW <= 1000000L && deW + enW >= 999998L)
+  }
+
+  private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2a: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
