@@ -20,6 +20,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
   private val watermarkDecl = mutable.Map[String, (String, String)]()
   private val primaryKeys = mutable.Map[String, Seq[String]]()
   private val temporalFns = mutable.Map[String, (String, Seq[String], String)]()
+  // original CREATE TABLE text per DDL-defined table — the catalog
+  // snapshot a compiled plan persists (programmatic views can't be
+  // serialized; same restriction as the reference, whose plans carry
+  // catalog tables, not inline DataStreams)
+  private val ddlLog = mutable.Map[String, String]()
 
   /** Register a temporal TABLE FUNCTION over a versioned table — the
     * reference's `Table.createTemporalTableFunction(timeAttr, key)` +
@@ -58,7 +63,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
       // delegate the statement to Spark instead of failing.
       if (!dropped && spark.catalog.tableExists(name)) spark.sql(sql)
       else require(dropped || ifExists, s"table not found: $name")
-      watermarkDecl.remove(name); primaryKeys.remove(name)
+      watermarkDecl.remove(name); primaryKeys.remove(name); ddlLog.remove(name)
       return okResult()
     }
     // Catalog statements (SqlShowTables/SqlShowFunctions/SqlDescribeTable
@@ -94,15 +99,71 @@ class GraftTableEnvironment private (val spark: SparkSession,
         }.toDF("name", "type", "null", "key", "watermark")
       case _ =>
     }
-    val rw = graft.sql.TemporalSql.rewrite(
+    runLowered(lowerSql(sql))
+  }
+
+  /** The façade's planning front-end: lower Flink-dialect constructs
+    * (group windows / window TVFs, temporal joins, temporal table
+    * functions) to their Spark SQL spellings. The output is what a
+    * compiled plan pins (see [[compilePlanSql]]).
+    */
+  private def lowerSql(sql: String): String =
+    graft.sql.TemporalSql.rewrite(
       graft.sql.TemporalSql.rewriteFunctions(
         graft.sql.FlinkSqlWindows.rewrite(sql), temporalFns.get),
       name => (primaryKey(name),
         declaredWatermark(name).map(_._1).getOrElse("")))
+
+  /** Execute an already-lowered statement. MATCH_RECOGNIZE has no
+    * Spark parser slot, so it survives lowering verbatim and runs on
+    * the engine's NFA.
+    */
+  private def runLowered(rw: String): DataFrame =
     if (graft.cep.MatchRecognize.containsClause(rw))
       graft.cep.MatchRecognize.rewriteAndRun(spark, rw)
     else spark.sql(rw)
+
+  /** Compile a query into a persistable plan artifact — the
+    * reference's ExecNodeGraph JSON round-trip
+    * (flink-table-planner `.../plan/nodes/exec/serde/`, test corpus
+    * `src/test/resources/jsonplan/`). The artifact carries the DDL
+    * catalog snapshot (every CREATE TABLE executed on this
+    * environment), registered temporal table functions, and the
+    * dialect-LOWERED SQL; [[executePlan]] restores all three in any
+    * environment and re-executes. See [[graft.sql.GraftCompiledPlan]]
+    * for the stability contract and the documented deviation (Spark
+    * re-derives the physical plan; semantics are what's pinned).
+    */
+  def compilePlanSql(sql: String): graft.sql.GraftCompiledPlan =
+    graft.sql.GraftCompiledPlan(
+      version = graft.sql.GraftCompiledPlan.FormatVersion,
+      streamingMode = isStreamingMode,
+      tables = ddlLog.toSeq.sortBy(_._1)
+        .map { case (n, d) => graft.sql.CompiledTableDef(n, d) },
+      temporalFunctions = temporalFns.toSeq.sortBy(_._1)
+        .map { case (n, (t, pk, ts)) => graft.sql.CompiledTemporalFn(n, t, pk, ts) },
+      originalSql = sql,
+      loweredSql = lowerSql(sql))
+
+  /** Restore a compiled plan's catalog state (DDL tables + temporal
+    * functions) into THIS environment and execute its lowered SQL.
+    * The environment's mode must match the plan's — a streaming plan
+    * binds unbounded sources, a batch plan bounded scans (the
+    * reference likewise pins the runtime mode in the plan).
+    */
+  def executePlan(plan: graft.sql.GraftCompiledPlan): DataFrame = {
+    require(plan.streamingMode == isStreamingMode,
+      s"plan compiled for streamingMode=${plan.streamingMode}, " +
+        s"this environment is streamingMode=$isStreamingMode")
+    plan.tables.foreach(t => executeSql(t.ddl))
+    plan.temporalFunctions.foreach(f =>
+      createTemporalTableFunction(f.name, f.table, f.timeAttr, f.primaryKey))
+    runLowered(plan.loweredSql)
   }
+
+  /** Execute a plan loaded from a JSON file (EXECUTE PLAN parity). */
+  def executePlan(path: String): DataFrame =
+    executePlan(graft.sql.GraftCompiledPlan.loadFromFile(path))
 
   /** Flink-dialect `CREATE TABLE … WATERMARK FOR … PRIMARY KEY … WITH
     * (…)` (reference flink-sql-parser .../ddl/SqlCreateTable.java,
@@ -239,6 +300,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
     }
     createTemporaryView(stmt.name, withComputed,
       watermark = stmt.watermark, primaryKey = stmt.primaryKey)
+    ddlLog(stmt.name) = sql
     okResult()
   }
 
