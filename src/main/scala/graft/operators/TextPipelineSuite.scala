@@ -136,7 +136,9 @@ object TextPipelineSuite extends QueryModule {
       val idx = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"),
           explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
-      val sig = TextOps.bbitMinhashSig(idx, 16, 8)
+      // sig feeds BOTH sides of the pair join — materialize once or
+      // the 16-perm md5 aggregate executes once per branch
+      val sig = TextOps.bbitMinhashSig(idx, 16, 8).localCheckpoint()
       val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
       val a = sig.select(col("id").as("id_a") +:
         (0 until 16).map(i => col(s"b$i").as(s"xa$i")): _*)
