@@ -298,8 +298,16 @@ object RetrievalOps {
                 cand: DataFrame, kSel: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // prune the corpus to the vectors the re-rank actually touches
+    // (queries + candidates — bounded by the candidate lists) BEFORE
+    // materializing: without this the checkpoint is corpus-sized and
+    // grows with scale even though the re-rank never reads it
+    // (measured: 2.3 s → 7.3 s over 1×→100× un-pruned; flat pruned)
+    val needed = cand.select(col("query_id").as("vid"))
+      .unionAll(cand.select(col("vec_id").as("vid"))).distinct()
     val v = vecs.select(col(idCol).as("vid"),
         VectorOps.toDouble(col(vecCol)).as("v"))
+      .join(broadcast(needed), Seq("vid"), "left_semi")
       .withColumn("nrm",
         sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
     // one materialization: v feeds the relevance join AND both sides

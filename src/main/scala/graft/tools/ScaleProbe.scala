@@ -744,6 +744,44 @@ object ScaleProbe {
         graft.operators.ChangelogOps.normalize(parsed, Seq(col("id")),
           Seq(col("seq"), kindRank), col("__rowkind"))
       })
+      // Late-interaction re-rank (te23): first stage = IVF (the
+      // at-scale candidate source; the oracle query's brute-force
+      // baseline is guarded), re-rank = one codegen'd MaxSim loop per
+      // candidate — cost tracks the FIXED query batch × k candidates,
+      // not the corpus.
+      run("te23 maxsim rerank", k, {
+        val cand = VectorOps.ivfTopK(emb, "vec_id", "embedding", isQ,
+            nlist = 16, nprobe = 2, k = 20)
+          .select(col("query_id"), col("vec_id")).localCheckpoint()
+        graft.operators.RetrievalOps.maxSimRerank(
+          emb, "vec_id", "embedding", cand, tokenDim = 8, k = 3)
+      }, allowBroadcastCross = true)
+      // MMR diversity re-rank (te24): candidate lists bounded (10 per
+      // query), pairwise-sim surface |cand|² per query — never
+      // corpus-quadratic; greedy runs distributed across queries.
+      run("te24 MMR rerank", k, {
+        val cand = VectorOps.ivfTopK(emb, "vec_id", "embedding", isQ,
+            nlist = 16, nprobe = 2, k = 10)
+          .select(col("query_id"), col("vec_id")).localCheckpoint()
+        graft.operators.RetrievalOps.mmrRerank(
+          emb, "vec_id", "embedding", cand, kSel = 5)
+      }, allowBroadcastCross = true)
+      // Temperature mixture weights (td38): one map-side token count +
+      // a |langs|-row aggregate — flat by construction, probed to show
+      // the corpus is scanned exactly once.
+      run("td38 temperature mix", k, {
+        val d = docs.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        val per = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"))
+          .withColumn("s_scaled",
+            floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+        val tot = per.agg(sum(col("s_scaled")).as("tot_s"),
+          sum(col("n_tokens")).as("tot_t"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), expr("(n_tokens * 1000000) DIV tot_t").as("raw_micro"),
+            expr("(s_scaled * 1000000) DIV tot_s").as("w_micro"))
+      }, allowBroadcastCross = true)
     }
     spark.stop()
   }
