@@ -63,6 +63,67 @@ object PipelineExt2 extends QueryModule {
           expr("(n_tokens * 1000000) DIV tot_t").as("raw_micro"),
           expr("(s_scaled * 1000000) DIV tot_s").as("w_micro"))
         .orderBy("lang")
+    },
+
+    // Training-shard manifest (td39): WebDataset/Megatron-style export
+    // bookkeeping — every doc deterministically hashed into one of 16
+    // shards (td28's multiplicative hash, replayable in SQL), and the
+    // per-shard manifest a training job's data loader reads: doc/token/
+    // char totals + language spread. One map-side hash + one 16-group
+    // aggregate; corpus scanned once — the balance columns are what a
+    // 100 TB export audits before burning GPU hours on skewed shards.
+    "td39_shard_manifest" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("shard",
+          (col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(16))
+            .cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    },
+
+    // Embedding centroid drift (te25): the corpus-QA monitor that
+    // compares per-label centroids between two snapshots (halves by
+    // vec_id parity here — in production, yesterday's corpus vs
+    // today's): cosine between the MEAN vectors per label, exact via
+    // the repo's floor-scaled arithmetic (component sums accumulated
+    // as scaled longs, means divided deterministically, dot/norms
+    // floor-scaled again). Means (not raw sums) keep every
+    // intermediate bounded regardless of corpus size. Two aggregates
+    // over the exploded index + one |labels|×64 join — corpus never
+    // reshuffled on anything wider than (label, half, dim).
+    "te25_centroid_drift" -> { (s, dir) =>
+      val ex = Tables.load(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("d", "x")))
+      // both halves' sums in ONE conditional aggregate per (label, d) —
+      // no self-join (a filtered self-join here is a second shuffle and
+      // a lineage-dedup trap), then the label rollup
+      val m = ex.groupBy(col("label"), col("d"))
+        .agg(
+          sum(when(col("half") === 0, floor(col("x") * lit(1e6)).cast("long"))
+            .otherwise(0L)).as("sxa"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === 1, floor(col("x") * lit(1e6)).cast("long"))
+            .otherwise(0L)).as("sxb"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+        .withColumn("ma", col("sxa").cast("double") / lit(1e6) / col("na"))
+        .withColumn("mb", col("sxb").cast("double") / lit(1e6) / col("nb"))
+      m.groupBy(col("label"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(floor(col("ma") * col("mb") * lit(1e12)).cast("long")).as("dotl"),
+          sum(floor(col("ma") * col("ma") * lit(1e12)).cast("long")).as("nal"),
+          sum(floor(col("mb") * col("mb") * lit(1e12)).cast("long")).as("nbl"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          floor((col("dotl").cast("double") / lit(1e12))
+            / (sqrt(col("nal").cast("double") / lit(1e12))
+              * sqrt(col("nbl").cast("double") / lit(1e12)))
+            * lit(1e6)).cast("long").as("drift_micro"))
+        .orderBy("label")
     }
   )
 
@@ -186,6 +247,41 @@ object PipelineExt2 extends QueryModule {
       ORDER BY query_id, rk""",
 
     "te24_mmr_rerank" -> mmrOracle(5),
+
+    "td39_shard_manifest" -> """
+      SELECT CAST((doc_id * 2654435761) % 1000000007 % 16 AS INT) AS shard,
+             count(1) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY 1
+      ORDER BY shard""",
+
+    "te25_centroid_drift" -> """
+      WITH ex AS (
+        SELECT label, vec_id % 2 AS half, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      sums AS (
+        SELECT label, half, d,
+               CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sx,
+               count(1) AS n
+        FROM ex GROUP BY 1, 2, 3),
+      m AS (SELECT label, half, d, CAST(sx AS DOUBLE) / 1e6 / n AS m, n FROM sums),
+      j AS (
+        SELECT a.label, a.d, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+        FROM m a JOIN m b ON a.label = b.label AND a.d = b.d
+        WHERE a.half = 0 AND b.half = 1)
+      SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(floor(
+               (CAST(sum(CAST(floor(ma * mb * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+               / (sqrt(CAST(sum(CAST(floor(ma * ma * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 * sqrt(CAST(sum(CAST(floor(mb * mb * 1e12) AS BIGINT)) AS DOUBLE) / 1e12))
+               * 1e6) AS BIGINT) AS drift_micro
+      FROM j GROUP BY label
+      ORDER BY label""",
 
     "td38_temperature_mix" -> """
       WITH per AS (

@@ -766,6 +766,41 @@ object ScaleProbe {
         graft.operators.RetrievalOps.mmrRerank(
           emb, "vec_id", "embedding", cand, kSel = 5)
       }, allowBroadcastCross = true)
+      // Shard manifest (td39): map-side hash + 16-group aggregate.
+      run("td39 shard manifest", k, {
+        val d = docs.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        d.withColumn("shard",
+            (col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(16))
+              .cast("int"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+      })
+      // Centroid drift (te25): two aggregates over the exploded index
+      // + a |labels|×64 join; means keep intermediates bounded at any
+      // corpus size.
+      run("te25 centroid drift", k, {
+        val ex = emb
+          .withColumn("label", pmod(col("vec_id"), lit(10)))
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("d", "x")))
+        ex.groupBy(col("label"), col("d"))
+          .agg(
+            sum(when(col("half") === 0, floor(col("x") * lit(1e6)).cast("long"))
+              .otherwise(0L)).as("sxa"),
+            sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("half") === 1, floor(col("x") * lit(1e6)).cast("long"))
+              .otherwise(0L)).as("sxb"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+          .withColumn("ma", col("sxa").cast("double") / lit(1e6) / col("na"))
+          .withColumn("mb", col("sxb").cast("double") / lit(1e6) / col("nb"))
+          .groupBy(col("label"))
+          .agg(sum(floor(col("ma") * col("mb") * lit(1e12)).cast("long")).as("dotl"),
+            sum(floor(col("ma") * col("ma") * lit(1e12)).cast("long")).as("nal"),
+            sum(floor(col("mb") * col("mb") * lit(1e12)).cast("long")).as("nbl"))
+      })
       // Temperature mixture weights (td38): one map-side token count +
       // a |langs|-row aggregate — flat by construction, probed to show
       // the corpus is scanned exactly once.

@@ -242,4 +242,38 @@ class RetrievalOpsSpec extends AnyFunSuite {
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2a: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("te25 centroid drift is exactly 1e6 for identical halves and lower for shifted ones") {
+    // label 0: even/odd halves carry the SAME two vectors -> identical
+    // centroids -> micro-cosine exactly 1e6. label 1: odd half rotated
+    // away -> drift strictly below.
+    val dir = java.nio.file.Files.createTempDirectory("graft-te25").toString
+    val v1 = Array.tabulate(64)(d => (if (d == 0) 1.0f else 0.1f))
+    val v2 = Array.tabulate(64)(d => (if (d == 1) 1.0f else 0.2f))
+    val rot = Array.tabulate(64)(d => (if (d == 63) 1.0f else -0.1f))
+    Seq((0L, v1, 0), (1L, v1, 0), (2L, v2, 0), (3L, v2, 0),
+        (10L, v1, 1), (11L, rot, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("te25_centroid_drift")(spark, dir)
+      .select("label", "drift_micro").as[(Int, Long)].collect().toMap
+    assert(got(0) == 1000000L)
+    assert(got(1) < 1000000L)
+  }
+
+  test("td39 shard manifest conserves corpus totals and assigns deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td39").toString
+    val docs = (1L to 300L).map(i => (i, s"w$i text of doc $i", "en", "s", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("td39_shard_manifest")(spark, dir)
+      .select("shard", "n_docs", "n_tokens").as[(Int, Long, Long)].collect()
+    assert(rows.map(_._2).sum == 300L, "every doc lands in exactly one shard")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    // deterministic: a re-run produces the identical manifest
+    val again = SparkEntry.queries("td39_shard_manifest")(spark, dir)
+      .select("shard", "n_docs", "n_tokens").as[(Int, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
