@@ -25,6 +25,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
   // serialized; same restriction as the reference, whose plans carry
   // catalog tables, not inline DataStreams)
   private val ddlLog = mutable.Map[String, String]()
+  // parsed form, kept so INSERT INTO can bind the table's SINK side
+  private val ddlStmts = mutable.Map[String, graft.sql.FlinkDdl.CreateTableStmt]()
 
   /** Register a temporal TABLE FUNCTION over a versioned table — the
     * reference's `Table.createTemporalTableFunction(timeAttr, key)` +
@@ -63,7 +65,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
       // delegate the statement to Spark instead of failing.
       if (!dropped && spark.catalog.tableExists(name)) spark.sql(sql)
       else require(dropped || ifExists, s"table not found: $name")
-      watermarkDecl.remove(name); primaryKeys.remove(name); ddlLog.remove(name)
+      watermarkDecl.remove(name); primaryKeys.remove(name)
+      ddlLog.remove(name); ddlStmts.remove(name)
       return okResult()
     }
     // Catalog statements (SqlShowTables/SqlShowFunctions/SqlDescribeTable
@@ -71,6 +74,18 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // them at executeInternal): answered from the same catalog state
     // the programmatic listTables/listFunctions expose.
     val trimmed = sql.trim
+    // INSERT INTO/OVERWRITE a DDL-defined connector table — the
+    // reference's primary write path (CommonExecSink: the planner binds
+    // the statement's target to the DynamicTableSink of the CREATE
+    // TABLE's connector). Non-DDL targets fall through to Spark SQL
+    // (catalog tables keep their native INSERT).
+    val insertRe = "(?is)^INSERT\\s+(INTO|OVERWRITE)\\s+([A-Za-z_][\\w.]*)\\s+(.+)$".r
+    trimmed match {
+      case insertRe(mode, tbl, query) if ddlStmts.contains(tbl) =>
+        return executeInsert(ddlStmts(tbl),
+          mode.equalsIgnoreCase("OVERWRITE"), query)
+      case _ =>
+    }
     if (trimmed.matches("(?is)SHOW\\s+TABLES\\s*;?")) {
       import spark.implicits._
       return listTables().sorted.toDF("table name")
@@ -171,10 +186,134 @@ class GraftTableEnvironment private (val spark: SparkSession,
     * apply computed columns, and register view + watermark/PK metadata.
     */
   private def executeCreateTable(sql: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.StructType
     val stmt = graft.sql.FlinkDdl.parse(sql)
     if (stmt.ifNotExists && spark.catalog.tableExists(stmt.name)) return okResult()
+    registerFromStmt(stmt)
+    ddlStmts(stmt.name) = stmt
+    ddlLog(stmt.name) = sql
+    okResult()
+  }
+
+  /** `INSERT INTO|OVERWRITE <ddl table> <query>` — the reference's
+    * primary write path: the planner binds the target to the
+    * DynamicTableSink of the table's connector (CommonExecSink,
+    * `EX/common/CommonExecSink.java`; kafka sink
+    * `flink-connectors/flink-connector-kafka/.../table/KafkaDynamicSink.java`,
+    * filesystem `FileSystemTableSink.java`, JDBC
+    * `JdbcDynamicTableSink.java`). Columns map by POSITION against the
+    * table's physical schema and are cast to the declared types, like
+    * the reference's type coercion at the sink boundary. An optional
+    * trailing `__rowkind` column carries changelog kinds into
+    * upsert-capable sinks (upsert-kafka tombstones, JDBC
+    * upsert/delete) — the façade's explicit spelling of the changelog
+    * the reference's planner threads implicitly.
+    *
+    * After the write the table's VIEW is re-bound: Spark captures file
+    * listings at read time, so the pre-insert frame would not see
+    * appended files.
+    */
+  private def executeInsert(stmt: graft.sql.FlinkDdl.CreateTableStmt,
+                            overwrite: Boolean, query: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src0 = executeSql(query)
+    val hasKind = src0.columns.contains("__rowkind")
+    val physCols = stmt.columns.map(_._1)
+    val dataWidth = src0.columns.length - (if (hasKind) 1 else 0)
+    require(dataWidth == physCols.length,
+      s"INSERT schema mismatch: query provides $dataWidth data columns, " +
+        s"table ${stmt.name} declares ${physCols.length} physical columns " +
+        "(INSERT maps by position, like the reference)")
+    val renamed = src0.toDF(
+      (physCols ++ (if (hasKind) Seq("__rowkind") else Nil)): _*)
+    val aligned = renamed.select(stmt.columns.map { case (n, t) =>
+      col(n).cast(t).as(n) } ++
+      (if (hasKind) Seq(col("__rowkind")) else Nil): _*)
+    val data = aligned.drop("__rowkind")
+    stmt.options.getOrElse("connector", "values") match {
+      case "filesystem" =>
+        val path = stmt.options("path")
+        stmt.options.getOrElse("format", "parquet") match {
+          case "avro" =>
+            // the engine's Avro writer replaces the destination's
+            // containers on success (see AvroFormat.write) — overwrite
+            // semantics only
+            require(overwrite, "the avro filesystem sink replaces the " +
+              "destination (AvroFormat.write); use INSERT OVERWRITE")
+            graft.sources.AvroFormat.write(data, path)
+          case fmt =>
+            var w = data.write.format(fmt)
+              .mode(if (overwrite) "overwrite" else "append")
+            if (fmt == "csv")
+              w = w.option("header",
+                stmt.options.getOrElse("csv.include-header", "false"))
+            w.save(path)
+        }
+      case "kafka" =>
+        require(!overwrite,
+          "the kafka sink is append-only (a log); INSERT OVERWRITE is not supported")
+        val path = stmt.options.getOrElse("path",
+          throw new IllegalArgumentException("kafka connector requires 'path'"))
+        val full = stmt.options.get("topic").fold(path)(t => s"$path/$t")
+        val nPart = stmt.options.getOrElse("sink.partitions", "1").toInt
+        val value = stmt.options.getOrElse("format", "json") match {
+          case "json" => to_json(struct(physCols.map(col): _*))
+          case "raw" =>
+            require(physCols.length == 1,
+              "raw format requires a single-column schema")
+            col(physCols.head).cast("string")
+          case other => throw new IllegalArgumentException(
+            s"kafka sink supports json/raw value formats, got '$other'")
+        }
+        // Flink's default sink partitioner hashes the key when the
+        // table declares one, else the whole row
+        val keyCols = if (stmt.primaryKey.nonEmpty) stmt.primaryKey else physCols
+        val partCol = pmod(hash(keyCols.map(col): _*), lit(nPart)).cast("int")
+        graft.sources.LogSource.write(
+          data.select(partCol.as("partition"), value.as("value"))
+            .repartition(nPart, col("partition")), full)
+      case "upsert-kafka" =>
+        require(!overwrite,
+          "the upsert-kafka sink is append-only (a keyed log); INSERT OVERWRITE is not supported")
+        val path = stmt.options.getOrElse("path",
+          throw new IllegalArgumentException("upsert-kafka connector requires 'path'"))
+        val full = stmt.options.get("topic").fold(path)(t => s"$path/$t")
+        val nPart = stmt.options.getOrElse("sink.partitions", "1").toInt
+        val key = concat_ws(",", stmt.primaryKey.map(c => col(c).cast("string")): _*)
+        // tombstone = empty payload (Flink's upsert-kafka DELETE wire)
+        val payload =
+          if (hasKind)
+            when(aligned("__rowkind") === "-D", lit(""))
+              .otherwise(to_json(struct(physCols.map(col): _*)))
+          else to_json(struct(physCols.map(col): _*))
+        val partCol = pmod(hash(stmt.primaryKey.map(col): _*), lit(nPart)).cast("int")
+        graft.sources.LogSource.write(
+          aligned.select(partCol.as("partition"),
+              concat(key, lit("|"), payload).as("value"))
+            .repartition(nPart, col("partition")), full)
+      case "jdbc" =>
+        if (hasKind || stmt.primaryKey.nonEmpty) {
+          require(stmt.primaryKey.nonEmpty,
+            "a changelog INSERT into jdbc requires a PRIMARY KEY " +
+              "(the reference's 'please declare primary key for sink table' error)")
+          graft.sources.JdbcConnector.upsert(aligned, stmt.options,
+            stmt.primaryKey, if (hasKind) Some("__rowkind") else None)
+        } else graft.sources.JdbcConnector.append(data, stmt.options)
+      case other => throw new IllegalArgumentException(
+        s"connector '$other' has no sink binding " +
+          "(supported sinks: filesystem, kafka, upsert-kafka, jdbc)")
+    }
+    registerFromStmt(stmt)
+    okResult()
+  }
+
+  /** Bind a parsed DDL statement's connector to a Spark reader and
+    * (re-)register the view + metadata. Re-run after an INSERT: file
+    * listings are captured at read time (InMemoryFileIndex), so a view
+    * built before the write would not see appended files/records.
+    */
+  private def registerFromStmt(stmt: graft.sql.FlinkDdl.CreateTableStmt): Unit = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.StructType
     val schema = StructType.fromDDL(
       stmt.columns.map { case (n, t) => s"$n $t" }.mkString(", "))
     val base = stmt.options.getOrElse("connector", "values") match {
@@ -190,11 +329,23 @@ class GraftTableEnvironment private (val spark: SparkSession,
         val reader = spark.read.format(fmt)
         // Self-describing formats carry their own schema; text formats
         // take the declared one (csv additionally its header option).
-        if (fmt == "csv" || fmt == "json")
-          reader.schema(schema)
-            .option("header", stmt.options.getOrElse("csv.include-header", "false"))
-            .load(path)
-        else reader.load(path)
+        // A table created BEFORE its first INSERT has no data yet —
+        // the reference's filesystem table is happy with an empty
+        // location, so bind an empty frame of the declared schema
+        // until a write lands (executeInsert re-binds afterwards).
+        try {
+          if (fmt == "csv" || fmt == "json")
+            reader.schema(schema)
+              .option("header", stmt.options.getOrElse("csv.include-header", "false"))
+              .load(path)
+          else reader.load(path)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("Path does not exist") ||
+                 e.getMessage.contains("Unable to infer schema") =>
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        }
       case "datagen" =>
         spark.read.format("graft-datagen").schema(schema)
           .option("numRows", stmt.options.getOrElse("number-of-rows", "1000"))
@@ -300,8 +451,6 @@ class GraftTableEnvironment private (val spark: SparkSession,
     }
     createTemporaryView(stmt.name, withComputed,
       watermark = stmt.watermark, primaryKey = stmt.primaryKey)
-    ddlLog(stmt.name) = sql
-    okResult()
   }
 
   /** Bind a kafka-dialect table's log directory: 'path' is the log
@@ -474,9 +623,13 @@ class GraftStatementSet private[graft] (env: GraftTableEnvironment) {
   private val inserts = mutable.Buffer[() => Unit]()
   private val shared = mutable.Buffer[DataFrame]()
 
-  /** INSERT INTO/OVERWRITE ... SELECT ... — deferred until execute(). */
+  /** INSERT INTO/OVERWRITE ... SELECT ... — deferred until execute().
+    * Routed through the environment so DDL-defined connector tables
+    * (filesystem/kafka/upsert-kafka/jdbc) bind their sinks, not just
+    * Spark catalog tables.
+    */
   def addInsertSql(sql: String): this.type = {
-    inserts += (() => { env.spark.sql(sql); () })
+    inserts += (() => { env.executeSql(sql); () })
     this
   }
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `INSERT INTO/OVERWRITE <ddl table>` — the reference's primary
+  * write path (CommonExecSink binding the statement's target to the
+  * CREATE TABLE connector's DynamicTableSink): filesystem append +
+  * overwrite, kafka-log json with PK-hash partitioning, upsert-kafka
+  * with tombstones, and the refresh contract (a post-insert read sees
+  * the new rows through the same registered view).
+  */
+class InsertSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("filesystem sink: INSERT INTO appends, INSERT OVERWRITE replaces, view refreshes") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-fs")
+    env.executeSql(s"""
+      CREATE TABLE fs_sink (k BIGINT, v STRING) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("ins_src")
+    env.executeSql("INSERT INTO fs_sink SELECT k, v FROM ins_src")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM fs_sink").head().getLong(0) == 2L)
+    env.executeSql("INSERT INTO fs_sink SELECT k + 10, v FROM ins_src")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM fs_sink").head().getLong(0) == 4L)
+    env.executeSql("INSERT OVERWRITE fs_sink SELECT k, v FROM ins_src WHERE k = 1")
+    assert(env.sqlQuery("SELECT k, v FROM fs_sink").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    // positional mapping + cast at the sink boundary
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO fs_sink SELECT k FROM ins_src")
+    }
+    assert(ex.getMessage.contains("INSERT schema mismatch"))
+  }
+
+  test("kafka-log sink: json values land PK-hash partitioned and read back through the same table") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-kafka")
+    env.executeSql(s"""
+      CREATE TABLE klog (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) WITH (
+        'connector' = 'kafka', 'path' = '$dir/log', 'format' = 'json',
+        'sink.partitions' = '4')""")
+    (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("ins_src2")
+    env.executeSql("INSERT INTO klog SELECT k, v FROM ins_src2")
+    val back = env.sqlQuery("SELECT k, v FROM klog").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(back.toSeq == (1L to 40L).map(i => (i, s"v$i")))
+    // multiple log partitions actually used (PK-hash routing)
+    val parts = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.getName.startsWith("partition=")).map(_.getName).toSet
+    assert(parts.size > 1, s"expected PK-hash spread, got $parts")
+    // append-only contract
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT OVERWRITE klog SELECT k, v FROM ins_src2")
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
+  test("upsert-kafka sink: latest image wins and __rowkind -D tombstones delete the key") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-upsert")
+    env.executeSql(s"""
+      CREATE TABLE ulog (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) WITH (
+        'connector' = 'upsert-kafka', 'path' = '$dir/log', 'format' = 'json')""")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("u_src1")
+    env.executeSql("INSERT INTO ulog SELECT k, v FROM u_src1")
+    // second wave: update 1, tombstone 2 via the __rowkind column
+    Seq((1L, "a2", "+U"), (2L, "b", "-D")).toDF("k", "v", "__rowkind")
+      .createOrReplaceTempView("u_src2")
+    env.executeSql("INSERT INTO ulog SELECT k, v, __rowkind FROM u_src2")
+    val state = env.sqlQuery("SELECT k, v FROM ulog").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(state == Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("jdbc sink: INSERT INTO appends through the connector") {
+    val env = GraftTableEnvironment.create(spark)
+    val db = tmp("graft-ins-jdbc") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    // create the physical table via a direct connection
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE jt (k BIGINT, v VARCHAR(20))")
+    c.close()
+    env.executeSql(s"""
+      CREATE TABLE jsink (k BIGINT, v STRING) WITH (
+        'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'jt')""")
+    Seq((5L, "x"), (6L, "y")).toDF("k", "v").createOrReplaceTempView("j_src")
+    env.executeSql("INSERT INTO jsink SELECT k, v FROM j_src")
+    val n = env.sqlQuery("SELECT count(1) AS n FROM jsink").head().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("statement set batches connector-table inserts off one shared scan") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-ss")
+    env.executeSql(s"""
+      CREATE TABLE ss_a (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/a', 'format' = 'parquet')""")
+    env.executeSql(s"""
+      CREATE TABLE ss_b (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/b', 'format' = 'parquet')""")
+    (1L to 10L).toDF("k").createOrReplaceTempView("ss_src")
+    env.createStatementSet()
+      .addInsertSql("INSERT INTO ss_a SELECT k FROM ss_src WHERE k <= 5")
+      .addInsertSql("INSERT INTO ss_b SELECT k FROM ss_src WHERE k > 5")
+      .execute()
+    assert(env.sqlQuery("SELECT count(1) AS n FROM ss_a").head().getLong(0) == 5L)
+    assert(env.sqlQuery("SELECT count(1) AS n FROM ss_b").head().getLong(0) == 5L)
+  }
+}
