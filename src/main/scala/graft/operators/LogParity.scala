@@ -293,10 +293,39 @@ object LogParity extends QueryModule {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // The SQL WRITE path end-to-end (kfk07): CREATE TABLE (kafka,
+    // json values, PK declared) → `INSERT INTO … SELECT` (executeSql
+    // binds the target to the log sink — CommonExecSink /
+    // KafkaDynamicSink parity: PK-hash partition routing, staged
+    // task commit, commit-time offsets) → aggregate read back THROUGH
+    // THE SAME TABLE. The aggregate is partition-layout-independent,
+    // so the oracle over the source parquet checks the whole
+    // insert→encode→log→decode round trip.
+    "kfk07_insert_roundtrip" -> { (s, dir) =>
+      val base = scratch("kfk07", dir)
+      val env = graft.GraftTableEnvironment.create(s)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("kfk07_orders")
+      env.executeSql(s"""
+        CREATE TABLE kfk07_t (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+          PRIMARY KEY (o_orderkey) NOT ENFORCED
+        ) WITH ('connector' = 'kafka', 'path' = '$base',
+                'format' = 'json', 'sink.partitions' = '4')""")
+      env.executeSql("INSERT INTO kfk07_t SELECT o_orderkey, " +
+        "o_orderstatus, o_totalprice FROM kfk07_orders")
+      env.sqlQuery("SELECT o_orderstatus, count(1) AS n_orders, " +
+        dsumSql("o_totalprice") + " AS sum_price " +
+        "FROM kfk07_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "kfk07_insert_roundtrip" -> s"""
+      SELECT o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "kfk01_log_roundtrip" -> s"""
       WITH src AS (
         SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,

@@ -12,6 +12,28 @@ object MiscParity extends QueryModule {
   import OracleSafe._
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Compiled-plan round trip (pp01): CREATE TABLE (filesystem over
+    // the corpus parquet) → compilePlanSql → JSON file → executePlan
+    // in a FRESH environment with the view dropped first — the
+    // reference's ExecNodeGraph JSON round trip
+    // (flink-table-planner .../plan/nodes/exec/serde/, test corpus
+    // src/test/resources/jsonplan/), correctness-gated end to end.
+    "pp01_compiled_plan" -> { (s, dir) =>
+      val env = graft.GraftTableEnvironment.create(s)
+      env.executeSql(s"""
+        CREATE TABLE pp01_orders (o_orderkey BIGINT) WITH (
+          'connector' = 'filesystem', 'path' = '$dir/orders.parquet',
+          'format' = 'parquet')""")
+      val q = "SELECT o_orderpriority, count(1) AS n, " +
+        dsumSql("o_totalprice") + " AS sum_price " +
+        "FROM pp01_orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      val plan = env.compilePlanSql(q)
+      val f = java.io.File.createTempFile("graft-pp01", ".json")
+      plan.writeToFile(f.getAbsolutePath)
+      s.catalog.dropTempView("pp01_orders") // restore must recreate it
+      graft.GraftTableEnvironment.create(s).executePlan(f.getAbsolutePath)
+    },
+
     // Window join: clicks ⋈ purchases of the same user in the same
     // 1-hour tumbling window (equi-join on (window, key) — native).
     "wj01_window_join" -> { (s, dir) =>
@@ -75,6 +97,11 @@ object MiscParity extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pp01_compiled_plan" -> s"""
+      SELECT o_orderpriority, count(1) AS n,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "wj01_window_join" -> """
       WITH e AS (SELECT CAST(floor(epoch_us(ts)/3600000000)*3600 AS BIGINT) AS win,
                         user_id, event_id, event_type
