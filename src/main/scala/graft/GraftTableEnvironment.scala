@@ -86,6 +86,25 @@ class GraftTableEnvironment private (val spark: SparkSession,
           mode.equalsIgnoreCase("OVERWRITE"), query)
       case _ =>
     }
+    // CREATE [TEMPORARY] VIEW v AS <query> (reference SqlCreateView,
+    // flink-sql-parser .../ddl/SqlCreateView.java): the body goes
+    // through the façade — so Flink-dialect group windows, temporal
+    // joins, and MATCH_RECOGNIZE work inside a view definition, which
+    // plain Spark SQL pass-through would reject.
+    val createViewRe =
+      "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
+    val dropViewRe =
+      "(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
+    trimmed match {
+      case createViewRe(name, body) =>
+        createTemporaryView(name, executeSql(body))
+        return okResult()
+      case dropViewRe(ifExists, name) =>
+        val dropped = spark.catalog.dropTempView(name)
+        require(dropped || ifExists != null, s"view not found: $name")
+        return okResult()
+      case _ =>
+    }
     if (trimmed.matches("(?is)SHOW\\s+TABLES\\s*;?")) {
       import spark.implicits._
       return listTables().sorted.toDF("table name")

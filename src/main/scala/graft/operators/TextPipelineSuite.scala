@@ -70,6 +70,27 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Cross-source near-dup overlap matrix (td40): which dumps/crawl
+    // snapshots duplicate each other — td03's LSH-mined pair set
+    // rolled up to UNORDERED (source_a, source_b) cells. The
+    // governance report that decides dump precedence and dedup order
+    // before a 100 TB merge; two tiny hash joins + one aggregate on
+    // top of the already-probed mining path.
+    "td40_source_overlap" -> { (s, dir) =>
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
+        .select(col("id_a"), col("id_b"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-verified —
     // must equal td02's result (same oracle).
     "td03_minhash_lsh" -> { (s, dir) =>
@@ -589,6 +610,27 @@ object TextPipelineSuite extends QueryModule {
 
     "td02_ngram_jaccard" -> exactJaccardSql,
     "td03_minhash_lsh" -> exactJaccardSql,
+
+    // The exact-pair CTE rolled up to source cells (LSH mining is
+    // verify-exact at the threshold, so the pair sets coincide).
+    "td40_source_overlap" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      p AS (SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8)
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             count(1) AS n_pairs
+      FROM p JOIN documents da ON da.doc_id = p.id_a
+             JOIN documents db ON db.doc_id = p.id_b
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b""",
 
     // Same split/profile/score/argmax, replayed in SQL; DuckDB's
     // range(1, n) is exclusive, matching sequence(1, n-2) inclusive.

@@ -322,4 +322,22 @@ class FacadeSpec extends AnyFunSuite {
       cacheSize = 5).collect()
     assert(LookupCounter.probes.get() > 10) // misses beyond first pass
   }
+
+  test("CREATE VIEW lowers Flink-dialect bodies; DROP VIEW unregisters") {
+    val env = GraftTableEnvironment.create(spark)
+    env.registerTestTables("/root/testdata/sf0.001")
+    // group-window syntax inside the view body — Spark SQL alone would
+    // reject TUMBLE_START; the façade lowers it first (SqlCreateView)
+    env.executeSql("""
+      CREATE TEMPORARY VIEW hourly AS
+      SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS wstart, count(1) AS n
+      FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)""")
+    val n = env.sqlQuery("SELECT count(1) AS c FROM hourly").head().getLong(0)
+    assert(n > 0)
+    env.executeSql("DROP VIEW hourly")
+    intercept[Exception] { env.sqlQuery("SELECT count(1) FROM hourly").head() }
+    // IF EXISTS tolerates the missing view; bare DROP does not
+    env.executeSql("DROP VIEW IF EXISTS hourly")
+    intercept[IllegalArgumentException] { env.executeSql("DROP VIEW hourly") }
+  }
 }
