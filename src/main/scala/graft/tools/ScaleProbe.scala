@@ -766,6 +766,22 @@ object ScaleProbe {
         graft.operators.RetrievalOps.mmrRerank(
           emb, "vec_id", "embedding", cand, kSel = 5)
       }, allowBroadcastCross = true)
+      // Cross-source overlap matrix (td40): the td03 mining path plus
+      // two doc-keyed hash joins and one tiny aggregate.
+      run("td40 source overlap", k, {
+        val src = docs.select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(20))).as("source"))
+        val pairs = TextOps.minhashLshPairsIdx(
+            TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      })
       // Shard manifest (td39): map-side hash + 16-group aggregate.
       run("td39 shard manifest", k, {
         val d = docs.withColumn("lang",
