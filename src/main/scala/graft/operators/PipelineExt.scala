@@ -103,6 +103,32 @@ object PipelineExt extends QueryModule {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // RAG context assembly (te26): the serving step downstream of
+    // td26+td27 — each query's BM25 top-5 docs are chunked and the
+    // context window is packed GREEDILY in (doc rank, chunk order)
+    // until a 256-token budget: whole chunks only, running total via
+    // one bounded window (≤ k docs × chunks/doc rows per query). The
+    // corpus-side chunk frame streams against the BROADCAST top-k
+    // list, so assembly cost tracks queries, not the corpus.
+    "te26_rag_context" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val top = RetrievalOps.bm25TopK(docs, "doc_id", "text",
+          _ % 400 === 0, nTerms = 6, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val chunks = RetrievalOps.chunkDocs(docs, "doc_id", "text",
+          size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rk"), col("chunk_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks.join(broadcast(top), Seq("doc_id"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .where(col("cum_tok") <= 256)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          col("chunk_id"), col("n_tok"), col("cum_tok"))
+        .orderBy("query_id", "rk", "chunk_id")
+    },
+
     // Exact-quota stratified sample (200 docs per lang) selected by
     // deterministic hash order via the distributed histogram — no
     // whole-stratum sort (see RetrievalOps.stratifiedQuota).
@@ -410,6 +436,61 @@ object PipelineExt extends QueryModule {
         FROM perdoc)
       SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "te26_rag_context" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      toks AS (SELECT doc_id, dl, unnest(w) AS term FROM base),
+      qterms AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+          FROM base WHERE doc_id % 400 = 0)),
+      termlist AS (SELECT DISTINCT term FROM qterms),
+      tf AS (
+        SELECT t.doc_id, t.term, t.dl, CAST(count(1) AS BIGINT) AS tf
+        FROM toks t JOIN termlist q USING (term)
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) *
+               ((tf * 2.2) / (tf + 1.2 * (0.25 +
+                 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS s
+        FROM tf JOIN dft USING (term) CROSS JOIN stats),
+      perdoc AS (
+        SELECT q.query_id, s.doc_id,
+               CAST(sum(CAST(floor(s.s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+        FROM qterms q JOIN scored s USING (term)
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT query_id, doc_id, rk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rk
+          FROM perdoc)
+        WHERE rk <= 5),
+      st AS (
+        SELECT doc_id, w, dl,
+               CAST(unnest(range(0, dl, 48)) AS BIGINT) AS start
+        FROM base),
+      chunks AS (
+        SELECT doc_id, start // 48 AS chunk_id,
+               CAST(len(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)]) AS BIGINT) AS n_tok
+        FROM st),
+      ctx AS (
+        SELECT c.query_id, c.rk, ch.doc_id, ch.chunk_id, ch.n_tok,
+               sum(ch.n_tok) OVER (PARTITION BY c.query_id
+                 ORDER BY c.rk, ch.chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM cand c JOIN chunks ch USING (doc_id))
+      SELECT query_id, CAST(rk AS INT) AS rk, doc_id, chunk_id, n_tok,
+             CAST(cum_tok AS BIGINT) AS cum_tok
+      FROM ctx WHERE cum_tok <= 256
+      ORDER BY query_id, rk, chunk_id""",
 
     "td27_chunk_overlap" -> """
       WITH base AS (
