@@ -42,6 +42,41 @@ object PipelineExt2 extends QueryModule {
         .orderBy("query_id", "step")
     },
 
+    // Hard-negative mining (te27): for each anchor, the top-3 most
+    // cosine-similar vectors with a DIFFERENT label — the negatives a
+    // contrastive embedding trainer wants (similar yet wrong). The
+    // exact pair scan is the guarded baseline (te02's shape plus the
+    // label-inequality gate); at corpus scale the anchor probes an ANN
+    // index (te05/te03) and the label filter sits in the probe join
+    // exactly like te18's attribute filter.
+    "te27_hard_negatives" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.dot_scaled
+      val emb = Tables.load(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm",
+          sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint() // anchors + candidates read the same frame
+      val q = v.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = v.select(col("vec_id"), col("label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(broadcast(c), col("query_id") =!= col("vec_id") &&
+          col("qlabel") =!= col("label"))
+        .withColumn("cos", round(
+          (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
+            / (col("qn") * col("cn")), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("query_id"), col("qlabel"), col("vec_id"),
+          col("label"), col("cos"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // Temperature-based language mixture weights (multilingual LM
     // sampling, α = 0.5): w ∝ n_tokens^α, kept exact by scaling
     // sqrt(n_tokens) to an integer BEFORE the normalizing sum, then
@@ -247,6 +282,34 @@ object PipelineExt2 extends QueryModule {
       ORDER BY query_id, rk""",
 
     "te24_mmr_rerank" -> mmrOracle(5),
+
+    "te27_hard_negatives" -> """
+      WITH ex AS (
+        SELECT vec_id, label, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               c.vec_id AS vec_id, c.label AS label,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex q JOIN ex c ON q.d = c.d
+        WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+              AND q.label <> c.label
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT query_id, qlabel, dots.vec_id AS vec_id, label,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, qlabel, vec_id, label, cos, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rk
+        FROM scored)
+      WHERE rk <= 3
+      ORDER BY query_id, rk""",
 
     "td39_shard_manifest" -> """
       SELECT CAST((doc_id * 2654435761) % 1000000007 % 16 AS INT) AS shard,
