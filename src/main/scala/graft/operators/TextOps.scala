@@ -113,23 +113,41 @@ object TextOps {
     * only the low `bBits` bits of each of `numPerms` MinHash values —
     * a 64/b-fold signature compression whose Jaccard estimator stays
     * unbiased after collision correction (P[bits match] = C + (1-C)·J
-    * with C = 2^-b; solve for J). Permutation i hashes the shingle as
-    * the 60-bit prefix of md5("<gr>#<i>") — k INDEPENDENT hashes,
-    * exactly [[minhashSignatureIdx]]'s xxhash64(sh, i) pattern but
-    * replayable by the DuckDB oracle bit for bit. (A shared per-shingle
-    * value pushed through k linear perms is NOT enough: the globally
-    * minimal shingle then wins every perm and the b-bit entries of
-    * unrelated documents correlate — measured 8/16 spurious matches on
-    * disjoint sets before this was changed.) ONE codegen'd aggregate
-    * pass over the exploded shingle index.
+    * with C = 2^-b; solve for J).
+    *
+    * Permutation family: ONE md5 per shingle (the 60-bit prefix — the
+    * DuckDB-replayable base hash), then per perm i a three-round
+    * multiply-xor-shift mix of `x XOR (i·K)` — the SrpBucketLong
+    * recipe, every intermediate under 2^63 with 27-bit masks before
+    * each multiply so DuckDB BIGINT (which ERRORS on overflow) replays
+    * it. Rounds 2 and 3 fold in bits 27..53 and 54..59 of the base, so
+    * all 60 bits inform every perm value. This replaced 16 md5 calls
+    * per shingle row (measured 9.5 s → ~1 s for the signature pass at
+    * sf0.1). Independence caveat that bit this operator once: a shared
+    * base pushed through k LINEAR perms correlates minima across
+    * unrelated sets (8/16 spurious b-bit matches on disjoint sets);
+    * the non-linear mix rounds are what decorrelate — the
+    * disjoint-sets spec gates it, same as the SRP two-round fix.
+    * ONE codegen'd aggregate pass over the exploded shingle index.
     * Input: (id, gr) distinct string shingles. Output: (id, b0..b{k-1}).
     */
   def bbitMinhashSig(idx: DataFrame, numPerms: Int, bBits: Int): DataFrame = {
-    val aggs = (0 until numPerms).map { i =>
-      (min(conv(substring(md5(concat_ws("#", col("gr"), lit(i.toString))),
-        1, 15), 16, 10).cast("long")) % lit(1L << bBits)).as(s"b$i")
+    val mask27 = (1L << 27) - 1
+    val mask32 = (1L << 32) - 1
+    def round(v: Column, mult: Long): Column = {
+      val m = (v.bitwiseAND(lit(mask27)) * lit(mult)).bitwiseAND(lit(mask32))
+      m.bitwiseXOR(shiftright(m, 16))
     }
-    idx.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val withX = idx.withColumn("__x",
+      conv(substring(md5(col("gr")), 1, 15), 16, 10).cast("long"))
+    val aggs = (0 until numPerms).map { i =>
+      val y = col("__x").bitwiseXOR(lit(i.toLong * 173961102589770L)) // i·0x9E3779B97F4A
+      val h1 = round(y, 2654435761L)
+      val h2 = round(h1.bitwiseXOR(shiftright(y, 27)), 1597334677L)
+      val h3 = round(h2.bitwiseXOR(shiftright(y, 54)), 2654435761L)
+      (min(h3) % lit(1L << bBits)).as(s"b$i")
+    }
+    withX.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MOSS-style robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03):

@@ -154,11 +154,14 @@ object TextPipelineSuite extends QueryModule {
     // estimate are integer end to end; the perm family is md5-derived
     // so the oracle replays every signature bit.
     "td34_bbit_minhash" -> { (s, dir) =>
-      val idx = Tables.load(s, dir, "documents")
-        .select(col("doc_id").as("id"),
-          explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
+      // codegen'd shingle form (posexplode + window lead) — the
+      // array/lambda wordNgrams explode ran interpreted and was the
+      // query's dominant cost (4.2 s of ~6 at sf0.1), not the hashing
+      val idx = TextOps.shingleIndex(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id"), col("sh").as("gr"))
       // sig feeds BOTH sides of the pair join — materialize once or
-      // the 16-perm md5 aggregate executes once per branch
+      // the signature aggregate executes once per branch
       val sig = TextOps.bbitMinhashSig(idx, 16, 8).localCheckpoint()
       val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
       val a = sig.select(col("id").as("id_a") +:
@@ -692,10 +695,17 @@ object TextPipelineSuite extends QueryModule {
         JOIN sizes sb ON id_b = sb.id
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
       perms AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS i),
-      sig AS (SELECT id, i,
-                min(CAST('0x' || substring(
-                  md5(sh || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) % 256 AS mh
-              FROM e, perms GROUP BY 1, 2),
+      xbase AS (SELECT id, CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS x
+                FROM e),
+      sig AS (
+        SELECT id, i, min(xor(m3, m3 >> 16)) % 256 AS mh FROM (
+          SELECT id, i, ((xor(h2, y >> 54) & 134217727) * 2654435761) & 4294967295 AS m3 FROM (
+            SELECT id, i, y, xor(m2, m2 >> 16) AS h2 FROM (
+              SELECT id, i, y, ((xor(h1, y >> 27) & 134217727) * 1597334677) & 4294967295 AS m2 FROM (
+                SELECT id, i, y, xor(m1, m1 >> 16) AS h1 FROM (
+                  SELECT id, i, y, ((y & 134217727) * 2654435761) & 4294967295 AS m1 FROM (
+                    SELECT b.id, p.i, xor(b.x, p.i * 173961102589770) AS y
+                    FROM xbase b, perms p)))))) GROUP BY 1, 2),
       mm AS (SELECT p.id_a, p.id_b,
                     CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
              FROM pairs p
