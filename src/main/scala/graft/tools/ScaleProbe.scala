@@ -242,10 +242,11 @@ object ScaleProbe {
           TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 4),
           minShared = 2, bucketCap = 50))
       // td34 b-bit minhash: the compressed-signature estimate over the
-      // LSH pair set — one md5 aggregate pass + the mining join.
+      // LSH pair set — one signature aggregate pass + the mining join
+      // (codegen'd shingle form + one-md5 mixed perms, round 8).
       run("td34 b-bit minhash", k, {
-        val bidx = docs.select(col("doc_id").as("id"),
-          explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("gr"))
+        val bidx = TextOps.shingleIndex(docs, "doc_id", "text", 3)
+          .select(col("id"), col("sh").as("gr"))
         val sig = TextOps.bbitMinhashSig(bidx, 16, 8)
         val bpairs = TextOps.minhashLshPairsIdx(
           TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
