@@ -234,6 +234,9 @@ class GraftTableEnvironment private (val spark: SparkSession,
   private def executeInsert(stmt: graft.sql.FlinkDdl.CreateTableStmt,
                             overwrite: Boolean, query: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(!query.trim.startsWith("("),
+      s"column-list INSERT INTO ${stmt.name} (…) is not supported — " +
+        "map columns by position (the reference's default contract)")
     val src0 = executeSql(query)
     val hasKind = src0.columns.contains("__rowkind")
     val physCols = stmt.columns.map(_._1)
@@ -362,6 +365,10 @@ class GraftTableEnvironment private (val spark: SparkSession,
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("Path does not exist") ||
                  e.getMessage.contains("Unable to infer schema") =>
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          case e: IllegalArgumentException // graft-avro's empty-location probe
+              if e.getMessage.contains("no .avro files") =>
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         }

@@ -86,6 +86,30 @@ class CompiledPlanSpec extends AnyFunSuite {
     assert(fresh.executePlan(plan).collect().toSeq == direct)
   }
 
+  test("MATCH_RECOGNIZE plans compile and execute (NFA lowering re-derives at run time)") {
+    import spark.implicits._
+    val env = GraftTableEnvironment.create(spark)
+    Seq((1L, 1, 10.0), (1L, 2, 8.0), (1L, 3, 6.0), (1L, 4, 9.0))
+      .toDF("sym", "seq", "price").createOrReplaceTempView("cp_ticks")
+    val sql = """
+      SELECT * FROM cp_ticks MATCH_RECOGNIZE (
+        PARTITION BY sym ORDER BY seq
+        MEASURES FIRST(D.price) AS first_down, LAST(D.price) AS last_down
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D D)
+        DEFINE D AS price < PREV(price)
+      )"""
+    val plan = env.compilePlanSql(sql)
+    // MATCH_RECOGNIZE has no Spark parser slot: it survives lowering
+    // verbatim and executePlan routes it onto the NFA
+    assert(plan.loweredSql.toUpperCase.contains("MATCH_RECOGNIZE"))
+    val direct = env.executeSql(sql).collect().toSeq
+    assert(direct.nonEmpty)
+    assert(GraftTableEnvironment.create(spark).executePlan(plan)
+      .collect().toSeq == direct)
+  }
+
   test("temporal table function registrations travel inside the plan") {
     import spark.implicits._
     val env = GraftTableEnvironment.create(spark)

@@ -97,6 +97,34 @@ class InsertSqlSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("avro filesystem sink takes INSERT OVERWRITE only and round-trips") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-avro")
+    env.executeSql(s"""
+      CREATE TABLE av_sink (k BIGINT, v STRING) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'avro')""")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("av_src")
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO av_sink SELECT k, v FROM av_src")
+    }
+    assert(ex.getMessage.contains("INSERT OVERWRITE"))
+    env.executeSql("INSERT OVERWRITE av_sink SELECT k, v FROM av_src")
+    assert(env.sqlQuery("SELECT k, v FROM av_sink").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("column-list INSERT fails with a positional-mapping message") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-collist")
+    env.executeSql(s"""
+      CREATE TABLE cl_sink (k BIGINT, v STRING) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO cl_sink (k, v) SELECT 1L, 'a'")
+    }
+    assert(ex.getMessage.contains("position"))
+  }
+
   test("statement set batches connector-table inserts off one shared scan") {
     val env = GraftTableEnvironment.create(spark)
     val dir = tmp("graft-ins-ss")
