@@ -28,6 +28,14 @@ class GraftTableEnvironment private (val spark: SparkSession,
   // parsed form, kept so INSERT INTO can bind the table's SINK side
   private val ddlStmts = mutable.Map[String, graft.sql.FlinkDdl.CreateTableStmt]()
 
+  // All metadata maps are keyed by LOWER-CASED table name: Spark
+  // resolves temp-view names case-insensitively, so `INSERT INTO
+  // FS_SINK` must find the binding of a table created as `fs_sink`
+  // (a case-sensitive miss would fall through to Spark and fail with
+  // an unrelated "cannot insert into a view" error).
+  private def norm(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT)
+
   /** Register a temporal TABLE FUNCTION over a versioned table — the
     * reference's `Table.createTemporalTableFunction(timeAttr, key)` +
     * `createTemporarySystemFunction(name, fn)` pair (resolved by the
@@ -65,8 +73,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
       // delegate the statement to Spark instead of failing.
       if (!dropped && spark.catalog.tableExists(name)) spark.sql(sql)
       else require(dropped || ifExists, s"table not found: $name")
-      watermarkDecl.remove(name); primaryKeys.remove(name)
-      ddlLog.remove(name); ddlStmts.remove(name)
+      watermarkDecl.remove(norm(name)); primaryKeys.remove(norm(name))
+      ddlLog.remove(norm(name)); ddlStmts.remove(norm(name))
       return okResult()
     }
     // Catalog statements (SqlShowTables/SqlShowFunctions/SqlDescribeTable
@@ -81,8 +89,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // (catalog tables keep their native INSERT).
     val insertRe = "(?is)^INSERT\\s+(INTO|OVERWRITE)\\s+([A-Za-z_][\\w.]*)\\s+(.+)$".r
     trimmed match {
-      case insertRe(mode, tbl, query) if ddlStmts.contains(tbl) =>
-        return executeInsert(ddlStmts(tbl),
+      case insertRe(mode, tbl, query) if ddlStmts.contains(norm(tbl)) =>
+        return executeInsert(ddlStmts(norm(tbl)),
           mode.equalsIgnoreCase("OVERWRITE"), query)
       case _ =>
     }
@@ -92,14 +100,24 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // joins, and MATCH_RECOGNIZE work inside a view definition, which
     // plain Spark SQL pass-through would reject.
     val createViewRe =
-      "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
+      "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
     val dropViewRe =
       "(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
     trimmed match {
-      case createViewRe(name, body) =>
+      case createViewRe(orReplace, name, body) =>
+        // Plain CREATE VIEW fails when the name exists (the reference's
+        // SqlCreateView "view already exists" contract); only OR
+        // REPLACE replaces.
+        require(orReplace != null || !spark.catalog.tableExists(name),
+          s"view $name already exists (use CREATE OR REPLACE VIEW)")
         createTemporaryView(name, executeSql(body))
         return okResult()
       case dropViewRe(ifExists, name) =>
+        // A DDL-defined connector TABLE is backed by a temp view too,
+        // but DROP VIEW must not silently orphan its sink binding —
+        // the reference refuses DROP VIEW on a table.
+        require(!ddlStmts.contains(norm(name)),
+          s"$name is a table, not a view — use DROP TABLE")
         val dropped = spark.catalog.dropTempView(name)
         require(dropped || ifExists != null, s"view not found: $name")
         return okResult()
@@ -208,8 +226,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val stmt = graft.sql.FlinkDdl.parse(sql)
     if (stmt.ifNotExists && spark.catalog.tableExists(stmt.name)) return okResult()
     registerFromStmt(stmt)
-    ddlStmts(stmt.name) = stmt
-    ddlLog(stmt.name) = sql
+    ddlStmts(norm(stmt.name)) = stmt
+    ddlLog(norm(stmt.name)) = sql
     okResult()
   }
 
@@ -237,8 +255,16 @@ class GraftTableEnvironment private (val spark: SparkSession,
     require(!query.trim.startsWith("("),
       s"column-list INSERT INTO ${stmt.name} (…) is not supported — " +
         "map columns by position (the reference's default contract)")
-    val src0 = executeSql(query)
-    val hasKind = src0.columns.contains("__rowkind")
+    val src1 = executeSql(query)
+    val hasKind = src1.columns.contains("__rowkind")
+    // The positional rename below assumes __rowkind is LAST; a query
+    // emitting it elsewhere (toChangelogStream PREPENDS it) would
+    // silently mis-map the kind string into a data column — move it.
+    val src0 =
+      if (hasKind && src1.columns.last != "__rowkind")
+        src1.select((src1.columns.filterNot(_ == "__rowkind") :+ "__rowkind")
+          .map(col): _*)
+      else src1
     val physCols = stmt.columns.map(_._1)
     val dataWidth = src0.columns.length - (if (hasKind) 1 else 0)
     require(dataWidth == physCols.length,
@@ -256,12 +282,10 @@ class GraftTableEnvironment private (val spark: SparkSession,
         val path = stmt.options("path")
         stmt.options.getOrElse("format", "parquet") match {
           case "avro" =>
-            // the engine's Avro writer replaces the destination's
-            // containers on success (see AvroFormat.write) — overwrite
-            // semantics only
-            require(overwrite, "the avro filesystem sink replaces the " +
-              "destination (AvroFormat.write); use INSERT OVERWRITE")
-            graft.sources.AvroFormat.write(data, path)
+            // append lands a new job-unique set of containers beside
+            // the existing ones; overwrite clears the destination at
+            // job commit (FileSystemTableSink parity — both modes)
+            graft.sources.AvroFormat.write(data, path, overwrite = overwrite)
           case fmt =>
             var w = data.write.format(fmt)
               .mode(if (overwrite) "overwrite" else "append")
@@ -313,6 +337,9 @@ class GraftTableEnvironment private (val spark: SparkSession,
               concat(key, lit("|"), payload).as("value"))
             .repartition(nPart, col("partition")), full)
       case "jdbc" =>
+        // The reference planner rejects OVERWRITE for sinks without
+        // SupportsOverwrite — JdbcDynamicTableSink doesn't implement it.
+        require(!overwrite, "the jdbc sink does not support INSERT OVERWRITE")
         if (hasKind || stmt.primaryKey.nonEmpty) {
           require(stmt.primaryKey.nonEmpty,
             "a changelog INSERT into jdbc requires a PRIMARY KEY " +
@@ -554,8 +581,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
                           watermark: Option[(String, String)] = None,
                           primaryKey: Seq[String] = Nil): Unit = {
     df.createOrReplaceTempView(name)
-    watermark.foreach(w => watermarkDecl(name) = w)
-    if (primaryKey.nonEmpty) primaryKeys(name) = primaryKey
+    watermark.foreach(w => watermarkDecl(norm(name)) = w)
+    if (primaryKey.nonEmpty) primaryKeys(norm(name)) = primaryKey
   }
 
   /** Batch read of a registered table. */
@@ -588,10 +615,10 @@ class GraftTableEnvironment private (val spark: SparkSession,
   }
 
   def declaredWatermark(name: String): Option[(String, String)] =
-    watermarkDecl.get(name)
+    watermarkDecl.get(norm(name))
 
   def primaryKey(name: String): Seq[String] =
-    primaryKeys.getOrElse(name, Nil)
+    primaryKeys.getOrElse(norm(name), Nil)
 
   /** Register the driver testdata tables as views. */
   def registerTestTables(dir: String): Unit = {

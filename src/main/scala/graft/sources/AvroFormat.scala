@@ -108,13 +108,16 @@ object AvroFormat {
     * FileCommitProtocol the built-in sinks rely on: (a) tasks write to
     * a per-attempt staging location and commit by rename, so a retried
     * or speculative attempt never leaves a half-written container
-    * beside committed data; (b) the destination's pre-existing `.avro`
-    * files are removed only after the job succeeds, just before the
-    * staged files move in — so re-writing a directory with fewer
-    * partitions cannot leave stale part files a reader would silently
-    * include.
+    * beside committed data; (b) with `overwrite`, the destination's
+    * pre-existing `.avro` files are removed only after the job
+    * succeeds, just before the staged files move in — so re-writing a
+    * directory with fewer partitions cannot leave stale part files a
+    * reader would silently include. Without `overwrite` (append — the
+    * reference FileSystemTableSink's INSERT INTO), the committed names
+    * carry a job-unique id, so successive appends never collide with
+    * earlier jobs' containers.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema).toString
     val hadoopConf = new SerializableHadoopConf(
@@ -122,7 +125,8 @@ object AvroFormat {
     val fs0 = FileSystem.get(new java.net.URI(path), hadoopConf.value)
     val dest = new Path(path)
     fs0.mkdirs(dest)
-    val stagingName = s"_staging-${java.util.UUID.randomUUID()}"
+    val jobId = java.util.UUID.randomUUID().toString
+    val stagingName = s"_staging-$jobId"
     val staging = new Path(dest, stagingName)
     fs0.mkdirs(staging)
     try {
@@ -137,7 +141,7 @@ object AvroFormat {
           // success — the rename is the task commit
           val attempt = new Path(stagingDir,
             f"_attempt-$pid%05d-${tc.taskAttemptId()}.avro")
-          val committed = new Path(stagingDir, f"part-$pid%05d.avro")
+          val committed = new Path(stagingDir, f"part-$jobId-$pid%05d.avro")
           val out = fs.create(attempt, true)
           val writer = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
@@ -171,11 +175,13 @@ object AvroFormat {
             throw new java.io.IOException(s"graft-avro: could not commit $attempt")
         }
       }
-      // job commit: clear stale destination files, then move the
-      // staged parts in
-      fs0.listStatus(dest)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-        .foreach(s => fs0.delete(s.getPath, false))
+      // job commit: on overwrite clear stale destination files, then
+      // move the staged parts in (append leaves prior jobs' containers
+      // in place — their names can't collide with this job's)
+      if (overwrite)
+        fs0.listStatus(dest)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+          .foreach(s => fs0.delete(s.getPath, false))
       fs0.listStatus(staging)
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .foreach(s => fs0.rename(s.getPath, new Path(dest, s.getPath.getName)))

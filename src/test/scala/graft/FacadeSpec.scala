@@ -340,4 +340,30 @@ class FacadeSpec extends AnyFunSuite {
     env.executeSql("DROP VIEW IF EXISTS hourly")
     intercept[IllegalArgumentException] { env.executeSql("DROP VIEW hourly") }
   }
+
+  test("plain CREATE VIEW refuses an existing name; OR REPLACE replaces") {
+    val env = GraftTableEnvironment.create(spark)
+    env.executeSql("CREATE VIEW cv_once AS SELECT 1 AS x")
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE VIEW cv_once AS SELECT 2 AS x")
+    }
+    assert(ex.getMessage.contains("already exists"))
+    env.executeSql("CREATE OR REPLACE VIEW cv_once AS SELECT 2 AS x")
+    assert(env.sqlQuery("SELECT x FROM cv_once").head().getInt(0) == 2)
+    env.executeSql("DROP VIEW cv_once")
+  }
+
+  test("DROP VIEW refuses a DDL-defined connector table (view vs table)") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    env.executeSql(s"""
+      CREATE TABLE dv_t (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("DROP VIEW dv_t")
+    }
+    assert(ex.getMessage.contains("DROP TABLE"))
+    // the table binding is intact after the refused drop
+    env.executeSql("DROP TABLE dv_t")
+  }
 }

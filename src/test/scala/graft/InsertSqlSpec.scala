@@ -97,20 +97,68 @@ class InsertSqlSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
-  test("avro filesystem sink takes INSERT OVERWRITE only and round-trips") {
+  test("avro filesystem sink: INSERT INTO appends, INSERT OVERWRITE replaces") {
     val env = GraftTableEnvironment.create(spark)
     val dir = tmp("graft-ins-avro")
     env.executeSql(s"""
       CREATE TABLE av_sink (k BIGINT, v STRING) WITH (
         'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'avro')""")
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("av_src")
-    val ex = intercept[IllegalArgumentException] {
-      env.executeSql("INSERT INTO av_sink SELECT k, v FROM av_src")
-    }
-    assert(ex.getMessage.contains("INSERT OVERWRITE"))
+    env.executeSql("INSERT INTO av_sink SELECT k, v FROM av_src")
+    env.executeSql("INSERT INTO av_sink SELECT k + 10, v FROM av_src")
+    assert(env.sqlQuery("SELECT k, v FROM av_sink").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (11L, "a"), (12L, "b")))
     env.executeSql("INSERT OVERWRITE av_sink SELECT k, v FROM av_src")
     assert(env.sqlQuery("SELECT k, v FROM av_sink").as[(Long, String)]
       .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("INSERT resolves its DDL target case-insensitively, like Spark's view resolution") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-case")
+    env.executeSql(s"""
+      CREATE TABLE case_sink (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    (1L to 3L).toDF("k").createOrReplaceTempView("case_src")
+    env.executeSql("INSERT INTO CASE_SINK SELECT k FROM case_src")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM case_sink").head().getLong(0) == 3L)
+  }
+
+  test("__rowkind is re-positioned before the positional sink mapping") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-kindpos") + "/db"
+    val url = s"jdbc:derby:$dir;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE kt (k BIGINT, v VARCHAR(20))")
+    c.close()
+    env.executeSql(s"""
+      CREATE TABLE ksink (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) WITH (
+        'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'kt')""")
+    // __rowkind FIRST — the toChangelogStream column order; were it
+    // positionally mis-mapped, "+U" would land in k and corrupt rows
+    Seq(("+U", 1L, "a"), ("+U", 2L, "b"))
+      .toDF("__rowkind", "k", "v").createOrReplaceTempView("kind_src")
+    env.executeSql("INSERT INTO ksink SELECT __rowkind, k, v FROM kind_src")
+    assert(env.sqlQuery("SELECT k, v FROM ksink").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("jdbc sink rejects INSERT OVERWRITE (no SupportsOverwrite)") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-jdbc-ow") + "/db"
+    val url = s"jdbc:derby:$dir;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE ot (k BIGINT)")
+    c.close()
+    env.executeSql(s"""
+      CREATE TABLE osink (k BIGINT) WITH (
+        'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'ot')""")
+    (1L to 3L).toDF("k").createOrReplaceTempView("ow_src")
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT OVERWRITE osink SELECT k FROM ow_src")
+    }
+    assert(ex.getMessage.contains("INSERT OVERWRITE"))
   }
 
   test("column-list INSERT fails with a positional-mapping message") {
