@@ -89,9 +89,47 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // (catalog tables keep their native INSERT).
     val insertRe = "(?is)^INSERT\\s+(INTO|OVERWRITE)\\s+([A-Za-z_][\\w.]*)\\s+(.+)$".r
     trimmed match {
-      case insertRe(mode, tbl, query) if ddlStmts.contains(norm(tbl)) =>
+      case insertRe(mode, tbl, rest0) if ddlStmts.contains(norm(tbl)) =>
+        // Optional clauses between the target and the query — the
+        // reference's RichSqlInsert (flink-sql-parser
+        // .../dml/RichSqlInsert.java:38) carries both:
+        //   PARTITION (p = v, …)  — static partition values
+        //   (col, …)              — explicit target column list
+        var rest = rest0.trim
+        var staticParts = Seq.empty[(String, String)]
+        val partRe = "(?is)^PARTITION\\s*\\(([^)]*)\\)\\s*(.*)$".r
+        rest match {
+          case partRe(spec, r2) =>
+            staticParts = spec.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"cannot parse static partition spec: $kv")
+              (kv.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+                kv.substring(i + 1).trim)
+            }.toSeq
+            rest = r2.trim
+          case _ =>
+        }
+        var colList: Option[Seq[String]] = None
+        if (rest.startsWith("(")) {
+          var depth = 0; var i = 0; var end = -1
+          while (end < 0 && i < rest.length) {
+            val c = rest.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          require(end > 0, s"unbalanced parentheses in INSERT: $rest")
+          val inner = rest.substring(1, end)
+          // a column list is idents only — a parenthesized subquery
+          // `( SELECT … )` falls through to the query untouched
+          if (inner.matches("(?s)[\\w`\\s,]+")) {
+            colList = Some(inner.split(',')
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+            rest = rest.substring(end + 1).trim
+          }
+        }
         return executeInsert(ddlStmts(norm(tbl)),
-          mode.equalsIgnoreCase("OVERWRITE"), query)
+          mode.equalsIgnoreCase("OVERWRITE"), rest, staticParts, colList)
       case _ =>
     }
     // CREATE [TEMPORARY] VIEW v AS <query> (reference SqlCreateView,
@@ -250,11 +288,25 @@ class GraftTableEnvironment private (val spark: SparkSession,
     * appended files.
     */
   private def executeInsert(stmt: graft.sql.FlinkDdl.CreateTableStmt,
-                            overwrite: Boolean, query: String): DataFrame = {
+                            overwrite: Boolean, query: String,
+                            staticParts: Seq[(String, String)] = Nil,
+                            colList: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(!query.trim.startsWith("("),
-      s"column-list INSERT INTO ${stmt.name} (…) is not supported — " +
-        "map columns by position (the reference's default contract)")
+    val physCols = stmt.columns.map(_._1)
+    val staticKeys = staticParts.map(_._1)
+    staticKeys.foreach(k => require(stmt.partitionedBy.contains(k),
+      s"static partition column $k is not a PARTITIONED BY column of ${stmt.name}"))
+    colList.foreach { cl =>
+      cl.foreach { c =>
+        require(physCols.contains(c),
+          s"INSERT column $c is not a physical column of ${stmt.name} " +
+            "(metadata columns are connector-provided and not writable here)")
+        require(!staticKeys.contains(c),
+          s"column $c appears both in the static PARTITION spec and the column list")
+      }
+      require(cl.distinct.length == cl.length,
+        s"duplicate column in INSERT column list: ${cl.mkString(", ")}")
+    }
     val src1 = executeSql(query)
     val hasKind = src1.columns.contains("__rowkind")
     // The positional rename below assumes __rowkind is LAST; a query
@@ -265,16 +317,24 @@ class GraftTableEnvironment private (val spark: SparkSession,
         src1.select((src1.columns.filterNot(_ == "__rowkind") :+ "__rowkind")
           .map(col): _*)
       else src1
-    val physCols = stmt.columns.map(_._1)
+    // Columns the query provides, in order: the explicit column list
+    // if given, else every physical column minus the static partition
+    // keys (RichSqlInsert's positional contract). Declared columns the
+    // query omits are filled with NULL casts — Flink's
+    // missing-column-to-null sink mapping.
+    val provided = colList.getOrElse(physCols.filterNot(staticKeys.contains))
     val dataWidth = src0.columns.length - (if (hasKind) 1 else 0)
-    require(dataWidth == physCols.length,
+    require(dataWidth == provided.length,
       s"INSERT schema mismatch: query provides $dataWidth data columns, " +
-        s"table ${stmt.name} declares ${physCols.length} physical columns " +
-        "(INSERT maps by position, like the reference)")
+        s"target ${stmt.name} expects ${provided.length} " +
+        s"(${provided.mkString(", ")})")
     val renamed = src0.toDF(
-      (physCols ++ (if (hasKind) Seq("__rowkind") else Nil)): _*)
+      (provided ++ (if (hasKind) Seq("__rowkind") else Nil)): _*)
+    val staticMap = staticParts.toMap
     val aligned = renamed.select(stmt.columns.map { case (n, t) =>
-      col(n).cast(t).as(n) } ++
+      if (staticMap.contains(n)) expr(staticMap(n)).cast(t).as(n)
+      else if (provided.contains(n)) col(n).cast(t).as(n)
+      else lit(null).cast(t).as(n) } ++
       (if (hasKind) Seq(col("__rowkind")) else Nil): _*)
     val data = aligned.drop("__rowkind")
     stmt.options.getOrElse("connector", "values") match {
@@ -289,6 +349,14 @@ class GraftTableEnvironment private (val spark: SparkSession,
           case fmt =>
             var w = data.write.format(fmt)
               .mode(if (overwrite) "overwrite" else "append")
+            if (stmt.partitionedBy.nonEmpty) {
+              w = w.partitionBy(stmt.partitionedBy: _*)
+              // Flink's partitioned INSERT OVERWRITE replaces only the
+              // partitions that receive data (FileSystemTableSink
+              // .java:94 dynamic overwrite) — Spark's dynamic
+              // partitionOverwriteMode is exactly that contract.
+              if (overwrite) w = w.option("partitionOverwriteMode", "dynamic")
+            }
             if (fmt == "csv")
               w = w.option("header",
                 stmt.options.getOrElse("csv.include-header", "false"))
@@ -361,11 +429,21 @@ class GraftTableEnvironment private (val spark: SparkSession,
     * built before the write would not see appended files/records.
     */
   private def registerFromStmt(stmt: graft.sql.FlinkDdl.CreateTableStmt): Unit = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr, lit}
     import org.apache.spark.sql.types.StructType
     val schema = StructType.fromDDL(
       stmt.columns.map { case (n, t) => s"$n $t" }.mkString(", "))
-    val base = stmt.options.getOrElse("connector", "values") match {
+    val connector = stmt.options.getOrElse("connector", "values")
+    if (stmt.partitionedBy.nonEmpty)
+      require(connector == "filesystem",
+        s"PARTITIONED BY is supported on filesystem tables, not '$connector'")
+    if (stmt.metadataCols.nonEmpty)
+      require(connector == "filesystem" || connector == "kafka",
+        s"metadata columns are supported on filesystem and kafka tables, not '$connector'")
+    // true when the filesystem location was empty at bind time — the
+    // metadata binding then has no scan to read `_metadata` from
+    var fsEmptyBound = false
+    val base = connector match {
       case "filesystem" =>
         val path = stmt.options.getOrElse("path",
           throw new IllegalArgumentException("filesystem connector requires 'path'"))
@@ -375,9 +453,16 @@ class GraftTableEnvironment private (val spark: SparkSession,
           case "avro" => "graft-avro"
           case f      => f
         }
+        require(stmt.partitionedBy.isEmpty || fmt != "graft-avro",
+          "PARTITIONED BY avro tables are not supported (the graft-avro " +
+            "reader scans a flat container directory)")
         val reader = spark.read.format(fmt)
         // Self-describing formats carry their own schema; text formats
         // take the declared one (csv additionally its header option).
+        // PARTITIONED tables always get the declared schema: partition
+        // columns live in directory names, not the files, and the
+        // user schema pins their types (Spark fills the values from
+        // the dirs — that's what makes PartitionFilters pruning work).
         // A table created BEFORE its first INSERT has no data yet —
         // the reference's filesystem table is happy with an empty
         // location, so bind an empty frame of the declared schema
@@ -387,15 +472,18 @@ class GraftTableEnvironment private (val spark: SparkSession,
             reader.schema(schema)
               .option("header", stmt.options.getOrElse("csv.include-header", "false"))
               .load(path)
+          else if (stmt.partitionedBy.nonEmpty) reader.schema(schema).load(path)
           else reader.load(path)
         } catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("Path does not exist") ||
                  e.getMessage.contains("Unable to infer schema") =>
+            fsEmptyBound = true
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
           case e: IllegalArgumentException // graft-avro's empty-location probe
               if e.getMessage.contains("no .avro files") =>
+            fsEmptyBound = true
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         }
@@ -419,16 +507,35 @@ class GraftTableEnvironment private (val spark: SparkSession,
         // maxwell-json → CdcFormats changelog rows (+ __rowkind),
         // exactly Flink's kafka-with-CDC-format table.
         val log = logRead(stmt.options)
-        stmt.options.getOrElse("format", "json") match {
+        val fmt = stmt.options.getOrElse("format", "json")
+        require(stmt.metadataCols.isEmpty || fmt == "json" || fmt == "raw",
+          "metadata columns are supported with json/raw kafka values, " +
+            s"not '$fmt' (the CDC decoders own the offset themselves)")
+        // json/raw decodes RETAIN the log's partition/offset under
+        // reserved names so declared METADATA columns (the reference's
+        // KafkaDynamicSource SOURCE metadata, SupportsReadingMetadata)
+        // can bind to them; the final ordered projection below keeps
+        // only declared columns either way.
+        fmt match {
           case "json" =>
-            log.select(org.apache.spark.sql.functions
-              .from_json(log("value"), schema).as("r")).select("r.*")
+            val dec = log.select(log("partition").as("__log_part"),
+                log("offset").as("__log_off"),
+                org.apache.spark.sql.functions
+                  .from_json(log("value"), schema).as("r"))
+              .select(col("__log_part") +: col("__log_off") +:
+                schema.fieldNames.toSeq.map(f => col("r." + f)): _*)
+            if (stmt.metadataCols.nonEmpty) dec
+            else dec.drop("__log_part", "__log_off")
           case "raw" =>
             if (schema.fields.length != 1)
               throw new IllegalArgumentException(
                 "raw format requires a single-column schema")
-            log.select(log("value").cast(schema.fields(0).dataType)
-              .as(schema.fields(0).name))
+            val dec = log.select(log("partition").as("__log_part"),
+              log("offset").as("__log_off"),
+              log("value").cast(schema.fields(0).dataType)
+                .as(schema.fields(0).name))
+            if (stmt.metadataCols.nonEmpty) dec
+            else dec.drop("__log_part", "__log_off")
           // In streaming mode the CDC views RETAIN the log offset (the
           // reference's `offset` metadata column, KafkaDynamicSource
           // SOURCE metadata): the downstream stateful
@@ -502,7 +609,47 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val withComputed = stmt.computed.foldLeft(base) {
       case (df, (n, e)) => df.withColumn(n, expr(e))
     }
-    createTemporaryView(stmt.name, withComputed,
+    // Declared METADATA columns bind to their connector source here —
+    // filesystem keys map onto Spark's hidden `_metadata` struct
+    // (native: no extra scan, prunable), kafka keys onto the log
+    // read's partition/offset — and the view's column order follows
+    // the declaration (physical and metadata interleaved as written,
+    // computed columns appended).
+    val finalDf =
+      if (stmt.metadataCols.isEmpty) withComputed
+      else {
+        val topicName = stmt.options.get("topic").orElse(
+          stmt.options.get("path").map(_.split('/').last)).getOrElse("")
+        def resolve(m: graft.sql.FlinkDdl.MetadataCol): org.apache.spark.sql.Column =
+          connector match {
+            case "filesystem" =>
+              val src = m.key match {
+                case "file.path" => "file_path"
+                case "file.name" => "file_name"
+                case "file.size" => "file_size"
+                case "file.modification-time" => "file_modification_time"
+                case other => throw new IllegalArgumentException(
+                  s"unsupported filesystem metadata key '$other' (supported: " +
+                    "file.path, file.name, file.size, file.modification-time)")
+              }
+              if (fsEmptyBound) lit(null).cast(m.sparkType)
+              else col(s"_metadata.$src").cast(m.sparkType)
+            case "kafka" => m.key match {
+              case "offset"    => col("__log_off").cast(m.sparkType)
+              case "partition" => col("__log_part").cast(m.sparkType)
+              case "topic"     => lit(topicName).cast(m.sparkType)
+              case other => throw new IllegalArgumentException(
+                s"unsupported kafka metadata key '$other' (supported: " +
+                  "offset, partition, topic)")
+            }
+          }
+        val ordered = stmt.declaredOrder.map { n =>
+          stmt.metadataCols.find(_.name == n)
+            .map(m => resolve(m).as(n)).getOrElse(col(n))
+        } ++ stmt.computed.map { case (n, _) => col(n) }
+        withComputed.select(ordered: _*)
+      }
+    createTemporaryView(stmt.name, finalDf,
       watermark = stmt.watermark, primaryKey = stmt.primaryKey)
   }
 

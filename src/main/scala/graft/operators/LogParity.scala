@@ -318,6 +318,68 @@ object LogParity extends QueryModule {
       env.sqlQuery("SELECT o_orderstatus, count(1) AS n_orders, " +
         dsumSql("o_totalprice") + " AS sum_price " +
         "FROM kfk07_t GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // METADATA columns on a kafka-dialect table (kfk08): the
+    // reference's KafkaDynamicSource SOURCE metadata
+    // (SupportsReadingMetadata, `off BIGINT METADATA FROM 'offset'
+    // VIRTUAL`) — every Kafka consumer's access path to record
+    // position. The same key-sorted log as kfk01 is bound through
+    // CREATE TABLE with declared offset/partition metadata columns,
+    // and the aggregate folds them into the checked result — the
+    // DuckDB oracle reproduces the offsets via row_number, so the
+    // hash check covers the metadata binding end-to-end.
+    "kfk08_offset_metadata" -> { (s, dir) =>
+      val base = scratch("kfk08", dir)
+      val env = graft.GraftTableEnvironment.create(s)
+      val src = Tables.load(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(4)).cast("int").as("partition"),
+          col("o_orderkey").as("k"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("value"))
+      LogSource.write(
+        src.repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("k"))
+          .select("partition", "value"),
+        base)
+      env.executeSql(s"""
+        CREATE TABLE kfk08_t (
+          o_orderkey BIGINT,
+          off BIGINT METADATA FROM 'offset' VIRTUAL,
+          part INT METADATA FROM 'partition' VIRTUAL,
+          o_orderstatus STRING, o_totalprice DOUBLE,
+          PRIMARY KEY (o_orderkey) NOT ENFORCED
+        ) WITH ('connector' = 'kafka', 'path' = '$base', 'format' = 'json')""")
+      env.sqlQuery("SELECT part AS part_id, o_orderstatus, " +
+        "count(1) AS n_orders, " + dsumSql("o_totalprice") + " AS sum_price, " +
+        "CAST(sum(off) AS BIGINT) AS sum_off " +
+        "FROM kfk08_t GROUP BY part, o_orderstatus ORDER BY part, o_orderstatus")
+    },
+
+    // PARTITIONED BY filesystem table (fs01): CREATE TABLE …
+    // PARTITIONED BY (reference SqlCreateTable.java:299 +
+    // FileSystemTableSink.java:94 partitioned writes,
+    // SupportsPartitionPushDown on the read) — INSERT routes rows into
+    // partition directories via Spark's native partitionBy, and the
+    // read-back query filters on the partition column, which prunes
+    // directories instead of scanning them (PartitionFilters asserted
+    // in InsertSqlSpec; here the oracle checks the values survive the
+    // dir-encoded round trip, including the partition column's type).
+    "fs01_partitioned_roundtrip" -> { (s, dir) =>
+      val base = scratch("fs01", dir)
+      val env = graft.GraftTableEnvironment.create(s)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("fs01_orders")
+      env.executeSql(s"""
+        CREATE TABLE fs01_t (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
+        ) PARTITIONED BY (o_orderstatus) WITH (
+          'connector' = 'filesystem', 'path' = '$base/t', 'format' = 'parquet')""")
+      env.executeSql("INSERT INTO fs01_t SELECT o_orderkey, o_totalprice, " +
+        "o_orderstatus FROM fs01_orders")
+      env.sqlQuery("SELECT o_orderstatus, count(1) AS n_orders, " +
+        dsumSql("o_totalprice") + " AS sum_price " +
+        "FROM fs01_t WHERE o_orderstatus <> 'P' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }
   )
 
@@ -326,6 +388,26 @@ object LogParity extends QueryModule {
       SELECT o_orderstatus, count(1) AS n_orders,
              ${dsumSql("o_totalprice")} AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // kfk01's oracle shape — the metadata columns must reproduce the
+    // same per-partition key-rank offsets the log assigned.
+    "kfk08_offset_metadata" -> s"""
+      WITH src AS (
+        SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey % 4
+                 ORDER BY o_orderkey) - 1 AS off
+        FROM orders)
+      SELECT part_id, o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price,
+             CAST(sum(off) AS BIGINT) AS sum_off
+      FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "fs01_partitioned_roundtrip" -> s"""
+      SELECT o_orderstatus, count(1) AS n_orders,
+             ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderstatus <> 'P'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "kfk01_log_roundtrip" -> s"""
       WITH src AS (
         SELECT CAST(o_orderkey % 4 AS INT) AS part_id, o_orderstatus,

@@ -16,14 +16,30 @@ package graft.sql
   */
 object FlinkDdl {
 
+  /** `col TYPE METADATA [FROM 'key'] [VIRTUAL]` — a connector-provided
+    * column (reference SqlTableColumn.SqlMetadataColumn,
+    * flink-sql-parser .../ddl/SqlTableColumn.java:136, bound through
+    * SupportsReadingMetadata,
+    * flink-table-common/.../source/abilities/SupportsReadingMetadata.java:85).
+    * `key` is the connector metadata key (defaults to the column name);
+    * `virtual` columns are excluded from the sink schema.
+    */
+  final case class MetadataCol(name: String, sparkType: String,
+                               key: String, virtual: Boolean)
+
   final case class CreateTableStmt(
       name: String,
       ifNotExists: Boolean,
-      columns: Seq[(String, String)],   // (name, Spark DDL type)
+      columns: Seq[(String, String)],   // (name, Spark DDL type) — physical
       computed: Seq[(String, String)],  // (name, SQL expression)
       primaryKey: Seq[String],
       watermark: Option[(String, String)], // (column, Spark delay string)
-      options: Map[String, String])
+      options: Map[String, String],
+      partitionedBy: Seq[String] = Nil, // PARTITIONED BY clause, in order
+      metadataCols: Seq[MetadataCol] = Nil,
+      // physical + metadata column names in DECLARED order — the view's
+      // column order (computed columns still append at the end)
+      declaredOrder: Seq[String] = Nil)
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(""".r
@@ -34,6 +50,8 @@ object FlinkDdl {
   private val WmRe = """(?is)^WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.+)$""".r
   private val WmDelayRe = """(?i)^\s*`?(\w+)`?\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)\s*$""".r
   private val ComputedRe = """(?is)^`?(\w+)`?\s+AS\s+(.+)$""".r
+  private val MetadataRe =
+    """(?is)^`?(\w+)`?\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$""".r
   private val ColRe = """(?is)^`?(\w+)`?\s+(.+)$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
 
@@ -64,6 +82,8 @@ object FlinkDdl {
 
     var columns = Vector.empty[(String, String)]
     var computed = Vector.empty[(String, String)]
+    var metadata = Vector.empty[MetadataCol]
+    var order = Vector.empty[String]
     var pk = Seq.empty[String]
     var wm: Option[(String, String)] = None
     splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach {
@@ -72,25 +92,55 @@ object FlinkDdl {
       case WmRe(col, expr) =>
         wm = Some((col, delayOf(col, expr.trim)))
       case item =>
-        // A column is `name TYPE …` or `name AS expr`; the AS form is
-        // computed. Disambiguate on the second token.
+        // A column is `name TYPE …`, `name TYPE METADATA …`, or
+        // `name AS expr` (computed). METADATA must be checked before
+        // the plain form — `off BIGINT METADATA VIRTUAL` also matches
+        // ColRe with the keywords glued onto the type.
         item match {
+          case MetadataRe(n, t, key, virt) =>
+            metadata :+= MetadataCol(n, sparkType(stripColTail(t)),
+              Option(key).getOrElse(n), virt != null)
+            order :+= n
           case ComputedRe(n, e) => computed :+= ((n, e.trim))
-          case ColRe(n, t)      => columns :+= ((n, sparkType(stripColTail(t))))
+          case ColRe(n, t)      =>
+            columns :+= ((n, sparkType(stripColTail(t)))); order :+= n
           case other =>
             throw new IllegalArgumentException(s"cannot parse column definition: $other")
         }
     }
 
-    val rest = sql.substring(bodyEnd + 1)
-    val options = "(?is)WITH\\s*\\(".r.findFirstMatchIn(rest) match {
+    // Trailing clauses between the column body and end-of-statement:
+    // [COMMENT '…'] [PARTITIONED BY (…)] [WITH (…)]. Anything else is
+    // REJECTED loudly — the earlier unanchored WITH scan silently
+    // dropped unknown clauses (a PARTITIONED BY would vanish), which is
+    // a silent semantic change, worse than an error.
+    var rest = sql.substring(bodyEnd + 1)
+    rest = "(?is)^\\s*COMMENT\\s+'[^']*'".r.replaceFirstIn(rest, "")
+    var partitionedBy = Seq.empty[String]
+    "(?is)^\\s*PARTITIONED\\s+BY\\s*\\(".r.findFirstMatchIn(rest).foreach { m =>
+      val pEnd = matchParen(rest, m.end - 1)
+      partitionedBy = rest.substring(m.end, pEnd).split(',')
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      rest = rest.substring(pEnd + 1)
+    }
+    val options = "(?is)^\\s*WITH\\s*\\(".r.findFirstMatchIn(rest) match {
       case Some(w) =>
         val oEnd = matchParen(rest, w.end - 1)
-        OptRe.findAllMatchIn(rest.substring(w.end, oEnd))
+        val opts = OptRe.findAllMatchIn(rest.substring(w.end, oEnd))
           .map(m => (m.group(1).toLowerCase, m.group(2))).toMap
+        rest = rest.substring(oEnd + 1)
+        opts
       case None => Map.empty[String, String]
     }
-    CreateTableStmt(name, header.group(1) != null, columns, computed, pk, wm, options)
+    val leftover = rest.trim.stripSuffix(";").trim
+    require(leftover.isEmpty,
+      s"unsupported trailing clause in CREATE TABLE $name: " +
+        leftover.linesIterator.mkString(" ").take(80))
+    val physNames = columns.map(_._1).toSet
+    partitionedBy.foreach(p => require(physNames.contains(p),
+      s"PARTITIONED BY column $p is not a physical column of $name"))
+    CreateTableStmt(name, header.group(1) != null, columns, computed, pk, wm,
+      options, partitionedBy, metadata, order)
   }
 
   /** WATERMARK expr → Spark delay string: `ts - INTERVAL '5' SECOND` →

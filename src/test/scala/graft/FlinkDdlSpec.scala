@@ -95,4 +95,48 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(FlinkDdl.parseDrop("DROP TABLE IF EXISTS db.t") == ("db.t", true))
     assert(!FlinkDdl.isDropTable("DROP VIEW v"))
   }
+
+  test("PARTITIONED BY parses in order and validates against physical columns") {
+    val stmt = FlinkDdl.parse("""
+      CREATE TABLE p (k BIGINT, v STRING, dt STRING, hh STRING)
+      PARTITIONED BY (dt, hh)
+      WITH ('connector'='filesystem', 'path'='/x', 'format'='parquet')""")
+    assert(stmt.partitionedBy == Seq("dt", "hh"))
+    assert(stmt.columns.map(_._1) == Seq("k", "v", "dt", "hh"))
+    val ex = intercept[IllegalArgumentException] {
+      FlinkDdl.parse(
+        "CREATE TABLE p (k BIGINT) PARTITIONED BY (nope) WITH ('connector'='filesystem')")
+    }
+    assert(ex.getMessage.contains("not a physical column"))
+  }
+
+  test("METADATA columns parse with FROM keys, VIRTUAL flags, and declared order") {
+    val stmt = FlinkDdl.parse("""
+      CREATE TABLE k (
+        k BIGINT,
+        off BIGINT METADATA FROM 'offset' VIRTUAL,
+        part INT METADATA FROM 'partition' VIRTUAL,
+        topic STRING METADATA,
+        v STRING,
+        PRIMARY KEY (k) NOT ENFORCED
+      ) WITH ('connector'='kafka', 'path'='/x', 'format'='json')""")
+    assert(stmt.columns.map(_._1) == Seq("k", "v"))
+    assert(stmt.metadataCols == Seq(
+      FlinkDdl.MetadataCol("off", "bigint", "offset", virtual = true),
+      FlinkDdl.MetadataCol("part", "int", "partition", virtual = true),
+      FlinkDdl.MetadataCol("topic", "string", "topic", virtual = false)))
+    assert(stmt.declaredOrder == Seq("k", "off", "part", "topic", "v"))
+  }
+
+  test("unknown trailing clauses are rejected loudly, not silently dropped") {
+    val ex = intercept[IllegalArgumentException] {
+      FlinkDdl.parse(
+        "CREATE TABLE t (k BIGINT) CLUSTERED BY (k) WITH ('connector'='filesystem')")
+    }
+    assert(ex.getMessage.contains("unsupported trailing clause"))
+    // COMMENT between body and WITH is tolerated (and discarded)
+    val stmt = FlinkDdl.parse(
+      "CREATE TABLE t (k BIGINT) COMMENT 'doc' WITH ('connector'='values')")
+    assert(stmt.options("connector") == "values")
+  }
 }

@@ -161,16 +161,96 @@ class InsertSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("INSERT OVERWRITE"))
   }
 
-  test("column-list INSERT fails with a positional-mapping message") {
+  test("column-list INSERT maps by name and null-fills omitted columns") {
     val env = GraftTableEnvironment.create(spark)
     val dir = tmp("graft-ins-collist")
     env.executeSql(s"""
-      CREATE TABLE cl_sink (k BIGINT, v STRING) WITH (
+      CREATE TABLE cl_sink (k BIGINT, v STRING, w DOUBLE) WITH (
         'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    // reversed order + omitted w → (k, v, null)
+    env.executeSql("INSERT INTO cl_sink (v, k) SELECT 'a', 7")
+    val r = env.sqlQuery("SELECT k, v, w FROM cl_sink").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 7L &&
+      r(0).getString(1) == "a" && r(0).isNullAt(2))
+    // unknown column → loud error
     val ex = intercept[IllegalArgumentException] {
-      env.executeSql("INSERT INTO cl_sink (k, v) SELECT 1L, 'a'")
+      env.executeSql("INSERT INTO cl_sink (nope) SELECT 1")
     }
-    assert(ex.getMessage.contains("position"))
+    assert(ex.getMessage.contains("not a physical column"))
+    // a parenthesized subquery is NOT a column list
+    env.executeSql("INSERT INTO cl_sink (SELECT k + 1, v, 1.5 FROM cl_sink)")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM cl_sink").head().getLong(0) == 2L)
+  }
+
+  test("partitioned filesystem table: INSERT lands partition dirs; read prunes on the partition filter") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-part")
+    env.executeSql(s"""
+      CREATE TABLE pt (k BIGINT, v STRING, dt STRING)
+      PARTITIONED BY (dt) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("k", "v", "dt").createOrReplaceTempView("pt_src")
+    env.executeSql("INSERT INTO pt SELECT k, v, dt FROM pt_src")
+    // partition directories on disk
+    val dirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("dt=d1", "dt=d2"), s"got $dirs")
+    // declared column order and types survive the round trip
+    assert(env.sqlQuery("SELECT k, v, dt FROM pt ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")))
+    // the partition predicate reaches the scan as a PartitionFilters
+    // entry (pruning, not a data filter)
+    val plan = env.sqlQuery("SELECT k FROM pt WHERE dt = 'd1'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+      s"expected partition pruning in:\n$plan")
+    // dynamic partition OVERWRITE touches only written partitions
+    env.executeSql("INSERT OVERWRITE pt SELECT 9, 'z', 'd1'")
+    assert(env.sqlQuery("SELECT k, dt FROM pt ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "d2"), (9L, "d1")))
+  }
+
+  test("static PARTITION spec injects literals; composes with a column list") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-statpart")
+    env.executeSql(s"""
+      CREATE TABLE sp (k BIGINT, v STRING, dt STRING)
+      PARTITIONED BY (dt) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("sp_src")
+    env.executeSql("INSERT INTO sp PARTITION (dt = 'd7') SELECT k, v FROM sp_src")
+    env.executeSql("INSERT INTO sp PARTITION (dt = 'd8') (v, k) SELECT v, k + 10 FROM sp_src")
+    assert(env.sqlQuery("SELECT k, v, dt FROM sp ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "d7"), (2L, "b", "d7"), (11L, "a", "d8"), (12L, "b", "d8")))
+    // static key must be a declared partition column
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO sp PARTITION (v = 'x') SELECT k, dt FROM sp_src")
+    }
+    assert(ex.getMessage.contains("PARTITIONED BY"))
+  }
+
+  test("filesystem metadata columns bind to the _metadata struct; excluded from INSERT") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-fsmeta")
+    env.executeSql(s"""
+      CREATE TABLE fm (k BIGINT, fname STRING METADATA FROM 'file.name' VIRTUAL,
+                       v STRING) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    // INSERT maps the two PHYSICAL columns only
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("fm_src")
+    env.executeSql("INSERT INTO fm SELECT k, v FROM fm_src")
+    val rows = env.sqlQuery("SELECT k, fname, v FROM fm ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.map(_.getString(2)).toSeq == Seq("a", "b"))
+    // a metadata column cannot appear in an INSERT column list
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO fm (k, fname, v) SELECT 3, 'x', 'c' FROM fm_src")
+    }
+    assert(ex.getMessage.contains("not a physical column"))
   }
 
   test("statement set batches connector-table inserts off one shared scan") {
