@@ -82,6 +82,101 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // them at executeInternal): answered from the same catalog state
     // the programmatic listTables/listFunctions expose.
     val trimmed = sql.trim
+
+    // STATEMENT SET as SQL — both the TableEnvironment spelling
+    // (`EXECUTE STATEMENT SET BEGIN … END`, dml/SqlExecute) and the
+    // SQL-client script spelling (`BEGIN STATEMENT SET; … END;`,
+    // dml/SqlBeginStatementSet.java:33). Members must be INSERTs (the
+    // reference's "only insert statements" rule); they run through the
+    // same createStatementSet path the programmatic API uses.
+    val stmtSetRe =
+      "(?is)^(?:EXECUTE\\s+STATEMENT\\s+SET\\s+BEGIN|BEGIN\\s+STATEMENT\\s+SET\\s*;)\\s*(.*?)\\s*END\\s*;?\\s*$".r
+    trimmed match {
+      case stmtSetRe(body) =>
+        val members = splitStatements(body).map(_.trim).filter(_.nonEmpty)
+        require(members.nonEmpty, "empty STATEMENT SET")
+        members.foreach(m => require(
+          m.toUpperCase(java.util.Locale.ROOT).startsWith("INSERT"),
+          s"only INSERT statements are allowed in a STATEMENT SET, got: ${m.take(60)}"))
+        val ss = createStatementSet()
+        members.foreach(ss.addInsertSql)
+        ss.execute()
+        return okResult()
+      case _ =>
+    }
+
+    // SHOW CREATE TABLE (dql/SqlShowCreateTable.java:34): replay the
+    // ORIGINAL DDL text from the catalog snapshot (post-ALTER text if
+    // the table's options were altered).
+    val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+    trimmed match {
+      case showCreateRe(tbl) =>
+        import spark.implicits._
+        val ddl = ddlLog.getOrElse(norm(tbl), throw new IllegalArgumentException(
+          s"SHOW CREATE TABLE covers DDL-defined tables; $tbl is not one"))
+        return Seq(ddl).toDF("result")
+      case _ =>
+    }
+
+    // ALTER TABLE t SET ('k' = 'v', …) (ddl/SqlAlterTableOptions):
+    // merge the new options into the parsed statement, re-bind the
+    // connector (a changed path/format takes effect immediately), and
+    // rewrite the catalog snapshot so SHOW CREATE TABLE and compiled
+    // plans reflect the altered table.
+    val alterSetRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\((.*)\\)\\s*;?$".r
+    trimmed match {
+      case alterSetRe(tbl, optsText) =>
+        val stmt = ddlStmts.getOrElse(norm(tbl), throw new IllegalArgumentException(
+          s"ALTER TABLE covers DDL-defined tables; $tbl is not one"))
+        val newOpts = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(optsText)
+          .map(m => (m.group(1).toLowerCase, m.group(2))).toMap
+        require(newOpts.nonEmpty, s"no options in ALTER TABLE SET: $optsText")
+        val altered = stmt.copy(options = stmt.options ++ newOpts)
+        registerFromStmt(altered)
+        ddlStmts(norm(tbl)) = altered
+        ddlLog(norm(tbl)) =
+          graft.sql.FlinkDdl.replaceOptions(ddlLog(norm(tbl)), altered.options)
+        return okResult()
+      case _ =>
+    }
+
+    // CREATE/DROP FUNCTION (ddl/SqlCreateFunction.java:39,
+    // SqlDropFunction): the reference binds AS 'class' by loading the
+    // class; with no dynamic classloading here, the target names an
+    // ALREADY-REGISTERED function (engine gap functions or Spark
+    // built-ins) and the statement registers an alias in the session's
+    // FunctionRegistry — documented deviation (MIGRATION.md).
+    val createFnRe =
+      "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s+AS\\s+'([^']+)'\\s*;?$".r
+    val dropFnRe =
+      "(?is)^DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*;?$".r
+    trimmed match {
+      case createFnRe(ifNotExists, name, target) =>
+        val reg = spark.sessionState.functionRegistry
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        if (reg.functionExists(FunctionIdentifier(name))) {
+          require(ifNotExists != null, s"function $name already exists")
+          return okResult()
+        }
+        val builder = reg.lookupFunctionBuilder(FunctionIdentifier(target))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CREATE FUNCTION target '$target' is not a registered function " +
+              "(no dynamic classloading here — alias an engine or Spark " +
+              "built-in function name)"))
+        reg.registerFunction(FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.sql.FunctionAlias", name),
+          builder)
+        return okResult()
+      case dropFnRe(ifExists, name) =>
+        val reg = spark.sessionState.functionRegistry
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        val dropped = reg.dropFunction(FunctionIdentifier(name))
+        require(dropped || ifExists != null, s"function not found: $name")
+        return okResult()
+      case _ =>
+    }
     // INSERT INTO/OVERWRITE a DDL-defined connector table — the
     // reference's primary write path (CommonExecSink: the planner binds
     // the statement's target to the DynamicTableSink of the CREATE
@@ -696,6 +791,20 @@ class GraftTableEnvironment private (val spark: SparkSession,
   private def okResult(): DataFrame = {
     import spark.implicits._
     Seq("OK").toDF("result")
+  }
+
+  /** Split a script body on ';' outside single-quoted literals. */
+  private def splitStatements(body: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var start = 0; var inQ = false; var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (c == ';' && !inQ) { out += body.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += body.substring(start)
+    out.result()
   }
 
   /** Query returning a Table (reference Table == DataFrame here). */

@@ -143,6 +143,24 @@ object FlinkDdl {
       options, partitionedBy, metadata, order)
   }
 
+  /** Rewrite a CREATE TABLE's WITH clause to carry `newOptions`
+    * (sorted for stable output) — ALTER TABLE … SET support: the
+    * altered catalog snapshot (ddlLog) must re-execute to the altered
+    * table (reference SqlAlterTableOptions, flink-sql-parser
+    * .../ddl/SqlAlterTable.java:42).
+    */
+  def replaceOptions(sql: String, newOptions: Map[String, String]): String = {
+    val rendered = newOptions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    "(?is)WITH\\s*\\(".r.findFirstMatchIn(sql) match {
+      case Some(w) =>
+        val oEnd = matchParen(sql, w.end - 1)
+        sql.substring(0, w.end) + rendered + sql.substring(oEnd)
+      case None =>
+        sql.trim.stripSuffix(";") + s" WITH ($rendered)"
+    }
+  }
+
   /** WATERMARK expr → Spark delay string: `ts - INTERVAL '5' SECOND` →
     * "5 second"; a bare `ts` (strictly-ascending watermark) → 0.
     */

@@ -353,6 +353,73 @@ class FacadeSpec extends AnyFunSuite {
     env.executeSql("DROP VIEW cv_once")
   }
 
+  test("SHOW CREATE TABLE replays DDL that re-executes to an equivalent table") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sct").toString
+    val ddl = s"""
+      CREATE TABLE sct_t (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')"""
+    env.executeSql(ddl)
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("sct_src")
+    env.executeSql("INSERT INTO sct_t SELECT k, v FROM sct_src")
+    val shown = env.executeSql("SHOW CREATE TABLE sct_t").head().getString(0)
+    assert(shown.trim == ddl.trim)
+    // the shown text re-executes in a FRESH environment to the same table
+    val env2 = GraftTableEnvironment.create(spark)
+    env2.executeSql(shown)
+    assert(env2.sqlQuery("SELECT k, v FROM sct_t").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    assert(env2.primaryKey("sct_t") == Seq("k"))
+    intercept[IllegalArgumentException] {
+      env.executeSql("SHOW CREATE TABLE not_a_ddl_table")
+    }
+  }
+
+  test("CREATE FUNCTION aliases a registered function; DROP FUNCTION removes it") {
+    val env = GraftTableEnvironment.create(spark)
+    env.executeSql("CREATE TEMPORARY FUNCTION my_split AS 'split_index'")
+    val r = env.sqlQuery("SELECT my_split('a#b#c', '#', 1) AS x").head().getString(0)
+    assert(r == "b")
+    // duplicate without IF NOT EXISTS fails; with it, no-op
+    intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION my_split AS 'upper'")
+    }
+    env.executeSql("CREATE FUNCTION IF NOT EXISTS my_split AS 'upper'")
+    assert(env.sqlQuery("SELECT my_split('a#b#c', '#', 1) AS x")
+      .head().getString(0) == "b")
+    // unknown target is a loud error (no classloading)
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("CREATE FUNCTION f2 AS 'com.example.NoSuch'")
+    }
+    assert(ex.getMessage.contains("not a registered function"))
+    env.executeSql("DROP FUNCTION my_split")
+    intercept[Exception] { env.sqlQuery("SELECT my_split('a', '#', 0)").head() }
+    env.executeSql("DROP FUNCTION IF EXISTS my_split")
+    intercept[IllegalArgumentException] { env.executeSql("DROP FUNCTION my_split") }
+  }
+
+  test("ALTER TABLE SET re-binds connector options and updates SHOW CREATE TABLE") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-alter").toString
+    Seq((1L, "one")).toDF("k", "v").write.parquet(s"$dir/a")
+    Seq((2L, "two")).toDF("k", "v").write.parquet(s"$dir/b")
+    env.executeSql(s"""
+      CREATE TABLE alt_t (k BIGINT, v STRING) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/a', 'format' = 'parquet')""")
+    assert(env.sqlQuery("SELECT k FROM alt_t").head().getLong(0) == 1L)
+    env.executeSql(s"ALTER TABLE alt_t SET ('path' = '$dir/b')")
+    assert(env.sqlQuery("SELECT k FROM alt_t").head().getLong(0) == 2L)
+    val shown = env.executeSql("SHOW CREATE TABLE alt_t").head().getString(0)
+    assert(shown.contains(s"'path' = '$dir/b'"))
+    // the altered snapshot re-executes to the altered binding
+    val env2 = GraftTableEnvironment.create(spark)
+    env2.executeSql(shown)
+    assert(env2.sqlQuery("SELECT k FROM alt_t").head().getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      env.executeSql("ALTER TABLE nope SET ('a' = 'b')")
+    }
+  }
+
   test("DROP VIEW refuses a DDL-defined connector table (view vs table)") {
     val env = GraftTableEnvironment.create(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-dv").toString

@@ -253,6 +253,37 @@ class InsertSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a physical column"))
   }
 
+  test("STATEMENT SET SQL spellings route members through the multi-sink path") {
+    val env = GraftTableEnvironment.create(spark)
+    val dir = tmp("graft-ins-sset")
+    env.executeSql(s"""
+      CREATE TABLE sset_a (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/a', 'format' = 'parquet')""")
+    env.executeSql(s"""
+      CREATE TABLE sset_b (k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '$dir/b', 'format' = 'parquet')""")
+    (1L to 10L).toDF("k").createOrReplaceTempView("sset_src")
+    // TableEnvironment spelling
+    env.executeSql("""
+      EXECUTE STATEMENT SET BEGIN
+        INSERT INTO sset_a SELECT k FROM sset_src WHERE k <= 4;
+        INSERT INTO sset_b SELECT k FROM sset_src WHERE k > 4;
+      END""")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM sset_a").head().getLong(0) == 4L)
+    assert(env.sqlQuery("SELECT count(1) AS n FROM sset_b").head().getLong(0) == 6L)
+    // SQL-client script spelling
+    env.executeSql("""
+      BEGIN STATEMENT SET;
+        INSERT INTO sset_a SELECT k + 100 FROM sset_src WHERE k <= 2;
+      END;""")
+    assert(env.sqlQuery("SELECT count(1) AS n FROM sset_a").head().getLong(0) == 6L)
+    // non-INSERT member is rejected
+    val ex = intercept[IllegalArgumentException] {
+      env.executeSql("EXECUTE STATEMENT SET BEGIN SELECT 1; END")
+    }
+    assert(ex.getMessage.contains("only INSERT"))
+  }
+
   test("statement set batches connector-table inserts off one shared scan") {
     val env = GraftTableEnvironment.create(spark)
     val dir = tmp("graft-ins-ss")
