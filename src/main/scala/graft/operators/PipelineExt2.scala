@@ -45,35 +45,14 @@ object PipelineExt2 extends QueryModule {
     // Hard-negative mining (te27): for each anchor, the top-3 most
     // cosine-similar vectors with a DIFFERENT label — the negatives a
     // contrastive embedding trainer wants (similar yet wrong). The
-    // exact pair scan is the guarded baseline (te02's shape plus the
-    // label-inequality gate); at corpus scale the anchor probes an ANN
-    // index (te05/te03) and the label filter sits in the probe join
-    // exactly like te18's attribute filter.
+    // exact pair scan is the GUARDED baseline (hardNegativesTopK —
+    // te02's shape plus the label-inequality gate, refuses >100k rows);
+    // at corpus scale VectorOps.ivfHardNegatives answers the same
+    // query with the label inequality in the ANN probe join, exactly
+    // like te18's attribute filter (probe row in SCALE.md).
     "te27_hard_negatives" -> { (s, dir) =>
-      import graft.functions.VectorExpressions.dot_scaled
-      val emb = Tables.load(s, dir, "embeddings")
-      val v = emb.select(col("vec_id"), col("label"),
-          VectorOps.toDouble(col("embedding")).as("v"))
-        .withColumn("nrm",
-          sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
-        .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint() // anchors + candidates read the same frame
-      val q = v.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val c = v.select(col("vec_id"), col("label"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      q.join(broadcast(c), col("query_id") =!= col("vec_id") &&
-          col("qlabel") =!= col("label"))
-        .withColumn("cos", round(
-          (dot_scaled(col("qv"), col("cv")).cast("double") / lit(1e12))
-            / (col("qn") * col("cn")), 6))
-        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
-        .select(col("query_id"), col("qlabel"), col("vec_id"),
-          col("label"), col("cos"), col("rk"))
+      VectorOps.hardNegativesTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", _ % 25 === 0, k = 3)
         .orderBy("query_id", "rk")
     },
 

@@ -184,6 +184,72 @@ object VectorOps {
         col("cos"), col("rk"))
   }
 
+  /** Hard-negative mining, exact baseline: for each anchor (query) the
+    * top-k most cosine-similar vectors with a DIFFERENT label — the
+    * negatives a contrastive trainer wants (similar yet wrong). This
+    * is [[bruteForceTopK]]'s shape plus the label-inequality residual,
+    * and like every exact pair baseline it is GUARDED: above
+    * [[ExactBaselineMaxRows]] rows the broadcast of the full candidate
+    * frame would OOM long before the O(n²) time matters — use
+    * [[ivfHardNegatives]] at that scale, or pass forceExact to insist.
+    */
+  def hardNegativesTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, isQuery: Column => Column, k: Int,
+                        forceExact: Boolean = false): DataFrame = {
+    guardExact("hardNegativesTopK", vecs, forceExact, "ivfHardNegatives")
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val v = vecs.select(col(idCol).as("id"), col(labelCol).as("label"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(scaledToDouble(dot_scaled(col("v"), col("v")))))
+      .repartition(parallelism)
+    val q = v.filter(isQuery(col("id")))
+      .select(col("id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = v.select(col("id").as("vec_id"), col("label"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q.join(broadcast(c), col("query_id") =!= col("vec_id") &&
+        col("qlabel") =!= col("label"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv"))) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("qlabel"), col("vec_id"),
+        col("label"), col("cos"), col("rk"))
+  }
+
+  /** Hard-negative mining at scale: [[ivfFilteredTopK]]'s anatomy with
+    * the attribute predicate FLIPPED — the label INEQUALITY sits in the
+    * probe⋈cell join condition, so same-label candidates are discarded
+    * by the hash join before any dot product runs, and the corpus is
+    * only touched inside probed cells (te18's shape, te27's semantics).
+    * Label inequality is near-unselective (most of a cell has a
+    * different label), so recall behaves like the unfiltered [[ivfTopK]]
+    * — nprobe does not need the selectivity scaling te18 documents.
+    */
+  def ivfHardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, isQuery: Column => Column,
+                       nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val attrs = vecs.select(col(idCol).as("id"), col(labelCol).as("attr"))
+    val ranked = ivfRanked(vecs, idCol, vecCol, nlist).join(attrs, "id")
+    val cells = ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("ccell"),
+        col("v").as("cv2"), col("nrm").as("cn2"), col("attr").as("cattr"))
+    val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
+      .select(col("id").as("query_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"), col("attr").as("qattr"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes)
+      .join(cells, col("cell") === col("ccell") && col("qattr") =!= col("cattr"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("qv"), col("cv2"))) / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
+      .select(col("query_id"), col("qattr").as("qlabel"), col("vec_id"),
+        col("cattr").as("label"), col("cos"), col("rk"))
+  }
+
   /** The coarse-quantizer assignment half of [[ivfTopK]]: every vector
     * cosine-ranked against the broadcast centroid set. `crk = 1` rows
     * are the cell assignment (the INDEX — te17 persists exactly this,

@@ -266,6 +266,15 @@ object ScaleProbe {
           "vec_id", "embedding", "label", isQ,
           nlist = 16, nprobe = 4, k = 5),
         allowBroadcastCross = true)
+      // te27 hard negatives at scale: te18's anatomy with the label
+      // predicate flipped to an INEQUALITY in the probe⋈cell join —
+      // same-label candidates die in the hash join before any dot
+      // product; candidate work per probe ≈ the unfiltered serve.
+      run("te27 hard-negative ANN", k, VectorOps.ivfHardNegatives(
+          emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")),
+          "vec_id", "embedding", "label", isQ,
+          nlist = 16, nprobe = 4, k = 5),
+        allowBroadcastCross = true)
       // te19 incremental IVF: store pre-built on the 80% existing
       // corpus OUTSIDE the timer (td31's convention); the timed cycle
       // is the nightly increment — assign the 20% batch against the

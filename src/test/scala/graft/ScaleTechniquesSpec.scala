@@ -302,6 +302,45 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       k = 1, forceExact = true).columns.contains("cos"))
   }
 
+  test("hard-negative mining: exact baseline guarded; IVF twin pre-filters the label in the join") {
+    import graft.operators.VectorOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    // exact baseline below the cap: only different-label results, k per anchor
+    val exact = VectorOps.hardNegativesTopK(
+      emb, "vec_id", "embedding", "label", _ % 25 === 0, k = 3)
+    val rows = exact.collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[Any]("qlabel") != r.getAs[Any]("label")))
+    // above the cap the guard refuses and names the scale twin
+    val blown = emb.crossJoin(spark.range(
+      VectorOps.ExactBaselineMaxRows / n + 1).select(col("id").as("rep")))
+      .select((col("vec_id") * 1000 + col("rep")).as("vec_id"),
+        col("label"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.hardNegativesTopK(blown, "vec_id", "embedding", "label",
+        _ % 25 === 0, k = 3)
+    }
+    assert(e.getMessage.contains("ivfHardNegatives"))
+    // forceExact bypasses the guard (plan construction succeeds)
+    assert(VectorOps.hardNegativesTopK(blown, "vec_id", "embedding", "label",
+      _ % 25 === 0, k = 1, forceExact = true).columns.contains("cos"))
+    // the IVF twin: same output shape, label inequality enforced by the
+    // probe-join condition, and its results agree with the exact scan
+    // wherever the probed cells contain the true negatives
+    val ivf = VectorOps.ivfHardNegatives(emb, "vec_id", "embedding", "label",
+      _ % 25 === 0, nlist = 8, nprobe = 8, k = 3)
+    val irows = ivf.collect()
+    assert(irows.nonEmpty && irows.forall(r =>
+      r.getAs[Any]("qlabel") != r.getAs[Any]("label")))
+    // nprobe = nlist probes every cell → exact recall (same results)
+    val ex = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("vec_id"))).toSet
+    val iv = irows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+      r.getAs[Long]("vec_id"))).toSet
+    assert(iv == ex, s"full-probe IVF must equal the exact scan")
+  }
+
   test("exact all-pairs Jaccard refuses oversized corpora unless forced") {
     import graft.operators.TextOps
     import org.apache.spark.sql.functions.{array, concat, lit}
