@@ -183,16 +183,26 @@ object Pregel {
     *                  `better(cand, attr)` holds
     * @param better    strict improvement predicate (e.g. `<` for
     *                  shortest distances)
+    * @param probeEvery run the workset-empty convergence probe every
+    *                  k-th round instead of every round (k > 1 trades
+    *                  at most k-1 cheap no-op rounds after convergence
+    *                  — an empty workset makes every downstream frame
+    *                  empty — for k-1 fewer probe JOBS per k rounds;
+    *                  each probe is a scheduled Spark job whose
+    *                  driver-loop latency, not its scan, is the cost)
     */
   def deltaIterate(solution0: DataFrame, workset0: DataFrame, maxRounds: Int,
-                   shufflePartitions: Option[Int] = None)(
+                   shufflePartitions: Option[Int] = None,
+                   probeEvery: Int = 1)(
       step: DataFrame => DataFrame,
       better: (Column, Column) => Column): DataFrame =
       withIterationConf(solution0.sparkSession, shufflePartitions) {
+    require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
     var solution = solution0.select(col("n"), col("attr")).localCheckpoint()
     var workset = workset0.select(col("n"), col("attr")).localCheckpoint()
     var round = 0
-    while (round < maxRounds && workset.limit(1).count() > 0) {
+    while (round < maxRounds &&
+        (round % probeEvery != 0 || workset.limit(1).count() > 0)) {
       val cands = step(workset)
       // ONE join and ONE materialization per round: the joined frame
       // carries both next-round outputs — `imp` is the strict
@@ -248,7 +258,8 @@ object Pregel {
       p => e0.repartition(p, col("src"))).localCheckpoint()
     val init = nodes.select(col("n"),
       when(col("n") === source, lit(0L)).otherwise(lit(Unreached)).as("attr"))
-    deltaIterate(init, init.where(col("n") === source), rounds, parts)(
+    deltaIterate(init, init.where(col("n") === source), rounds, parts,
+        probeEvery = 3)(
       // shuffle_hash from the workset side: e is pre-partitioned on
       // src at the iteration count, the workset arrives partitioned on
       // n — no exchange, no per-round sort of the edge list, and no

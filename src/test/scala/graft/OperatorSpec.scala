@@ -114,6 +114,32 @@ class OperatorSpec extends AnyFunSuite {
       9L -> Pregel.Unreached))
   }
 
+  test("delta iteration's batched convergence probe changes cost, never the result") {
+    val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("n")
+    val init = nodes.select(col("n"),
+      when(col("n") === 1L, 0L).otherwise(Pregel.Unreached).as("attr"))
+    def run(probeEvery: Int) =
+      Pregel.deltaIterate(init, init.where(col("n") === 1L),
+          maxRounds = 50, probeEvery = probeEvery)(
+        step = ws => ws.join(edges, col("n") === col("src"))
+          .select(col("dst"), (col("attr") + col("w")).as("__c"))
+          .groupBy(col("dst")).agg(min(col("__c")).as("cand"))
+          .withColumnRenamed("dst", "n"),
+        better = (cand, attr) => cand < attr)
+        .as[(Long, Long)].collect().toMap
+    assert(run(3) == run(1))
+    // an EMPTY initial workset terminates immediately at any probe cadence
+    val none = Pregel.deltaIterate(init, init.where(col("n") === 99L),
+        maxRounds = 50, probeEvery = 3)(
+      step = identity, better = (c, a) => c < a)
+      .as[(Long, Long)].collect().toMap
+    assert(none == Map(1L -> 0L, 2L -> Pregel.Unreached,
+      3L -> Pregel.Unreached, 4L -> Pregel.Unreached))
+  }
+
   test("general iterate with checkpointing equals the unchecked plan (sum propagation)") {
     // A NON-monotone body (message sums) so iterateMonotone doesn't
     // apply: 6 rounds crossing the default checkpoint interval must
