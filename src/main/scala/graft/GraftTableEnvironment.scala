@@ -28,6 +28,31 @@ class GraftTableEnvironment private (val spark: SparkSession,
   // parsed form, kept so INSERT INTO can bind the table's SINK side
   private val ddlStmts = mutable.Map[String, graft.sql.FlinkDdl.CreateTableStmt]()
 
+  // —— Catalog / database namespace (reference CatalogManager,
+  // flink-table-api-java .../catalog/CatalogManager.java; DDL parser
+  // classes SqlCreateCatalog.java, SqlCreateDatabase.java,
+  // SqlUseCatalog.java, SqlUseDatabase.java). Spark temp views live in
+  // one flat namespace, so the façade scopes them logically: every
+  // table records the (catalog, database) current at creation, and
+  // SHOW TABLES lists only the current database — the same visibility
+  // contract as the reference's in-memory catalog. ——
+  private var currentCat = "default_catalog"
+  private var currentDb = "default_database"
+  private val catalogs = mutable.LinkedHashSet("default_catalog")
+  private val databases = mutable.LinkedHashSet(("default_catalog", "default_database"))
+  private val tableNamespace = mutable.Map[String, (String, String)]()
+  // views created via CREATE VIEW (SHOW VIEWS lists exactly these —
+  // the reference distinguishes views from tables in the catalog)
+  private val viewNames = mutable.SortedSet[String]()
+  // SET/RESET session config (SqlSet.java; TableConfig) + the Spark
+  // conf originals RESET restores
+  private val sessionConfig = mutable.LinkedHashMap[String, String]()
+  private val savedSparkConf = mutable.Map[String, Option[String]]()
+  // module system (reference ModuleManager, SqlLoadModule/SqlUseModules):
+  // insertion-ordered name → used flag; 'core' carries the engine's
+  // gap-function library
+  private val modules = mutable.LinkedHashMap("core" -> true)
+
   // All metadata maps are keyed by LOWER-CASED table name: Spark
   // resolves temp-view names case-insensitively, so `INSERT INTO
   // FS_SINK` must find the binding of a table created as `fs_sink`
@@ -64,6 +89,18 @@ class GraftTableEnvironment private (val spark: SparkSession,
     */
   def executeSql(sql: String): DataFrame = {
     import graft.sql.FlinkDdl
+    // CREATE TABLE … LIKE must be probed before the plain form — the
+    // trailing LIKE clause is not part of SqlCreateTable's grammar and
+    // would be rejected as an unsupported trailing clause.
+    FlinkDdl.parseLike(sql) match {
+      case Some(like) if ddlStmts.contains(norm(like.base)) =>
+        return executeCreateTableLike(like)
+      case Some(like) if "(?i)'connector'".r.findFirstIn(sql).isDefined ||
+          like.middle.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE LIKE base ${like.base} is not a DDL-defined table")
+      case _ =>
+    }
     if (FlinkDdl.isFlinkCreateTable(sql)) return executeCreateTable(sql)
     if (FlinkDdl.isDropTable(sql)) {
       val (name, ifExists) = FlinkDdl.parseDrop(sql)
@@ -75,6 +112,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
       else require(dropped || ifExists, s"table not found: $name")
       watermarkDecl.remove(norm(name)); primaryKeys.remove(norm(name))
       ddlLog.remove(norm(name)); ddlStmts.remove(norm(name))
+      tableNamespace.remove(norm(name))
       return okResult()
     }
     // Catalog statements (SqlShowTables/SqlShowFunctions/SqlDescribeTable
@@ -104,6 +142,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
         return okResult()
       case _ =>
     }
+
+    // Catalog / database / module / partition / config statements
+    // (CREATE CATALOG, CREATE DATABASE, USE, SHOW …, LOAD MODULE,
+    // SET/RESET, ALTER TABLE RENAME/ADD PARTITION/DROP PARTITION).
+    catalogStatement(trimmed).foreach(df => return df)
 
     // SHOW CREATE TABLE (dql/SqlShowCreateTable.java:34): replay the
     // ORIGINAL DDL text from the catalog snapshot (post-ALTER text if
@@ -244,6 +287,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
         require(orReplace != null || !spark.catalog.tableExists(name),
           s"view $name already exists (use CREATE OR REPLACE VIEW)")
         createTemporaryView(name, executeSql(body))
+        viewNames.add(norm(name))
         return okResult()
       case dropViewRe(ifExists, name) =>
         // A DDL-defined connector TABLE is backed by a temp view too,
@@ -253,12 +297,19 @@ class GraftTableEnvironment private (val spark: SparkSession,
           s"$name is a table, not a view — use DROP TABLE")
         val dropped = spark.catalog.dropTempView(name)
         require(dropped || ifExists != null, s"view not found: $name")
+        viewNames.remove(norm(name)); tableNamespace.remove(norm(name))
         return okResult()
       case _ =>
     }
     if (trimmed.matches("(?is)SHOW\\s+TABLES\\s*;?")) {
       import spark.implicits._
-      return listTables().sorted.toDF("table name")
+      // scoped to the current database (reference SqlShowTables lists
+      // the current catalog.database); tables registered outside any
+      // USE belong to default_catalog.default_database
+      return listTables().filter { tbl =>
+        tableNamespace.getOrElse(norm(tbl),
+          ("default_catalog", "default_database")) == (currentCat, currentDb)
+      }.sorted.toDF("table name")
     }
     if (trimmed.matches("(?is)SHOW\\s+FUNCTIONS\\s*;?")) {
       import spark.implicits._
@@ -361,6 +412,109 @@ class GraftTableEnvironment private (val spark: SparkSession,
     registerFromStmt(stmt)
     ddlStmts(norm(stmt.name)) = stmt
     ddlLog(norm(stmt.name)) = sql
+    tableNamespace(norm(stmt.name)) = (currentCat, currentDb)
+    okResult()
+  }
+
+  /** `CREATE TABLE t [(body)] [WITH (…)] LIKE base [(like-options)]` —
+    * reference SqlTableLike (flink-sql-parser .../ddl/SqlTableLike.java)
+    * with MergeTableLikeUtil.java's merge semantics: each feature
+    * (OPTIONS, CONSTRAINTS, GENERATED, METADATA, PARTITIONS,
+    * WATERMARKS) merges per its strategy — INCLUDING (inherit; a
+    * conflicting redeclaration errors), EXCLUDING (child only), or
+    * OVERWRITING (child wins on conflict; not valid for constraints or
+    * partitions, matching the reference). Default is INCLUDING ALL.
+    * The catalog snapshot stores the RENDERED self-contained DDL, so
+    * compiled plans replay the derived table without ordering against
+    * its base.
+    */
+  private def executeCreateTableLike(like: graft.sql.FlinkDdl.LikeStmt): DataFrame = {
+    import graft.sql.FlinkDdl
+    val base = ddlStmts(norm(like.base))
+    val strat = mutable.Map(
+      "OPTIONS" -> "INCLUDING", "CONSTRAINTS" -> "INCLUDING",
+      "GENERATED" -> "INCLUDING", "METADATA" -> "INCLUDING",
+      "PARTITIONS" -> "INCLUDING", "WATERMARKS" -> "INCLUDING")
+    like.likeOptions.foreach { case (mode, feat) =>
+      if (feat == "ALL") {
+        require(mode != "OVERWRITING",
+          "OVERWRITING ALL is not a valid LIKE option (reference SqlTableLike)")
+        strat.keys.toSeq.foreach(strat(_) = mode)
+      } else {
+        require(mode != "OVERWRITING" || !Set("CONSTRAINTS", "PARTITIONS")(feat),
+          s"OVERWRITING $feat is not supported — constraints and partitions " +
+            "can only be INCLUDING or EXCLUDING (reference MergeTableLikeUtil)")
+        strat(feat) = mode
+      }
+    }
+    val child = FlinkDdl.parse(
+      s"CREATE TABLE ${like.name} " +
+        (if (like.middle.startsWith("(")) like.middle else s"() ${like.middle}"))
+    child.columns.foreach { case (n, _) =>
+      require(!base.columns.exists(_._1 == n),
+        s"column $n already exists in base table ${like.base}") }
+    def mergeNamed[T](b: Seq[T], c: Seq[T], nameOf: T => String, s: String,
+                      what: String, kw: String): Seq[T] = s match {
+      case "EXCLUDING" => c
+      case "INCLUDING" =>
+        c.foreach(x => require(!b.exists(y => nameOf(y) == nameOf(x)),
+          s"$what ${nameOf(x)} already declared in base ${like.base} " +
+            s"(use OVERWRITING $kw)"))
+        b ++ c
+      case "OVERWRITING" =>
+        b.filterNot(y => c.exists(x => nameOf(x) == nameOf(y))) ++ c
+    }
+    val computed = mergeNamed[(String, String)](base.computed, child.computed,
+      _._1, strat("GENERATED"), "generated column", "GENERATED")
+    val metadataCols = mergeNamed[FlinkDdl.MetadataCol](base.metadataCols,
+      child.metadataCols, _.name, strat("METADATA"), "metadata column", "METADATA")
+    val pk = strat("CONSTRAINTS") match {
+      case "EXCLUDING" => child.primaryKey
+      case _ =>
+        require(child.primaryKey.isEmpty || base.primaryKey.isEmpty,
+          s"both ${like.name} and base ${like.base} declare a primary key")
+        if (child.primaryKey.nonEmpty) child.primaryKey else base.primaryKey
+    }
+    val wm = strat("WATERMARKS") match {
+      case "EXCLUDING"   => child.watermark
+      case "INCLUDING"   =>
+        require(child.watermark.isEmpty || base.watermark.isEmpty,
+          s"both ${like.name} and base ${like.base} declare a watermark " +
+            "(use OVERWRITING WATERMARKS)")
+        child.watermark.orElse(base.watermark)
+      case "OVERWRITING" => child.watermark.orElse(base.watermark)
+    }
+    val parts = strat("PARTITIONS") match {
+      case "EXCLUDING" => child.partitionedBy
+      case _ =>
+        require(child.partitionedBy.isEmpty || base.partitionedBy.isEmpty,
+          s"both ${like.name} and base ${like.base} declare PARTITIONED BY")
+        if (child.partitionedBy.nonEmpty) child.partitionedBy
+        else base.partitionedBy
+    }
+    val options = strat("OPTIONS") match {
+      case "EXCLUDING"   => child.options
+      case "INCLUDING"   =>
+        val clash = base.options.keySet.intersect(child.options.keySet)
+          .filter(k => base.options(k) != child.options(k))
+        require(clash.isEmpty,
+          s"WITH option(s) ${clash.mkString(", ")} conflict with base " +
+            s"${like.base} under INCLUDING OPTIONS (use OVERWRITING OPTIONS)")
+        base.options ++ child.options
+      case "OVERWRITING" => base.options ++ child.options
+    }
+    val columns = base.columns ++ child.columns
+    val physSet = columns.map(_._1).toSet
+    val metaSet = metadataCols.map(_.name).toSet
+    val order = (base.declaredOrder ++ child.declaredOrder)
+      .filter(n => physSet.contains(n) || metaSet.contains(n)).distinct
+    val stmt = FlinkDdl.CreateTableStmt(like.name, like.ifNotExists, columns,
+      computed, pk, wm, options, parts, metadataCols, order)
+    if (stmt.ifNotExists && spark.catalog.tableExists(stmt.name)) return okResult()
+    registerFromStmt(stmt)
+    ddlStmts(norm(stmt.name)) = stmt
+    ddlLog(norm(stmt.name)) = FlinkDdl.render(stmt)
+    tableNamespace(norm(stmt.name)) = (currentCat, currentDb)
     okResult()
   }
 
@@ -516,6 +670,277 @@ class GraftTableEnvironment private (val spark: SparkSession,
     }
     registerFromStmt(stmt)
     okResult()
+  }
+
+  /** Catalog-object, module, partition, and config statements — the
+    * rest of the reference's `executeSql` DDL surface
+    * (flink-sql-parser: SqlCreateCatalog/SqlUseCatalog/SqlShowCatalogs,
+    * SqlCreateDatabase/SqlDropDatabase/SqlUseDatabase/SqlShowDatabases,
+    * SqlShowViews, SqlLoadModule/SqlUnloadModule/SqlUseModules/
+    * SqlShowModules, SqlSet/SqlReset, SqlAlterTableRename,
+    * SqlAddPartitions/SqlDropPartitions/SqlShowPartitions). Returns
+    * None when `t` is none of these (the caller falls through).
+    */
+  private def catalogStatement(t: String): Option[DataFrame] = {
+    import spark.implicits._
+    val createCatRe =
+      "(?is)^CREATE\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*(?:WITH\\s*\\(([^)]*)\\))?\\s*;?$".r
+    val useCatRe = "(?is)^USE\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*;?$".r
+    val createDbRe =
+      "(?is)^CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*(?:COMMENT\\s+'[^']*')?\\s*(?:WITH\\s*\\([^)]*\\))?\\s*;?$".r
+    val dropDbRe =
+      "(?is)^DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*(CASCADE|RESTRICT)?\\s*;?$".r
+    val useModulesRe = "(?is)^USE\\s+MODULES\\s+(.+?)\\s*;?$".r
+    val useDbRe = "(?is)^USE\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+    val loadModRe =
+      "(?is)^LOAD\\s+MODULE\\s+([A-Za-z_]\\w*)\\s*(?:WITH\\s*\\([^)]*\\))?\\s*;?$".r
+    val unloadModRe = "(?is)^UNLOAD\\s+MODULE\\s+([A-Za-z_]\\w*)\\s*;?$".r
+    val setKvRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'\\s*;?$".r
+    val resetKvRe = "(?is)^RESET\\s+'([^']+)'\\s*;?$".r
+    val renameRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+RENAME\\s+TO\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+    val addPartRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+ADD\\s+(IF\\s+NOT\\s+EXISTS\\s+)?PARTITION\\s*\\(([^)]*)\\)\\s*;?$".r
+    val dropPartRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+DROP\\s+(IF\\s+EXISTS\\s+)?PARTITION\\s*\\(([^)]*)\\)\\s*;?$".r
+    val showPartsRe = "(?is)^SHOW\\s+PARTITIONS\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+
+    t match {
+      case createCatRe(name, opts) =>
+        // GenericInMemoryCatalogFactory is the only built-in catalog
+        // kind available here (hive et al. need external metastores)
+        val kind = Option(opts).map(o =>
+          "'type'\\s*=\\s*'([^']*)'".r.findFirstMatchIn(o).map(_.group(1))
+            .getOrElse("generic_in_memory")).getOrElse("generic_in_memory")
+        require(kind == "generic_in_memory",
+          s"unsupported catalog type '$kind' (supported: generic_in_memory)")
+        require(catalogs.add(name), s"catalog $name already exists")
+        databases.add((name, "default"))
+        Some(okResult())
+      case useCatRe(name) =>
+        require(catalogs.contains(name), s"catalog not found: $name")
+        currentCat = name
+        currentDb = databases.collectFirst { case (c, d) if c == name => d }
+          .getOrElse("default")
+        Some(okResult())
+      case _ if t.matches("(?is)^SHOW\\s+CATALOGS\\s*;?$") =>
+        Some(catalogs.toSeq.sorted.toDF("catalog name"))
+      case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+CATALOG\\s*;?$") =>
+        Some(Seq(currentCat).toDF("current catalog name"))
+      case createDbRe(ifNotExists, name) =>
+        val (c, d) = resolveDb(name)
+        require(catalogs.contains(c), s"catalog not found: $c")
+        require(databases.add((c, d)) || ifNotExists != null,
+          s"database $c.$d already exists")
+        Some(okResult())
+      case dropDbRe(ifExists, name, mode) =>
+        val (c, d) = resolveDb(name)
+        require(!(c == currentCat && d == currentDb),
+          s"cannot drop the current database $c.$d")
+        if (!databases.contains((c, d))) {
+          require(ifExists != null, s"database not found: $c.$d")
+          return Some(okResult())
+        }
+        val members = tableNamespace.collect {
+          case (tbl, ns) if ns == (c, d) => tbl }.toSeq
+        if (members.nonEmpty) {
+          // RESTRICT (the default) refuses to drop a non-empty
+          // database — the reference's DatabaseNotEmptyException
+          require(mode != null && mode.equalsIgnoreCase("CASCADE"),
+            s"database $c.$d is not empty (${members.size} table(s)) — use CASCADE")
+          members.foreach { tbl =>
+            spark.catalog.dropTempView(tbl)
+            watermarkDecl.remove(tbl); primaryKeys.remove(tbl)
+            ddlLog.remove(tbl); ddlStmts.remove(tbl)
+            tableNamespace.remove(tbl); viewNames.remove(tbl)
+          }
+        }
+        databases.remove((c, d))
+        Some(okResult())
+      case _ if t.matches("(?is)^SHOW\\s+DATABASES\\s*;?$") =>
+        Some(databases.collect { case (c, d) if c == currentCat => d }
+          .toSeq.sorted.toDF("database name"))
+      case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+DATABASE\\s*;?$") =>
+        Some(Seq(currentDb).toDF("current database name"))
+      case _ if t.matches("(?is)^SHOW\\s+VIEWS\\s*;?$") =>
+        Some(viewNames.toSeq.toDF("view name"))
+      case loadModRe(name) =>
+        require(name == "core",
+          s"could not find a module factory for '$name' " +
+            "(the engine ships the 'core' module; hive/user modules " +
+            "need external classpath factories)")
+        require(!modules.contains(name), s"module $name is already loaded")
+        modules(name) = true
+        syncModules()
+        Some(okResult())
+      case unloadModRe(name) =>
+        require(modules.contains(name), s"module $name is not loaded")
+        modules.remove(name)
+        syncModules()
+        Some(okResult())
+      case useModulesRe(list) if t.matches("(?is)^USE\\s+MODULES\\s+.*") =>
+        val names = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.distinct.length == names.length,
+          s"duplicate module name in USE MODULES: ${list.trim}")
+        names.foreach(n => require(modules.contains(n),
+          s"module $n is not loaded (LOAD MODULE first)"))
+        // USE MODULES both enables exactly the listed modules AND
+        // fixes the resolution order (reference ModuleManager.useModules)
+        val disabled = modules.keys.toSeq.filterNot(names.contains)
+        modules.clear()
+        names.foreach(modules(_) = true)
+        disabled.foreach(modules(_) = false)
+        syncModules()
+        Some(okResult())
+      case useDbRe(name) if !name.equalsIgnoreCase("catalog") &&
+          !name.equalsIgnoreCase("modules") =>
+        val (c, d) = resolveDb(name)
+        require(databases.contains((c, d)), s"database not found: $c.$d")
+        currentCat = c; currentDb = d
+        Some(okResult())
+      case _ if t.matches("(?is)^SHOW\\s+MODULES\\s*;?$") =>
+        Some(modules.collect { case (n, true) => n }.toSeq.toDF("module name"))
+      case _ if t.matches("(?is)^SHOW\\s+FULL\\s+MODULES\\s*;?$") =>
+        Some(modules.toSeq.toDF("module name", "used"))
+      case setKvRe(k, v) =>
+        sessionConfig(k) = v
+        sparkConfKey(k).foreach { sk =>
+          if (!savedSparkConf.contains(sk))
+            savedSparkConf(sk) = spark.conf.getOption(sk)
+          spark.conf.set(sk, v)
+        }
+        Some(okResult())
+      case _ if t.matches("(?is)^SET\\s*;?$") =>
+        Some(sessionConfig.toSeq.sortBy(_._1).toDF("key", "value"))
+      case resetKvRe(k) =>
+        sessionConfig.remove(k)
+        sparkConfKey(k).foreach(restoreSparkConf)
+        Some(okResult())
+      case _ if t.matches("(?is)^RESET\\s*;?$") =>
+        sessionConfig.keys.toSeq.foreach(k =>
+          sparkConfKey(k).foreach(restoreSparkConf))
+        sessionConfig.clear()
+        Some(okResult())
+      case renameRe(a, b) =>
+        require(!spark.catalog.tableExists(b), s"table $b already exists")
+        if (ddlStmts.contains(norm(a))) {
+          val stmt = ddlStmts(norm(a)).copy(name = b)
+          ddlStmts.remove(norm(a)); ddlLog.remove(norm(a))
+          watermarkDecl.remove(norm(a)); primaryKeys.remove(norm(a))
+          val ns = tableNamespace.remove(norm(a))
+          spark.catalog.dropTempView(a)
+          registerFromStmt(stmt)
+          ddlStmts(norm(b)) = stmt
+          ddlLog(norm(b)) = graft.sql.FlinkDdl.render(stmt)
+          ns.foreach(tableNamespace(norm(b)) = _)
+        } else {
+          val df = from(a)
+          val wm = watermarkDecl.remove(norm(a))
+          val pk = primaryKeys.remove(norm(a))
+          val ns = tableNamespace.remove(norm(a))
+          require(spark.catalog.dropTempView(a), s"table not found: $a")
+          createTemporaryView(b, df, wm, pk.getOrElse(Nil))
+          ns.foreach(tableNamespace(norm(b)) = _)
+          if (viewNames.remove(a)) viewNames.add(b)
+        }
+        Some(okResult())
+      case addPartRe(tbl, ifNotExists, spec) =>
+        val (stmt, path) = partitionTarget(tbl, spec)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) require(ifNotExists != null,
+          s"partition already exists: $path")
+        else fs.mkdirs(path)
+        Some(okResult())
+      case dropPartRe(tbl, ifExists, spec) =>
+        val (stmt, path) = partitionTarget(tbl, spec)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path)) require(ifExists != null,
+          s"partition not found: $path")
+        else fs.delete(path, true)
+        registerFromStmt(stmt) // data changed — re-bind the view's file listing
+        Some(okResult())
+      case showPartsRe(tbl) =>
+        val stmt = ddlStmts.getOrElse(norm(tbl), throw new IllegalArgumentException(
+          s"SHOW PARTITIONS covers DDL-defined tables; $tbl is not one"))
+        require(stmt.partitionedBy.nonEmpty, s"table $tbl is not partitioned")
+        Some(listPartitions(stmt).toDF("partition name"))
+      case _ => None
+    }
+  }
+
+  private def resolveDb(name: String): (String, String) = {
+    val parts = name.split('.')
+    if (parts.length == 2) (parts(0), parts(1)) else (currentCat, name)
+  }
+
+  /** Map a SET key onto the Spark conf it drives; None = stored only. */
+  private def sparkConfKey(k: String): Option[String] = k match {
+    case "table.local-time-zone" => Some("spark.sql.session.timeZone")
+    case "table.exec.resource.default-parallelism" =>
+      Some("spark.sql.shuffle.partitions")
+    case s if s.startsWith("spark.") => Some(s)
+    case _ => None
+  }
+
+  private def restoreSparkConf(sk: String): Unit =
+    savedSparkConf.remove(sk).foreach {
+      case Some(v) => spark.conf.set(sk, v)
+      case None    => spark.conf.unset(sk)
+    }
+
+  /** Re-sync the function registry with the used-module set: the
+    * 'core' module carries the engine's gap-function library, so
+    * unloading (or USE MODULES without it) drops those resolutions,
+    * exactly the reference's module-gated function lookup
+    * (ModuleManager.getFunctionDefinition walks used modules only).
+    */
+  private def syncModules(): Unit =
+    if (modules.getOrElse("core", false)) FlinkFunctions.registerAll(spark)
+    else FlinkFunctions.dropAll(spark)
+
+  /** Resolve ALTER TABLE … PARTITION's target directory: the table
+    * must be a DDL filesystem table and the spec must cover every
+    * PARTITIONED BY column in order (k1=v1/k2=v2 — hive-style layout,
+    * the same dirs Spark's partitioned reader prunes on).
+    */
+  private def partitionTarget(tbl: String, specText: String)
+      : (graft.sql.FlinkDdl.CreateTableStmt, org.apache.hadoop.fs.Path) = {
+    val stmt = ddlStmts.getOrElse(norm(tbl), throw new IllegalArgumentException(
+      s"ALTER TABLE PARTITION covers DDL-defined tables; $tbl is not one"))
+    require(stmt.partitionedBy.nonEmpty, s"table $tbl is not partitioned")
+    val spec = specText.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"cannot parse partition spec: $kv")
+      (kv.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+        kv.substring(i + 1).trim.stripPrefix("'").stripSuffix("'"))
+    }.toMap
+    require(spec.keySet == stmt.partitionedBy.toSet,
+      s"partition spec (${spec.keys.mkString(", ")}) must name exactly the " +
+        s"PARTITIONED BY columns (${stmt.partitionedBy.mkString(", ")})")
+    val rel = stmt.partitionedBy.map(k => s"$k=${spec(k)}").mkString("/")
+    (stmt, new org.apache.hadoop.fs.Path(stmt.options("path"), rel))
+  }
+
+  /** Partition specs present on disk, `k1=v1/k2=v2`-rendered and
+    * sorted — partition discovery straight off the directory layout
+    * (SqlShowPartitions; filesystem connector PartitionPathUtils).
+    */
+  private def listPartitions(stmt: graft.sql.FlinkDdl.CreateTableStmt): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(stmt.options("path"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (depth == stmt.partitionedBy.length) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(stmt.partitionedBy(depth) + "="))
+        .flatMap { s =>
+          walk(s.getPath, depth + 1).map { tail =>
+            if (tail.isEmpty) s.getPath.getName
+            else s"${s.getPath.getName}/$tail"
+          }
+        }
+    walk(root, 0).sorted
   }
 
   /** Bind a parsed DDL statement's connector to a Spark reader and
@@ -839,6 +1264,9 @@ class GraftTableEnvironment private (val spark: SparkSession,
     df.createOrReplaceTempView(name)
     watermark.foreach(w => watermarkDecl(norm(name)) = w)
     if (primaryKey.nonEmpty) primaryKeys(norm(name)) = primaryKey
+    // record the creating namespace once (re-binds must not move a
+    // table into whatever database happens to be current later)
+    tableNamespace.getOrElseUpdate(norm(name), (currentCat, currentDb))
   }
 
   /** Batch read of a registered table. */

@@ -237,6 +237,17 @@ object FlinkFunctions {
     }
   }
 
+  /** Unregister every gap function — module gating: `UNLOAD MODULE
+    * core` (or USE MODULES without core) removes the library from
+    * function resolution, mirroring the reference's ModuleManager
+    * walking only used modules.
+    */
+  def dropAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, _) =>
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name)) }
+  }
+
   /** SparkSessionExtensions hook — the idiomatic injection point; wired
     * into every GraftSession so the SQL surface always has the dialect.
     */

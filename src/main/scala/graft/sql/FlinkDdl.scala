@@ -67,6 +67,78 @@ object FlinkDdl {
 
   def isDropTable(sql: String): Boolean = DropRe.findFirstIn(sql).isDefined
 
+  /** `CREATE TABLE t [(body)] [WITH (…)] LIKE base [( like-options )]`
+    * (reference SqlTableLike, flink-sql-parser .../ddl/SqlTableLike.java;
+    * merge semantics MergeTableLikeUtil.java): the new table derives
+    * from `base`, with per-feature merge strategies — INCLUDING |
+    * EXCLUDING | OVERWRITING applied to ALL | OPTIONS | CONSTRAINTS |
+    * GENERATED | METADATA | PARTITIONS | WATERMARKS.
+    */
+  final case class LikeStmt(name: String, ifNotExists: Boolean,
+                            middle: String, base: String,
+                            likeOptions: Seq[(String, String)])
+
+  private val LikeRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*?)\s*LIKE\s+([A-Za-z_][\w.]*)\s*(?:\(\s*([^()]*?)\s*\))?\s*;?\s*$""".r
+
+  def parseLike(sql: String): Option[LikeStmt] =
+    // the lazy middle group must not swallow a LIKE inside a quoted
+    // option value — only treat it as a table-LIKE when the keyword
+    // sits outside quotes (scan from the END: the clause is trailing)
+    LikeRe.findFirstMatchIn(sql).filter { m =>
+      sql.substring(0, m.start(4)).count(_ == '\'') % 2 == 0
+    }.map { m =>
+      val opts = Option(m.group(5)).toSeq.flatMap { txt =>
+        """(?i)(INCLUDING|EXCLUDING|OVERWRITING)\s+(ALL|OPTIONS|CONSTRAINTS|GENERATED|METADATA|PARTITIONS|WATERMARKS)""".r
+          .findAllMatchIn(txt)
+          .map(o => (o.group(1).toUpperCase, o.group(2).toUpperCase)).toSeq
+      }
+      LikeStmt(m.group(2), m.group(1) != null, m.group(3).trim,
+        m.group(4), opts)
+    }
+
+  /** Render a parsed statement back to canonical Flink DDL text — the
+    * catalog-snapshot form for derived tables (CREATE TABLE LIKE,
+    * ALTER TABLE RENAME): a compiled plan replays tables sorted by
+    * name, so a stored `LIKE base` text could replay before its base;
+    * the rendered text is self-contained.
+    */
+  def render(stmt: CreateTableStmt): String = {
+    val declared =
+      if (stmt.declaredOrder.nonEmpty) stmt.declaredOrder
+      else stmt.columns.map(_._1)
+    val colMap = stmt.columns.toMap
+    val metaMap = stmt.metadataCols.map(m => (m.name, m)).toMap
+    val items =
+      declared.map { n =>
+        metaMap.get(n) match {
+          case Some(m) =>
+            s"$n ${m.sparkType} METADATA FROM '${m.key}'" +
+              (if (m.virtual) " VIRTUAL" else "")
+          case None => s"$n ${colMap(n)}"
+        }
+      } ++
+      stmt.computed.map { case (n, e) => s"$n AS $e" } ++
+      (if (stmt.primaryKey.nonEmpty)
+        Seq(s"PRIMARY KEY (${stmt.primaryKey.mkString(", ")}) NOT ENFORCED")
+      else Nil) ++
+      stmt.watermark.toSeq.map { case (c, delay) =>
+        val parts = delay.split("\\s+", 2)
+        if (parts(0) == "0") s"WATERMARK FOR $c AS $c"
+        else s"WATERMARK FOR $c AS $c - INTERVAL '${parts(0)}' ${parts(1).stripSuffix("s").toUpperCase}"
+      }
+    val part =
+      if (stmt.partitionedBy.nonEmpty)
+        s" PARTITIONED BY (${stmt.partitionedBy.mkString(", ")})"
+      else ""
+    val opts =
+      if (stmt.options.nonEmpty)
+        " WITH (" + stmt.options.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
+      else ""
+    s"CREATE TABLE ${stmt.name} (${items.mkString(", ")})$part$opts"
+  }
+
   def parseDrop(sql: String): (String, Boolean) = {
     val m = DropRe.findFirstMatchIn(sql).get
     (m.group(2), m.group(1) != null)
@@ -202,6 +274,16 @@ object FlinkDdl {
           s"cannot parse ROW field (expected `name TYPE`): $other")
       }
       s"struct<${fields.mkString(",")}>"
+    } else if (up.startsWith("STRUCT<") && up.endsWith(">")) {
+      // Spark-spelled struct (appears when a RENDERED snapshot —
+      // CREATE TABLE LIKE / ALTER TABLE RENAME — re-parses; fields are
+      // name:type)
+      val fields = splitTopLevel(t.substring(7, t.length - 1)).map(_.trim).map { f =>
+        val i = f.indexOf(':')
+        require(i > 0, s"cannot parse STRUCT field (expected name:type): $f")
+        s"${f.substring(0, i).trim}:${sparkType(f.substring(i + 1))}"
+      }
+      s"struct<${fields.mkString(",")}>"
     } else if (up.startsWith("MULTISET<") && up.endsWith(">"))
       // MULTISET<e> → map<e,int> — element → multiplicity, the
       // reference's own external representation of multisets
@@ -251,7 +333,7 @@ object FlinkDdl {
     * computed expression (`flag AS price > 100`) is left alone.
     */
   private def splitTopLevel(s: String): Seq[String] = {
-    val generic = """(?is)(?:ARRAY|MAP|ROW|MULTISET)\s*$""".r
+    val generic = """(?is)(?:ARRAY|MAP|ROW|MULTISET|STRUCT)\s*$""".r
     val out = Vector.newBuilder[String]
     var depth = 0; var angle = 0; var start = 0; var inQ = false
     var i = 0
