@@ -24,6 +24,7 @@ object SparkEntry {
     operators.LogParity,
     operators.PipelineExt,
     operators.PipelineExt2,
+    operators.PipelineExt3,
     operators.CdcParity,
     operators.TpchGate
   )

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 training-data/retrieval additions: C4-style line-level
+  * cleaning, DoReMi-lite domain reweighting, BM25 hard-negative
+  * mining, and the LAION-style media quality gate — the curation
+  * stages that sit between raw crawl and the dedup/mixing core.
+  */
+object PipelineExt3 extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C4-style cleaning (Raffel et al. 2020 §2.2) on the corpus's
+    // 10-word chunk convention for "lines": blocklist rule ('dup' is
+    // this corpus's lorem-ipsum analog), stopword-heavy rule (>2 of
+    // {a, the} — boilerplate navigation), short-line rule (<5 words),
+    // then the page rule (keep only docs with ≥3 surviving chunks).
+    // Embarrassingly parallel: one scan, map-side rules, one per-doc
+    // re-aggregation — the 100 TB shape is corpus-linear with zero
+    // corpus-wide state.
+    "td41_c4_clean" -> { (s, dir) =>
+      TextOps.c4Clean(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DoReMi-lite domain reweighting (Xie et al. 2023, linearized to
+    // the repo's exact-integer contract): 3 exponentiated-gradient
+    // iterations pushing sampling weight toward domains with excess
+    // proxy loss (mean unique-token deficit), 80/20-smoothed with
+    // uniform. The corpus is scanned ONCE; every iteration runs on
+    // the |domains|-row frame with broadcast scalar totals.
+    "td42_doremi_mix" -> { (s, dir) =>
+      TextOps.doremiWeights(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source")
+        .orderBy("domain")
+    },
+
+    // BM25 hard-negative mining (Karpukhin et al. 2020 §4.2): for
+    // each query doc, the top-5 BM25 docs from a DIFFERENT source —
+    // lexically similar yet wrong-group, the negatives a dense
+    // retriever trains against. The label gate sits between the
+    // scored partials and the top-k window (te27's gate placement,
+    // lexical edition).
+    "te28_bm25_negatives" -> { (s, dir) =>
+      RetrievalOps.bm25Negatives(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", _ % 200 === 0, nTerms = 6, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // LAION-style media quality gate (Schuhmann et al. 2022): filter
+    // media by decoded dimensions and payload size — min resolution,
+    // aspect-ratio bounds (integer cross-multiplication, the Gopher
+    // rule idiom), min bytes. Dimensions derive from mm01's
+    // documented deterministic payload synthesis (w = 8 + n % 24,
+    // h = 6 + n % 18 — the stand-in for real decoded metadata; the
+    // real-codec path is mm01's). Pure map-side column math: the op
+    // is a projection, scanning 100 TB of media metadata without a
+    // single shuffle.
+    "mm12_media_filter" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n"))
+        .withColumn("width", (lit(8) + col("n") % 24).cast("int"))
+        .withColumn("height", (lit(6) + col("n") % 18).cast("int"))
+        .select(col("doc_id"), col("n").cast("int").as("n_bytes"),
+          col("width"), col("height"),
+          (col("width") * col("height") >= 200).as("r_minres"),
+          (col("width") <= col("height") * 2 &&
+            col("height") <= col("width") * 2).as("r_aspect"),
+          (col("n") >= 200).as("r_minbytes"))
+        .withColumn("keep",
+          col("r_minres") && col("r_aspect") && col("r_minbytes"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** One DoReMi iteration as a DuckDB CTE layer (unrolled; the
+    * possibly-negative excess division is offset to stay positive so
+    * DuckDB's floor `//` and Spark's trunc `DIV` agree — see
+    * TextOps.doremiWeights).
+    */
+  private def doremiIter(i: Int): String = {
+    val p = s"b${i - 1}"
+    s"""
+      t$i AS (SELECT CAST(sum(w * loss_micro) AS BIGINT) AS wl,
+                     CAST(sum(w) AS BIGINT) AS ws FROM $p),
+      u$i AS (SELECT domain, n_docs, loss_micro,
+                w * greatest(1000000 + (loss_micro - (SELECT wl // ws FROM t$i)
+                      + 5000000) // 5 - 1000000, 1) AS w1
+              FROM $p),
+      n$i AS (SELECT CAST(sum(w1) AS BIGINT) AS sw FROM u$i),
+      b$i AS (SELECT domain, n_docs, loss_micro,
+                (w1 * 1000000) // (SELECT sw FROM n$i) AS w FROM u$i)"""
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "td41_c4_clean" -> """
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS wds
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(i AS INT) AS ci,
+              wds[i*10+1 : i*10+10] AS cw
+            FROM w, LATERAL (SELECT unnest(range(0,
+              CAST(ceil(len(wds) / 10.0) AS INT))) AS i)),
+      k AS (SELECT doc_id, ci, cw,
+              list_contains(cw, 'dup') AS r_bad,
+              len(list_filter(cw, x -> x = 'a' OR x = 'the')) > 2 AS r_stopheavy,
+              len(cw) < 5 AS r_short,
+              (NOT list_contains(cw, 'dup')
+                AND len(list_filter(cw, x -> x = 'a' OR x = 'the')) <= 2
+                AND len(cw) >= 5) AS kept
+            FROM c)
+      SELECT doc_id,
+        CAST(count(1) AS INT) AS n_chunks,
+        CAST(sum(CASE WHEN r_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        CAST(sum(CASE WHEN r_stopheavy THEN 1 ELSE 0 END) AS BIGINT) AS n_stopheavy,
+        CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        coalesce(string_agg(CASE WHEN kept THEN array_to_string(cw, ' ') END,
+          ' ' ORDER BY ci), '') AS clean_text,
+        (sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3) AS keep_doc
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    "td42_doremi_mix" -> s"""
+      WITH t AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+      pd AS (SELECT doc_id, any_value(source) AS domain,
+               CAST(count(1) AS BIGINT) AS nw,
+               CAST(count(DISTINCT w) AS BIGINT) AS nu
+             FROM t GROUP BY doc_id),
+      d0 AS (SELECT domain, CAST(count(1) AS BIGINT) AS n_docs,
+               CAST(sum(1000000 - (nu * 1000000) // nw) AS BIGINT) AS sl
+             FROM pd GROUP BY domain),
+      nd AS (SELECT 1000000 // count(DISTINCT source) AS u FROM documents),
+      b0 AS (SELECT domain, n_docs, sl // n_docs AS loss_micro,
+               (SELECT u FROM nd) AS w FROM d0),
+      ${doremiIter(1)}, ${doremiIter(2)}, ${doremiIter(3)}
+      SELECT domain, n_docs, CAST(loss_micro AS BIGINT) AS loss_micro,
+        CAST((w * 4 + (SELECT u FROM nd)) // 5 AS BIGINT) AS w_micro
+      FROM b3 ORDER BY domain""",
+
+    "te28_bm25_negatives" -> """
+      WITH base AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      toks AS (SELECT doc_id, dl, unnest(w) AS term FROM base),
+      qterms AS (
+        SELECT DISTINCT query_id, qsrc, term FROM (
+          SELECT doc_id AS query_id, source AS qsrc, unnest(w[1:6]) AS term
+          FROM base WHERE doc_id % 200 = 0)),
+      termlist AS (SELECT DISTINCT term FROM qterms),
+      tf AS (
+        SELECT t.doc_id, t.term, t.dl, CAST(count(1) AS BIGINT) AS tf
+        FROM toks t JOIN termlist q USING (term)
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY 1),
+      stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) *
+               ((tf * 2.2) / (tf + 1.2 * (0.25 +
+                 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS s
+        FROM tf JOIN dft USING (term) CROSS JOIN stats),
+      perdoc AS (
+        SELECT q.query_id, q.qsrc, s.doc_id,
+               CAST(sum(CAST(floor(s.s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+        FROM qterms q JOIN scored s USING (term)
+        GROUP BY 1, 2, 3),
+      gated AS (
+        SELECT p.query_id, p.doc_id, p.score
+        FROM perdoc p JOIN base b ON b.doc_id = p.doc_id
+        WHERE b.source <> p.qsrc),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rk
+        FROM gated)
+      SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "mm12_media_filter" -> """
+      WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                        8 + octet_length(encode(text)) % 24 AS w,
+                        6 + octet_length(encode(text)) % 18 AS h
+                 FROM documents)
+      SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        (w * h >= 200) AS r_minres,
+        (w <= h * 2 AND h <= w * 2) AS r_aspect,
+        (n >= 200) AS r_minbytes,
+        (w * h >= 200 AND w <= h * 2 AND h <= w * 2 AND n >= 200) AS keep
+      FROM b ORDER BY doc_id"""
+  )
+}

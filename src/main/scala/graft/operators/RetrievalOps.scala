@@ -82,6 +82,60 @@ object RetrievalOps {
       .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
   }
 
+  /** BM25 hard-negative mining — te27's lexical sibling: for each
+    * query doc, the top-k BM25-scoring docs whose `labelCol` DIFFERS
+    * from the query's (the "similar text, wrong group" negatives a
+    * retrieval/embedding trainer mines from its own corpus; for
+    * dense-retriever training, "BM25 negatives" is the standard
+    * recipe — Karpukhin et al. 2020 §4.2). Scoring is exactly
+    * `bm25TopK`'s rational-idf floor-scaled contract; the label gate
+    * sits on the scored (query, doc) partial-aggregate frame — i.e.
+    * AFTER the broadcast term-list pruning but BEFORE the top-k
+    * window, so a query never loses negatives to same-label docs
+    * crowding the cutoff, and nothing corpus-sized is ever joined on
+    * more than (term) / (doc_id). The self-pair is excluded by the
+    * gate for free (a doc shares its own label).
+    *
+    * @return (query_id, doc_id, score, rk)
+    */
+  def bm25Negatives(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, queryPred: Column => Column,
+                    nTerms: Int, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("lbl"), TextOps.words(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+    val qterms = base.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("lbl").as("qlbl"),
+        explode(slice(col("w"), 1, nTerms)).as("term"))
+      .distinct()
+    val termList = qterms.select("term").distinct()
+    val tf = toks.join(broadcast(termList), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * ((col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))))
+    val perDoc = qterms.join(scored, Seq("term"))
+      .groupBy(col("query_id"), col("qlbl"), col("doc_id"))
+      .agg((sum(floor(col("s") * lit(1e6)).cast("long")).cast("double") / lit(1e6))
+        .as("score"))
+    // the hard-negative gate: different label only (excludes self too)
+    val gated = perDoc
+      .join(base.select(col("doc_id"), col("lbl")), Seq("doc_id"))
+      .where(col("lbl") =!= col("qlbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    gated.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+
   /** Reciprocal-rank fusion of a lexical and a vector candidate list —
     * hybrid retrieval, the standard two-tower serving pattern. Each
     * list contributes `1e9 div (60 + rank)` (Cormack's RRF with k=60,

@@ -948,4 +948,126 @@ object TextOps {
         col("r_wordcount") && col("r_meanlen") && col("r_shortfrac") &&
           col("r_stop") && col("r_maxlen"))
   }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) adapted to
+    * the chunk convention this corpus uses for "lines" (fixed
+    * `chunkWords`-word windows, the td18/td27 convention — the corpus
+    * has no newlines). Three line rules, then a page rule:
+    *   - drop a chunk containing a blocklisted token (C4's
+    *     "lorem ipsum"/bad-word list; `badWords`),
+    *   - drop a stopword-heavy chunk (> `stopMax` hits from
+    *     `stopWords` — the boilerplate-navigation analog),
+    *   - drop a chunk shorter than `minChunkWords` words (C4's
+    *     ≥-words-per-line rule; only tail chunks can hit it),
+    * and keep the page only if ≥ `minKeptChunks` chunks survive
+    * (C4's ≥-sentences-per-page rule). The cleaned text is the
+    * surviving chunks re-joined in order.
+    *
+    * Scale shape: one corpus scan, chunking via `slice` on the
+    * word array (no window function — each chunk is cut
+    * independently), per-chunk rules are map-side, and the only
+    * shuffle is the per-doc re-aggregation — corpus-linear with
+    * no corpus-wide state at all (unlike dedup, cleaning is
+    * embarrassingly parallel, and the rules run identically on a
+    * 1000-executor cluster).
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              chunkWords: Int = 10,
+              badWords: Seq[String] = Seq("dup"),
+              stopWords: Seq[String] = Seq("a", "the"),
+              stopMax: Int = 2, minChunkWords: Int = 5,
+              minKeptChunks: Int = 3): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("wds"))
+      .withColumn("nw", size(col("wds")))
+      .select(col("doc_id"), col("wds"),
+        explode(sequence(lit(0),
+          ceil(col("nw") / lit(chunkWords.toDouble)).cast("int") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        slice(col("wds"), col("ci") * chunkWords + 1, lit(chunkWords)).as("cw"))
+      .withColumn("r_bad",
+        arrays_overlap(col("cw"), array(badWords.map(lit): _*)))
+      .withColumn("r_stopheavy",
+        size(filter(col("cw"),
+          w => stopWords.map(s => w === s).reduce(_ || _))) > stopMax)
+      .withColumn("r_short", size(col("cw")) < minChunkWords)
+      .withColumn("kept",
+        !col("r_bad") && !col("r_stopheavy") && !col("r_short"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("r_bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("r_stopheavy"), 1L).otherwise(0L)).as("n_stopheavy"),
+        sum(when(col("r_short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"),
+              struct(col("ci"), array_join(col("cw"), " ").as("ch"))))),
+          x => x("ch")), " ").as("clean_text"))
+      .withColumn("keep_doc", col("n_kept") >= minKeptChunks)
+  }
+
+  /** DoReMi-lite domain reweighting (Xie et al. 2023, linearized):
+    * iterative exponentiated-gradient reweighting of per-domain
+    * sampling weights toward domains with EXCESS proxy loss, with the
+    * exp linearized to `1 + η·excess` so every step is exact integer
+    * arithmetic both engines replay digit-for-digit (the repo's
+    * no-transcendentals oracle contract; exp is monotone in the
+    * excess, and for |η·excess| ≤ 0.2 the linearization changes the
+    * weights' 6th decimal only). The proxy loss is the domain's mean
+    * unique-token deficit in micros (1e6 − nu·1e6 DIV nw, averaged) —
+    * the stand-in for the reference model's per-domain log-loss.
+    *
+    * Each iteration, on the |domains|-row frame: weighted mean loss
+    * (integer DIV), per-domain excess, multiplicative update
+    * `w ← w·max(1e6 + excess DIV etaDiv, 1) / 1e6`, re-normalized to
+    * Σw = 1e6. The final weights are smoothed 80/20 with uniform
+    * (DoReMi's regularization). Scale shape: the corpus is scanned
+    * once for the per-domain aggregate; every iteration runs on the
+    * |domains|-row frame (≤ a few hundred for any real corpus) with
+    * two-scalar broadcast totals — nothing corpus-sized is ever
+    * revisited, so the loop costs the same at 100 TB as at 100 MB.
+    *
+    * @return (domain, n_docs, loss_micro, w_micro) — w_micro sums to
+    *         ~1e6 across domains (integer-division remainders excepted)
+    */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+                    domainCol: String, iters: Int = 3,
+                    etaDiv: Int = 5): DataFrame = {
+    // All divisions are integer DIV on non-negative numerators
+    // (trunc == floor, so Spark's DIV and DuckDB's // agree); the
+    // possibly-negative excess is offset by 5e6 before its DIV so the
+    // numerator stays positive (the offset is divisible by etaDiv for
+    // every sensible etaDiv of 1e6's factors — asserted).
+    require(5000000L % etaDiv == 0, s"etaDiv $etaDiv must divide 5e6")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("nu"))
+      .select(col("doc_id"), col("domain"),
+        expr("1000000 - (nu * 1000000) DIV nw").as("d_micro"))
+    val nDomains = docs.select(col(domainCol)).distinct().count().toInt
+    var w = perDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d_micro")).as("sl"))
+      .withColumn("loss_micro", expr("sl DIV n_docs"))
+      .withColumn("w", lit(1000000L / nDomains))
+      .select(col("domain"), col("n_docs"), col("loss_micro"), col("w"))
+    for (_ <- 1 to iters) {
+      val tot = w.agg(sum(col("w") * col("loss_micro")).as("wl"),
+        sum(col("w")).as("ws"))
+      val upd = w.crossJoin(broadcast(tot))
+        .withColumn("excess", expr("loss_micro - wl DIV ws"))
+        .withColumn("mult", greatest(
+          expr(s"1000000 + (excess + 5000000) DIV $etaDiv - ${5000000L / etaDiv}"),
+          lit(1L)))
+        .withColumn("w1", col("w") * col("mult"))
+        .select(col("domain"), col("n_docs"), col("loss_micro"), col("w1"))
+      val norm = upd.agg(sum(col("w1")).as("sw"))
+      w = upd.crossJoin(broadcast(norm))
+        .select(col("domain"), col("n_docs"), col("loss_micro"),
+          expr("(w1 * 1000000) DIV sw").as("w"))
+    }
+    w.select(col("domain"), col("n_docs"), col("loss_micro"),
+      expr(s"(w * 4 + ${1000000L / nDomains}) DIV 5").as("w_micro"))
+  }
 }
