@@ -52,30 +52,11 @@ object RetrievalOps {
     val base = docs.select(col(idCol).as("doc_id"),
         TextOps.words(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
-    val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
     val qterms = base.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(slice(col("w"), 1, nTerms)).as("term"))
       .distinct()
-    val termList = qterms.select("term").distinct()
-    // prune postings before aggregating: corpus-linear, map-side gate
-    val tf = toks.join(broadcast(termList), Seq("term"))
-      .groupBy(col("doc_id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val scored = tf.join(broadcast(dft), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("s",
-        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * ((col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))))
-    val perDoc = qterms.join(scored, Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg((sum(floor(col("s") * lit(1e6)).cast("long")).cast("double") / lit(1e6))
-        .as("score"))
+    val perDoc = bm25PerDoc(base, qterms)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     perDoc.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -104,12 +85,35 @@ object RetrievalOps {
     val base = docs.select(col(idCol).as("doc_id"),
         col(labelCol).as("lbl"), TextOps.words(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
-    val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
     val qterms = base.filter(queryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"), col("lbl").as("qlbl"),
         explode(slice(col("w"), 1, nTerms)).as("term"))
       .distinct()
+    val perDoc = bm25PerDoc(base, qterms, extraKeys = Seq("qlbl"))
+    // the hard-negative gate: different label only (excludes self too)
+    val gated = perDoc
+      .join(base.select(col("doc_id"), col("lbl")), Seq("doc_id"))
+      .where(col("lbl") =!= col("qlbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    gated.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+
+  /** The shared BM25 scoring core of [[bm25TopK]] / [[bm25Negatives]] /
+    * [[rm3TopK]]: floor-scaled per-(query, doc) partial sums over the
+    * posting list pruned by the broadcast query-term list. `base` must
+    * carry (doc_id, w, dl); `qterms` carries (query_id, term) plus any
+    * `extraKeys` that should survive the final groupBy. The corpus is
+    * scanned once and never reshuffled on anything wider than
+    * (doc_id, term) for surviving terms; df is corpus-global per term
+    * (the pruned posting list keeps every posting of a listed term).
+    */
+  private def bm25PerDoc(base: DataFrame, qterms: DataFrame,
+                         extraKeys: Seq[String] = Nil): DataFrame = {
+    val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
     val termList = qterms.select("term").distinct()
+    // prune postings before aggregating: corpus-linear, map-side gate
     val tf = toks.join(broadcast(termList), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -122,17 +126,57 @@ object RetrievalOps {
           ((col("tf") * lit(2.2)) /
             (col("tf") + lit(1.2) * (lit(0.25) +
               lit(0.75) * ((col("dl") * col("n_docs")).cast("double") / col("sum_dl"))))))
-    val perDoc = qterms.join(scored, Seq("term"))
-      .groupBy(col("query_id"), col("qlbl"), col("doc_id"))
+    val keys = (Seq("query_id") ++ extraKeys :+ "doc_id").map(col)
+    qterms.join(scored, Seq("term"))
+      .groupBy(keys: _*)
       .agg((sum(floor(col("s") * lit(1e6)).cast("long")).cast("double") / lit(1e6))
         .as("score"))
-    // the hard-negative gate: different label only (excludes self too)
-    val gated = perDoc
-      .join(base.select(col("doc_id"), col("lbl")), Seq("doc_id"))
-      .where(col("lbl") =!= col("qlbl"))
-    val w = Window.partitionBy(col("query_id"))
+  }
+
+  /** RM3-style pseudo-relevance-feedback query expansion (Lavrenko &
+    * Croft relevance models, the Anserini/Galago default, reduced to
+    * the repo's exact-arithmetic contract): retrieve `fbDocs` feedback
+    * docs with the original terms, mine the `fbTerms` most frequent
+    * NEW terms from them (total term frequency across the feedback
+    * set, ties by term — the linearized stand-in for RM3's
+    * probability-weighted expansion), re-score with the expanded term
+    * set, return the final top-k.
+    *
+    * Scale shape: two passes of the [[bm25PerDoc]] machinery — each
+    * corpus-linear behind a broadcast term-list gate — plus one
+    * broadcast semi-join of the (tiny) feedback list against the token
+    * index for expansion mining. Queries stay few by construction;
+    * nothing corpus-sized ever shuffles on more than (doc_id, term).
+    *
+    * @return (query_id, doc_id, score, rk) — score from the EXPANDED
+    *         term set
+    */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+              queryPred: Column => Column, nTerms: Int, fbDocs: Int,
+              fbTerms: Int, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.words(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val q0 = base.filter(queryPred(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("w"), 1, nTerms)).as("term"))
+      .distinct()
+    val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    gated.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    val fb = bm25PerDoc(base, q0)
+      .withColumn("rk", row_number().over(wRank)).where(col("rk") <= fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val toks = base.select(col("doc_id"), explode(col("w")).as("term"))
+    val fbTok = toks.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tfsum"))
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("tfsum").desc, col("term"))
+    val expTerms = fbTok.join(q0, Seq("query_id", "term"), "left_anti")
+      .withColumn("erk", row_number().over(wExp)).where(col("erk") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    val q1 = q0.unionByName(expTerms).distinct()
+    bm25PerDoc(base, q1)
+      .withColumn("rk", row_number().over(wRank)).where(col("rk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
   }
 

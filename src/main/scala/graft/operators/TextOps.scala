@@ -1070,4 +1070,88 @@ object TextOps {
     w.select(col("domain"), col("n_docs"), col("loss_micro"),
       expr(s"(w * 4 + ${1000000L / nDomains}) DIV 5").as("w_micro"))
   }
+
+  /** Epoch sampling plan — the step that turns [[doremiWeights]]'
+    * mixture weights into a CONCRETE doc selection for one training
+    * epoch: the token budget (`Σtokens DIV budgetDiv`, scale-free) is
+    * split across domains by weight, and within each domain docs are
+    * taken in deterministic md5-of-id order (reproducible
+    * pseudo-random, the td13 gate idiom) until the domain's token
+    * target is crossed (the boundary doc is included — greedy fill,
+    * so a non-empty target always selects ≥1 doc).
+    *
+    * Scale shape: the corpus is scanned once for (domain, doc, token)
+    * rows; the weight loop is [[doremiWeights]]' |domains|-row
+    * iteration; the selection is ONE running-sum window per domain
+    * partition. At 100 TB the per-domain sort inside that window is
+    * the dominant cost — the sort-free refinement is td28's
+    * stratifiedQuota histogram boundary-pick applied to token mass
+    * instead of doc count (same contract, no whole-domain sort);
+    * kept as the window form here because the oracle replays it
+    * row-for-row.
+    *
+    * @return (domain, w_micro, target_tok, n_sel, tok_sel) per domain
+    */
+  def epochPlan(docs: DataFrame, idCol: String, textCol: String,
+                domainCol: String, budgetDiv: Int = 4,
+                iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = doremiWeights(docs, idCol, textCol, domainCol, iters)
+      .select(col("domain"), col("w_micro"))
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        col(domainCol).as("domain"),
+        size(words(col(textCol))).cast("long").as("nt"))
+    val budget = docTok.agg((sum(col("nt")) / lit(budgetDiv)).cast("long")
+      .as("budget"))
+    val targets = weights.crossJoin(broadcast(budget))
+      .select(col("domain"), col("w_micro"),
+        expr("(budget * w_micro) DIV 1000000").as("target_tok"))
+    val ordered = docTok.withColumn("cum_before",
+      sum(col("nt")).over(Window.partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))) - col("nt"))
+    val sel = ordered.join(broadcast(targets), Seq("domain"))
+      .where(col("cum_before") < col("target_tok"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("nt")).as("tok_sel"))
+    targets.join(sel, Seq("domain"), "left")
+      .select(col("domain"), col("w_micro"), col("target_tok"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("tok_sel"), lit(0L)).as("tok_sel"))
+  }
+
+  /** Edit-distance verification of near-duplicate pairs — the final
+    * refinement stage after LSH mining: character-level Levenshtein
+    * similarity over the VERIFIED near-dup pair set (shingle Jaccard
+    * catches reordered boilerplate that char edit distance scores
+    * low, so production fuzzy dedup re-verifies with the stricter
+    * metric before destructive removal). Runs Spark's codegen'd
+    * `levenshtein` only on pairs the Jaccard gate already passed —
+    * O(|pairs| · len²), never corpus-quadratic; the pair set is the
+    * hot-salted banded LSH join's output.
+    *
+    * sim_micro = ((len_max − dist) · 1e6) DIV len_max — exact integer
+    * normalized similarity; `edit_dup` gates at `simThresholdMicro`.
+    *
+    * @param pairs (id_a, id_b, jaccard) verified pairs (e.g.
+    *              [[minhashLshPairsIdx]] output)
+    * @return (id_a, id_b, jaccard, dist, len_max, sim_micro, edit_dup)
+    */
+  def editVerifiedPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String,
+                        simThresholdMicro: Long = 800000L): DataFrame = {
+    val txt = docs.select(col(idCol).as("__id"),
+      lower(col(textCol)).as("__t"))
+    pairs
+      .join(txt.select(col("__id").as("id_a"), col("__t").as("t_a")), Seq("id_a"))
+      .join(txt.select(col("__id").as("id_b"), col("__t").as("t_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("len_max",
+        greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .withColumn("sim_micro",
+        expr("((len_max - dist) * 1000000) DIV len_max"))
+      .withColumn("edit_dup", col("sim_micro") >= simThresholdMicro)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("dist"),
+        col("len_max"), col("sim_micro"), col("edit_dup"))
+  }
 }
