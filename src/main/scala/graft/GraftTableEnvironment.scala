@@ -52,6 +52,13 @@ class GraftTableEnvironment private (val spark: SparkSession,
   // insertion-ordered name → used flag; 'core' carries the engine's
   // gap-function library
   private val modules = mutable.LinkedHashMap("core" -> true)
+  // database properties + comment (SqlCreateDatabase WITH/COMMENT,
+  // SqlAlterDatabase merges; DESCRIBE DATABASE reads)
+  private val dbProps = mutable.Map[(String, String), Map[String, String]]()
+  private val dbComments = mutable.Map[(String, String), String]()
+  // session resource jars (SqlAddJar/SqlShowJars/SqlRemoveJar;
+  // reference ResourceManager tracks URLs the SQL client registered)
+  private val jars = mutable.LinkedHashSet[String]()
 
   // All metadata maps are keyed by LOWER-CASED table name: Spark
   // resolves temp-view names case-insensitively, so `INSERT INTO
@@ -148,6 +155,13 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // SET/RESET, ALTER TABLE RENAME/ADD PARTITION/DROP PARTITION).
     catalogStatement(trimmed).foreach(df => return df)
 
+    // Schema evolution + ALTER VIEW/DATABASE/FUNCTION + JAR resources +
+    // DESCRIBE CATALOG/DATABASE (day-2 DDL: SqlAddReplaceColumns,
+    // SqlChangeColumn, SqlAlterTableReset, SqlAlterTableAddConstraint,
+    // SqlAlterViewAs/Rename, SqlAlterDatabase, SqlAlterFunction,
+    // SqlAddJar/SqlShowJars/SqlRemoveJar, SqlDescribeCatalog/Database).
+    alterStatement(trimmed).foreach(df => return df)
+
     // SHOW CREATE TABLE (dql/SqlShowCreateTable.java:34): replay the
     // ORIGINAL DDL text from the catalog snapshot (post-ALTER text if
     // the table's options were altered).
@@ -191,15 +205,23 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // built-ins) and the statement registers an alias in the session's
     // FunctionRegistry — documented deviation (MIGRATION.md).
     val createFnRe =
-      "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s+AS\\s+'([^']+)'\\s*;?$".r
+      ("(?is)^CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+        "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s+AS\\s+'([^']+)'" +
+        "(?:\\s+LANGUAGE\\s+(?:JAVA|SCALA))?(?:\\s+USING\\s+JAR\\s+'([^']+)')?\\s*;?$").r
     val dropFnRe =
       "(?is)^DROP\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*;?$".r
     trimmed match {
-      case createFnRe(ifNotExists, name, target) =>
+      case createFnRe(ifNotExists, name, target, jar) =>
         val reg = spark.sessionState.functionRegistry
         import org.apache.spark.sql.catalyst.FunctionIdentifier
         if (reg.functionExists(FunctionIdentifier(name))) {
           require(ifNotExists != null, s"function $name already exists")
+          return okResult()
+        }
+        if (jar != null) {
+          // USING JAR: dynamic classloading path (SqlCreateFunction's
+          // resource list) — the class must implement UDF0..UDF3
+          registerJarFunction(name, target, jar)
           return okResult()
         }
         val builder = reg.lookupFunctionBuilder(FunctionIdentifier(target))
@@ -450,9 +472,25 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val child = FlinkDdl.parse(
       s"CREATE TABLE ${like.name} " +
         (if (like.middle.startsWith("(")) like.middle else s"() ${like.middle}"))
+    // a child column of ANY kind must not collide with a base column of
+    // a DIFFERENT kind (same-kind collisions are handled per-feature by
+    // mergeNamed's INCLUDING/OVERWRITING strategies below; physical
+    // columns have no merge strategy, so any physical collision errors)
+    val baseNames = Map(
+      "physical" -> base.columns.map(_._1).toSet,
+      "generated" -> base.computed.map(_._1).toSet,
+      "metadata" -> base.metadataCols.map(_.name).toSet)
+    def checkCollision(n: String, childKind: String, sameKindOk: Boolean): Unit =
+      baseNames.foreach { case (kind, names) =>
+        require(!names.contains(n) || (sameKindOk && kind == childKind),
+          s"column $n already exists in base table ${like.base} " +
+            s"(as a $kind column)") }
     child.columns.foreach { case (n, _) =>
-      require(!base.columns.exists(_._1 == n),
-        s"column $n already exists in base table ${like.base}") }
+      checkCollision(n, "physical", sameKindOk = false) }
+    child.computed.foreach { case (n, _) =>
+      checkCollision(n, "generated", sameKindOk = true) }
+    child.metadataCols.foreach { m =>
+      checkCollision(m.name, "metadata", sameKindOk = true) }
     def mergeNamed[T](b: Seq[T], c: Seq[T], nameOf: T => String, s: String,
                       what: String, kw: String): Seq[T] = s match {
       case "EXCLUDING" => c
@@ -687,7 +725,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
       "(?is)^CREATE\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*(?:WITH\\s*\\(([^)]*)\\))?\\s*;?$".r
     val useCatRe = "(?is)^USE\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*;?$".r
     val createDbRe =
-      "(?is)^CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*(?:COMMENT\\s+'[^']*')?\\s*(?:WITH\\s*\\([^)]*\\))?\\s*;?$".r
+      "(?is)^CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*(?:COMMENT\\s+'([^']*)')?\\s*(?:WITH\\s*\\(([^)]*)\\))?\\s*;?$".r
     val dropDbRe =
       "(?is)^DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*(CASCADE|RESTRICT)?\\s*;?$".r
     val useModulesRe = "(?is)^USE\\s+MODULES\\s+(.+?)\\s*;?$".r
@@ -727,11 +765,18 @@ class GraftTableEnvironment private (val spark: SparkSession,
         Some(catalogs.toSeq.sorted.toDF("catalog name"))
       case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+CATALOG\\s*;?$") =>
         Some(Seq(currentCat).toDF("current catalog name"))
-      case createDbRe(ifNotExists, name) =>
+      case createDbRe(ifNotExists, name, comment, props) =>
         val (c, d) = resolveDb(name)
         require(catalogs.contains(c), s"catalog not found: $c")
-        require(databases.add((c, d)) || ifNotExists != null,
-          s"database $c.$d already exists")
+        val added = databases.add((c, d))
+        require(added || ifNotExists != null, s"database $c.$d already exists")
+        if (added) {
+          Option(comment).foreach(dbComments((c, d)) = _)
+          Option(props).foreach { p =>
+            dbProps((c, d)) = "'([^']*)'\\s*=\\s*'([^']*)'".r
+              .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toMap
+          }
+        }
         Some(okResult())
       case dropDbRe(ifExists, name, mode) =>
         val (c, d) = resolveDb(name)
@@ -756,6 +801,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
           }
         }
         databases.remove((c, d))
+        dbProps.remove((c, d)); dbComments.remove((c, d))
         Some(okResult())
       case _ if t.matches("(?is)^SHOW\\s+DATABASES\\s*;?$") =>
         Some(databases.collect { case (c, d) if c == currentCat => d }
@@ -763,7 +809,12 @@ class GraftTableEnvironment private (val spark: SparkSession,
       case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+DATABASE\\s*;?$") =>
         Some(Seq(currentDb).toDF("current database name"))
       case _ if t.matches("(?is)^SHOW\\s+VIEWS\\s*;?$") =>
-        Some(viewNames.toSeq.toDF("view name"))
+        // scoped like SHOW TABLES: only the current catalog.database's
+        // views (reference SqlShowViews lists the current database)
+        Some(viewNames.toSeq.filter { v =>
+          tableNamespace.getOrElse(v,
+            ("default_catalog", "default_database")) == (currentCat, currentDb)
+        }.toDF("view name"))
       case loadModRe(name) =>
         require(name == "core",
           s"could not find a module factory for '$name' " +
@@ -841,7 +892,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
           require(spark.catalog.dropTempView(a), s"table not found: $a")
           createTemporaryView(b, df, wm, pk.getOrElse(Nil))
           ns.foreach(tableNamespace(norm(b)) = _)
-          if (viewNames.remove(a)) viewNames.add(b)
+          if (viewNames.remove(norm(a))) viewNames.add(norm(b))
         }
         Some(okResult())
       case addPartRe(tbl, ifNotExists, spec) =>
@@ -865,6 +916,373 @@ class GraftTableEnvironment private (val spark: SparkSession,
         require(stmt.partitionedBy.nonEmpty, s"table $tbl is not partitioned")
         Some(listPartitions(stmt).toDF("partition name"))
       case _ => None
+    }
+  }
+
+  /** Day-2 DDL — schema evolution and object alteration (reference
+    * flink-sql-parser: ddl/SqlAddReplaceColumns.java:44,
+    * ddl/SqlChangeColumn.java:42, ddl/SqlAlterTableReset.java:33,
+    * ddl/SqlAlterTableAddConstraint.java:31,
+    * ddl/SqlAlterTableDropConstraint.java, ddl/SqlAlterViewAs.java:33,
+    * ddl/SqlAlterViewRename.java:31, ddl/SqlAlterDatabase.java:37,
+    * ddl/SqlAlterFunction.java:38, ddl/SqlAddJar.java:31,
+    * dql/SqlShowJars.java:29, ddl/SqlRemoveJar.java,
+    * dql/SqlDescribeCatalog.java:35, dql/SqlDescribeDatabase.java).
+    * Returns None when `t` is none of these (the caller falls through).
+    */
+  private def alterStatement(t: String): Option[DataFrame] = {
+    import spark.implicits._
+    import graft.sql.FlinkDdl
+    val addColsRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+ADD\\s+COLUMNS\\s*\\((.*)\\)\\s*;?$".r
+    val replaceColsRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+REPLACE\\s+COLUMNS\\s*\\((.*)\\)\\s*;?$".r
+    val changeColRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+CHANGE\\s+(?:COLUMN\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+(.+?)\\s*;?$".r
+    val resetRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+RESET\\s*\\(([^)]*)\\)\\s*;?$".r
+    val addConstraintRe =
+      ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+" +
+        "PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*(NOT\\s+ENFORCED)?\\s*;?$").r
+    val dropConstraintRe =
+      "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+DROP\\s+(?:CONSTRAINT\\s+\\w+|PRIMARY\\s+KEY)\\s*;?$".r
+    val alterViewRenameRe =
+      "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+RENAME\\s+TO\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+    val alterViewAsRe =
+      "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
+    val alterDbRe =
+      "(?is)^ALTER\\s+DATABASE\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\(([^)]*)\\)\\s*;?$".r
+    val alterFnRe =
+      ("(?is)^ALTER\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+(IF\\s+EXISTS\\s+)?" +
+        "([A-Za-z_]\\w*)\\s+AS\\s+'([^']+)'\\s*;?$").r
+    val addJarRe = "(?is)^ADD\\s+JAR\\s+'([^']+)'\\s*;?$".r
+    val removeJarRe = "(?is)^REMOVE\\s+JAR\\s+'([^']+)'\\s*;?$".r
+    val descCatRe = "(?is)^DESC(?:RIBE)?\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*;?$".r
+    val descDbRe =
+      "(?is)^DESC(?:RIBE)?\\s+DATABASE\\s+(?:EXTENDED\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
+    val optKvRe = "'([^']*)'\\s*=\\s*'([^']*)'".r
+
+    def ddlOf(tbl: String, what: String): FlinkDdl.CreateTableStmt =
+      ddlStmts.getOrElse(norm(tbl), throw new IllegalArgumentException(
+        s"$what covers DDL-defined tables; $tbl is not one"))
+    def commitAlter(tbl: String, altered: FlinkDdl.CreateTableStmt): Unit = {
+      registerFromStmt(altered)
+      ddlStmts(norm(tbl)) = altered
+      ddlLog(norm(tbl)) = FlinkDdl.render(altered)
+    }
+    def allNames(s: FlinkDdl.CreateTableStmt): Set[String] =
+      (s.columns.map(_._1) ++ s.computed.map(_._1) ++
+        s.metadataCols.map(_.name)).toSet
+
+    t match {
+      // —— ALTER TABLE t ADD COLUMNS (col defs): append physical,
+      // computed, or metadata columns; optionally a PRIMARY KEY if the
+      // table has none. Files written before the evolution null-fill
+      // the new columns on read (pinSchema → declared-schema bind;
+      // Spark's by-name parquet resolution does the heavy lifting). ——
+      case addColsRe(tbl, defs) =>
+        require(defs.trim.nonEmpty, "ADD COLUMNS requires at least one column")
+        val stmt = ddlOf(tbl, "ALTER TABLE ADD COLUMNS")
+        require(stmt.options.getOrElse("format", "parquet") != "avro" ||
+          !stmt.options.get("connector").contains("filesystem"),
+          "ADD COLUMNS is not supported on avro tables (the graft-avro " +
+            "reader scans container schemas, no user-schema slot)")
+        val add = FlinkDdl.parse(s"CREATE TABLE __alter__ ($defs)")
+        require(add.watermark.isEmpty,
+          "ADD COLUMNS cannot add a watermark (no ALTER slot in the reference either)")
+        val existing = allNames(stmt)
+        (add.columns.map(_._1) ++ add.computed.map(_._1) ++
+          add.metadataCols.map(_.name)).foreach(n =>
+          require(!existing.contains(n), s"column $n already exists in $tbl"))
+        require(add.primaryKey.isEmpty || stmt.primaryKey.isEmpty,
+          s"table $tbl already has a primary key")
+        val altered = stmt.copy(
+          columns = stmt.columns ++ add.columns,
+          computed = stmt.computed ++ add.computed,
+          metadataCols = stmt.metadataCols ++ add.metadataCols,
+          primaryKey =
+            if (add.primaryKey.nonEmpty) add.primaryKey else stmt.primaryKey,
+          declaredOrder = stmt.declaredOrder ++ add.declaredOrder,
+          pinSchema = stmt.pinSchema || add.columns.nonEmpty)
+        commitAlter(tbl, altered)
+        Some(okResult())
+
+      // —— ALTER TABLE t REPLACE COLUMNS (col defs): the physical
+      // column list is replaced wholesale (hive-dialect
+      // SqlAddReplaceColumns semantics). Retained columns must keep
+      // their type — data on disk was written with the old one, and a
+      // silently-coerced read is worse than an error. ——
+      case replaceColsRe(tbl, defs) =>
+        require(defs.trim.nonEmpty, "REPLACE COLUMNS requires at least one column")
+        val stmt = ddlOf(tbl, "ALTER TABLE REPLACE COLUMNS")
+        require(stmt.options.getOrElse("format", "parquet") != "avro" ||
+          !stmt.options.get("connector").contains("filesystem"),
+          "REPLACE COLUMNS is not supported on avro tables")
+        val rep = FlinkDdl.parse(s"CREATE TABLE __alter__ ($defs)")
+        require(rep.computed.isEmpty && rep.metadataCols.isEmpty &&
+          rep.primaryKey.isEmpty && rep.watermark.isEmpty,
+          "REPLACE COLUMNS takes physical columns only")
+        val oldTypes = stmt.columns.toMap
+        rep.columns.foreach { case (n, ty) =>
+          oldTypes.get(n).foreach(old => require(old == ty,
+            s"REPLACE COLUMNS cannot change the type of $n ($old -> $ty): " +
+              s"data on disk was written as $old")) }
+        stmt.partitionedBy.foreach(p => require(rep.columns.exists(_._1 == p),
+          s"REPLACE COLUMNS must keep partition column $p"))
+        stmt.primaryKey.foreach(c => require(rep.columns.exists(_._1 == c),
+          s"REPLACE COLUMNS must keep primary key column $c (DROP PRIMARY KEY first)"))
+        stmt.watermark.foreach { case (c, _) =>
+          require(rep.columns.exists(_._1 == c),
+            s"REPLACE COLUMNS must keep watermark column $c") }
+        (stmt.computed.map(_._1) ++ stmt.metadataCols.map(_.name)).foreach(n =>
+          require(!rep.columns.exists(_._1 == n),
+            s"column $n already exists in $tbl (as a computed/metadata column)"))
+        val altered = stmt.copy(columns = rep.columns,
+          declaredOrder = rep.declaredOrder ++ stmt.metadataCols.map(_.name),
+          pinSchema = true)
+        commitAlter(tbl, altered)
+        Some(okResult())
+
+      // —— ALTER TABLE t CHANGE [COLUMN] old new TYPE: rename a
+      // physical column. The type must stay (changed types rejected
+      // loudly — same rationale as REPLACE). Parquet has no field-ids
+      // here, so a metadata-only rename would orphan the stored
+      // column; filesystem data is REWRITTEN under the new name (the
+      // cost hive pays for the same statement — at warehouse scale
+      // this is a full table rewrite, do it knowingly). ——
+      case changeColRe(tbl, oldN, newN, typeText)
+          if !typeText.trim.startsWith("(") =>
+        val stmt = ddlOf(tbl, "ALTER TABLE CHANGE COLUMN")
+        require(!"(?is)\\b(FIRST|AFTER)\\b".r.findFirstIn(typeText).isDefined,
+          "CHANGE COLUMN FIRST/AFTER repositioning is not supported")
+        val parsed = FlinkDdl.parse(s"CREATE TABLE __alter__ (c $typeText)")
+        val ty = parsed.columns.head._2
+        val idx = stmt.columns.indexWhere(_._1 == oldN)
+        require(idx >= 0, s"column $oldN not found in $tbl")
+        require(stmt.columns(idx)._2 == ty,
+          s"CHANGE COLUMN cannot change the type of $oldN " +
+            s"(${stmt.columns(idx)._2} -> $ty): data on disk was written as " +
+            s"${stmt.columns(idx)._2}")
+        if (newN != oldN) {
+          require(!allNames(stmt).contains(newN),
+            s"column $newN already exists in $tbl")
+          stmt.computed.foreach { case (n, e) =>
+            require(s"(?i)\\b$oldN\\b".r.findFirstIn(e).isEmpty,
+              s"cannot rename $oldN: computed column $n references it") }
+          if (stmt.options.get("connector").contains("filesystem")) {
+            val root = new org.apache.hadoop.fs.Path(stmt.options("path"))
+            val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(root)) {
+              // rewrite physical data under the new column name; eager
+              // checkpoint so the overwrite doesn't read its own target
+              val phys = from(tbl)
+                .select(stmt.columns.map(c => org.apache.spark.sql.functions.col(c._1)): _*)
+                .withColumnRenamed(oldN, newN).localCheckpoint(true)
+              val fmt = stmt.options.getOrElse("format", "parquet")
+              require(fmt != "avro",
+                "CHANGE COLUMN is not supported on avro tables")
+              val newParts = stmt.partitionedBy.map(p => if (p == oldN) newN else p)
+              var w = phys.write.format(fmt).mode("overwrite")
+              if (newParts.nonEmpty) w = w.partitionBy(newParts: _*)
+              if (fmt == "csv") w = w.option("header",
+                stmt.options.getOrElse("csv.include-header", "false"))
+              w.save(stmt.options("path"))
+            }
+          }
+        }
+        val altered = stmt.copy(
+          columns = stmt.columns.updated(idx, (newN, ty)),
+          primaryKey = stmt.primaryKey.map(c => if (c == oldN) newN else c),
+          partitionedBy = stmt.partitionedBy.map(p => if (p == oldN) newN else p),
+          watermark = stmt.watermark.map { case (c, d) =>
+            (if (c == oldN) newN else c, d) },
+          declaredOrder = stmt.declaredOrder.map(n => if (n == oldN) newN else n))
+        if (stmt.primaryKey.contains(oldN)) primaryKeys.remove(norm(tbl))
+        if (stmt.watermark.exists(_._1 == oldN)) watermarkDecl.remove(norm(tbl))
+        commitAlter(tbl, altered)
+        Some(okResult())
+
+      // —— ALTER TABLE t RESET ('k' [, …]): remove table options,
+      // falling back to connector defaults (SqlAlterTableReset — the
+      // reference likewise forbids resetting 'connector'). ——
+      case resetRe(tbl, keys) =>
+        val stmt = ddlOf(tbl, "ALTER TABLE RESET")
+        val ks = keys.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty).toSeq
+        require(ks.nonEmpty, "ALTER TABLE RESET requires at least one key")
+        ks.foreach(k => require(!k.equalsIgnoreCase("connector"),
+          "ALTER TABLE RESET cannot reset 'connector' " +
+            "(reference SqlAlterTableReset validation)"))
+        val altered = stmt.copy(options = stmt.options -- ks.map(_.toLowerCase))
+        commitAlter(tbl, altered)
+        Some(okResult())
+
+      // —— ALTER TABLE t ADD CONSTRAINT nm PRIMARY KEY (…) NOT ENFORCED ——
+      case addConstraintRe(tbl, _, cols, notEnforced) =>
+        require(notEnforced != null,
+          "primary key constraints must be NOT ENFORCED " +
+            "(the reference rejects ENFORCED mode)")
+        val stmt = ddlOf(tbl, "ALTER TABLE ADD CONSTRAINT")
+        require(stmt.primaryKey.isEmpty, s"table $tbl already has a primary key")
+        val pk = cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        pk.foreach(c => require(stmt.columns.exists(_._1 == c),
+          s"primary key column $c is not a physical column of $tbl"))
+        commitAlter(tbl, stmt.copy(primaryKey = pk))
+        Some(okResult())
+
+      // —— ALTER TABLE t DROP CONSTRAINT nm | DROP PRIMARY KEY ——
+      case dropConstraintRe(tbl) =>
+        val stmt = ddlOf(tbl, "ALTER TABLE DROP CONSTRAINT")
+        require(stmt.primaryKey.nonEmpty, s"table $tbl has no primary key")
+        primaryKeys.remove(norm(tbl))
+        commitAlter(tbl, stmt.copy(primaryKey = Nil))
+        Some(okResult())
+
+      // —— ALTER VIEW v RENAME TO v2 (SqlAlterViewRename) ——
+      case alterViewRenameRe(a, b) =>
+        require(viewNames.contains(norm(a)),
+          s"ALTER VIEW covers views created via CREATE VIEW; $a is not one")
+        require(!spark.catalog.tableExists(b), s"table $b already exists")
+        val df = from(a)
+        spark.catalog.dropTempView(a)
+        val ns = tableNamespace.remove(norm(a))
+        createTemporaryView(b, df)
+        ns.foreach(tableNamespace(norm(b)) = _)
+        viewNames.remove(norm(a)); viewNames.add(norm(b))
+        Some(okResult())
+
+      // —— ALTER VIEW v AS query (SqlAlterViewAs): re-bind in place;
+      // the body goes through the façade like CREATE VIEW's does ——
+      case alterViewAsRe(name, body) =>
+        require(viewNames.contains(norm(name)),
+          s"ALTER VIEW covers views created via CREATE VIEW; $name is not one")
+        createTemporaryView(name, executeSql(body))
+        Some(okResult())
+
+      // —— ALTER DATABASE db SET ('k'='v', …) (SqlAlterDatabase) ——
+      case alterDbRe(name, opts) =>
+        val (c, d) = resolveDb(name)
+        require(databases.contains((c, d)), s"database not found: $c.$d")
+        val kvs = optKvRe.findAllMatchIn(opts)
+          .map(m => (m.group(1), m.group(2))).toMap
+        require(kvs.nonEmpty, s"no properties in ALTER DATABASE SET: $opts")
+        dbProps((c, d)) = dbProps.getOrElse((c, d), Map.empty) ++ kvs
+        Some(okResult())
+
+      // —— ALTER FUNCTION f AS 'target' (SqlAlterFunction): re-bind the
+      // alias to a different registered implementation ——
+      case alterFnRe(ifExists, name, target) =>
+        val reg = spark.sessionState.functionRegistry
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        if (!reg.functionExists(FunctionIdentifier(name))) {
+          require(ifExists != null, s"function not found: $name")
+          return Some(okResult())
+        }
+        val builder = reg.lookupFunctionBuilder(FunctionIdentifier(target))
+          .getOrElse(throw new IllegalArgumentException(
+            s"ALTER FUNCTION target '$target' is not a registered function"))
+        reg.dropFunction(FunctionIdentifier(name))
+        reg.registerFunction(FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.sql.FunctionAlias", name),
+          builder)
+        Some(okResult())
+
+      // —— ADD JAR / SHOW JARS / REMOVE JAR (SqlAddJar, SqlShowJars,
+      // SqlRemoveJar — how SQL-client users load UDF jars). ADD routes
+      // to Spark's native ADD JAR (session classloader + executor
+      // shipping); REMOVE untracks it — the JVM cannot unload classes
+      // already loaded, same session-lifetime caveat as the reference's
+      // client-side REMOVE JAR. ——
+      case addJarRe(p) =>
+        addJar(p)
+        Some(okResult())
+      case removeJarRe(p) =>
+        require(jars.remove(p), s"jar is not registered: $p")
+        Some(okResult())
+      case _ if t.matches("(?is)^SHOW\\s+JARS\\s*;?$") =>
+        Some(jars.toSeq.toDF("jars"))
+
+      // —— DESCRIBE CATALOG / DESCRIBE DATABASE (SqlDescribeCatalog,
+      // SqlDescribeDatabase) ——
+      case descCatRe(name) =>
+        require(catalogs.contains(name), s"catalog not found: $name")
+        Some(Seq(("name", name), ("type", "generic_in_memory"),
+          ("comment", "")).toDF("info name", "info value"))
+      case descDbRe(name) =>
+        val (c, d) = resolveDb(name)
+        require(databases.contains((c, d)), s"database not found: $c.$d")
+        val props = dbProps.getOrElse((c, d), Map.empty).toSeq.sortBy(_._1)
+          .map { case (k, v) => (s"property.$k", v) }
+        Some((Seq(("name", d), ("catalog", c),
+          ("comment", dbComments.getOrElse((c, d), ""))) ++ props)
+          .toDF("info name", "info value"))
+
+      case _ => None
+    }
+  }
+
+  /** Register a resource jar: tracked for SHOW/REMOVE JAR and added to
+    * the Spark session (driver session classloader + shipped to
+    * executors at task launch).
+    */
+  private def addJar(p: String): Unit = {
+    require(new java.io.File(p).exists, s"jar not found: $p")
+    if (jars.add(p)) spark.sql(s"ADD JAR '$p'")
+  }
+
+  /** `CREATE FUNCTION f AS 'cls' USING JAR 'p'` — the dynamic
+    * classloading path (reference SqlCreateFunction carries a resource
+    * list; FunctionCatalog loads the class from it). The class must
+    * implement `org.apache.spark.sql.api.java.UDF0..UDF3`; the return
+    * DataType is reflected off the interface's generic signature, the
+    * same move the reference's UDF type-extraction stack makes
+    * (no declared return type in the statement there either).
+    */
+  private def registerJarFunction(name: String, className: String,
+                                  jarPath: String): Unit = {
+    addJar(jarPath)
+    val loader = new java.net.URLClassLoader(
+      Array(new java.io.File(jarPath).toURI.toURL),
+      Thread.currentThread.getContextClassLoader)
+    val clazz = loader.loadClass(className)
+    val inst = clazz.getDeclaredConstructor().newInstance()
+    val iface = clazz.getGenericInterfaces.toSeq.collectFirst {
+      case p: java.lang.reflect.ParameterizedType
+          if p.getRawType.isInstanceOf[Class[_]] &&
+            p.getRawType.asInstanceOf[Class[_]].getName
+              .startsWith("org.apache.spark.sql.api.java.UDF") => p
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$className does not implement org.apache.spark.sql.api.java.UDF0..UDF3"))
+    val retCls = iface.getActualTypeArguments.last match {
+      case c: Class[_] => c
+      case other => throw new IllegalArgumentException(
+        s"cannot infer the return type of $className from $other")
+    }
+    import org.apache.spark.sql.types._
+    val ret: DataType = retCls.getName match {
+      case "java.lang.Long"    => LongType
+      case "java.lang.Integer" => IntegerType
+      case "java.lang.Double"  => DoubleType
+      case "java.lang.Boolean" => BooleanType
+      case "java.lang.String"  => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported UDF return type $other " +
+          "(supported: Long, Integer, Double, Boolean, String)")
+    }
+    import org.apache.spark.sql.api.java._
+    inst match {
+      case f: UDF0[_] =>
+        spark.udf.register(name, f.asInstanceOf[UDF0[Any]], ret)
+      case f: UDF1[_, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF1[Any, Any]], ret)
+      case f: UDF2[_, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF2[Any, Any, Any]], ret)
+      case f: UDF3[_, _, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF3[Any, Any, Any, Any]], ret)
+      case _ => throw new IllegalArgumentException(
+        s"$className must implement UDF0..UDF3")
     }
   }
 
@@ -992,7 +1410,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
             reader.schema(schema)
               .option("header", stmt.options.getOrElse("csv.include-header", "false"))
               .load(path)
-          else if (stmt.partitionedBy.nonEmpty) reader.schema(schema).load(path)
+          else if (stmt.partitionedBy.nonEmpty || stmt.pinSchema)
+            reader.schema(schema).load(path)
           else reader.load(path)
         } catch {
           case e: org.apache.spark.sql.AnalysisException

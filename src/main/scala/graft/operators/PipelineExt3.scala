@@ -50,6 +50,20 @@ object PipelineExt3 extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft 2001,
+    // the Anserini/Galago default): BM25 pass with the original terms,
+    // mine the 3 most frequent NEW terms from each query's top-5
+    // feedback docs, re-score with the expanded set, final top-5.
+    // Scale shape: two corpus-linear BM25 passes behind broadcast
+    // term-list gates + one broadcast semi-join for expansion mining
+    // (see RetrievalOps.rm3TopK's scale anatomy).
+    "te29_rm3_expansion" -> { (s, dir) =>
+      RetrievalOps.rm3TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", _ % 200 === 0, nTerms = 6, fbDocs = 5,
+          fbTerms = 3, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
     // LAION-style media quality gate (Schuhmann et al. 2022): filter
     // media by decoded dimensions and payload size — min resolution,
     // aspect-ratio bounds (integer cross-multiplication, the Gopher
@@ -95,7 +109,69 @@ object PipelineExt3 extends QueryModule {
                 (w1 * 1000000) // (SELECT sw FROM n$i) AS w FROM u$i)"""
   }
 
+  /** One BM25 scoring pass as DuckDB CTE layers over the shared
+    * `base`/`toks`/`stats` frames, parameterized by the query-terms
+    * CTE — the exact arithmetic of RetrievalOps.bm25PerDoc (floored
+    * micro-integer sums so both engines agree to the digit).
+    */
+  private def bm25Pass(i: Int, qt: String): String = s"""
+      tf$i AS (
+        SELECT t.doc_id, t.term, t.dl, CAST(count(1) AS BIGINT) AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM $qt) q USING (term)
+        GROUP BY 1, 2, 3),
+      dft$i AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf$i GROUP BY 1),
+      scored$i AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) *
+               ((tf * 2.2) / (tf + 1.2 * (0.25 +
+                 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))) AS s
+        FROM tf$i tf JOIN dft$i USING (term) CROSS JOIN stats),
+      perdoc$i AS (
+        SELECT q.query_id, s.doc_id,
+               CAST(sum(CAST(floor(s.s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+        FROM $qt q JOIN scored$i s USING (term)
+        GROUP BY 1, 2)"""
+
   override def oracleSql: Map[String, String] = Map(
+
+    "te29_rm3_expansion" -> s"""
+      WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      toks AS (SELECT doc_id, dl, unnest(w) AS term FROM base),
+      stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      q0 AS (SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(w[1:6]) AS term
+          FROM base WHERE doc_id % 200 = 0)),
+      ${bm25Pass(0, "q0")},
+      fb AS (SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rk
+          FROM perdoc0) WHERE rk <= 5),
+      fbtok AS (
+        SELECT f.query_id, t.term, CAST(count(1) AS BIGINT) AS tfsum
+        FROM toks t JOIN fb f USING (doc_id) GROUP BY 1, 2),
+      expt AS (SELECT query_id, term FROM (
+          SELECT f.query_id, f.term,
+                 row_number() OVER (PARTITION BY f.query_id
+                   ORDER BY f.tfsum DESC, f.term) AS erk
+          FROM fbtok f
+          WHERE NOT EXISTS (SELECT 1 FROM q0
+            WHERE q0.query_id = f.query_id AND q0.term = f.term))
+        WHERE erk <= 3),
+      q1 AS (SELECT DISTINCT query_id, term FROM (
+          SELECT query_id, term FROM q0
+          UNION ALL SELECT query_id, term FROM expt)),
+      ${bm25Pass(1, "q1")}
+      SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rk
+        FROM perdoc1) WHERE rk <= 5
+      ORDER BY query_id, rk""",
 
     "td41_c4_clean" -> """
       WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS wds

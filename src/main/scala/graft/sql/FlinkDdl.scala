@@ -39,7 +39,12 @@ object FlinkDdl {
       metadataCols: Seq[MetadataCol] = Nil,
       // physical + metadata column names in DECLARED order — the view's
       // column order (computed columns still append at the end)
-      declaredOrder: Seq[String] = Nil)
+      declaredOrder: Seq[String] = Nil,
+      // set once the schema EVOLVED past the files on disk (ALTER TABLE
+      // ADD/REPLACE COLUMNS): self-describing formats then bind with
+      // the DECLARED schema so files written before the evolution
+      // null-fill the new columns (Spark's by-name parquet resolution)
+      pinSchema: Boolean = false)
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(""".r
@@ -88,10 +93,26 @@ object FlinkDdl {
     LikeRe.findFirstMatchIn(sql).filter { m =>
       sql.substring(0, m.start(4)).count(_ == '\'') % 2 == 0
     }.map { m =>
+      val optRe =
+        """(?is)^(INCLUDING|EXCLUDING|OVERWRITING)\s+(ALL|OPTIONS|CONSTRAINTS|GENERATED|METADATA|PARTITIONS|WATERMARKS)\b[\s,]*""".r
       val opts = Option(m.group(5)).toSeq.flatMap { txt =>
-        """(?i)(INCLUDING|EXCLUDING|OVERWRITING)\s+(ALL|OPTIONS|CONSTRAINTS|GENERATED|METADATA|PARTITIONS|WATERMARKS)""".r
-          .findAllMatchIn(txt)
-          .map(o => (o.group(1).toUpperCase, o.group(2).toUpperCase)).toSeq
+        // the option list must consume the WHOLE parenthesized text —
+        // a typo (`INCLUDNG OPTIONS`) must error, not silently fall
+        // back to the INCLUDING ALL default (reference parser rejects)
+        val acc = Vector.newBuilder[(String, String)]
+        var rest = txt.trim
+        while (rest.nonEmpty) {
+          optRe.findFirstMatchIn(rest) match {
+            case Some(o) =>
+              acc += ((o.group(1).toUpperCase, o.group(2).toUpperCase))
+              rest = rest.substring(o.end)
+            case None => throw new IllegalArgumentException(
+              s"cannot parse LIKE option at '${rest.take(40)}' (expected " +
+                "INCLUDING|EXCLUDING|OVERWRITING ALL|OPTIONS|CONSTRAINTS|" +
+                "GENERATED|METADATA|PARTITIONS|WATERMARKS)")
+          }
+        }
+        acc.result()
       }
       LikeStmt(m.group(2), m.group(1) != null, m.group(3).trim,
         m.group(4), opts)
@@ -113,9 +134,9 @@ object FlinkDdl {
       declared.map { n =>
         metaMap.get(n) match {
           case Some(m) =>
-            s"$n ${m.sparkType} METADATA FROM '${m.key}'" +
+            s"$n ${renderType(m.sparkType)} METADATA FROM '${m.key}'" +
               (if (m.virtual) " VIRTUAL" else "")
-          case None => s"$n ${colMap(n)}"
+          case None => s"$n ${renderType(colMap(n))}"
         }
       } ++
       stmt.computed.map { case (n, e) => s"$n AS $e" } ++
@@ -137,6 +158,36 @@ object FlinkDdl {
           .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
       else ""
     s"CREATE TABLE ${stmt.name} (${items.mkString(", ")})$part$opts"
+  }
+
+  /** Stored Spark type → the Flink spelling for rendered snapshots.
+    * Spark `timestamp` is the instant type (Flink TIMESTAMP_LTZ) while
+    * bare Flink TIMESTAMP is without-time-zone, which [[sparkType]]
+    * maps to `timestamp_ntz` — rendering the stored Spark name
+    * verbatim would silently drift a TIMESTAMP_LTZ column to ntz on
+    * re-parse (SHOW CREATE TABLE replay, compiled-plan round-trip).
+    * Recurses into array/map/struct so a nested `array<timestamp>`
+    * element gets the same protection.
+    */
+  private def renderType(sparkT: String): String = {
+    val t = sparkT.trim
+    val low = t.toLowerCase
+    if (low == "timestamp") "TIMESTAMP_LTZ(3)"
+    else if (low == "timestamp_ntz") "TIMESTAMP(3)"
+    else if (low.startsWith("array<") && low.endsWith(">"))
+      s"array<${renderType(t.substring(6, t.length - 1))}>"
+    else if (low.startsWith("map<") && low.endsWith(">")) {
+      val parts = splitTopLevel(t.substring(4, t.length - 1))
+      require(parts.length == 2, s"cannot parse map type: $t")
+      s"map<${renderType(parts(0))},${renderType(parts(1))}>"
+    } else if (low.startsWith("struct<") && low.endsWith(">")) {
+      val fields = splitTopLevel(t.substring(7, t.length - 1)).map(_.trim).map { f =>
+        val i = f.indexOf(':')
+        require(i > 0, s"cannot parse struct field (expected name:type): $f")
+        s"${f.substring(0, i).trim}:${renderType(f.substring(i + 1))}"
+      }
+      s"struct<${fields.mkString(",")}>"
+    } else t
   }
 
   def parseDrop(sql: String): (String, Boolean) = {
