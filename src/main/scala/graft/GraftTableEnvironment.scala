@@ -44,6 +44,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
   // views created via CREATE VIEW (SHOW VIEWS lists exactly these —
   // the reference distinguishes views from tables in the catalog)
   private val viewNames = mutable.SortedSet[String]()
+  // view definition text (the AS body) + per-view options (reference
+  // CatalogView carries an options map; SqlAlterViewProperties merges
+  // into it) — together they back SHOW CREATE VIEW reflection
+  private val viewDdl = mutable.Map[String, String]()
+  private val viewProps = mutable.Map[String, Map[String, String]]()
   // SET/RESET session config (SqlSet.java; TableConfig) + the Spark
   // conf originals RESET restores
   private val sessionConfig = mutable.LinkedHashMap[String, String]()
@@ -166,12 +171,31 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // ORIGINAL DDL text from the catalog snapshot (post-ALTER text if
     // the table's options were altered).
     val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
+    val showCreateViewRe =
+      "(?is)^SHOW\\s+CREATE\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
     trimmed match {
       case showCreateRe(tbl) =>
         import spark.implicits._
         val ddl = ddlLog.getOrElse(norm(tbl), throw new IllegalArgumentException(
           s"SHOW CREATE TABLE covers DDL-defined tables; $tbl is not one"))
         return Seq(ddl).toDF("result")
+      // SHOW CREATE VIEW (dql/SqlShowCreateView.java): rebuild the
+      // snapshot from the stored body + options map. Options render as
+      // a WITH clause (CatalogView options have no slot in the
+      // reference's CREATE VIEW grammar; rendering them keeps the
+      // snapshot self-contained — executeSql re-accepts the clause).
+      case showCreateViewRe(v) =>
+        import spark.implicits._
+        require(viewNames.contains(norm(v)),
+          s"SHOW CREATE VIEW covers views created via CREATE VIEW; $v is not one")
+        val body = viewDdl.getOrElse(norm(v), throw new IllegalArgumentException(
+          s"no stored definition for view $v (created programmatically)"))
+        val props = viewProps.getOrElse(norm(v), Map.empty)
+        val withClause =
+          if (props.isEmpty) ""
+          else " WITH (" + props.toSeq.sortBy(_._1)
+            .map { case (k, x) => s"'$k' = '$x'" }.mkString(", ") + ")"
+        return Seq(s"CREATE VIEW $v$withClause AS $body").toDF("result")
       case _ =>
     }
 
@@ -297,12 +321,16 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // through the façade — so Flink-dialect group windows, temporal
     // joins, and MATCH_RECOGNIZE work inside a view definition, which
     // plain Spark SQL pass-through would reject.
+    // An optional `WITH ('k'='v', …)` before AS carries view options
+    // (reference CatalogView options — populated there via catalog
+    // APIs or ALTER VIEW SET; accepted in the CREATE here so the
+    // SHOW CREATE VIEW snapshot below round-trips through executeSql).
     val createViewRe =
-      "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
+      "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s*(WITH\\s*\\([^)]*\\))?\\s+AS\\s+(.+)$".r
     val dropViewRe =
       "(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
     trimmed match {
-      case createViewRe(orReplace, name, body) =>
+      case createViewRe(orReplace, name, withClause, body) =>
         // Plain CREATE VIEW fails when the name exists (the reference's
         // SqlCreateView "view already exists" contract); only OR
         // REPLACE replaces.
@@ -310,6 +338,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
           s"view $name already exists (use CREATE OR REPLACE VIEW)")
         createTemporaryView(name, executeSql(body))
         viewNames.add(norm(name))
+        viewDdl(norm(name)) = body.trim.stripSuffix(";").trim
+        viewProps(norm(name)) = Option(withClause).map { w =>
+          "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(w)
+            .map(m => (m.group(1), m.group(2))).toMap
+        }.getOrElse(Map.empty)
         return okResult()
       case dropViewRe(ifExists, name) =>
         // A DDL-defined connector TABLE is backed by a temp view too,
@@ -320,6 +353,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
         val dropped = spark.catalog.dropTempView(name)
         require(dropped || ifExists != null, s"view not found: $name")
         viewNames.remove(norm(name)); tableNamespace.remove(norm(name))
+        viewDdl.remove(norm(name)); viewProps.remove(norm(name))
         return okResult()
       case _ =>
     }
@@ -547,7 +581,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val order = (base.declaredOrder ++ child.declaredOrder)
       .filter(n => physSet.contains(n) || metaSet.contains(n)).distinct
     val stmt = FlinkDdl.CreateTableStmt(like.name, like.ifNotExists, columns,
-      computed, pk, wm, options, parts, metadataCols, order)
+      computed, pk, wm, options, parts, metadataCols, order,
+      flinkTypes = base.flinkTypes ++ child.flinkTypes)
     if (stmt.ifNotExists && spark.catalog.tableExists(stmt.name)) return okResult()
     registerFromStmt(stmt)
     ddlStmts(norm(stmt.name)) = stmt
@@ -798,6 +833,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
             watermarkDecl.remove(tbl); primaryKeys.remove(tbl)
             ddlLog.remove(tbl); ddlStmts.remove(tbl)
             tableNamespace.remove(tbl); viewNames.remove(tbl)
+            viewDdl.remove(tbl); viewProps.remove(tbl)
           }
         }
         databases.remove((c, d))
@@ -892,7 +928,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
           require(spark.catalog.dropTempView(a), s"table not found: $a")
           createTemporaryView(b, df, wm, pk.getOrElse(Nil))
           ns.foreach(tableNamespace(norm(b)) = _)
-          if (viewNames.remove(norm(a))) viewNames.add(norm(b))
+          if (viewNames.remove(norm(a))) {
+            viewNames.add(norm(b))
+            viewDdl.remove(norm(a)).foreach(viewDdl(norm(b)) = _)
+            viewProps.remove(norm(a)).foreach(viewProps(norm(b)) = _)
+          }
         }
         Some(okResult())
       case addPartRe(tbl, ifNotExists, spec) =>
@@ -950,6 +990,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
       "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+RENAME\\s+TO\\s+([A-Za-z_][\\w.]*)\\s*;?$".r
     val alterViewAsRe =
       "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
+    val alterViewSetRe =
+      "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\(([^)]*)\\)\\s*;?$".r
     val alterDbRe =
       "(?is)^ALTER\\s+DATABASE\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\(([^)]*)\\)\\s*;?$".r
     val alterFnRe =
@@ -959,7 +1001,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val removeJarRe = "(?is)^REMOVE\\s+JAR\\s+'([^']+)'\\s*;?$".r
     val descCatRe = "(?is)^DESC(?:RIBE)?\\s+CATALOG\\s+([A-Za-z_]\\w*)\\s*;?$".r
     val descDbRe =
-      "(?is)^DESC(?:RIBE)?\\s+DATABASE\\s+(?:EXTENDED\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
+      "(?is)^DESC(?:RIBE)?\\s+DATABASE\\s+(EXTENDED\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
     val optKvRe = "'([^']*)'\\s*=\\s*'([^']*)'".r
 
     def ddlOf(tbl: String, what: String): FlinkDdl.CreateTableStmt =
@@ -1003,7 +1045,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
           primaryKey =
             if (add.primaryKey.nonEmpty) add.primaryKey else stmt.primaryKey,
           declaredOrder = stmt.declaredOrder ++ add.declaredOrder,
-          pinSchema = stmt.pinSchema || add.columns.nonEmpty)
+          pinSchema = stmt.pinSchema || add.columns.nonEmpty,
+          flinkTypes = stmt.flinkTypes ++ add.flinkTypes)
         commitAlter(tbl, altered)
         Some(okResult())
 
@@ -1037,9 +1080,25 @@ class GraftTableEnvironment private (val spark: SparkSession,
         (stmt.computed.map(_._1) ++ stmt.metadataCols.map(_.name)).foreach(n =>
           require(!rep.columns.exists(_._1 == n),
             s"column $n already exists in $tbl (as a computed/metadata column)"))
+        // CSV binds POSITIONALLY under an explicit schema (enforceSchema
+        // ignores header names), so dropping or reordering a middle
+        // column would make pre-evolution files silently misbind — old
+        // values shift into the wrong column. Only append-only changes
+        // (old list as an exact prefix; new trailing columns null-fill)
+        // are safe without the full rewrite CHANGE COLUMN pays.
+        if (stmt.options.getOrElse("format", "parquet") == "csv" &&
+            stmt.options.get("connector").contains("filesystem"))
+          require(rep.columns.take(stmt.columns.length) == stmt.columns,
+            s"REPLACE COLUMNS on csv table $tbl must keep the existing " +
+              "columns as an exact prefix (csv files bind positionally; " +
+              "dropping/reordering would silently misbind old files) — " +
+              "only appending trailing columns is supported")
+        val metaNames = stmt.metadataCols.map(_.name).toSet
         val altered = stmt.copy(columns = rep.columns,
           declaredOrder = rep.declaredOrder ++ stmt.metadataCols.map(_.name),
-          pinSchema = true)
+          pinSchema = true,
+          flinkTypes = stmt.flinkTypes.filter(kv => metaNames(kv._1)) ++
+            rep.flinkTypes)
         commitAlter(tbl, altered)
         Some(okResult())
 
@@ -1073,20 +1132,37 @@ class GraftTableEnvironment private (val spark: SparkSession,
             val root = new org.apache.hadoop.fs.Path(stmt.options("path"))
             val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(root)) {
-              // rewrite physical data under the new column name; eager
-              // checkpoint so the overwrite doesn't read its own target
-              val phys = from(tbl)
-                .select(stmt.columns.map(c => org.apache.spark.sql.functions.col(c._1)): _*)
-                .withColumnRenamed(oldN, newN).localCheckpoint(true)
               val fmt = stmt.options.getOrElse("format", "parquet")
               require(fmt != "avro",
                 "CHANGE COLUMN is not supported on avro tables")
+              // STAGE-AND-SWAP rewrite: write the renamed data to a
+              // temp SIBLING directory, then swap via filesystem rename
+              // and delete the old data only after the write succeeded.
+              // (The previous shape — eager localCheckpoint + overwrite
+              // onto the table's own path — pinned the whole table in
+              // cluster memory and left it truncated if the write died
+              // mid-flight; staging needs no cache and is crash-safe:
+              // a failure before the swap leaves the original intact.)
+              val stage = new org.apache.hadoop.fs.Path(
+                root.getParent, root.getName + "__graft_stage")
+              if (fs.exists(stage)) fs.delete(stage, true)
+              val phys = from(tbl)
+                .select(stmt.columns.map(c => org.apache.spark.sql.functions.col(c._1)): _*)
+                .withColumnRenamed(oldN, newN)
               val newParts = stmt.partitionedBy.map(p => if (p == oldN) newN else p)
               var w = phys.write.format(fmt).mode("overwrite")
               if (newParts.nonEmpty) w = w.partitionBy(newParts: _*)
               if (fmt == "csv") w = w.option("header",
                 stmt.options.getOrElse("csv.include-header", "false"))
-              w.save(stmt.options("path"))
+              try {
+                w.save(stage.toString)
+                val old = new org.apache.hadoop.fs.Path(
+                  root.getParent, root.getName + "__graft_old")
+                if (fs.exists(old)) fs.delete(old, true)
+                require(fs.rename(root, old), s"cannot stage-out $root")
+                require(fs.rename(stage, root), s"cannot swap $stage into $root")
+                fs.delete(old, true)
+              } finally if (fs.exists(stage)) fs.delete(stage, true)
             }
           }
         }
@@ -1096,7 +1172,12 @@ class GraftTableEnvironment private (val spark: SparkSession,
           partitionedBy = stmt.partitionedBy.map(p => if (p == oldN) newN else p),
           watermark = stmt.watermark.map { case (c, d) =>
             (if (c == oldN) newN else c, d) },
-          declaredOrder = stmt.declaredOrder.map(n => if (n == oldN) newN else n))
+          declaredOrder = stmt.declaredOrder.map(n => if (n == oldN) newN else n),
+          // the redeclared spelling wins (a precision change is legal —
+          // same Spark type); otherwise carry the old one under the key
+          flinkTypes = (stmt.flinkTypes - oldN) ++
+            parsed.flinkTypes.get("c").orElse(stmt.flinkTypes.get(oldN))
+              .map(newN -> _))
         if (stmt.primaryKey.contains(oldN)) primaryKeys.remove(norm(tbl))
         if (stmt.watermark.exists(_._1 == oldN)) watermarkDecl.remove(norm(tbl))
         commitAlter(tbl, altered)
@@ -1150,6 +1231,22 @@ class GraftTableEnvironment private (val spark: SparkSession,
         createTemporaryView(b, df)
         ns.foreach(tableNamespace(norm(b)) = _)
         viewNames.remove(norm(a)); viewNames.add(norm(b))
+        viewDdl.remove(norm(a)).foreach(viewDdl(norm(b)) = _)
+        viewProps.remove(norm(a)).foreach(viewProps(norm(b)) = _)
+        Some(okResult())
+
+      // —— ALTER VIEW v SET ('k'='v', …) (SqlAlterViewProperties,
+      // flink-sql-parser .../ddl/SqlAlterViewProperties.java:33): merge
+      // into the view's options map (reference CatalogView.getOptions);
+      // SHOW CREATE VIEW reflects the merged set. ——
+      case alterViewSetRe(name, opts) =>
+        require(viewNames.contains(norm(name)),
+          s"ALTER VIEW covers views created via CREATE VIEW; $name is not one")
+        val kvs = optKvRe.findAllMatchIn(opts)
+          .map(m => (m.group(1), m.group(2))).toMap
+        require(kvs.nonEmpty, s"no properties in ALTER VIEW SET: $opts")
+        viewProps(norm(name)) =
+          viewProps.getOrElse(norm(name), Map.empty) ++ kvs
         Some(okResult())
 
       // —— ALTER VIEW v AS query (SqlAlterViewAs): re-bind in place;
@@ -1158,6 +1255,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
         require(viewNames.contains(norm(name)),
           s"ALTER VIEW covers views created via CREATE VIEW; $name is not one")
         createTemporaryView(name, executeSql(body))
+        viewDdl(norm(name)) = body.trim.stripSuffix(";").trim
         Some(okResult())
 
       // —— ALTER DATABASE db SET ('k'='v', …) (SqlAlterDatabase) ——
@@ -1210,11 +1308,15 @@ class GraftTableEnvironment private (val spark: SparkSession,
         require(catalogs.contains(name), s"catalog not found: $name")
         Some(Seq(("name", name), ("type", "generic_in_memory"),
           ("comment", "")).toDF("info name", "info value"))
-      case descDbRe(name) =>
+      case descDbRe(extended, name) =>
         val (c, d) = resolveDb(name)
         require(databases.contains((c, d)), s"database not found: $c.$d")
-        val props = dbProps.getOrElse((c, d), Map.empty).toSeq.sortBy(_._1)
-          .map { case (k, v) => (s"property.$k", v) }
+        // properties sit behind EXTENDED (reference SqlDescribeDatabase
+        // isExtended — the plain form shows name/catalog/comment only)
+        val props =
+          if (extended == null) Nil
+          else dbProps.getOrElse((c, d), Map.empty).toSeq.sortBy(_._1)
+            .map { case (k, v) => (s"property.$k", v) }
         Some((Seq(("name", d), ("catalog", c),
           ("comment", dbComments.getOrElse((c, d), ""))) ++ props)
           .toDF("info name", "info value"))
@@ -1248,12 +1350,20 @@ class GraftTableEnvironment private (val spark: SparkSession,
       Thread.currentThread.getContextClassLoader)
     val clazz = loader.loadClass(className)
     val inst = clazz.getDeclaredConstructor().newInstance()
-    val iface = clazz.getGenericInterfaces.toSeq.collectFirst {
-      case p: java.lang.reflect.ParameterizedType
-          if p.getRawType.isInstanceOf[Class[_]] &&
-            p.getRawType.asInstanceOf[Class[_]].getName
-              .startsWith("org.apache.spark.sql.api.java.UDF") => p
-    }.getOrElse(throw new IllegalArgumentException(
+    // Walk the WHOLE hierarchy (superclass chain + each level's
+    // interfaces): a UDF that inherits UDF1..UDF3 through an abstract
+    // base class declares the parameterized interface on the base, not
+    // on itself, so inspecting only clazz.getGenericInterfaces would
+    // reject it even though the runtime match below accepts it.
+    def udfIface(c: Class[_]): Option[java.lang.reflect.ParameterizedType] =
+      if (c == null) None
+      else c.getGenericInterfaces.toSeq.collectFirst {
+        case p: java.lang.reflect.ParameterizedType
+            if p.getRawType.isInstanceOf[Class[_]] &&
+              p.getRawType.asInstanceOf[Class[_]].getName
+                .startsWith("org.apache.spark.sql.api.java.UDF") => p
+      }.orElse(udfIface(c.getSuperclass))
+    val iface = udfIface(clazz).getOrElse(throw new IllegalArgumentException(
       s"$className does not implement org.apache.spark.sql.api.java.UDF0..UDF3"))
     val retCls = iface.getActualTypeArguments.last match {
       case c: Class[_] => c

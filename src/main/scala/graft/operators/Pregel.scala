@@ -281,14 +281,22 @@ object Pregel {
     // distance) — they lose the `better` test downstream, costing
     // frontier×degree² candidate rows, bounded here by the
     // degree-capped benchmark graph; correctness is untouched since
-    // BF relaxation is monotone. Reach after ⌈r/2⌉ fused rounds =
-    // r plain supersteps, so the fixed-budget oracle replays exactly.
-    deltaIterate(init, init.where(col("n") === source), (rounds + 1) / 2,
+    // BF relaxation is monotone. An ODD budget runs (rounds-1)/2 fused
+    // rounds plus one PLAIN final relaxation (the step closure counts
+    // its driver-sequential invocations), so total relaxations = rounds
+    // exactly and a fixed-budget oracle replays either parity.
+    val scheduled = (rounds + 1) / 2
+    var invocation = 0
+    deltaIterate(init, init.where(col("n") === source), scheduled,
         parts, probeEvery = 3)(
       step = ws => {
+        invocation += 1
         val h1 = relax(ws)
-        val h2 = relax(h1.select(col("n"), col("cand").as("attr")))
-        h1.unionByName(h2).groupBy(col("n")).agg(min(col("cand")).as("cand"))
+        if (rounds % 2 == 1 && invocation == scheduled) h1
+        else {
+          val h2 = relax(h1.select(col("n"), col("cand").as("attr")))
+          h1.unionByName(h2).groupBy(col("n")).agg(min(col("cand")).as("cand"))
+        }
       },
       better = (cand, attr) => cand < attr)
   }

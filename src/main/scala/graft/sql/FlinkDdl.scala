@@ -44,7 +44,14 @@ object FlinkDdl {
       // ADD/REPLACE COLUMNS): self-describing formats then bind with
       // the DECLARED schema so files written before the evolution
       // null-fill the new columns (Spark's by-name parquet resolution)
-      pinSchema: Boolean = false)
+      pinSchema: Boolean = false,
+      // column name → canonical declared Flink type, captured at parse
+      // for spellings Spark's type can't carry (timestamp PRECISION:
+      // Spark has exactly one timestamp width, so TIMESTAMP_LTZ(9)
+      // stores as `timestamp` and a render from the Spark type alone
+      // would drift to the (3) default on SHOW CREATE TABLE / RENAME /
+      // LIKE round-trips). render() replays these verbatim.
+      flinkTypes: Map[String, String] = Map.empty)
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(""".r
@@ -130,13 +137,19 @@ object FlinkDdl {
       else stmt.columns.map(_._1)
     val colMap = stmt.columns.toMap
     val metaMap = stmt.metadataCols.map(m => (m.name, m)).toMap
+    // a column's DECLARED spelling (explicit timestamp precision) wins
+    // over the Spark-type re-render, which can only produce the (3)
+    // default — keeps SHOW CREATE TABLE / RENAME / LIKE round-trips
+    // from silently rewriting TIMESTAMP_LTZ(9) to TIMESTAMP_LTZ(3)
+    def typeOf(n: String, sparkT: String): String =
+      stmt.flinkTypes.getOrElse(n, renderType(sparkT))
     val items =
       declared.map { n =>
         metaMap.get(n) match {
           case Some(m) =>
-            s"$n ${renderType(m.sparkType)} METADATA FROM '${m.key}'" +
+            s"$n ${typeOf(n, m.sparkType)} METADATA FROM '${m.key}'" +
               (if (m.virtual) " VIRTUAL" else "")
-          case None => s"$n ${renderType(colMap(n))}"
+          case None => s"$n ${typeOf(n, colMap(n))}"
         }
       } ++
       stmt.computed.map { case (n, e) => s"$n AS $e" } ++
@@ -209,6 +222,9 @@ object FlinkDdl {
     var order = Vector.empty[String]
     var pk = Seq.empty[String]
     var wm: Option[(String, String)] = None
+    var declared = Map.empty[String, String]
+    def noteDeclared(n: String, t: String): Unit =
+      canonicalTimestamp(t).foreach(c => declared += (n -> c))
     splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach {
       case PkRe(cols) =>
         pk = cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
@@ -223,10 +239,11 @@ object FlinkDdl {
           case MetadataRe(n, t, key, virt) =>
             metadata :+= MetadataCol(n, sparkType(stripColTail(t)),
               Option(key).getOrElse(n), virt != null)
-            order :+= n
+            order :+= n; noteDeclared(n, stripColTail(t))
           case ComputedRe(n, e) => computed :+= ((n, e.trim))
           case ColRe(n, t)      =>
             columns :+= ((n, sparkType(stripColTail(t)))); order :+= n
+            noteDeclared(n, stripColTail(t))
           case other =>
             throw new IllegalArgumentException(s"cannot parse column definition: $other")
         }
@@ -263,7 +280,26 @@ object FlinkDdl {
     partitionedBy.foreach(p => require(physNames.contains(p),
       s"PARTITIONED BY column $p is not a physical column of $name"))
     CreateTableStmt(name, header.group(1) != null, columns, computed, pk, wm,
-      options, partitionedBy, metadata, order)
+      options, partitionedBy, metadata, order, flinkTypes = declared)
+  }
+
+  /** Canonical Flink spelling for a declared timestamp type with an
+    * EXPLICIT precision (the only type whose declared form the Spark
+    * type cannot reproduce — Spark has one timestamp width). Returns
+    * None for every other type and for precision-less timestamps,
+    * which keep render()'s (3) default.
+    */
+  private def canonicalTimestamp(t: String): Option[String] = {
+    val up = t.trim.toUpperCase.replaceAll("\\s+", " ")
+    val ltzRe = "^TIMESTAMP_LTZ\\((\\d+)\\)$".r
+    val withLtzRe = "^TIMESTAMP\\((\\d+)\\) WITH LOCAL TIME ZONE$".r
+    val ntzRe = "^TIMESTAMP\\((\\d+)\\)$".r
+    up match {
+      case ltzRe(p)     => Some(s"TIMESTAMP_LTZ($p)")
+      case withLtzRe(p) => Some(s"TIMESTAMP_LTZ($p)")
+      case ntzRe(p)     => Some(s"TIMESTAMP($p)")
+      case _            => None
+    }
   }
 
   /** Rewrite a CREATE TABLE's WITH clause to carry `newOptions`

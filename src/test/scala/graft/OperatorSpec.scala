@@ -114,6 +114,28 @@ class OperatorSpec extends AnyFunSuite {
       9L -> Pregel.Unreached))
   }
 
+  test("delta-iteration SSSP: an ODD round budget relaxes exactly `rounds` hops") {
+    // a 5-node path: node k is reachable only after k supersteps, so a
+    // budget of 3 must reach node 3 but NOT node 4 — the fused 2-hop
+    // rounds must not overshoot an odd budget (the final round runs a
+    // single plain relaxation)
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 4L).toDF("n")
+    def reach(rounds: Int): Map[Long, Long] =
+      Pregel.ssspDelta(nodes, edges, source = 0L, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    val r3 = reach(3)
+    assert(r3(3L) == 3L, "3 rounds must reach node 3")
+    assert(r3(4L) == Pregel.Unreached,
+      "an odd budget of 3 must NOT reach the 4th hop (no overshoot)")
+    val r1 = reach(1)
+    assert(r1(1L) == 1L && r1(2L) == Pregel.Unreached)
+    // even budgets keep the fused behavior
+    val r4 = reach(4)
+    assert(r4(4L) == 4L)
+  }
+
   test("delta iteration's batched convergence probe changes cost, never the result") {
     val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
     val edges = (und ++ und.map(e => (e._2, e._1, e._3)))

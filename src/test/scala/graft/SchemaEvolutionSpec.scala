@@ -131,9 +131,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val (_, env) = freshEnv()
     env.executeSql("CREATE DATABASE dd COMMENT 'docs db' WITH ('owner' = 'me')")
     env.executeSql("ALTER DATABASE dd SET ('retention' = '30d')")
-    val info = env.executeSql("DESCRIBE DATABASE dd").collect()
+    // plain form: name/catalog/comment only; properties need EXTENDED
+    val plain = env.executeSql("DESCRIBE DATABASE dd").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
-    assert(info("name") == "dd" && info("comment") == "docs db")
+    assert(plain("name") == "dd" && plain("comment") == "docs db")
+    assert(!plain.keys.exists(_.startsWith("property.")))
+    val info = env.executeSql("DESCRIBE DATABASE EXTENDED dd").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
     assert(info("property.owner") == "me" && info("property.retention") == "30d")
     assertThrows[IllegalArgumentException](
       env.executeSql("ALTER DATABASE nope SET ('a' = 'b')"))
@@ -183,6 +187,106 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // child computed column colliding with a base PHYSICAL column
     assertThrows[IllegalArgumentException](env.executeSql(
       "CREATE TABLE l3 (v AS id + 1) LIKE lb"))
+  }
+
+  test("ALTER VIEW SET merges options; SHOW CREATE VIEW round-trips") {
+    val (_, env) = freshEnv()
+    env.executeSql("CREATE TABLE vp_t (a INT) WITH ('connector' = 'values')")
+    env.executeSql("CREATE VIEW vp_v AS SELECT a FROM vp_t")
+    env.executeSql("ALTER VIEW vp_v SET ('owner' = 'me')")
+    env.executeSql("ALTER VIEW vp_v SET ('ttl' = '7d', 'owner' = 'you')")
+    val show = env.executeSql("SHOW CREATE VIEW vp_v").collect()(0).getString(0)
+    assert(show.contains("'owner' = 'you'") && show.contains("'ttl' = '7d'"))
+    assert(show.contains("AS SELECT a FROM vp_t"))
+    // the snapshot re-executes (WITH clause accepted by CREATE VIEW)
+    env.executeSql("DROP VIEW vp_v")
+    env.executeSql(show)
+    val show2 = env.executeSql("SHOW CREATE VIEW vp_v").collect()(0).getString(0)
+    assert(show2 == show)
+    // options survive RENAME; ALTER VIEW AS keeps them but re-binds the body
+    env.executeSql("ALTER VIEW vp_v RENAME TO vp_w")
+    val show3 = env.executeSql("SHOW CREATE VIEW vp_w").collect()(0).getString(0)
+    assert(show3.contains("'owner' = 'you'"))
+    env.executeSql("ALTER VIEW vp_w AS SELECT a + 1 AS b FROM vp_t")
+    val show4 = env.executeSql("SHOW CREATE VIEW vp_w").collect()(0).getString(0)
+    assert(show4.contains("a + 1") && show4.contains("'ttl' = '7d'"))
+    // not a view / empty SET rejected
+    assertThrows[IllegalArgumentException](
+      env.executeSql("ALTER VIEW vp_t SET ('a' = 'b')"))
+    assertThrows[IllegalArgumentException](
+      env.executeSql("ALTER VIEW vp_w SET ()"))
+  }
+
+  test("REPLACE COLUMNS on csv: append-only (positional binding guard)") {
+    val (_, env) = freshEnv()
+    val dir = tmp("graft-repcsv")
+    env.executeSql(s"""
+      CREATE TABLE rcsv (k INT, mid STRING, v DOUBLE)
+      WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'csv')""")
+    env.executeSql("INSERT INTO rcsv VALUES (1, 'a', 1.5)")
+    // dropping the middle column would misbind old files → rejected
+    val e = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE rcsv REPLACE COLUMNS (k INT, v DOUBLE)"))
+    assert(e.getMessage.contains("positionally"))
+    // reordering likewise
+    assertThrows[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE rcsv REPLACE COLUMNS (mid STRING, k INT, v DOUBLE)"))
+    // appending a trailing column is the safe evolution: old rows null-fill
+    env.executeSql(
+      "ALTER TABLE rcsv REPLACE COLUMNS (k INT, mid STRING, v DOUBLE, tag STRING)")
+    val r = env.from("rcsv").orderBy("k").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getDouble(2), x.isNullAt(3)))
+      .toSeq == Seq((1, "a", 1.5, true)))
+  }
+
+  test("CHANGE COLUMN on a partitioned table: stage-and-swap keeps data + layout") {
+    val (_, env) = freshEnv()
+    val dir = tmp("graft-chgpart")
+    env.executeSql(s"""
+      CREATE TABLE cp (k INT, v STRING, region STRING)
+      PARTITIONED BY (region)
+      WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    env.executeSql(
+      "INSERT INTO cp VALUES (1, 'a', 'eu'), (2, 'b', 'us'), (3, 'c', 'eu')")
+    // rename a DATA column: rewrite keeps the partition layout
+    env.executeSql("ALTER TABLE cp CHANGE COLUMN v label STRING")
+    val r = env.from("cp").orderBy("k").selectExpr("k", "label", "region").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getString(2))).toSeq ==
+      Seq((1, "a", "eu"), (2, "b", "us"), (3, "c", "eu")))
+    assert(env.executeSql("SHOW PARTITIONS cp").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("region=eu", "region=us"))
+    // rename the PARTITION column: directories re-derive under the new name
+    env.executeSql("ALTER TABLE cp CHANGE COLUMN region zone STRING")
+    assert(env.executeSql("SHOW PARTITIONS cp").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("zone=eu", "zone=us"))
+    assert(env.from("cp").where("zone = 'eu'").count() == 2)
+    // no staging leftovers next to the table directory
+    val siblings = new java.io.File(dir).getParentFile.list()
+      .filter(_.startsWith(new java.io.File(dir).getName + "__graft"))
+    assert(siblings.isEmpty)
+  }
+
+  test("declared timestamp precision survives render round-trips") {
+    val (_, env) = freshEnv()
+    env.executeSql("""
+      CREATE TABLE tsp (k INT, hi TIMESTAMP_LTZ(9), lo TIMESTAMP(0),
+                        dflt TIMESTAMP_LTZ(3))
+      WITH ('connector' = 'values')""")
+    // RENAME forces a render + re-parse cycle
+    env.executeSql("ALTER TABLE tsp RENAME TO tsp2")
+    env.executeSql("ALTER TABLE tsp2 RENAME TO tsp3")
+    val show = env.executeSql("SHOW CREATE TABLE tsp3").collect()(0).getString(0)
+    assert(show.contains("hi TIMESTAMP_LTZ(9)"), show)
+    assert(show.contains("lo TIMESTAMP(0)"), show)
+    assert(show.contains("dflt TIMESTAMP_LTZ(3)"), show)
+    // LIKE inherits the declared precision
+    env.executeSql("CREATE TABLE tsp_like (extra INT) LIKE tsp3")
+    val showL = env.executeSql("SHOW CREATE TABLE tsp_like").collect()(0).getString(0)
+    assert(showL.contains("hi TIMESTAMP_LTZ(9)") && showL.contains("lo TIMESTAMP(0)"))
+    // CHANGE COLUMN carries precision under the new name
+    env.executeSql("ALTER TABLE tsp3 CHANGE COLUMN hi hi9 TIMESTAMP_LTZ(9)")
+    val showC = env.executeSql("SHOW CREATE TABLE tsp3").collect()(0).getString(0)
+    assert(showC.contains("hi9 TIMESTAMP_LTZ(9)"), showC)
   }
 
   test("SHOW VIEWS is scoped to the current database") {
