@@ -42,26 +42,28 @@ object Bench {
     // one noisy run can neither fake a 3x regression nor mask a real
     // one, and an improvement must show up in two of three runs to
     // move the number.
-    // SENTINEL PROTOCOL: before the timed suite, run three cheap
-    // scalar-function queries (plans unchanged since round 8) three
-    // times each and compare their medians to the round-8 clean-window
-    // values. These queries are pure map-side compute — their only
-    // failure mode is machine-level contention (this shared VM sees
-    // co-tenant CPU-steal waves), so a inflated sentinel marks the
-    // WHOLE window as contended in the artifact itself, instead of the
+    // SENTINEL PROTOCOL: three cheap scalar-function queries (plans
+    // unchanged since round 8) act as contention sentinels. They are
+    // pure map-side compute — their only failure mode is machine-level
+    // contention (this shared VM sees co-tenant CPU-steal waves) — so
+    // their medians vs the round-8 clean-window values mark the WHOLE
+    // window clean/contended in the artifact itself, instead of the
     // judge re-deriving contention from family medians every round.
+    // An EARLY advisory run warns before the 15-min suite is spent;
+    // the JSON flag however comes from the sentinels' IN-SUITE medians
+    // (below): an early back-to-back run right after session startup
+    // carries JIT cold-start bias (measured: 2.4-4.6x their r8 values
+    // in the same window where the in-suite medians landed at 0.9-1.1x),
+    // while in-suite attempts are decorrelated full passes on a warm
+    // JVM — the same protocol that produced the r8 baselines.
     val sentinelBase = Seq( // r8 clean-window medians (BENCH_r08.json)
       "f02_math_funcs" -> 0.10, "f06_hash_code" -> 0.03,
       "f11_like_regexp" -> 0.08)
-    val sentinelRatios = sentinelBase.map { case (name, r8) =>
+    sentinelBase.foreach { case (name, r8) =>
       val ts = (1 to 3).map(_ => attempt(name, SparkEntry.queries(name))._1).sorted
-      val med = ts(1)
-      System.err.println(f"[bench] sentinel $name%-18s $med%6.3f s (r8 $r8%5.2f, ratio ${med / r8}%4.2f)")
-      med / r8
-    }.sorted
-    val sentinelRatio = sentinelRatios(sentinelRatios.length / 2)
-    val window = if (sentinelRatio <= 1.2) "clean" else "contended"
-    System.err.println(f"[bench] window=$window (median sentinel ratio $sentinelRatio%4.2f vs r8)")
+      System.err.println(f"[bench] sentinel(advisory) $name%-18s ${ts(1)}%6.3f s " +
+        f"(r8 $r8%5.2f, ratio ${ts(1) / r8}%4.2f — includes JIT cold-start)")
+    }
 
     // Optional iteration aid: SPARK_GRAFT_ONLY=q01,q02 times a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -86,6 +88,20 @@ object Bench {
         f"[bench] $name%-28s $dt%8.2f s (median of ${oks.length})")
       (name, dt, ok)
     }
+    // Window verdict from the sentinels' IN-SUITE medians (see the
+    // sentinel-protocol note above). Partial runs (SPARK_GRAFT_ONLY
+    // without the sentinels) report "unknown".
+    val inSuite = results.collect {
+      case (n, dt, true) if sentinelBase.exists(_._1 == n) =>
+        dt / sentinelBase.find(_._1 == n).get._2
+    }.sorted
+    val (window, sentinelRatio) =
+      if (inSuite.length < sentinelBase.length) ("unknown", -1.0)
+      else {
+        val r = inSuite(inSuite.length / 2)
+        (if (r <= 1.2) "clean" else "contended", r)
+      }
+    System.err.println(f"[bench] window=$window (median in-suite sentinel ratio $sentinelRatio%4.2f vs r8)")
     // Failed queries are reported as negative timings plus an errors
     // list, so a failure can't masquerade as a fast run in the JSON.
     // Timings are rounded to 10ms: with ~100 queries, full-precision
@@ -109,9 +125,12 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$nRuns,"window":"$window","sentinel_ratio":${f(sentinelRatio)},"queries":$qs$errs,"sf":$sf}"""
     // Full per-query artifact, immune to any stdout tail truncation.
+    // A SPARK_GRAFT_ONLY subset must not clobber the full-suite
+    // artifact — partial runs land in BENCH_PARTIAL.json instead.
+    val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+      java.nio.file.Paths.get(artifact), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] $artifact: $e") }
     println(line)
     spark.stop()
   }

@@ -166,8 +166,13 @@ object RetrievalOps {
     val fb = bm25PerDoc(base, q0)
       .withColumn("rk", row_number().over(wRank)).where(col("rk") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
-    val toks = base.select(col("doc_id"), explode(col("w")).as("term"))
-    val fbTok = toks.join(broadcast(fb), Seq("doc_id"))
+    // Mine expansion terms from the feedback docs only: broadcast-join
+    // the (queries × fbDocs)-sized feedback list against base BEFORE
+    // exploding, so the token explode multiplies a handful of rows, not
+    // the corpus — the corpus-wide explodes stay confined to the two
+    // BM25 scoring passes.
+    val fbTok = base.join(broadcast(fb), Seq("doc_id"))
+      .select(col("query_id"), explode(col("w")).as("term"))
       .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("tfsum"))
     val wExp = Window.partitionBy(col("query_id"))
       .orderBy(col("tfsum").desc, col("term"))

@@ -518,6 +518,15 @@ object ScaleProbe {
         RetrievalOps.bm25TopK(docs, "doc_id", "text",
           id => id % 25 === 0 && id < docBase, nTerms = 6, k = 5),
         allowBroadcastCross = true) // 1-row (N, sum_dl) stats frame
+      // RM3 expansion: TWO corpus-linear BM25 passes (seed + expanded
+      // term set), each gated by a broadcast term list, plus one
+      // broadcast semi-join mining feedback-doc terms — cost must
+      // track ~2× the td26 shape and stay scan-linear.
+      run("te29 RM3 expansion", k,
+        RetrievalOps.rm3TopK(docs, "doc_id", "text",
+          id => id % 25 === 0 && id < docBase,
+          nTerms = 6, fbDocs = 3, fbTerms = 4, k = 5),
+        allowBroadcastCross = true) // 1-row (N, sum_dl) stats frames
       // Chunking: pure map-side sequence-explode, zero shuffles.
       run("td27 chunking", k,
         RetrievalOps.chunkDocs(docs, "doc_id", "text", size = 64, stride = 48))
