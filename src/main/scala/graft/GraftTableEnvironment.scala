@@ -1160,7 +1160,11 @@ class GraftTableEnvironment private (val spark: SparkSession,
                   root.getParent, root.getName + "__graft_old")
                 if (fs.exists(old)) fs.delete(old, true)
                 require(fs.rename(root, old), s"cannot stage-out $root")
-                require(fs.rename(stage, root), s"cannot swap $stage into $root")
+                if (!fs.rename(stage, root)) {
+                  fs.rename(old, root) // roll the original back in place
+                  throw new IllegalStateException(
+                    s"cannot swap $stage into $root (original restored)")
+                }
                 fs.delete(old, true)
               } finally if (fs.exists(stage)) fs.delete(stage, true)
             }

@@ -110,7 +110,8 @@ object RetrievalOps {
     * (the pruned posting list keeps every posting of a listed term).
     */
   private def bm25PerDoc(base: DataFrame, qterms: DataFrame,
-                         extraKeys: Seq[String] = Nil): DataFrame = {
+                         extraKeys: Seq[String] = Nil,
+                         statsOpt: Option[DataFrame] = None): DataFrame = {
     val toks = base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
     val termList = qterms.select("term").distinct()
     // prune postings before aggregating: corpus-linear, map-side gate
@@ -118,7 +119,11 @@ object RetrievalOps {
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the (n_docs, sum_dl) aggregate is a full corpus scan (it
+    // re-splits every document's text to size `w`); callers scoring
+    // the SAME base twice (rm3TopK) pass it in pre-materialized
+    val stats = statsOpt.getOrElse(
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
     val scored = tf.join(broadcast(dft), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("s",
@@ -163,7 +168,14 @@ object RetrievalOps {
       .distinct()
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val fb = bm25PerDoc(base, q0)
+    // (n_docs, sum_dl) computed ONCE for both scoring passes — one
+    // 1-row frame, materialized eagerly so the second pass's broadcast
+    // reuses it instead of re-scanning (and re-word-splitting) the
+    // corpus
+    val stats = Some(base
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .localCheckpoint(true))
+    val fb = bm25PerDoc(base, q0, statsOpt = stats)
       .withColumn("rk", row_number().over(wRank)).where(col("rk") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
     // Mine expansion terms from the feedback docs only: broadcast-join
@@ -180,7 +192,7 @@ object RetrievalOps {
       .withColumn("erk", row_number().over(wExp)).where(col("erk") <= fbTerms)
       .select(col("query_id"), col("term"))
     val q1 = q0.unionByName(expTerms).distinct()
-    bm25PerDoc(base, q1)
+    bm25PerDoc(base, q1, statsOpt = stats)
       .withColumn("rk", row_number().over(wRank)).where(col("rk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
   }
