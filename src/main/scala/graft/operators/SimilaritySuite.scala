@@ -128,6 +128,41 @@ object SimilaritySuite extends QueryModule {
       VectorOps.ivfServe(stored, probes, 5).orderBy("query_id", "rk")
     },
 
+    // TOMBSTONE-aware serving from the persisted IVF store (te30):
+    // deletions land between index rebuilds in any real vector store.
+    // The store is NOT rewritten — the (small, metadata-sized)
+    // deletion list masks candidates via a broadcast anti-join, which
+    // Catalyst pushes onto the store scan WITHOUT disturbing the
+    // dynamic partition pruning on `cell` (unprobed cells' files are
+    // still never read); remaining candidates re-rank, so the top-k
+    // backfills past deleted neighbors. Oracle = te17's exact IVF
+    // replay minus the deleted ids.
+    "te30_ivf_tombstones" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te30_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val ranked = VectorOps.ivfRanked(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 16)
+      ranked.where(col("crk") === 1)
+        .select(col("id").as("vec_id"), col("cid").as("cell"),
+          col("v"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cell").parquet(store)
+      val stored = s.read.parquet(store)
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+          col("v").as("cv2"), col("nrm").as("cn2"))
+      // the deletion list arrives as its OWN small frame (the pattern:
+      // a tombstone table, not a store rewrite)
+      val dels = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id")).where(col("vec_id") % 7 === 3)
+      val live = stored.join(broadcast(dels), Seq("vec_id"), "left_anti")
+      // deleted ids don't issue queries either (they left the corpus)
+      val probes = ranked.where(col("id") % 25 === 0 &&
+          col("id") % 7 =!= 3 && col("crk") <= 2)
+        .select(col("id").as("query_id"), col("cid").as("cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      VectorOps.ivfServe(live, probes, 5).orderBy("query_id", "rk")
+    },
+
     // INCREMENTAL IVF maintenance (te19): td31's nightly-batch story on
     // the vector side. The 80% existing corpus builds the store (frozen
     // quantizer = its 16 lowest-id vectors, cell-partitioned parquet);
@@ -719,6 +754,22 @@ object SimilaritySuite extends QueryModule {
       WHERE rk <= 5
       ORDER BY query_id, rk"""
 
+  /** te30 = te17's exact IVF replay with the tombstone predicate: the
+    * deleted ids (vec_id % 7 = 3) issue no queries and never appear as
+    * candidates; everything else (cell assignment, probing, re-rank)
+    * is byte-identical, derived from [[ivfOracleSql]] by anchored
+    * rewrites so the two oracles cannot drift apart.
+    */
+  private val te30OracleSql = {
+    val probesAnchor = "WHERE crk <= 2 AND vec_id % 25 = 0"
+    val candAnchor = "WHERE p.query_id <> cl.vec_id"
+    require(ivfOracleSql.contains(probesAnchor) &&
+      ivfOracleSql.contains(candAnchor), "ivfOracleSql anchors moved")
+    ivfOracleSql
+      .replace(probesAnchor, probesAnchor + " AND vec_id % 7 <> 3")
+      .replace(candAnchor, candAnchor + " AND cl.vec_id % 7 <> 3")
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "te01_cosine_pairs" -> """
       WITH ex AS (
@@ -823,6 +874,7 @@ object SimilaritySuite extends QueryModule {
     // Identical oracle: serving from the persisted cell-partitioned
     // index must reproduce the in-memory IVF result bit for bit.
     "te17_ivf_persisted" -> ivfOracleSql,
+    "te30_ivf_tombstones" -> te30OracleSql,
 
     // te05's oracle with the quantizer frozen to the 16 lowest
     // EXISTING ids (vec_id % 5 <> 0): append ≡ rebuild, so the oracle

@@ -126,6 +126,51 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(served.collect().toSet == direct.collect().toSet)
   }
 
+  test("tombstoned IVF serving masks deletions, backfills k, keeps pruning") {
+    import graft.operators.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("ivf-tomb").toString
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ranked = VectorOps.ivfRanked(emb, "vec_id", "embedding", 16)
+    ranked.where(col("crk") === 1)
+      .select(col("id").as("vec_id"), col("cid").as("cell"),
+        col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("v").as("cv2"), col("nrm").as("cn2"))
+    val dels = emb.select(col("vec_id")).where(col("vec_id") % 7 === 3)
+    val live = stored.join(broadcast(dels), Seq("vec_id"), "left_anti")
+    val probes2 = ranked.where(col("id") % 25 === 0 &&
+        col("id") % 7 =!= 3 && col("crk") <= 2)
+      .select(col("id").as("query_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val served = VectorOps.ivfServe(live, probes2, 5)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // no deleted id survives as a neighbor
+    assert(rows.forall(_.getAs[Long]("vec_id") % 7 != 3))
+    // top-k backfills: every query still returns k results (corpus is
+    // dense enough at sf0.001 that probed cells hold >k live vectors)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).values
+    assert(perQuery.forall(_.length == 5))
+    // masking must not break dynamic partition pruning on the store
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"tombstone anti-join broke partition pruning:\n$plan")
+    // vs the un-deleted serve: ranks only improve or backfill — the
+    // surviving neighbors of any query are exactly the un-deleted
+    // serve's candidates minus tombstones, re-ranked
+    val full = VectorOps.ivfServe(stored, probes2, 20).collect()
+    val fullLive = full.filter(_.getAs[Long]("vec_id") % 7 != 3)
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val expect = fullLive(q).sortBy(_.getAs[Int]("rk")).take(5)
+        .map(_.getAs[Long]("vec_id")).toSeq
+      assert(rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id"))
+        .toSeq == expect, s"query $q backfill mismatch")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
