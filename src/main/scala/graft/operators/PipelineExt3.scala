@@ -26,6 +26,62 @@ object PipelineExt3 extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Composite quality VERDICT (td43) — the Dolma/FineWeb-style
+    // nightly gate a curation pipeline actually ships: every doc gets
+    // a keep/drop decision plus a machine-readable `reasons` list
+    // naming each failed rule, so drops are AUDITABLE (the attribute
+    // tagging pattern: rules are recorded, not silently applied).
+    // Composes the already-oracle-checked stages — Gopher thresholds
+    // (td30), the C4 page rule (td41), langid-vs-metadata agreement
+    // (td05's detector), exact-duplicate canonicalization (td01's
+    // hash) — each a corpus-linear scan; the four verdict frames join
+    // back on doc_id (co-partitioned hash joins, nothing wider than
+    // the id ever shuffles).
+    "td43_quality_verdict" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val gopher = TextOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("r_gopher"))
+      val c4 = TextOps.c4Clean(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep_doc").as("r_c4"))
+      val en = Seq("the", "a", "of", "and", "to")
+      val de = Seq("der", "die", "das", "und", "ist")
+      val fr = Seq("le", "la", "et", "les", "des")
+      val es = Seq("el", "los", "las", "y", "es")
+      def score(ws: Seq[String]) =
+        sum(when(col("w").isin(ws.map(x => x: Any): _*), 1).otherwise(0))
+          .cast("int")
+      val pred = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(score(en).as("s_en"), score(de).as("s_de"),
+          score(fr).as("s_fr"), score(es).as("s_es"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+      val lang = docs.select(col("doc_id"), col("lang"))
+        .join(pred.select(col("doc_id"), col("predicted")), "doc_id")
+        .select(col("doc_id"), (col("predicted") === col("lang")).as("r_lang"))
+      val wDup = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(lower(col("text"))))
+      val dup = docs.select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(wDup)).as("r_dup"))
+      gopher.join(c4, "doc_id").join(lang, "doc_id").join(dup, "doc_id")
+        .withColumn("keep",
+          col("r_gopher") && col("r_c4") && col("r_lang") && col("r_dup"))
+        // concat_ws skips NULLs in BOTH engines, so the reasons list
+        // is the failed rules in fixed declaration order ('' = keep)
+        .withColumn("reasons", concat_ws(",",
+          when(!col("r_gopher"), lit("gopher")),
+          when(!col("r_c4"), lit("c4")),
+          when(!col("r_lang"), lit("lang")),
+          when(!col("r_dup"), lit("dup"))))
+        .orderBy("doc_id")
+    },
+
     // DoReMi-lite domain reweighting (Xie et al. 2023, linearized to
     // the repo's exact-integer contract): 3 exponentiated-gradient
     // iterations pushing sampling weight toward domains with excess
@@ -198,6 +254,69 @@ object PipelineExt3 extends QueryModule {
           ' ' ORDER BY ci), '') AS clean_text,
         (sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3) AS keep_doc
       FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    "td43_quality_verdict" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+      gst AS (SELECT doc_id,
+               CAST(count(1) AS BIGINT) AS nw,
+               CAST(sum(len(w)) AS BIGINT) AS sumlen,
+               CAST(sum(CASE WHEN len(w) <= 4
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(max(len(w)) AS BIGINT) AS maxlen,
+               CAST(count(DISTINCT CASE WHEN w IN
+                 ('the','a','data','row','value','query','table')
+                 THEN w END) AS BIGINT) AS n_stop
+             FROM w GROUP BY 1),
+      g AS (SELECT doc_id,
+              (nw BETWEEN 30 AND 80
+               AND sumlen * 10 >= nw * 42 AND sumlen * 10 <= nw * 50
+               AND n_short * 2 >= nw AND n_stop >= 6
+               AND maxlen <= 7) AS r_gopher
+            FROM gst),
+      wa AS (SELECT doc_id, string_split(lower(text), ' ') AS wds
+             FROM documents),
+      c AS (SELECT doc_id, wds[i*10+1 : i*10+10] AS cw
+            FROM wa, LATERAL (SELECT unnest(range(0,
+              CAST(ceil(len(wds) / 10.0) AS INT))) AS i)),
+      k AS (SELECT doc_id,
+              (NOT list_contains(cw, 'dup')
+                AND len(list_filter(cw, x -> x = 'a' OR x = 'the')) <= 2
+                AND len(cw) >= 5) AS kept
+            FROM c),
+      c4 AS (SELECT doc_id,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3 AS r_c4
+             FROM k GROUP BY 1),
+      ls AS (SELECT doc_id,
+               sum(CASE WHEN w IN ('the','a','of','and','to')
+                 THEN 1 ELSE 0 END) AS s_en,
+               sum(CASE WHEN w IN ('der','die','das','und','ist')
+                 THEN 1 ELSE 0 END) AS s_de,
+               sum(CASE WHEN w IN ('le','la','et','les','des')
+                 THEN 1 ELSE 0 END) AS s_fr,
+               sum(CASE WHEN w IN ('el','los','las','y','es')
+                 THEN 1 ELSE 0 END) AS s_es
+             FROM w GROUP BY 1),
+      lg AS (SELECT d.doc_id,
+               (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END) = d.lang AS r_lang
+             FROM documents d JOIN ls ON d.doc_id = ls.doc_id),
+      dp AS (SELECT doc_id, doc_id = min(doc_id) OVER (
+               PARTITION BY md5(lower(text))) AS r_dup
+             FROM documents)
+      SELECT g.doc_id, r_gopher, r_c4, r_lang, r_dup,
+             (r_gopher AND r_c4 AND r_lang AND r_dup) AS keep,
+             concat_ws(',',
+               CASE WHEN NOT r_gopher THEN 'gopher' END,
+               CASE WHEN NOT r_c4 THEN 'c4' END,
+               CASE WHEN NOT r_lang THEN 'lang' END,
+               CASE WHEN NOT r_dup THEN 'dup' END) AS reasons
+      FROM g JOIN c4 USING (doc_id) JOIN lg USING (doc_id)
+             JOIN dp USING (doc_id)
+      ORDER BY g.doc_id""",
 
     "td42_doremi_mix" -> s"""
       WITH t AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
