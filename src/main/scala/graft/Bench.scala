@@ -42,11 +42,12 @@ object Bench {
     // one noisy run can neither fake a 3x regression nor mask a real
     // one, and an improvement must show up in two of three runs to
     // move the number.
-    // SENTINEL PROTOCOL: three cheap scalar-function queries (plans
-    // unchanged since round 8) act as contention sentinels. They are
-    // pure map-side compute — their only failure mode is machine-level
-    // contention (this shared VM sees co-tenant CPU-steal waves) — so
-    // their medians vs the round-8 clean-window values mark the WHOLE
+    // SENTINEL PROTOCOL: a checked-in set of cheap scalar-function
+    // queries (tools/sentinel_baseline.json; plans unchanged since
+    // round 8) act as contention sentinels. They are pure map-side
+    // compute — their only failure mode is machine-level contention
+    // (this shared VM sees co-tenant CPU-steal waves) — so their
+    // medians vs the checked-in clean-window baselines mark the WHOLE
     // window clean/contended in the artifact itself, instead of the
     // judge re-deriving contention from family medians every round.
     // An EARLY advisory run warns before the 15-min suite is spent;
@@ -56,13 +57,31 @@ object Bench {
     // in the same window where the in-suite medians landed at 0.9-1.1x),
     // while in-suite attempts are decorrelated full passes on a warm
     // JVM — the same protocol that produced the r8 baselines.
-    val sentinelBase = Seq( // r8 clean-window medians (BENCH_r08.json)
-      "f02_math_funcs" -> 0.10, "f06_hash_code" -> 0.03,
-      "f11_like_regexp" -> 0.08)
-    sentinelBase.foreach { case (name, r8) =>
+    // Baselines live in a checked-in file so a machine/JVM/Spark change
+    // re-baselines DELIBERATELY (procedure documented in the file and
+    // SCALE.md) instead of silently flagging every window contended.
+    // All sentinels have >= 0.1s medians: the artifact's 10ms rounding
+    // is then <= +/-5%, far inside the 1.2x threshold, so quantization
+    // alone can't flip the flag (it could for the old 0.03s f06).
+    val sentinelFile = "tools/sentinel_baseline.json"
+    val sentinelBase: Seq[(String, Double)] = (try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sentinelFile)), "UTF-8")
+      "\"([a-z][a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => k != "threshold" }.toSeq
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $sentinelFile unreadable ($e) — " +
+          "falling back to built-in r8 trio")
+        Seq("f02_math_funcs" -> 0.10, "f06_hash_code" -> 0.03,
+          "f11_like_regexp" -> 0.08)
+    }).filter { case (k, _) => SparkEntry.queries.contains(k) }
+    require(sentinelBase.nonEmpty, "no usable contention sentinels")
+    sentinelBase.foreach { case (name, base) =>
       val ts = (1 to 3).map(_ => attempt(name, SparkEntry.queries(name))._1).sorted
       System.err.println(f"[bench] sentinel(advisory) $name%-18s ${ts(1)}%6.3f s " +
-        f"(r8 $r8%5.2f, ratio ${ts(1) / r8}%4.2f — includes JIT cold-start)")
+        f"(base $base%5.2f, ratio ${ts(1) / base}%4.2f — includes JIT cold-start)")
     }
 
     // Optional iteration aid: SPARK_GRAFT_ONLY=q01,q02 times a subset.
@@ -98,10 +117,14 @@ object Bench {
     val (window, sentinelRatio) =
       if (inSuite.length < sentinelBase.length) ("unknown", -1.0)
       else {
-        val r = inSuite(inSuite.length / 2)
+        // lower-middle median: steal waves only ever INFLATE ratios,
+        // so with an even sentinel count the upper middle is the
+        // likelier contaminated one (the >= 2-of-3 / majority rule:
+        // one noisy sentinel alone cannot flag the window)
+        val r = inSuite((inSuite.length - 1) / 2)
         (if (r <= 1.2) "clean" else "contended", r)
       }
-    System.err.println(f"[bench] window=$window (median in-suite sentinel ratio $sentinelRatio%4.2f vs r8)")
+    System.err.println(f"[bench] window=$window (median in-suite sentinel ratio $sentinelRatio%4.2f vs baseline)")
     // Failed queries are reported as negative timings plus an errors
     // list, so a failure can't masquerade as a fast run in the JSON.
     // Timings are rounded to 10ms: with ~100 queries, full-precision

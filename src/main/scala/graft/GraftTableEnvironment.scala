@@ -73,6 +73,23 @@ class GraftTableEnvironment private (val spark: SparkSession,
   private def norm(name: String): String =
     name.toLowerCase(java.util.Locale.ROOT)
 
+  // Option-literal escaping (the SQL dialect doubles single quotes, as
+  // the reference's Calcite lexer does): rendering escapes ' -> '' so
+  // the SHOW CREATE … snapshot re-parses for ANY accepted value, and
+  // the paired regex/unescape below accepts '' inside quoted literals,
+  // making values containing ' or ) round-trip instead of silently
+  // mis-parsing.
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+  private def sqlUnquote(s: String): String = s.replace("''", "'")
+  /** `'k' = 'v'` pairs, doubled-quote escapes allowed inside literals. */
+  private val optionKvRe = "'((?:[^']|'')*)'\\s*=\\s*'((?:[^']|'')*)'".r
+  private def parseOptionKvs(blob: String): Seq[(String, String)] =
+    optionKvRe.findAllMatchIn(blob)
+      .map(m => (sqlUnquote(m.group(1)), sqlUnquote(m.group(2)))).toSeq
+  /** WITH-clause body: quote-aware, so ')' inside a quoted value does
+    * not terminate the clause early. For use inside other regexes. */
+  private val withBlobRe = "(?:[^()']|'(?:[^']|'')*')*"
+
   /** Register a temporal TABLE FUNCTION over a versioned table — the
     * reference's `Table.createTemporalTableFunction(timeAttr, key)` +
     * `createTemporarySystemFunction(name, fn)` pair (resolved by the
@@ -194,7 +211,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
         val withClause =
           if (props.isEmpty) ""
           else " WITH (" + props.toSeq.sortBy(_._1)
-            .map { case (k, x) => s"'$k' = '$x'" }.mkString(", ") + ")"
+            .map { case (k, x) => s"'${sqlQuote(k)}' = '${sqlQuote(x)}'" }
+            .mkString(", ") + ")"
         return Seq(s"CREATE VIEW $v$withClause AS $body").toDF("result")
       case _ =>
     }
@@ -274,44 +292,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val insertRe = "(?is)^INSERT\\s+(INTO|OVERWRITE)\\s+([A-Za-z_][\\w.]*)\\s+(.+)$".r
     trimmed match {
       case insertRe(mode, tbl, rest0) if ddlStmts.contains(norm(tbl)) =>
-        // Optional clauses between the target and the query — the
-        // reference's RichSqlInsert (flink-sql-parser
-        // .../dml/RichSqlInsert.java:38) carries both:
-        //   PARTITION (p = v, …)  — static partition values
-        //   (col, …)              — explicit target column list
-        var rest = rest0.trim
-        var staticParts = Seq.empty[(String, String)]
-        val partRe = "(?is)^PARTITION\\s*\\(([^)]*)\\)\\s*(.*)$".r
-        rest match {
-          case partRe(spec, r2) =>
-            staticParts = spec.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
-              val i = kv.indexOf('=')
-              require(i > 0, s"cannot parse static partition spec: $kv")
-              (kv.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
-                kv.substring(i + 1).trim)
-            }.toSeq
-            rest = r2.trim
-          case _ =>
-        }
-        var colList: Option[Seq[String]] = None
-        if (rest.startsWith("(")) {
-          var depth = 0; var i = 0; var end = -1
-          while (end < 0 && i < rest.length) {
-            val c = rest.charAt(i)
-            if (c == '(') depth += 1
-            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
-            i += 1
-          }
-          require(end > 0, s"unbalanced parentheses in INSERT: $rest")
-          val inner = rest.substring(1, end)
-          // a column list is idents only — a parenthesized subquery
-          // `( SELECT … )` falls through to the query untouched
-          if (inner.matches("(?s)[\\w`\\s,]+")) {
-            colList = Some(inner.split(',')
-              .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
-            rest = rest.substring(end + 1).trim
-          }
-        }
+        val (rest, staticParts, colList) = parseInsertTail(rest0)
         return executeInsert(ddlStmts(norm(tbl)),
           mode.equalsIgnoreCase("OVERWRITE"), rest, staticParts, colList)
       case _ =>
@@ -326,7 +307,9 @@ class GraftTableEnvironment private (val spark: SparkSession,
     // APIs or ALTER VIEW SET; accepted in the CREATE here so the
     // SHOW CREATE VIEW snapshot below round-trips through executeSql).
     val createViewRe =
-      "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+([A-Za-z_][\\w.]*)\\s*(WITH\\s*\\([^)]*\\))?\\s+AS\\s+(.+)$".r
+      ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW\\s+" +
+        "([A-Za-z_][\\w.]*)\\s*(WITH\\s*\\(" + withBlobRe +
+        "\\))?\\s+AS\\s+(.+)$").r
     val dropViewRe =
       "(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][\\w.]*)\\s*;?$".r
     trimmed match {
@@ -339,10 +322,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
         createTemporaryView(name, executeSql(body))
         viewNames.add(norm(name))
         viewDdl(norm(name)) = body.trim.stripSuffix(";").trim
-        viewProps(norm(name)) = Option(withClause).map { w =>
-          "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(w)
-            .map(m => (m.group(1), m.group(2))).toMap
-        }.getOrElse(Map.empty)
+        viewProps(norm(name)) =
+          Option(withClause).map(parseOptionKvs(_).toMap).getOrElse(Map.empty)
         return okResult()
       case dropViewRe(ifExists, name) =>
         // A DDL-defined connector TABLE is backed by a temp view too,
@@ -373,9 +354,32 @@ class GraftTableEnvironment private (val spark: SparkSession,
     }
     val explainRe = "(?is)EXPLAIN\\s+PLAN\\s+FOR\\s+(.+)".r
     trimmed match {
-      case explainRe(stmt) =>
+      case explainRe(stmt0) =>
         import spark.implicits._
-        return Seq(explainSql(stmt)).toDF("plan")
+        // The reference's dql/SqlRichExplain.java wraps INSERT
+        // statements as well as queries: route an INSERT body through
+        // the insert planner in plan-only mode (clause binding + column
+        // alignment happen; the sink is NEVER written) and prefix the
+        // sink binding the write would use.
+        stmt0.trim match {
+          case insertRe(mode, tbl, rest0) if ddlStmts.contains(norm(tbl)) =>
+            val (rest, staticParts, colList) = parseInsertTail(rest0)
+            val target = ddlStmts(norm(tbl))
+            val frame = executeInsert(target,
+              mode.equalsIgnoreCase("OVERWRITE"), rest, staticParts,
+              colList, planOnly = true)
+            val sink = s"== Sink ==\nSink(table=[${target.name}], " +
+              s"connector=[${target.options.getOrElse("connector", "values")}], " +
+              s"mode=[${mode.toUpperCase(java.util.Locale.ROOT)}])\n\n"
+            return Seq(sink + frame.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExtendedMode)).toDF("plan")
+          case ins @ insertRe(_, _, _) =>
+            // non-DDL target: Spark's own EXPLAIN plans without writing
+            return Seq(spark.sql(s"EXPLAIN EXTENDED $ins")
+              .collect().map(_.getString(0)).mkString("\n")).toDF("plan")
+          case stmt =>
+            return Seq(explainSql(stmt)).toDF("plan")
+        }
       case _ =>
     }
     val descRe = "(?is)DESC(?:RIBE)?\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?".r
@@ -609,10 +613,82 @@ class GraftTableEnvironment private (val spark: SparkSession,
     * listings at read time, so the pre-insert frame would not see
     * appended files.
     */
+  /** Optional clauses between an INSERT's target and its query — the
+    * reference's RichSqlInsert (flink-sql-parser
+    * .../dml/RichSqlInsert.java:38) carries both:
+    *   PARTITION (p = v, …)  — static partition values
+    *   (col, …)              — explicit target column list
+    * Shared by execution and EXPLAIN PLAN FOR (dql/SqlRichExplain.java
+    * accepts INSERT bodies too). Returns (query, staticParts, colList).
+    */
+  private def parseInsertTail(rest0: String)
+      : (String, Seq[(String, String)], Option[Seq[String]]) = {
+    var rest = rest0.trim
+    var staticParts = Seq.empty[(String, String)]
+    val partRe = "(?is)^PARTITION\\s*\\(([^)]*)\\)\\s*(.*)$".r
+    rest match {
+      case partRe(spec, r2) =>
+        staticParts = spec.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"cannot parse static partition spec: $kv")
+          (kv.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+            kv.substring(i + 1).trim)
+        }.toSeq
+        rest = r2.trim
+      case _ =>
+    }
+    var colList: Option[Seq[String]] = None
+    if (rest.startsWith("(")) {
+      var depth = 0; var i = 0; var end = -1
+      while (end < 0 && i < rest.length) {
+        val c = rest.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parentheses in INSERT: $rest")
+      val inner = rest.substring(1, end)
+      // a column list is idents only — a parenthesized subquery
+      // `( SELECT … )` falls through to the query untouched
+      if (inner.matches("(?s)[\\w`\\s,]+")) {
+        colList = Some(inner.split(',')
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+        rest = rest.substring(end + 1).trim
+      }
+    }
+    (rest, staticParts, colList)
+  }
+
+  /** Crash recovery for CHANGE COLUMN's stage-and-swap: a crash between
+    * rename(root -> old) and rename(stage -> root) leaves the table
+    * path absent with the data intact in `<root>__graft_old` — restore
+    * it on the next access; a crash after the swap but before cleanup
+    * leaves a stale `__graft_old` / `__graft_stage` sibling — delete it
+    * lazily. Called wherever a filesystem table path is (re)bound and
+    * before a new stage-and-swap starts. Documented in MIGRATION.md.
+    */
+  private def recoverStagedSwap(pathStr: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (root.getParent == null) return
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__graft_old")
+    val stage = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__graft_stage")
+    if (!fs.exists(root) && fs.exists(old))
+      require(fs.rename(old, root),
+        s"cannot recover stranded $old back to $root")
+    if (fs.exists(root)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(stage)) fs.delete(stage, true)
+    }
+  }
+
   private def executeInsert(stmt: graft.sql.FlinkDdl.CreateTableStmt,
                             overwrite: Boolean, query: String,
                             staticParts: Seq[(String, String)] = Nil,
-                            colList: Option[Seq[String]] = None): DataFrame = {
+                            colList: Option[Seq[String]] = None,
+                            planOnly: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val physCols = stmt.columns.map(_._1)
     val staticKeys = staticParts.map(_._1)
@@ -659,6 +735,10 @@ class GraftTableEnvironment private (val spark: SparkSession,
       else lit(null).cast(t).as(n) } ++
       (if (hasKind) Seq(col("__rowkind")) else Nil): _*)
     val data = aligned.drop("__rowkind")
+    // EXPLAIN PLAN FOR INSERT: everything above (clause binding, column
+    // alignment, NULL fill, rowkind handling) is the sink-facing plan —
+    // return the frame that WOULD be written without touching the sink.
+    if (planOnly) return data
     stmt.options.getOrElse("connector", "values") match {
       case "filesystem" =>
         val path = stmt.options("path")
@@ -991,7 +1071,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
     val alterViewAsRe =
       "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+AS\\s+(.+)$".r
     val alterViewSetRe =
-      "(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\(([^)]*)\\)\\s*;?$".r
+      ("(?is)^ALTER\\s+VIEW\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\((" +
+        withBlobRe + ")\\)\\s*;?$").r
     val alterDbRe =
       "(?is)^ALTER\\s+DATABASE\\s+([A-Za-z_][\\w.]*)\\s+SET\\s*\\(([^)]*)\\)\\s*;?$".r
     val alterFnRe =
@@ -1129,6 +1210,9 @@ class GraftTableEnvironment private (val spark: SparkSession,
             require(s"(?i)\\b$oldN\\b".r.findFirstIn(e).isEmpty,
               s"cannot rename $oldN: computed column $n references it") }
           if (stmt.options.get("connector").contains("filesystem")) {
+            // a prior crashed swap may have stranded the table path —
+            // restore it before deciding whether there is data to move
+            recoverStagedSwap(stmt.options("path"))
             val root = new org.apache.hadoop.fs.Path(stmt.options("path"))
             val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(root)) {
@@ -1246,8 +1330,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
       case alterViewSetRe(name, opts) =>
         require(viewNames.contains(norm(name)),
           s"ALTER VIEW covers views created via CREATE VIEW; $name is not one")
-        val kvs = optKvRe.findAllMatchIn(opts)
-          .map(m => (m.group(1), m.group(2))).toMap
+        val kvs = parseOptionKvs(opts).toMap
         require(kvs.nonEmpty, s"no properties in ALTER VIEW SET: $opts")
         viewProps(norm(name)) =
           viewProps.getOrElse(norm(name), Map.empty) ++ kvs
@@ -1499,6 +1582,7 @@ class GraftTableEnvironment private (val spark: SparkSession,
       case "filesystem" =>
         val path = stmt.options.getOrElse("path",
           throw new IllegalArgumentException("filesystem connector requires 'path'"))
+        recoverStagedSwap(path) // heal a crashed CHANGE COLUMN swap
         // 'avro' maps to the engine's own DSv2 reader (the env has the
         // Avro core jars but not the spark-avro wrapper).
         val fmt = stmt.options.getOrElse("format", "parquet") match {

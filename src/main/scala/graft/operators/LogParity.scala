@@ -277,15 +277,23 @@ object LogParity extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"), col("__rowkind"), col("__version"))
         .localCheckpoint()
-      for (e <- 1 to 3) {
-        Dedup.keepLast(
-            versioned.where(col("__version") >= e * 4L &&
-              col("__version") < (e + 1) * 4L)
-              .filter(col("__rowkind") =!= "-U"),
-            Seq(col("o_orderkey")), Seq(col("__version")))
-          .write.mode("overwrite")
-          .parquet(s"$base/state/delta=" + f"$e%020d")
-      }
+      // ONE pass builds all three epoch deltas exactly as upsertSink
+      // lands them (the epoch split by event wave, per-epoch
+      // keep-latest incl. tombstones, -U dropped): keep-latest windows
+      // on (epoch, key) and partitionBy lands every delta directory in
+      // the same job — vs the previous shape this scans the checkpoint
+      // once instead of once per epoch (r12 floor probe: the 3-scan
+      // loop was the only reducible stage in the query). The files
+      // inside each delta dir are identical: partitionBy strips the
+      // partition column, matching what upsertSink's per-epoch write
+      // produces.
+      Dedup.keepLast(
+          versioned.filter(col("__rowkind") =!= "-U")
+            .withColumn("delta", format_string("%020d",
+              floor(col("__version") / 4).cast("long"))),
+          Seq(col("delta"), col("o_orderkey")), Seq(col("__version")))
+        .write.mode("overwrite").partitionBy("delta")
+        .parquet(s"$base/state")
       graft.streaming.CdcStream.compact(
         s, s"$base/state", Seq("o_orderkey"), "__version")
       graft.streaming.CdcStream.readState(

@@ -38,47 +38,8 @@ object PipelineExt3 extends QueryModule {
     // back on doc_id (co-partitioned hash joins, nothing wider than
     // the id ever shuffles).
     "td43_quality_verdict" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val gopher = TextOps.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("r_gopher"))
-      val c4 = TextOps.c4Clean(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep_doc").as("r_c4"))
-      val en = Seq("the", "a", "of", "and", "to")
-      val de = Seq("der", "die", "das", "und", "ist")
-      val fr = Seq("le", "la", "et", "les", "des")
-      val es = Seq("el", "los", "las", "y", "es")
-      def score(ws: Seq[String]) =
-        sum(when(col("w").isin(ws.map(x => x: Any): _*), 1).otherwise(0))
-          .cast("int")
-      val pred = docs
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-        .repartition(col("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(score(en).as("s_en"), score(de).as("s_de"),
-          score(fr).as("s_fr"), score(es).as("s_es"))
-        .withColumn("predicted",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
-            && col("s_en") >= col("s_es"), "en")
-            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-            .when(col("s_fr") >= col("s_es"), "fr")
-            .otherwise("es"))
-      val lang = docs.select(col("doc_id"), col("lang"))
-        .join(pred.select(col("doc_id"), col("predicted")), "doc_id")
-        .select(col("doc_id"), (col("predicted") === col("lang")).as("r_lang"))
-      val wDup = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(lower(col("text"))))
-      val dup = docs.select(col("doc_id"),
-        (col("doc_id") === min(col("doc_id")).over(wDup)).as("r_dup"))
-      gopher.join(c4, "doc_id").join(lang, "doc_id").join(dup, "doc_id")
-        .withColumn("keep",
-          col("r_gopher") && col("r_c4") && col("r_lang") && col("r_dup"))
-        // concat_ws skips NULLs in BOTH engines, so the reasons list
-        // is the failed rules in fixed declaration order ('' = keep)
-        .withColumn("reasons", concat_ws(",",
-          when(!col("r_gopher"), lit("gopher")),
-          when(!col("r_c4"), lit("c4")),
-          when(!col("r_lang"), lit("lang")),
-          when(!col("r_dup"), lit("dup"))))
+      TextOps.qualityVerdict(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang")
         .orderBy("doc_id")
     },
 

@@ -1137,6 +1137,62 @@ object TextOps {
     *              [[minhashLshPairsIdx]] output)
     * @return (id_a, id_b, jaccard, dist, len_max, sim_micro, edit_dup)
     */
+  /** Composite quality VERDICT (td43): the nightly gate a curation
+    * pipeline ships — every doc gets a keep/drop decision plus a
+    * machine-readable `reasons` list naming each failed rule, so drops
+    * are AUDITABLE (the attribute-tagging pattern: rules are recorded,
+    * not silently applied). Composes four independently-probed
+    * corpus-linear stages — Gopher thresholds, the C4 page rule,
+    * langid-vs-metadata agreement, exact-duplicate canonicalization —
+    * and joins the four verdict frames back on the id (co-partitioned
+    * hash joins; nothing wider than the id ever shuffles). The langid
+    * stage repartitions the DOCS frame then explodes, so its exchange
+    * moves each document's text once, not once per token.
+    */
+  def qualityVerdict(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame = {
+    val gopher = gopherRules(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("r_gopher"))
+    val c4 = c4Clean(docs, idCol, textCol)
+      .select(col(idCol), col("keep_doc").as("r_c4"))
+    val en = Seq("the", "a", "of", "and", "to")
+    val de = Seq("der", "die", "das", "und", "ist")
+    val fr = Seq("le", "la", "et", "les", "des")
+    val es = Seq("el", "los", "las", "y", "es")
+    def score(ws: Seq[String]) =
+      sum(when(col("w").isin(ws.map(x => x: Any): _*), 1).otherwise(0))
+        .cast("int")
+    val pred = docs
+      .repartition(col(idCol))
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol))
+      .agg(score(en).as("s_en"), score(de).as("s_de"),
+        score(fr).as("s_fr"), score(es).as("s_es"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+    val lang = docs.select(col(idCol), col(langCol))
+      .join(pred.select(col(idCol), col("predicted")), idCol)
+      .select(col(idCol), (col("predicted") === col(langCol)).as("r_lang"))
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col(textCol))))
+    val dup = docs.select(col(idCol),
+      (col(idCol) === min(col(idCol)).over(wDup)).as("r_dup"))
+    gopher.join(c4, idCol).join(lang, idCol).join(dup, idCol)
+      .withColumn("keep",
+        col("r_gopher") && col("r_c4") && col("r_lang") && col("r_dup"))
+      // concat_ws skips NULLs in BOTH engines, so the reasons list
+      // is the failed rules in fixed declaration order ('' = keep)
+      .withColumn("reasons", concat_ws(",",
+        when(!col("r_gopher"), lit("gopher")),
+        when(!col("r_c4"), lit("c4")),
+        when(!col("r_lang"), lit("lang")),
+        when(!col("r_dup"), lit("dup"))))
+  }
+
   def editVerifiedPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String,
                         simThresholdMicro: Long = 800000L): DataFrame = {

@@ -22,11 +22,17 @@ object TextPipelineSuite extends QueryModule {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     TextOps.shingleHashIndex(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
 
-  /** (doc_id, w) exploded words (with duplicates), parallelized. */
+  /** (doc_id, w) exploded words (with duplicates), parallelized.
+    * Repartition BEFORE the explode: the exchange then moves each
+    * document's text once instead of once per token (at 100 TB that is
+    * the difference between shuffling ~1x and ~5-10x corpus bytes), and
+    * downstream groupBy(doc_id) aggregations run shuffle-free because
+    * the explode preserves the hash partitioning.
+    */
   private def wordsIdx(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
 
   /** DuckDB equivalent of words/shingles used by several oracles. */
   private val shingleCte = """

@@ -128,9 +128,9 @@ object ScaleProbe {
         TextOps.minhashLshPairsIdx(
           TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8))
       run("td04 simhash", k, {
-        val wIdx = docs.select(col("doc_id"),
-          explode(TextOps.words(col("text"))).as("w"))
-          .repartition(col("doc_id")).distinct()
+        val wIdx = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+          .distinct()
         TextOps.simhashPairs(TextOps.simhash60Idx(wIdx, "doc_id"), "doc_id", 3)
       })
       run("td16 cluster dedup", k, graft.operators.Dedup.clusterKeepers(
@@ -331,6 +331,48 @@ object ScaleProbe {
           VectorOps.pqServe(spark.read.parquet(s"$store/codes"), qdot, 5)
         }, allowBroadcastCross = true)
       }
+      // te30 tombstone-aware serving: the pre-built store is NEVER
+      // rewritten for deletes — the timed cycle broadcast-anti-joins
+      // the metadata-sized tombstone list against the stored cells and
+      // serves the fixed query batch from the survivors. The no-dels
+      // twin isolates the anti-join's cost (r11 verdict prediction:
+      // indistinguishable from plain persisted serving).
+      if (onlyProbes.forall(_.exists("te30".startsWith))) {
+        val store = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft-probe-te30-$k").toString
+        val cent = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 16)
+          .localCheckpoint()
+        VectorOps.ivfAssign(emb, "vec_id", "embedding", cent)
+          .where(col("crk") === 1)
+          .select(col("id").as("vec_id"), col("cid").as("cell"),
+            col("v"), col("nrm"))
+          .write.mode("overwrite").partitionBy("cell").parquet(store)
+        def stored = spark.read.parquet(store)
+          .select(col("cell").cast("long").as("cell"), col("vec_id"),
+            col("v").as("cv2"), col("nrm").as("cn2"))
+        def probes = VectorOps.ivfAssign(
+            emb.where(isQ(col("vec_id")) && col("vec_id") % 7 =!= 3),
+            "vec_id", "embedding", cent)
+          .where(col("crk") <= 2)
+          .select(col("id").as("query_id"), col("cid").as("cell"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        run("te30 store serve (no dels)", k,
+          VectorOps.ivfServe(stored, probes, 5), allowBroadcastCross = true)
+        run("te30 tombstone serve", k, {
+          val dels = emb.select(col("vec_id")).where(col("vec_id") % 7 === 3)
+          VectorOps.ivfServe(
+            stored.join(broadcast(dels), Seq("vec_id"), "left_anti"),
+            probes, 5)
+        }, allowBroadcastCross = true)
+      }
+      // td43 quality verdict: four corpus-linear rule scans joined
+      // back on doc_id (composition of td30/td41/td05/td01 shapes);
+      // synthetic lang metadata stands in for the documents table's.
+      run("td43 quality verdict", k, TextOps.qualityVerdict(
+        docs.withColumn("lang", element_at(
+          array(lit("en"), lit("de"), lit("fr"), lit("es")),
+          (pmod(hash(col("doc_id")), lit(4)) + 1).cast("int"))),
+        "doc_id", "text", "lang"))
       // mm09 alignment: the two modal frame passes + one AsOfJoin
       // (union + running window per doc) — three keyed shuffles, all
       // corpus-linear.

@@ -130,6 +130,31 @@ class FacadeSpec extends AnyFunSuite {
     env.executeSql("DROP TABLE ntz_ev")
   }
 
+  test("EXPLAIN PLAN FOR INSERT plans the write without executing it") {
+    val env = GraftTableEnvironment.create(spark.newSession())
+    val dir = java.nio.file.Files.createTempDirectory("graft-explins").toString
+    env.executeSql(s"""
+      CREATE TABLE ei_sink (k INT, v STRING, region STRING)
+      PARTITIONED BY (region)
+      WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    // the reference's dql/SqlRichExplain accepts INSERT bodies: plan
+    // shows the sink binding + the aligned query plan, and NO data lands
+    val plan = env.executeSql("EXPLAIN PLAN FOR INSERT INTO ei_sink " +
+      "PARTITION (region = 'eu') (k, v) SELECT 1, 'a'")
+      .collect()(0).getString(0)
+    assert(plan.contains("== Sink =="), plan)
+    assert(plan.contains("connector=[filesystem]") && plan.contains("INTO"), plan)
+    assert(plan.contains("Physical Plan"), plan)
+    assert(env.from("ei_sink").count() == 0) // nothing was written
+    // OVERWRITE spelling explains too, still without writing
+    env.executeSql("INSERT INTO ei_sink VALUES (1, 'a', 'eu')")
+    val plan2 = env.executeSql(
+      "EXPLAIN PLAN FOR INSERT OVERWRITE ei_sink SELECT 2, 'b', 'us'")
+      .collect()(0).getString(0)
+    assert(plan2.contains("mode=[OVERWRITE]"), plan2)
+    assert(env.from("ei_sink").count() == 1) // overwrite did not run
+  }
+
   test("explainSql shows the rewritten Spark plan; catalog listings work") {
     val env = GraftTableEnvironment.create(spark)
     env.registerTestTables("/root/testdata/sf0.001")

@@ -241,6 +241,37 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"dot_scaled_long not in a codegen stage:\n$cosPlan")
   }
 
+  test("token pipeline shuffles document text once, never the exploded tokens") {
+    // The wordsIdx shape shared by td05/td06/td07/td43: repartition the
+    // DOCS frame, then explode. The only exchange must sit BELOW the
+    // Generate (it carries one row per document, not one per token) and
+    // the per-doc aggregation runs on the preserved partitioning with
+    // no second shuffle. At 100 TB the wrong order exchanges ~5-10x
+    // corpus bytes on the hottest pipeline.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val agg = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("nu"))
+    agg.collect() // AQE renders the final plan only after execution
+    // keep only the adaptive FINAL plan (toString repeats the initial)
+    val lines = agg.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(exIdx >= 0 && genIdx >= 0, s"plan shape missing:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"token aggregation added a second shuffle:\n${lines.mkString("\n")}")
+    // deeper in the tree = later line: the exchange feeds the explode
+    assert(exIdx > genIdx,
+      s"exchange sits ABOVE the explode (shuffles raw tokens):\n${lines.mkString("\n")}")
+    // partial aggregation runs map-side, above the exchange
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(aggIdx >= 0 && aggIdx < exIdx,
+      s"no map-side partial aggregate above the exchange:\n${lines.mkString("\n")}")
+  }
+
   test("decontaminate never broadcasts a corpus-sized side (plan shape)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = graft.operators.TextOps.decontaminate(

@@ -217,6 +217,65 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       env.executeSql("ALTER VIEW vp_w SET ()"))
   }
 
+  test("view options containing quotes and parens round-trip exactly") {
+    val (_, env) = freshEnv()
+    env.executeSql("CREATE TABLE vq_t (a INT) WITH ('connector' = 'values')")
+    // a quote (SQL-doubled) and a close-paren inside option values must
+    // neither truncate the WITH clause nor mis-parse the kv pairs
+    env.executeSql("CREATE VIEW vq_v WITH ('note' = 'it''s (v1)', " +
+      "'paren' = ')') AS SELECT a FROM vq_t")
+    val show = env.executeSql("SHOW CREATE VIEW vq_v").collect()(0).getString(0)
+    assert(show.contains("'note' = 'it''s (v1)'"), show)
+    assert(show.contains("'paren' = ')'"), show)
+    // the snapshot re-executes and is a fixed point
+    env.executeSql("DROP VIEW vq_v")
+    env.executeSql(show)
+    val show2 = env.executeSql("SHOW CREATE VIEW vq_v").collect()(0).getString(0)
+    assert(show2 == show)
+    // ALTER VIEW SET with quote/paren values merges instead of falling
+    // through to an unrelated handler
+    env.executeSql("ALTER VIEW vq_v SET ('note' = 'don''t stop)', 'k2' = '(a)')")
+    val show3 = env.executeSql("SHOW CREATE VIEW vq_v").collect()(0).getString(0)
+    assert(show3.contains("'note' = 'don''t stop)'"), show3)
+    assert(show3.contains("'k2' = '(a)'"), show3)
+    env.executeSql("DROP VIEW vq_v")
+    env.executeSql(show3)
+    assert(env.executeSql("SHOW CREATE VIEW vq_v").collect()(0).getString(0)
+      == show3)
+  }
+
+  test("CHANGE COLUMN crash recovery: stranded __graft_old is restored") {
+    val (_, env) = freshEnv()
+    val dir = tmp("graft-crashrec")
+    env.executeSql(s"""
+      CREATE TABLE cr (k INT, v STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    env.executeSql("INSERT INTO cr VALUES (1, 'a'), (2, 'b')")
+    // simulate a crash between rename(root -> old) and
+    // rename(stage -> root): table path absent, data stranded in
+    // __graft_old, plus a stale stage directory from the dead writer
+    val root = new java.io.File(dir)
+    val old = new java.io.File(root.getParent, root.getName + "__graft_old")
+    val stage = new java.io.File(root.getParent, root.getName + "__graft_stage")
+    assert(stage.mkdirs())
+    assert(root.renameTo(old))
+    // the next CHANGE COLUMN heals the swap first, then proceeds
+    env.executeSql("ALTER TABLE cr CHANGE COLUMN v label STRING")
+    val r = env.from("cr").orderBy("k").selectExpr("k", "label").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+    assert(!old.exists() && !stage.exists())
+    // bind-time recovery too: strand again, then a fresh CREATE TABLE
+    // over the same path sees the healed data
+    assert(root.renameTo(old))
+    val (_, env2) = freshEnv()
+    env2.executeSql(s"""
+      CREATE TABLE cr2 (k INT, label STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    assert(env2.from("cr2").count() == 2)
+    assert(!old.exists())
+  }
+
   test("REPLACE COLUMNS on csv: append-only (positional binding guard)") {
     val (_, env) = freshEnv()
     val dir = tmp("graft-repcsv")
