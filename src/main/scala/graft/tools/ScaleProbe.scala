@@ -340,8 +340,11 @@ object ScaleProbe {
       if (onlyProbes.forall(_.exists("te30".startsWith))) {
         val store = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft-probe-te30-$k").toString
-        val cent = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 16)
-          .localCheckpoint()
+        // 16 rows, pinned driver-side: run()'s post-probe unpersist
+        // sweep would evict a localCheckpoint between the two runs
+        val cent0 = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 16)
+        val cent = spark.createDataFrame(
+          java.util.Arrays.asList(cent0.collect(): _*), cent0.schema)
         VectorOps.ivfAssign(emb, "vec_id", "embedding", cent)
           .where(col("crk") === 1)
           .select(col("id").as("vec_id"), col("cid").as("cell"),
