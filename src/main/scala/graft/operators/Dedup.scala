@@ -196,4 +196,27 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("rep_id"))
       .withColumn("keep", col("id") === col("rep_id"))
   }
+
+  /** SOFT dedup (td44): keep every document and DOWN-WEIGHT duplicated
+    * content instead of dropping it — each near-dup cluster's total
+    * sampling weight is ~1 (`w_micro = 1e6 DIV cluster_size`, exact
+    * integer), so a weighted sampler sees each piece of content once
+    * while retaining every surface form (the alternative to hard
+    * dropping when near-dups carry real variation — different
+    * boilerplate, translations, template instances). Singletons keep
+    * weight 1e6. Same cluster machinery as [[clusterKeepers]] plus one
+    * label-keyed count aggregate and a join back on the label — the
+    * pair graph (only the duplicated slice of the corpus) is the only
+    * non-linear input, exactly as in td16/td24/td35.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: Column,
+                       pairs: DataFrame): DataFrame = {
+    val labeled = clusterKeepers(docs, idCol, pairs)
+      .select(col("id"), col("rep_id"))
+    val sizes = labeled.groupBy(col("rep_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labeled.join(sizes, Seq("rep_id"))
+      .select(col("id"), col("rep_id"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("w_micro"))
+  }
 }

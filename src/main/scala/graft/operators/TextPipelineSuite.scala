@@ -416,6 +416,19 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id")
     },
 
+    // SOFT dedup (td44): td16's clusters, but every doc KEPT with an
+    // inverse-cluster-size sampling weight (exact integer micros) —
+    // each near-dup cluster's total weight ≈ 1e6, so a weighted
+    // sampler sees each piece of content once while retaining every
+    // surface form.
+    "td44_soft_dedup_weights" -> { (s, dir) =>
+      val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.softDedupWeights(Tables.load(s, dir, "documents"),
+          col("doc_id"), pairs)
+        .orderBy("id")
+    },
+
     // Bloom-prefiltered decontamination — same contract as td10, but
     // the corpus gram index passes a broadcast Bloom filter built over
     // the benchmark grams BEFORE the verify join, so only grams that
@@ -1013,6 +1026,33 @@ object TextPipelineSuite extends QueryModule {
               FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
               GROUP BY d.doc_id)
       SELECT id, rep_id, (id = rep_id) AS keep FROM rep ORDER BY id""",
+
+    // td44 = td16's component CTE + a per-cluster count + integer
+    // division (DuckDB's // floors like Spark's DIV on positives).
+    "td44_soft_dedup_weights" -> s"""
+      WITH RECURSIVE $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.id
+                JOIN sizes sb ON id_b = sb.id
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      rep AS (SELECT d.doc_id AS id,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_id
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id),
+      cs AS (SELECT rep_id, count(1) AS cluster_size FROM rep GROUP BY 1)
+      SELECT id, rep.rep_id, cluster_size,
+             CAST(1000000 // cluster_size AS BIGINT) AS w_micro
+      FROM rep JOIN cs ON rep.rep_id = cs.rep_id ORDER BY id""",
 
     // The bloom prefilter is invisible to the result: the oracle is the
     // same exact-overlap computation as td10, at 4 grams / 10%.

@@ -180,6 +180,13 @@ object ScaleProbe {
         TextOps.minhashLshPairsIdx(
             TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
           .select(col("id_a"), col("id_b"))))
+      // Soft dedup: td16's cluster machinery + one label-keyed count +
+      // a join back — the inverse-cluster-size weights path.
+      run("td44 soft dedup", k, graft.operators.Dedup.softDedupWeights(
+        docs, col("doc_id"),
+        TextOps.minhashLshPairsIdx(
+            TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"))))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

@@ -54,6 +54,23 @@ class TextOpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
+  test("softDedupWeights: cluster weight sums to ~1e6; singleton keeps 1e6") {
+    // 3-doc chain cluster + 2-doc pair + singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.softDedupWeights(docs, col("doc_id"), pairs)
+      .select("id", "rep_id", "cluster_size", "w_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (10L, 10L, 2L, 500000L), (11L, 10L, 2L, 500000L),
+      (20L, 20L, 1L, 1000000L)))
+    // per-cluster totals: exact 1e6 when size divides, floor remainder
+    // otherwise (3 x 333333 = 999999) — never above 1e6
+    val totals = out.groupBy(_._2).view.mapValues(_.toSeq.map(_._4).sum)
+    assert(totals.values.forall(t => t <= 1000000L && t >= 999998L))
+  }
+
   test("priorityKeepers keeps the best (priority, id) doc per cluster") {
     // cluster {1,2,3}: doc 2 has the best priority -> keeper despite
     // not being the min id; singleton 20 keeps itself.
