@@ -59,13 +59,19 @@ object TextOps {
       shingle: Seq[Column] => Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    // Round-robin repartition before the explode: the source is often a
-    // handful of parquet files, and without it the whole scan+explode
-    // map side serializes onto one task per file.
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    // HASH-repartition on the doc id before the explode (not
+    // round-robin): the source is often a handful of parquet files, so
+    // a repartition is needed for scan parallelism either way — but
+    // hashpartitioning(id) ALSO satisfies the lead-window's clustering
+    // requirement, so the exchange moves each document's text once and
+    // the window (plus any downstream per-id aggregate, e.g. the
+    // minhash signature fold) runs shuffle-free. Round-robin left the
+    // window's requirement unmet and Spark re-shuffled the EXPLODED
+    // token stream — ~5-10x corpus bytes at 100 TB, on the path every
+    // shingle-based dedup op funnels through.
     val withLeads = docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism)
+      .repartition(col("id"))
       .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w")))
       .select(col("id") +: col("w") +:
         (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
@@ -1137,6 +1143,42 @@ object TextOps {
     *              [[minhashLshPairsIdx]] output)
     * @return (id_a, id_b, jaccard, dist, len_max, sim_micro, edit_dup)
     */
+  /** Per-SOURCE marginal novelty (td45): for every source/dump, the
+    * fraction of its distinct word n-grams that appear in NO other
+    * source — the acquisition-level data-valuation report ("which dump
+    * adds the most new content") that decides what a 100 TB merge
+    * ingests next. Gram-level dual of td40's doc-level overlap matrix:
+    * one (source, gram) distinct index, one gram-keyed ownership count
+    * (`countDistinct(source)` is bounded by the source count, so hot
+    * boilerplate grams cost nothing extra), a gram-keyed shuffle-hash
+    * join back, and a |sources|-row rollup in exact integer micros.
+    * Nothing doc-pairwise, nothing driver-resident; both gram frames
+    * shuffle on the gram hash only.
+    */
+  def sourceNovelty(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, n: Int): DataFrame = {
+    // ONE corpus-sized shuffle: the gram index lands hash-partitioned
+    // on the gram once; the (source, gram) distinct, the per-gram
+    // ownership count (a count window over the gram partition — each
+    // row of a DISTINCT frame is one owning source), and the final
+    // per-source rollup's partial aggregation all run on that same
+    // partitioning with no further exchange. (The naive shape —
+    // distinct, groupBy(sh), join back — shuffles the 10⁷-gram frame
+    // three times for the same answer.)
+    val grams = shingleHashIndex(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol).as("id"), col(srcCol).as("source")), "id")
+      .select(col("source"), col("sh"))
+      .repartition(col("sh"))
+      .distinct()
+    grams
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("unique_micro", expr("n_unique * 1000000 DIV n_grams"))
+  }
+
   /** Composite quality VERDICT (td43): the nightly gate a curation
     * pipeline ships — every doc gets a keep/drop decision plus a
     * machine-readable `reasons` list naming each failed rule, so drops

@@ -416,6 +416,15 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("id")
     },
 
+    // Per-source marginal novelty (td45): which dump adds the most
+    // content no other source has — gram-level acquisition report
+    // (td40's doc-level overlap matrix, at the gram grain).
+    "td45_source_novelty" -> { (s, dir) =>
+      TextOps.sourceNovelty(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", 3)
+        .orderBy("source")
+    },
+
     // SOFT dedup (td44): td16's clusters, but every doc KEPT with an
     // inverse-cluster-size sampling weight (exact integer micros) —
     // each near-dup cluster's total weight ≈ 1e6, so a weighted
@@ -1026,6 +1035,22 @@ object TextPipelineSuite extends QueryModule {
               FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
               GROUP BY d.doc_id)
       SELECT id, rep_id, (id = rep_id) AS keep FROM rep ORDER BY id""",
+
+    // td45: distinct (source, gram) index -> gram ownership count ->
+    // per-source unique fraction in integer micros. DuckDB sum() over
+    // BIGINT returns HUGEINT — cast back before the hash compare.
+    "td45_source_novelty" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      sg AS (SELECT DISTINCT d.source AS source, e.sh
+             FROM e JOIN documents d ON e.doc_id = d.doc_id),
+      own AS (SELECT sh, count(DISTINCT source) AS n_src FROM sg GROUP BY 1)
+      SELECT source, count(1) AS n_grams,
+             CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) * 1000000
+                  // count(1) AS BIGINT) AS unique_micro
+      FROM sg JOIN own ON sg.sh = own.sh
+      GROUP BY 1 ORDER BY 1""",
 
     // td44 = td16's component CTE + a per-cluster count + integer
     // division (DuckDB's // floors like Spark's DIV on positives).

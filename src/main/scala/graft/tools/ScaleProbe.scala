@@ -180,6 +180,12 @@ object ScaleProbe {
         TextOps.minhashLshPairsIdx(
             TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
           .select(col("id_a"), col("id_b"))))
+      // Source novelty: distinct (source, gram) index + gram-keyed
+      // ownership count + shuffle-hash join back + |sources|-row rollup.
+      run("td45 source novelty", k, TextOps.sourceNovelty(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
+        "doc_id", "text", "source", 3))
       // Soft dedup: td16's cluster machinery + one label-keyed count +
       // a join back — the inverse-cluster-size weights path.
       run("td44 soft dedup", k, graft.operators.Dedup.softDedupWeights(

@@ -272,6 +272,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"no map-side partial aggregate above the exchange:\n${lines.mkString("\n")}")
   }
 
+  test("sourceNovelty: one doc exchange, one gram exchange, nothing token-sized") {
+    // td45's full pipeline allows exactly three hash exchanges:
+    //  (1) docs by id (one row per DOC — must sit BELOW the shingle
+    //      posexplode, so it never carries the token stream),
+    //  (2) the gram index by sh (the one corpus-sized gram shuffle —
+    //      the distinct, the ownership window, and the rollup's
+    //      partial aggregation all ride it with no further exchange),
+    //  (3) the |sources|-row partial-rollup exchange.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = graft.operators.TextOps.sourceNovelty(
+      docs, "doc_id", "text", "source", 3)
+    r.collect()
+    val lines = r.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val hashEx = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.length == 3,
+      s"expected id + sh + rollup exchanges only:\n${lines.mkString("\n")}")
+    assert(hashEx.exists(_.contains("sh#")) && hashEx.exists(_.contains("source#")),
+      s"unexpected exchange keys:\n${hashEx.mkString("\n")}")
+    // the doc exchange feeds the explode (deeper line), not vice versa:
+    // the exchange input is one row per doc, never the token stream
+    val genIdx = lines.indexWhere(_.contains("Generate posexplode"))
+    val idExIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(id#"))
+    assert(genIdx >= 0 && idExIdx > genIdx,
+      s"doc exchange not below the explode (token stream shuffled):\n${lines.mkString("\n")}")
+    // the gram exchange sits BELOW the ownership window (no extra
+    // exchange between distinct, window, and partial rollup)
+    val winIdx = lines.indexWhere(l =>
+      l.contains("Window") && l.contains("sh#") && !l.contains("pos#"))
+    val shExIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(sh#"))
+    assert(winIdx >= 0 && shExIdx > winIdx,
+      s"gram exchange not below the ownership window:\n${lines.mkString("\n")}")
+  }
+
   test("decontaminate never broadcasts a corpus-sized side (plan shape)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = graft.operators.TextOps.decontaminate(

@@ -54,6 +54,23 @@ class TextOpsSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true)))
   }
 
+  test("sourceNovelty: unique-gram fraction per source, shared grams excluded") {
+    // srcA: two docs sharing one 3-gram with srcB; srcB has one doc
+    // whose grams are otherwise unseen. Grams are distinct per source.
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),   // grams: "a b c", "b c d"
+      (2L, "a b c", "srcA"),     // gram:  "a b c" (dup within source)
+      (3L, "a b c x y", "srcB")  // grams: "a b c", "b c x", "c x y"
+    ).toDF("doc_id", "text", "source")
+    // srcA distinct grams: {"a b c","b c d"} — "a b c" shared with srcB;
+    // srcB: {"a b c","b c x","c x y"} — two grams no other source has
+    val bySrc = TextOps.sourceNovelty(docs, "doc_id", "text", "source", 3)
+      .select("source", "n_grams", "n_unique", "unique_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(bySrc == Set(("srcA", 2L, 1L, 500000L),
+      ("srcB", 3L, 2L, 666666L)))
+  }
+
   test("softDedupWeights: cluster weight sums to ~1e6; singleton keeps 1e6") {
     // 3-doc chain cluster + 2-doc pair + singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
