@@ -167,18 +167,21 @@ object TextOps {
     * reproduces the selection byte for byte — the plan shape (one keyed
     * sort feeding a bounded running-window min) is identical either
     * way, and selection density still averages the 2/(w+1) bound.
-    * Returns distinct (id, fp). Scale anatomy: one round-robin'd
-    * explode, ONE shuffle by id for both window passes (lead-gram
-    * completeness filter + windowed min share the sort), then the
-    * distinct — corpus-linear, no pair surface.
+    * Returns distinct (id, fp). Scale anatomy: ONE doc-sized exchange
+    * (hash-by-id before the explode) feeds both window passes
+    * (lead-gram completeness filter + windowed min share the sort)
+    * and the distinct — corpus-linear, no pair surface, and the
+    * exploded token stream itself never shuffles.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
+    // hash-by-id BEFORE the explode (shingleCols rationale): the doc
+    // exchange satisfies both window passes' clustering — the token
+    // stream never re-shuffles
     val exploded = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism)
+      .repartition(col("id"))
       .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w0")))
     val wordCols = col("w0") +: (1 until k).map(i =>
       lead(col("w0"), i).over(wOrd).as(s"w$i"))
@@ -619,11 +622,13 @@ object TextOps {
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 chunkWords: Int = 10): DataFrame = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
+    // hash-by-id BEFORE the explode (same rationale as shingleCols):
+    // the doc exchange satisfies the chunk window's clustering, so the
+    // exploded token stream never re-shuffles
     val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism)
+      .repartition(col("id"))
       .select(col("id"), size(words(col("__text"))).as("n_words"),
         posexplode(words(col("__text"))).as(Seq("pos", "w")))
     val leadCols = (1 until chunkWords).map(i => lead(col("w"), i).over(w).as(s"w$i"))
@@ -862,12 +867,15 @@ object TextOps {
     */
   def exactSubstrRemove(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
+    // hash-by-id BEFORE the explode (shingleCols rationale): the
+    // checkpointed token blocks come out hash(id)-partitioned, so the
+    // gram window AND the reassembly windows below all run without
+    // re-shuffling the token stream
     val toks = docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism)
+      .repartition(col("id"))
       .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w")))
       .localCheckpoint() // feeds windows, totals, and the kept anti-join
     val withLeads = toks.select(col("id") +: col("pos") +: col("w") +:
