@@ -64,12 +64,28 @@ object Bench {
     // is then <= +/-5%, far inside the 1.2x threshold, so quantization
     // alone can't flip the flag (it could for the old 0.03s f06).
     val sentinelFile = "tools/sentinel_baseline.json"
+    // Strict parse of the baseline file's pinned schema: the "queries"
+    // member must be a FLAT object of "name": number pairs and nothing
+    // else (no nesting, no strings) — anything unexpected fails loudly
+    // here instead of silently changing the sentinel set.
     val sentinelBase: Seq[(String, Double)] = (try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(sentinelFile)), "UTF-8")
-      "\"([a-z][a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => k != "threshold" }.toSeq
+      val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+        .findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"$sentinelFile: no flat \"queries\" object"))
+        .group(1)
+      val pair = "\"([A-Za-z][A-Za-z0-9_]*)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      val pairs = pair.findAllMatchIn(qBlock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      // every non-whitespace byte of the block must be consumed by
+      // "name": number pairs and separating commas — else fail loudly
+      val residue = pair.replaceAllIn(qBlock, "").replaceAll("[\\s,]", "")
+      require(residue.isEmpty,
+        s"$sentinelFile: \"queries\" is not a flat name->number map " +
+          s"(unparsed: '$residue')")
+      require(pairs.nonEmpty, s"$sentinelFile: empty \"queries\" object")
+      pairs
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] $sentinelFile unreadable ($e) — " +
@@ -117,12 +133,18 @@ object Bench {
     val (window, sentinelRatio) =
       if (inSuite.length < sentinelBase.length) ("unknown", -1.0)
       else {
-        // lower-middle median: steal waves only ever INFLATE ratios,
-        // so with an even sentinel count the upper middle is the
-        // likelier contaminated one (the >= 2-of-3 / majority rule:
-        // one noisy sentinel alone cannot flag the window)
-        val r = inSuite((inSuite.length - 1) / 2)
-        (if (r <= 1.2) "clean" else "contended", r)
+        // Majority rule, stated directly: the window is clean iff a
+        // STRICT majority of sentinels sit at/below the threshold —
+        // with an odd count this is exactly the median test, and with
+        // an even count half the sentinels exceeding the threshold now
+        // reads contended (the old lower-middle median would have read
+        // clean). The reported ratio is the true interpolated median.
+        val n = inSuite.length
+        val r =
+          if (n % 2 == 1) inSuite(n / 2)
+          else (inSuite(n / 2 - 1) + inSuite(n / 2)) / 2
+        val under = inSuite.count(_ <= 1.2)
+        (if (under * 2 > n) "clean" else "contended", r)
       }
     System.err.println(f"[bench] window=$window (median in-suite sentinel ratio $sentinelRatio%4.2f vs baseline)")
     // Failed queries are reported as negative timings plus an errors

@@ -666,8 +666,17 @@ class GraftTableEnvironment private (val spark: SparkSession,
     * leaves a stale `__graft_old` / `__graft_stage` sibling — delete it
     * lazily. Called wherever a filesystem table path is (re)bound and
     * before a new stage-and-swap starts. Documented in MIGRATION.md.
+    *
+    * Concurrency: a stage dir can also be an IN-FLIGHT CHANGE COLUMN
+    * from another session writing next to a live root. A bind must not
+    * delete that mid-write, so binds (`force = false`) leave a
+    * recently-modified stage alone — it is invisible to reads either
+    * way; only the ALTER path about to start its own swap
+    * (`force = true`) clears any stage unconditionally. The stale-`old`
+    * delete stays unconditional: root-exists + old-exists can only be a
+    * post-swap crash leftover (between the two renames root is absent).
     */
-  private def recoverStagedSwap(pathStr: String): Unit = {
+  private def recoverStagedSwap(pathStr: String, force: Boolean = false): Unit = {
     val root = new org.apache.hadoop.fs.Path(pathStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (root.getParent == null) return
@@ -680,7 +689,13 @@ class GraftTableEnvironment private (val spark: SparkSession,
         s"cannot recover stranded $old back to $root")
     if (fs.exists(root)) {
       if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(stage)) {
+        val fresh = try {
+          System.currentTimeMillis -
+            fs.getFileStatus(stage).getModificationTime < 600000L
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (force || !fresh) fs.delete(stage, true)
+      }
     }
   }
 
@@ -1212,7 +1227,8 @@ class GraftTableEnvironment private (val spark: SparkSession,
           if (stmt.options.get("connector").contains("filesystem")) {
             // a prior crashed swap may have stranded the table path —
             // restore it before deciding whether there is data to move
-            recoverStagedSwap(stmt.options("path"))
+            // (force: this ALTER owns the swap, any stage dir is stale)
+            recoverStagedSwap(stmt.options("path"), force = true)
             val root = new org.apache.hadoop.fs.Path(stmt.options("path"))
             val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(root)) {

@@ -1134,34 +1134,18 @@ object TextOps {
         coalesce(col("tok_sel"), lit(0L)).as("tok_sel"))
   }
 
-  /** Edit-distance verification of near-duplicate pairs — the final
-    * refinement stage after LSH mining: character-level Levenshtein
-    * similarity over the VERIFIED near-dup pair set (shingle Jaccard
-    * catches reordered boilerplate that char edit distance scores
-    * low, so production fuzzy dedup re-verifies with the stricter
-    * metric before destructive removal). Runs Spark's codegen'd
-    * `levenshtein` only on pairs the Jaccard gate already passed —
-    * O(|pairs| · len²), never corpus-quadratic; the pair set is the
-    * hot-salted banded LSH join's output.
-    *
-    * sim_micro = ((len_max − dist) · 1e6) DIV len_max — exact integer
-    * normalized similarity; `edit_dup` gates at `simThresholdMicro`.
-    *
-    * @param pairs (id_a, id_b, jaccard) verified pairs (e.g.
-    *              [[minhashLshPairsIdx]] output)
-    * @return (id_a, id_b, jaccard, dist, len_max, sim_micro, edit_dup)
-    */
   /** Per-SOURCE marginal novelty (td45): for every source/dump, the
     * fraction of its distinct word n-grams that appear in NO other
     * source — the acquisition-level data-valuation report ("which dump
     * adds the most new content") that decides what a 100 TB merge
     * ingests next. Gram-level dual of td40's doc-level overlap matrix:
-    * one (source, gram) distinct index, one gram-keyed ownership count
-    * (`countDistinct(source)` is bounded by the source count, so hot
-    * boilerplate grams cost nothing extra), a gram-keyed shuffle-hash
-    * join back, and a |sources|-row rollup in exact integer micros.
-    * Nothing doc-pairwise, nothing driver-resident; both gram frames
-    * shuffle on the gram hash only.
+    * one (source, gram) distinct index, then a per-gram ownership
+    * COUNT WINDOW over the gram partition (each row of the distinct
+    * frame is one owning source, so the window count IS the owner
+    * count — bounded by |sources|, so hot boilerplate grams cost
+    * nothing extra, and no join back is needed), and a |sources|-row
+    * rollup in exact integer micros. Nothing doc-pairwise, nothing
+    * driver-resident; the gram frame shuffles on the gram hash ONCE.
     */
   def sourceNovelty(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, n: Int): DataFrame = {
@@ -1243,6 +1227,23 @@ object TextOps {
         when(!col("r_dup"), lit("dup"))))
   }
 
+  /** Edit-distance verification of near-duplicate pairs — the final
+    * refinement stage after LSH mining: character-level Levenshtein
+    * similarity over the VERIFIED near-dup pair set (shingle Jaccard
+    * catches reordered boilerplate that char edit distance scores
+    * low, so production fuzzy dedup re-verifies with the stricter
+    * metric before destructive removal). Runs Spark's codegen'd
+    * `levenshtein` only on pairs the Jaccard gate already passed —
+    * O(|pairs| · len²), never corpus-quadratic; the pair set is the
+    * hot-salted banded LSH join's output.
+    *
+    * sim_micro = ((len_max − dist) · 1e6) DIV len_max — exact integer
+    * normalized similarity; `edit_dup` gates at `simThresholdMicro`.
+    *
+    * @param pairs (id_a, id_b, jaccard) verified pairs (e.g.
+    *              [[minhashLshPairsIdx]] output)
+    * @return (id_a, id_b, jaccard, dist, len_max, sim_micro, edit_dup)
+    */
   def editVerifiedPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String,
                         simThresholdMicro: Long = 800000L): DataFrame = {

@@ -19,7 +19,10 @@ for i in $(seq 1 "$N"); do
   RATIO=$(python3 -c "import json;print(json.load(open('BENCH_FULL.json'))['sentinel_ratio'])" 2>/dev/null || echo 999999)
   WINDOW=$(python3 -c "import json;print(json.load(open('BENCH_FULL.json'))['window'])" 2>/dev/null || echo unknown)
   echo "[bench_retry] attempt $i: window=$WINDOW sentinel_ratio=$RATIO" >&2
-  KEEP=$(python3 -c "print(1 if $RATIO < $BEST else 0)")
+  # Non-positive ratios mean the sentinels FAILED (window unknown) —
+  # treat them as worst, never as best, and never keep that artifact.
+  KEEP=$(python3 -c "print(1 if $RATIO > 0 and $RATIO < $BEST else 0)")
+  if [ "$WINDOW" = "unknown" ]; then KEEP=0; fi
   if [ "$KEEP" = "1" ]; then
     BEST=$RATIO
     cp BENCH_FULL.json /tmp/bench_best.json
