@@ -25,6 +25,7 @@ object SparkEntry {
     operators.PipelineExt,
     operators.PipelineExt2,
     operators.PipelineExt3,
+    operators.PipelineExt4,
     operators.CdcParity,
     operators.TpchGate
   )

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation compositions (round 13): the whole nightly
+  * curation job as ONE Spark DAG (td46), and the sequential greedy
+  * source-acquisition loop (td47) — the two queries a 100 TB
+  * training-data owner actually runs, built by composing the
+  * independently-oracled stages (qualityVerdict profile, soft-dedup
+  * weights, deterministic weighted sampling, shard manifest; gram
+  * novelty). Reference behavior: the batch SQL pipeline surface of
+  * flink-table-planner (multi-stage INSERT pipelines, e.g.
+  * flink-table-planner/src/test/.../batch/sql/TableSourceITCase — the
+  * reference composes these stages as chained SQL jobs; here the whole
+  * chain is one Catalyst plan so the optimizer sees every stage
+  * boundary).
+  */
+object CurationOps {
+
+  /** td46: the fused curation pipeline — lenient quality verdict
+    * (C4 page rule + langid agreement + exact-dup canonicalization as
+    * DROP rules; the Gopher profile stays advisory and is therefore
+    * not computed here — dead rules are real scans at 100 TB) →
+    * near-dup soft-dedup sampling weights over the surviving docs →
+    * deterministic hash-gate weighted sample (td13's md5 gate, in
+    * micros against w_micro: singletons always survive, a k-cluster
+    * keeps each member w.p. ~1/k so each piece of content lands ~once)
+    * → 16-shard training manifest (td39's multiplicative hash).
+    *
+    * Scale anatomy of the fused DAG (vs running the four stages as
+    * separate jobs with materialized intermediates):
+    *  - corpus-sized exchanges: the C4 rule's per-doc re-aggregation,
+    *    the langid explode's doc-id exchange (pre-explode, text moves
+    *    once), the dup window's text-hash exchange, the verdict joins
+    *    (co-partitioned on id), the kept-docs shingle index's one gram
+    *    exchange (inside minhashLshPairsIdx), and the id-keyed weights
+    *    join. The manifest groupBy(shard) partial-aggregates to 16
+    *    rows — map-side, no corpus-sized exchange.
+    *  - the pair graph and every frame after it are duplicated-slice-
+    *    sized, exactly as in td16/td44.
+    *  - run as separate jobs, each stage re-scans its input from disk
+    *    and re-shuffles it on ingest; fused, the kept-docs subtree is
+    *    shared by the shingle path and the manifest path (Spark reuses
+    *    the exchange where shapes match, and at 100 TB the kept frame
+    *    is the natural checkpoint/cache point — see SCALE.md).
+    */
+  def curationManifest(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, lshThreshold: Double = 0.8,
+                       nShards: Int = 16): DataFrame = {
+    val c4 = TextOps.c4Clean(docs, idCol, textCol)
+      .select(col(idCol), col("keep_doc").as("r_c4"))
+    val lang = TextOps.langidAgreement(docs, idCol, textCol, langCol)
+    val dup = TextOps.exactDupCanonical(docs, idCol, textCol)
+    val keptIds = c4.join(lang, idCol).join(dup, idCol)
+      .where(col("r_c4") && col("r_lang") && col("r_dup"))
+      .select(col(idCol))
+    val kept = docs.join(keptIds, idCol)
+    val pairs = TextOps.minhashLshPairsIdx(
+        TextOps.shingleHashIndex(kept, idCol, textCol, 3), lshThreshold)
+      .select(col("id_a"), col("id_b"))
+    val weights = Dedup.softDedupWeights(kept, col(idCol), pairs)
+    // td13's reproducible content-independent gate, in micros: md5 of
+    // the id, first 15 hex digits, mod 1e6 — stateless map-side filter,
+    // identical across engines/runs/partitionings.
+    val gate = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val sampled = weights.where(gate < col("w_micro"))
+      .select(col("id").as(idCol))
+    kept.join(sampled, idCol)
+      .withColumn("shard",
+        (col(idCol) * lit(2654435761L) % lit(1000000007L) % lit(nShards))
+          .cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+  }
+
+  /** td47: greedy novelty-ordered source acquisition — td45 reports
+    * each source's STATIC unique-gram share, but the real acquisition
+    * decision is sequential: ingest the source with the most grams not
+    * yet covered, mark its grams covered, re-rank, repeat. Classic
+    * greedy set cover (1 − 1/e of optimal), the order in which a
+    * 100 TB merge should buy/ingest its candidate dumps.
+    *
+    * Scale anatomy: the corpus is touched ONCE — a (source, gram)
+    * distinct index collapses to the gram-OWNERSHIP-PATTERN frame
+    * (owners sorted-set → gram count), whose row count is bounded by
+    * min(|grams|, 2^|sources|) and in practice by a few thousand (most
+    * grams have 1–2 owners). Every greedy step then runs on that tiny
+    * checkpointed frame: one arrays_overlap filter + explode + sum
+    * aggregate, with a |sources|-row collect for the argmax — the loop
+    * is driver-paced but never driver-sized, the td42/it05 pattern.
+    * Steps are capped (default 5) and never exceed |sources|.
+    *
+    * Returns one row per pick: (step, source, marginal_grams,
+    * cum_grams) with cum_grams the running covered-gram count.
+    */
+  def greedyAcquisition(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, n: Int, steps: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sg = TextOps.shingleHashIndex(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol).as("id"), col(srcCol).as("source")), "id")
+      .select(col("source"), col("sh"))
+    // gram → canonical sorted owner set → pattern counts; one gram-
+    // keyed exchange, then a pattern-keyed one over the already-tiny
+    // owner-set frame
+    val pat = sg
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("owners"))
+      .groupBy(col("owners")).agg(count(lit(1)).as("n_grams"))
+      .localCheckpoint()
+    val allSources = sg.select(col("source")).distinct()
+      .as[String].collect().sorted.toSeq // bounded: |sources|
+    var selected = Vector.empty[String]
+    var cum = 0L
+    val picks = Vector.newBuilder[(Int, String, Long, Long)]
+    for (step <- 1 to math.min(steps, allSources.length)) {
+      val uncovered =
+        if (selected.isEmpty) pat
+        else pat.where(!arrays_overlap(col("owners"),
+          typedLit(selected)))
+      val marginals = uncovered
+        .select(explode(col("owners")).as("source"), col("n_grams"))
+        .groupBy(col("source")).agg(sum(col("n_grams")).as("marginal"))
+        .as[(String, Long)].collect().toMap // bounded: |sources| rows
+      // fully-covered candidates vanish from the aggregate — they carry
+      // marginal 0 and still get picked (deterministically, by name)
+      // once nothing novel remains
+      // argmax marginal, ties to the lexicographically smallest source
+      val (src, marg) = allSources.filterNot(selected.contains)
+        .map(s => (s, marginals.getOrElse(s, 0L)))
+        .minBy { case (s, m) => (-m, s) }
+      picks += ((step, src, marg, cum + marg))
+      cum += marg
+      selected :+= src
+    }
+    spark.createDataFrame(picks.result())
+      .toDF("step", "source", "marginal_grams", "cum_grams")
+  }
+}

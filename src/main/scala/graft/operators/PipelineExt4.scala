@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 curation compositions: the end-to-end nightly curation
+  * job as ONE DAG (td46) and the greedy novelty-ordered source
+  * acquisition loop (td47) — built from the independently-oracled
+  * stage operators in [[CurationOps]].
+  */
+object PipelineExt4 extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // End-to-end curation pipeline (td46): lenient quality verdict
+    // (C4 + langid agreement + exact-dup canonical as drop rules) →
+    // soft-dedup sampling weights over survivors → deterministic
+    // md5-gate weighted sample → 16-shard training manifest. The
+    // query a real 100 TB curation job runs nightly; see
+    // CurationOps.curationManifest for the fused-DAG scale anatomy.
+    "td46_curation_pipeline" -> { (s, dir) =>
+      CurationOps.curationManifest(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy("shard")
+    },
+
+    // Greedy novelty-ordered acquisition (td47): the sequential
+    // version of td45's static novelty report — pick the source with
+    // the most not-yet-covered grams, mark covered, re-rank, repeat
+    // (5 picks). Greedy set cover over the gram-ownership-pattern
+    // frame; see CurationOps.greedyAcquisition.
+    "td47_greedy_acquisition" -> { (s, dir) =>
+      CurationOps.greedyAcquisition(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", 3, steps = 5)
+        .orderBy("step")
+    }
+  )
+
+  /** The 3-gram shingle CTE shared by both oracles (same construction
+    * as TextPipelineSuite's).
+    */
+  private val shingleCte = """
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [] END AS shingles
+          FROM w)"""
+
+  /** One greedy layer of the td47 oracle: candidates = unselected
+    * sources with their uncovered-gram counts (0 when fully covered),
+    * pick = argmax (marginal DESC, source ASC), then extend the
+    * selected set and the covered-gram set. NOT EXISTS (never NOT IN:
+    * NOT IN's NULL semantics force DuckDB into a mark join — measured
+    * unboundedly slow on the sf0.1 gram counts; NOT EXISTS compiles to
+    * a hash anti join).
+    */
+  private def greedyLayer(i: Int): String = {
+    val p = i - 1
+    s"""
+      cand$i AS MATERIALIZED (SELECT s.source, coalesce(m.cnt, 0) AS marginal
+                 FROM (SELECT source FROM srcs ss
+                       WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+                                         WHERE x.source = ss.source)) s
+                 LEFT JOIN (SELECT source, CAST(count(1) AS BIGINT) AS cnt
+                            FROM sg
+                            WHERE NOT EXISTS (SELECT 1 FROM cov$p c
+                                              WHERE c.sh = sg.sh)
+                              AND NOT EXISTS (SELECT 1 FROM sel$p x
+                                              WHERE x.source = sg.source)
+                            GROUP BY 1) m USING (source)),
+      pick$i AS MATERIALIZED (SELECT $i AS step, source, marginal FROM cand$i
+                 ORDER BY marginal DESC, source LIMIT 1),
+      sel$i AS MATERIALIZED (SELECT source FROM sel$p
+                UNION ALL SELECT source FROM pick$i),
+      cov$i AS MATERIALIZED (SELECT DISTINCT sh FROM sg
+                WHERE EXISTS (SELECT 1 FROM sel$i x
+                              WHERE x.source = sg.source))"""
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+
+    // Verdict (3 enforced rules) → kept docs → exact-Jaccard pairs →
+    // transitive closure → cluster sizes → inverse-size weights →
+    // md5 micro-gate → shard manifest. Every stage is the already-
+    // oracled td41/td43/td16/td44/td13/td39 logic, chained.
+    "td46_curation_pipeline" -> """
+      WITH RECURSIVE
+      w0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents),
+      wa AS (SELECT doc_id, string_split(lower(text), ' ') AS wds
+             FROM documents),
+      c AS (SELECT doc_id, wds[i*10+1 : i*10+10] AS cw
+            FROM wa, LATERAL (SELECT unnest(range(0,
+              CAST(ceil(len(wds) / 10.0) AS INT))) AS i)),
+      k AS (SELECT doc_id,
+              (NOT list_contains(cw, 'dup')
+                AND len(list_filter(cw, x -> x = 'a' OR x = 'the')) <= 2
+                AND len(cw) >= 5) AS kept
+            FROM c),
+      c4 AS (SELECT doc_id,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3 AS r_c4
+             FROM k GROUP BY 1),
+      ls AS (SELECT doc_id,
+               sum(CASE WHEN w IN ('the','a','of','and','to')
+                 THEN 1 ELSE 0 END) AS s_en,
+               sum(CASE WHEN w IN ('der','die','das','und','ist')
+                 THEN 1 ELSE 0 END) AS s_de,
+               sum(CASE WHEN w IN ('le','la','et','les','des')
+                 THEN 1 ELSE 0 END) AS s_fr,
+               sum(CASE WHEN w IN ('el','los','las','y','es')
+                 THEN 1 ELSE 0 END) AS s_es
+             FROM w0 GROUP BY 1),
+      lg AS (SELECT d.doc_id,
+               (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END) = d.lang AS r_lang
+             FROM documents d JOIN ls ON d.doc_id = ls.doc_id),
+      dp AS (SELECT doc_id, doc_id = min(doc_id) OVER (
+               PARTITION BY md5(lower(text))) AS r_dup
+             FROM documents),
+      kept_docs AS (SELECT d.* FROM documents d
+                    JOIN c4 USING (doc_id) JOIN lg USING (doc_id)
+                    JOIN dp USING (doc_id)
+                    WHERE r_c4 AND r_lang AND r_dup),
+      w2 AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+             FROM kept_docs),
+      g2 AS (SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                 THEN list_distinct(list_transform(range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                 ELSE [] END AS shingles
+             FROM w2),
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g2),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g2),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.id
+                JOIN sizes sb ON id_b = sb.id
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      rep AS (SELECT d.doc_id AS id,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_id
+              FROM kept_docs d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id),
+      cs AS (SELECT rep_id, count(1) AS cluster_size FROM rep GROUP BY 1),
+      wts AS (SELECT id, CAST(1000000 // cluster_size AS BIGINT) AS w_micro
+              FROM rep JOIN cs ON rep.rep_id = cs.rep_id),
+      sampled AS (SELECT id FROM wts
+                  WHERE list_reduce(list_transform(range(1, 16),
+                          i -> CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(id AS VARCHAR)), i, 1)) - 1
+                               AS BIGINT)),
+                        (a, b) -> a * 16 + b) % 1000000 < w_micro)
+      SELECT CAST((doc_id * 2654435761) % 1000000007 % 16 AS INT) AS shard,
+             count(1) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM kept_docs JOIN sampled ON doc_id = id
+      GROUP BY 1
+      ORDER BY shard""",
+
+    // 5 unrolled greedy layers over the distinct (source, gram)
+    // index; cum_grams via a running sum over the picks.
+    "td47_greedy_acquisition" -> s"""
+      WITH $shingleCte,
+      sg AS MATERIALIZED (SELECT DISTINCT d.source AS source, e.sh
+             FROM (SELECT doc_id, unnest(shingles) AS sh FROM g) e
+             JOIN documents d ON e.doc_id = d.doc_id),
+      srcs AS MATERIALIZED (SELECT DISTINCT source FROM sg),
+      sel0 AS (SELECT CAST(NULL AS VARCHAR) AS source WHERE 1 = 0),
+      cov0 AS (SELECT CAST(NULL AS VARCHAR) AS sh WHERE 1 = 0),
+      ${greedyLayer(1)}, ${greedyLayer(2)}, ${greedyLayer(3)},
+      ${greedyLayer(4)}, ${greedyLayer(5)},
+      all_picks AS (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
+                    UNION ALL SELECT * FROM pick3
+                    UNION ALL SELECT * FROM pick4
+                    UNION ALL SELECT * FROM pick5)
+      SELECT CAST(step AS INT) AS step, source,
+             CAST(marginal AS BIGINT) AS marginal_grams,
+             CAST(sum(marginal) OVER (ORDER BY step) AS BIGINT) AS cum_grams
+      FROM all_picks
+      ORDER BY step"""
+  )
+}

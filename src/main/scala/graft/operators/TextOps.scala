@@ -1189,6 +1189,30 @@ object TextOps {
       .select(col(idCol), col("keep").as("r_gopher"))
     val c4 = c4Clean(docs, idCol, textCol)
       .select(col(idCol), col("keep_doc").as("r_c4"))
+    val lang = langidAgreement(docs, idCol, textCol, langCol)
+    val dup = exactDupCanonical(docs, idCol, textCol)
+    gopher.join(c4, idCol).join(lang, idCol).join(dup, idCol)
+      .withColumn("keep",
+        col("r_gopher") && col("r_c4") && col("r_lang") && col("r_dup"))
+      // concat_ws skips NULLs in BOTH engines, so the reasons list
+      // is the failed rules in fixed declaration order ('' = keep)
+      .withColumn("reasons", concat_ws(",",
+        when(!col("r_gopher"), lit("gopher")),
+        when(!col("r_c4"), lit("c4")),
+        when(!col("r_lang"), lit("lang")),
+        when(!col("r_dup"), lit("dup"))))
+  }
+
+  /** The langid-vs-metadata agreement rule of [[qualityVerdict]],
+    * factored so lenient verdict profiles (td46) reuse it without
+    * computing the rules they don't enforce: stopword-vote language
+    * prediction (en/de/fr/es) compared against the metadata language.
+    * Repartitions the docs frame by id BEFORE the explode so the
+    * exchange moves each document's text once, not once per token.
+    * Returns (idCol, r_lang).
+    */
+  def langidAgreement(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String): DataFrame = {
     val en = Seq("the", "a", "of", "and", "to")
     val de = Seq("der", "die", "das", "und", "ist")
     val fr = Seq("le", "la", "et", "les", "des")
@@ -1208,23 +1232,23 @@ object TextOps {
           .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
           .when(col("s_fr") >= col("s_es"), "fr")
           .otherwise("es"))
-    val lang = docs.select(col(idCol), col(langCol))
+    docs.select(col(idCol), col(langCol))
       .join(pred.select(col(idCol), col("predicted")), idCol)
       .select(col(idCol), (col("predicted") === col(langCol)).as("r_lang"))
+  }
+
+  /** The exact-duplicate canonicalization rule of [[qualityVerdict]],
+    * factored for reuse: r_dup is true only for the minimum id within
+    * each identical-text group (one window over the text hash — the
+    * hash, not the text, is the shuffle key width). Returns
+    * (idCol, r_dup).
+    */
+  def exactDupCanonical(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(col(textCol))))
-    val dup = docs.select(col(idCol),
+    docs.select(col(idCol),
       (col(idCol) === min(col(idCol)).over(wDup)).as("r_dup"))
-    gopher.join(c4, idCol).join(lang, idCol).join(dup, idCol)
-      .withColumn("keep",
-        col("r_gopher") && col("r_c4") && col("r_lang") && col("r_dup"))
-      // concat_ws skips NULLs in BOTH engines, so the reasons list
-      // is the failed rules in fixed declaration order ('' = keep)
-      .withColumn("reasons", concat_ws(",",
-        when(!col("r_gopher"), lit("gopher")),
-        when(!col("r_c4"), lit("c4")),
-        when(!col("r_lang"), lit("lang")),
-        when(!col("r_dup"), lit("dup"))))
   }
 
   /** Edit-distance verification of near-duplicate pairs — the final

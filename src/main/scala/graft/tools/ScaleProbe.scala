@@ -193,6 +193,20 @@ object ScaleProbe {
         TextOps.minhashLshPairsIdx(
             TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
           .select(col("id_a"), col("id_b"))))
+      // End-to-end curation composition: lenient verdict → soft-dedup
+      // weights → md5-gate sample → shard manifest in ONE DAG. The
+      // synthetic vocab passes every lenient rule, so the whole corpus
+      // flows through the dedup+sample+manifest stages (worst case).
+      run("td46 curation pipeline", k,
+        graft.operators.CurationOps.curationManifest(
+          docs.withColumn("lang", lit("en")), "doc_id", "text", "lang"))
+      // Greedy acquisition: corpus touched once (gram → owner-pattern
+      // frame), then 5 driver-paced argmax steps on the tiny frame.
+      run("td47 greedy acquisition", k,
+        graft.operators.CurationOps.greedyAcquisition(
+          docs.withColumn("source",
+            concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
+          "doc_id", "text", "source", 3, steps = 5))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  /** gate value of curationManifest's md5 sampler, replicated on the
+    * JVM so the test's expectation is independent of the Spark code.
+    */
+  private def gateMicro(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+  }
+
+  test("greedyAcquisition re-ranks after each pick (not static order)") {
+    // srcA and srcB carry IDENTICAL text (5 shared 3-grams each);
+    // srcC has 3 grams of its own. Static totals order: A/B tie (5),
+    // then C (3) — greedy instead picks A (tie to the smaller name),
+    // then C (B's marginal collapsed to 0), then B with marginal 0.
+    val shared = "p1 p2 p3 p4 p5 p6 p7"
+    val docs = Seq(
+      (1L, shared, "srcA"),
+      (2L, shared, "srcB"),
+      (3L, "c1 c2 c3 c4 c5", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = CurationOps.greedyAcquisition(docs, "doc_id", "text",
+        "source", 3, steps = 5)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, "srcA", 5L, 5L),
+      (2, "srcC", 3L, 8L),
+      (3, "srcB", 0L, 8L)))
+  }
+
+  test("greedyAcquisition caps at `steps` picks") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5", "s1"),
+      (2L, "b1 b2 b3 b4", "s2"),
+      (3L, "c1 c2 c3", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = CurationOps.greedyAcquisition(docs, "doc_id", "text",
+        "source", 3, steps = 2)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "s1", 3L, 3L), (2, "s2", 2L, 5L)))
+  }
+
+  test("curationManifest: rules gate, cluster weights sample, manifest sums") {
+    // ≥30-word English texts with few a/the per 10-word chunk pass the
+    // lenient verdict; ids 1 and 2 are near-dups (one trailing word
+    // dropped — shingle Jaccard 29/30 ≥ 0.8, but texts differ so the
+    // exact-dup rule keeps both); 3 is a clean singleton; 4 fails the
+    // C4 page rule (too short); 5 fails langid agreement (metadata de,
+    // stopword vote en).
+    val base = (1 to 31).map(i => s"w$i").mkString(" ") // 31 words, 29/30 grams
+    val okText = base + " tail"
+    val docs = Seq(
+      (1L, okText, "en"),
+      (2L, base, "en"),
+      (3L, (1 to 30).map(i => s"v$i").mkString(" "), "en"),
+      (4L, "too short", "en"),
+      (5L, (1 to 30).map(i => s"x$i").mkString(" "), "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = CurationOps.curationManifest(docs, "doc_id", "text", "lang")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // expected sample: 3 always (w=1e6); 1 and 2 iff gate < 500000
+    val expectIds = Seq(1L, 2L).filter(gateMicro(_) < 500000L) :+ 3L
+    val shardOf = (id: Long) => (id * 2654435761L % 1000000007L % 16L).toInt
+    val nTokens = Map(1L -> 32L, 2L -> 31L, 3L -> 30L)
+    val expected = expectIds.groupBy(shardOf).map { case (sh, ids) =>
+      sh -> (ids.length.toLong, ids.map(nTokens).sum, ids.min, ids.max)
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (sh, (nd, nt, lo, hi)) =>
+      val r = out(sh)
+      assert(r._2 == nd && r._3 == nt && r._5 == 1L &&
+        r._6 == lo && r._7 == hi, s"shard $sh: $r")
+    }
+  }
+}
