@@ -52,9 +52,18 @@ object CurationOps {
       .select(col(idCol), col("keep_doc").as("r_c4"))
     val lang = TextOps.langidAgreement(docs, idCol, textCol, langCol)
     val dup = TextOps.exactDupCanonical(docs, idCol, textCol)
+    // Materialize the verdict ONCE, as ids only (~1% of corpus bytes):
+    // the kept frame feeds three consumers (the shingle/LSH path, the
+    // weights join, the manifest join) and Spark does no CSE across
+    // DataFrame reuse — without this checkpoint the whole three-rule
+    // verdict subtree (chunk agg + langid explode + dup window) is
+    // re-evaluated once per consumer (measured 4x in the fused plan).
+    // Each consumer then re-scans the column-pruned parquet and hash-
+    // joins the id frame — scans are cheap, verdicts are not.
     val keptIds = c4.join(lang, idCol).join(dup, idCol)
       .where(col("r_c4") && col("r_lang") && col("r_dup"))
       .select(col(idCol))
+      .localCheckpoint()
     val kept = docs.join(keptIds, idCol)
     val pairs = TextOps.minhashLshPairsIdx(
         TextOps.shingleHashIndex(kept, idCol, textCol, 3), lshThreshold)
