@@ -151,4 +151,78 @@ object CurationOps {
     spark.createDataFrame(picks.result())
       .toDF("step", "source", "marginal_grams", "cum_grams")
   }
+
+  /** td48: GPT-style context-window packing accounting — documents are
+    * concatenated CONTIGUOUSLY per shard (in id order, EOD-separator
+    * convention: tokens just run on) and cut into fixed `window`-token
+    * training chunks; documents CROSS chunk boundaries (the
+    * concat-then-chunk regime, vs td14's greedy bin packing where an
+    * oversized doc owns its bin). Returns the per-chunk manifest a
+    * data loader audits: docs overlapping, docs starting, first/last
+    * doc, tokens filled.
+    *
+    * Scale anatomy: one map-side token count + shard hash, ONE
+    * cumulative-sum window per shard (the only exchange — shard count
+    * bounds the parallelism of the cumsum, so at 100 TB use shards ≈
+    * executors × a few), then an explode bounded by
+    * |docs| + |tokens|/window rows and a partial-aggregable rollup on
+    * (shard, chunk).
+    */
+  def contextWindows(docs: DataFrame, idCol: String, textCol: String,
+                     window: Long = 512L, nShards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+    docs
+      .select(col(idCol).as("id"),
+        size(TextOps.words(col(textCol))).cast("long").as("nt"))
+      .where(col("nt") > 0)
+      .withColumn("shard",
+        (col("id") * lit(2654435761L) % lit(1000000007L) % nShards)
+          .cast("int"))
+      .withColumn("cum_before", sum(col("nt")).over(w) - col("nt"))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"cum_before DIV $window"),
+        expr(s"(cum_before + nt - 1) DIV $window"))))
+      .withColumn("tok_in_chunk",
+        least(lit(window) * (col("chunk_id") + 1), col("cum_before") + col("nt"))
+          - greatest(lit(window) * col("chunk_id"), col("cum_before")))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum_before") >= col("chunk_id") * window, 1L)
+          .otherwise(0L)).as("n_starts"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"),
+        sum(col("tok_in_chunk")).as("n_tokens"))
+  }
+
+  /** td49: corpus novelty-decay curve — bucket the ingest stream (id
+    * order) into `buckets` position deciles and report, per decile,
+    * what fraction of its distinct (doc, gram) index rows are the
+    * gram's GLOBALLY FIRST occurrence. The decaying curve is the
+    * "when does the next dump stop paying" report that decides a
+    * corpus cutoff (td47's greedy acquisition, at the stream grain).
+    *
+    * Scale anatomy: the td45 trick — ONE corpus-sized gram exchange
+    * (repartition by gram) carries both the first-occurrence window
+    * (min id per gram partition) and the decile rollup's partial
+    * aggregation; deciles come from id VALUE against a broadcast
+    * 1-row max (no global sort/ntile — position = id is the stream
+    * convention). Nothing doc-pairwise, nothing driver-resident.
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, buckets: Int = 10): DataFrame = {
+    val mx = docs.agg(max(col(idCol)).as("max_id"))
+    TextOps.shingleHashIndex(docs, idCol, textCol, n)
+      .repartition(col("sh"))
+      .withColumn("first_id", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .crossJoin(broadcast(mx))
+      .withColumn("decile",
+        least(lit(buckets - 1),
+          expr(s"id * $buckets DIV (max_id + 1)")).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_micro", expr("n_novel * 1000000 DIV n_pairs"))
+  }
 }

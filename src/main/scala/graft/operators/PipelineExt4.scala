@@ -34,6 +34,24 @@ object PipelineExt4 extends QueryModule {
       CurationOps.greedyAcquisition(Tables.load(s, dir, "documents"),
           "doc_id", "text", "source", 3, steps = 5)
         .orderBy("step")
+    },
+
+    // Context-window packing manifest (td48): concat-then-chunk into
+    // 512-token training windows per shard, docs crossing boundaries
+    // (the GPT/Megatron regime; td14 is the greedy-bin alternative).
+    "td48_context_windows" -> { (s, dir) =>
+      CurationOps.contextWindows(Tables.load(s, dir, "documents"),
+          "doc_id", "text", window = 512L, nShards = 16)
+        .orderBy("shard", "chunk_id")
+    },
+
+    // Corpus novelty-decay curve (td49): per ingest-stream decile, the
+    // fraction of distinct (doc, gram) rows that are the gram's
+    // globally first occurrence — diminishing-returns report.
+    "td49_novelty_curve" -> { (s, dir) =>
+      CurationOps.noveltyCurve(Tables.load(s, dir, "documents"),
+          "doc_id", "text", 3, buckets = 10)
+        .orderBy("decile")
     }
   )
 
@@ -192,6 +210,52 @@ object PipelineExt4 extends QueryModule {
              CAST(marginal AS BIGINT) AS marginal_grams,
              CAST(sum(marginal) OVER (ORDER BY step) AS BIGINT) AS cum_grams
       FROM all_picks
-      ORDER BY step"""
+      ORDER BY step""",
+
+    // Cumulative token sums per shard, chunk range per doc via
+    // range() (upper-exclusive), overlap length in exact integers.
+    "td48_context_windows" -> """
+      WITH t AS (SELECT doc_id AS id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+                   CAST((doc_id * 2654435761) % 1000000007 % 16 AS INT) AS shard
+                 FROM documents),
+      c AS (SELECT *, sum(nt) OVER (PARTITION BY shard ORDER BY id) - nt
+                      AS cum_before
+            FROM t WHERE nt > 0),
+      x AS (SELECT shard, id, nt, cum_before,
+              unnest(range(CAST(cum_before // 512 AS BIGINT),
+                           CAST((cum_before + nt - 1) // 512 + 1 AS BIGINT)))
+                AS chunk_id
+            FROM c)
+      SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+             count(1) AS n_docs,
+             CAST(sum(CASE WHEN cum_before >= chunk_id * 512
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             min(id) AS first_doc, max(id) AS last_doc,
+             CAST(sum(least((chunk_id + 1) * 512, cum_before + nt)
+                      - greatest(chunk_id * 512, cum_before)) AS BIGINT)
+               AS n_tokens
+      FROM x
+      GROUP BY 1, 2
+      ORDER BY shard, chunk_id""",
+
+    // First occurrence = min doc_id per gram; decile from id value
+    // against max(doc_id) (stream position = id convention).
+    "td49_novelty_curve" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+      f AS (SELECT sh, min(doc_id) AS first_id FROM e GROUP BY 1),
+      mx AS (SELECT max(doc_id) AS max_id FROM documents),
+      d AS (SELECT e.doc_id, f.first_id,
+              CAST(least(9, e.doc_id * 10 // (max_id + 1)) AS INT) AS decile
+            FROM e JOIN f USING (sh) CROSS JOIN mx)
+      SELECT decile, CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+               * 1000000 // count(1) AS BIGINT) AS novel_micro
+      FROM d
+      GROUP BY 1
+      ORDER BY decile"""
   )
 }

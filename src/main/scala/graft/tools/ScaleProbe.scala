@@ -207,6 +207,19 @@ object ScaleProbe {
           docs.withColumn("source",
             concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
           "doc_id", "text", "source", 3, steps = 5))
+      // Context-window packing: one cumsum window per shard + a
+      // bounded explode (|docs| + |tokens|/512 rows) + partial rollup.
+      run("td48 context windows", k,
+        graft.operators.CurationOps.contextWindows(
+          docs, "doc_id", "text", 512L, 16))
+      // Novelty curve: one gram exchange carries the first-occurrence
+      // window and the decile rollup (the td45 single-shuffle trick).
+      // (the decile bound is a 1-row broadcast max — the legitimate
+      // broadcast-scalar cross join, like td38's budget row)
+      run("td49 novelty curve", k,
+        graft.operators.CurationOps.noveltyCurve(
+          docs, "doc_id", "text", 3, buckets = 10),
+        allowBroadcastCross = true)
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

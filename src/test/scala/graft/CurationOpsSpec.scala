@@ -50,6 +50,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "s1", 3L, 3L), (2, "s2", 2L, 5L)))
   }
 
+  test("contextWindows: docs cross chunk boundaries, fills are exact") {
+    // token counts 600 / 100 / 400 / 512 across whatever shards the
+    // ids hash to; expectation computed by an independent tiny model
+    // of the concat-then-chunk semantics
+    val counts = Map(1L -> 600, 2L -> 100, 3L -> 400, 4L -> 512)
+    val docs = counts.toSeq.map { case (id, n) =>
+      (id, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CurationOps.contextWindows(docs, "doc_id", "text", 512L, 16)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    // independent model: per shard, ids ascending, running offset
+    val shardOf = (id: Long) => (id * 2654435761L % 1000000007L % 16L).toInt
+    val expected = scala.collection.mutable.Map
+      .empty[(Int, Long), (Long, Long, Long, Long, Long)]
+    counts.keys.toSeq.sorted.groupBy(shardOf).foreach { case (sh, ids) =>
+      var off = 0L
+      ids.foreach { id =>
+        val nt = counts(id).toLong
+        for (ch <- off / 512 to (off + nt - 1) / 512) {
+          val tok = math.min((ch + 1) * 512, off + nt) - math.max(ch * 512, off)
+          val starts = if (off >= ch * 512) 1L else 0L
+          val prev = expected.getOrElse((sh, ch), (0L, 0L, Long.MaxValue, 0L, 0L))
+          expected((sh, ch)) = (prev._1 + 1, prev._2 + starts,
+            math.min(prev._3, id), math.max(prev._4, id), prev._5 + tok)
+        }
+        off += nt
+      }
+    }
+    assert(out == expected.toMap)
+    // the 600-token doc must span two chunks of its shard
+    val sh1 = shardOf(1L)
+    assert(out.keys.count { case (s, _) => s == sh1 } >= 2 ||
+      counts.keys.exists(id => id != 1L && shardOf(id) == sh1))
+  }
+
+  test("noveltyCurve: novel fraction decays along the stream") {
+    val docs = Seq(
+      (0L, "a b c d"),   // grams abc, bcd — both first
+      (5L, "a b c x"),   // abc repeated, bcx novel
+      (9L, "a b c d")    // both repeated
+    ).toDF("doc_id", "text")
+    val out = CurationOps.noveltyCurve(docs, "doc_id", "text", 3, 10)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0) == (0, 2L, 2L, 1000000L))
+    assert(out(5) == (5, 2L, 1L, 500000L))
+    assert(out(9) == (9, 2L, 0L, 0L))
+    assert(out.size == 3)
+  }
+
   test("curationManifest: rules gate, cluster weights sample, manifest sums") {
     // ≥30-word English texts with few a/the per 10-word chunk pass the
     // lenient verdict; ids 1 and 2 are near-dups (one trailing word
