@@ -225,4 +225,86 @@ object CurationOps {
           .as("n_novel"))
       .withColumn("novel_micro", expr("n_novel * 1000000 DIV n_pairs"))
   }
+
+  /** td50: first-round BPE merge-pair statistics — the distributed
+    * half of tokenizer induction (the merge-table build that precedes
+    * any training run; the text pipeline's other ops consume tokens,
+    * this is the op that DECIDES the tokens). Adjacent character
+    * pairs are counted corpus-wide, weighted by word frequency; the
+    * top-k pairs are the next BPE merges.
+    *
+    * Scale anatomy: the corpus-sized exchange is the word-frequency
+    * aggregate, which partial-aggregates map-side and collapses to the
+    * DISTINCT-WORD frame; the pair explode then runs on that frame
+    * only (|distinct words| × avg word length rows — orders of
+    * magnitude below the token stream), and the pair rollup is again
+    * partial-aggregable with a fixed-size domain (alphabet²). Top-k is
+    * a TakeOrderedAndProject — no global sort. Iterating k merge
+    * rounds re-runs the pair pass on the re-segmented distinct-word
+    * frame: a bounded driver loop whose per-step work never re-reads
+    * the corpus.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val wf = docs
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf
+      .select(col("w"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => concat(col("w").substr(i, lit(1)),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("cnt"), countDistinct(col("w")).as("n_words"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(topK)
+  }
+
+  /** td51: padding-efficiency report — per training shard, the padded
+    * token cost of naive ingest-order batching vs length-sorted
+    * batching at a fixed batch size (each batch pads to its longest
+    * member). The "should the loader length-bucket" decision,
+    * quantified; sorted cost is optimal over equal-size contiguous
+    * batchings (exchange argument), so saved_micro is the full
+    * headroom.
+    *
+    * Scale anatomy: one map-side token count + shard hash, then TWO
+    * row_number windows per shard (ingest order, length order) — like
+    * td48 the shard count bounds window parallelism, so at 100 TB use
+    * shards ≈ executors × a few; both rollups partial-aggregate to
+    * |shards| × |batches| and then |shards| rows, and the final join
+    * is |shards|-row.
+    */
+  def paddingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+                        batch: Int = 32, nShards: Int = 16): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"),
+        size(TextOps.words(col(textCol))).cast("long").as("nt"))
+      .where(col("nt") > 0)
+      .withColumn("shard",
+        (col("id") * lit(2654435761L) % lit(1000000007L) % nShards).cast("int"))
+    def cost(order: Seq[Column], name: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(order: _*)
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("b", expr(s"(rn - 1) DIV $batch"))
+        .groupBy(col("shard"), col("b"))
+        .agg(max(col("nt")).as("mx"), count(lit(1)).as("c"),
+          sum(col("nt")).as("st"))
+        .groupBy(col("shard"))
+        .agg(sum(col("mx") * col("c")).as(name),
+          sum(col("st")).as(s"${name}_tok"), sum(col("c")).as(s"${name}_docs"))
+    }
+    val naive = cost(Seq(col("id")), "naive_padded")
+      .withColumnRenamed("naive_padded_tok", "n_tokens")
+      .withColumnRenamed("naive_padded_docs", "n_docs")
+    val sorted = cost(Seq(col("nt"), col("id")), "sorted_padded")
+      .drop("sorted_padded_tok", "sorted_padded_docs")
+    naive.join(sorted, "shard")
+      .withColumn("saved_micro",
+        expr("(naive_padded - sorted_padded) * 1000000 DIV naive_padded"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("naive_padded"), col("sorted_padded"), col("saved_micro"))
+  }
 }

@@ -52,6 +52,23 @@ object PipelineExt4 extends QueryModule {
       CurationOps.noveltyCurve(Tables.load(s, dir, "documents"),
           "doc_id", "text", 3, buckets = 10)
         .orderBy("decile")
+    },
+
+    // First-round BPE merge-pair statistics (td50): adjacent char
+    // pairs weighted by word frequency, top-20 — the tokenizer-
+    // induction step; see CurationOps.bpePairStats for why the pair
+    // explode runs on the distinct-word frame, not the token stream.
+    "td50_bpe_pairs" -> { (s, dir) =>
+      CurationOps.bpePairStats(Tables.load(s, dir, "documents"), "text", 20)
+    },
+
+    // Padding-efficiency report (td51): per shard, padded-token cost
+    // of ingest-order vs length-sorted batching at batch size 32 —
+    // the "should the loader length-bucket" decision, quantified.
+    "td51_padding_efficiency" -> { (s, dir) =>
+      CurationOps.paddingEfficiency(Tables.load(s, dir, "documents"),
+          "doc_id", "text", batch = 32, nShards = 16)
+        .orderBy("shard")
     }
   )
 
@@ -256,6 +273,53 @@ object PipelineExt4 extends QueryModule {
                * 1000000 // count(1) AS BIGINT) AS novel_micro
       FROM d
       GROUP BY 1
-      ORDER BY decile"""
+      ORDER BY decile""",
+
+    // Pair counts from the distinct-word frequency frame, exactly the
+    // Spark shape: freq-weighted adjacent char pairs, top-20.
+    "td50_bpe_pairs" -> """
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      wf AS (SELECT w, count(1) AS freq FROM tok WHERE len(w) >= 2
+             GROUP BY w),
+      p AS (SELECT w, freq, CAST(unnest(range(1, len(w))) AS INT) AS i
+            FROM wf),
+      pr AS (SELECT w, freq,
+               substring(w, i, 1) || substring(w, i + 1, 1) AS pair
+             FROM p)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      FROM pr
+      GROUP BY pair
+      ORDER BY cnt DESC, pair
+      LIMIT 20""",
+
+    "td51_padding_efficiency" -> """
+      WITH t AS (SELECT doc_id AS id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+                   CAST((doc_id * 2654435761) % 1000000007 % 16 AS INT) AS shard
+                 FROM documents),
+      s AS (SELECT * FROM t WHERE nt > 0),
+      n AS (SELECT shard, nt,
+              (row_number() OVER (PARTITION BY shard ORDER BY id) - 1) // 32 AS b
+            FROM s),
+      nb AS (SELECT shard, b, max(nt) AS mx, count(1) AS c, sum(nt) AS st
+             FROM n GROUP BY 1, 2),
+      na AS (SELECT shard, CAST(sum(mx * c) AS BIGINT) AS naive_padded,
+               CAST(sum(st) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS n_docs
+             FROM nb GROUP BY 1),
+      o AS (SELECT shard, nt,
+              (row_number() OVER (PARTITION BY shard ORDER BY nt, id) - 1) // 32 AS b
+            FROM s),
+      ob AS (SELECT shard, b, max(nt) AS mx, count(1) AS c
+             FROM o GROUP BY 1, 2),
+      oa AS (SELECT shard, CAST(sum(mx * c) AS BIGINT) AS sorted_padded
+             FROM ob GROUP BY 1)
+      SELECT na.shard, n_docs, n_tokens, naive_padded, sorted_padded,
+             (naive_padded - sorted_padded) * 1000000 // naive_padded
+               AS saved_micro
+      FROM na JOIN oa ON na.shard = oa.shard
+      ORDER BY na.shard"""
   )
 }

@@ -674,6 +674,17 @@ object SimilaritySuite extends QueryModule {
         .filter(col("rnk") <= 3)
         .select(col("bucket"), col("rnk"), col("vec_id"), col("dot_s"))
         .orderBy("bucket", "rnk")
+    },
+
+    // Embedding-space decontamination vs a held-out eval split (te31):
+    // every 20th vector stands in for "the benchmark"; train vectors
+    // within cosine 0.4 of any eval vector are flagged with hit count
+    // and best score. Eval side broadcasts (bounded like a real
+    // benchmark set); the train side is one corpus-linear pass.
+    "te31_eval_contamination" -> { (s, dir) =>
+      VectorOps.evalContamination(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 20, 0.4)
+        .orderBy("train_id")
     }
   )
 
@@ -1579,6 +1590,33 @@ object SimilaritySuite extends QueryModule {
                  ORDER BY dot_s DESC, vec_id) AS rnk
         FROM dots)
       SELECT bucket, CAST(rnk AS INT) AS rnk, vec_id, dot_s
-      FROM rk WHERE rnk <= 3 ORDER BY bucket, rnk"""
+      FROM rk WHERE rnk <= 3 ORDER BY bucket, rnk""",
+
+    // te01's scaled-long arithmetic with a train/eval split: per-pair
+    // rounded cosine, thresholded, rolled up per train vector.
+    "te31_eval_contamination" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               CAST(sum(CAST(floor((t.x * e.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex t JOIN ex e ON t.d = e.d
+        WHERE t.vec_id % 20 <> 0 AND e.vec_id % 20 = 0
+        GROUP BY 1, 2),
+      cs AS (
+        SELECT train_id, round(dot / (nt.nrm * ne.nrm), 6) AS cos
+        FROM dots JOIN norms nt ON train_id = nt.vec_id
+                  JOIN norms ne ON eval_id = ne.vec_id)
+      SELECT train_id, CAST(count(1) AS BIGINT) AS n_eval_hits,
+             max(cos) AS best_cos
+      FROM cs
+      WHERE cos >= 0.4
+      GROUP BY 1
+      ORDER BY train_id"""
   )
 }

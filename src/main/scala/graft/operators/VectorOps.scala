@@ -834,4 +834,39 @@ object VectorOps {
       .select(col("id"), col("nb_id"), col("cos"), col("rk"),
         coalesce(col("__m"), lit(false)).as("mutual"))
   }
+
+  /** te31: embedding-space decontamination against a held-out eval
+    * set — flags every train vector whose cosine to ANY eval vector
+    * reaches `threshold` (the SemDeDup-style complement of the n-gram
+    * decontamination in TextOps: paraphrased leakage that shares no
+    * n-gram still lands next to the benchmark in embedding space).
+    * The eval split here is `id % evalMod == 0` — a stand-in for a
+    * FIXED benchmark set, which is what makes the scale shape honest:
+    * a real eval set is bounded (~1e4 rows at any corpus size), so it
+    * broadcasts and the train side streams through ONE corpus-linear
+    * pass with no shuffle at all; per-row cost is |eval| × dim
+    * codegen'd scaled-long dots. Guarded like the other exact
+    * baselines, but on the BROADCAST side only (the train side may be
+    * the whole corpus); if the eval set outgrows the guard, prune
+    * with the IVF path (te05/te18) instead. Exact scaled-long dots +
+    * HALF_UP rounding keep the threshold decision
+    * engine-reproducible.
+    */
+  def evalContamination(vecs: DataFrame, idCol: String, vecCol: String,
+                        evalMod: Int, threshold: Double,
+                        forceExact: Boolean = false): DataFrame = {
+    val n = prepped(vecs, idCol, vecCol)
+    val ev = n.where(col("id") % evalMod === 0)
+      .select(col("id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    guardExact("evalContamination", ev, forceExact,
+      "ivfTopK with the eval set as the probe side")
+    val tr = n.where(col("id") % evalMod =!= 0)
+      .select(col("id").as("train_id"), col("v").as("tv"), col("nrm").as("tn"))
+    tr.join(broadcast(ev), lit(true))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("tv"), col("ev"))) / (col("tn") * col("en")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("best_cos"))
+  }
 }

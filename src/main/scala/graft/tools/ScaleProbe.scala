@@ -150,6 +150,14 @@ object ScaleProbe {
       run("te07 PQ ANN", k, VectorOps.pqTopK(emb, "vec_id", "embedding",
         isQ, subDim = 8, nCent = 16, k = 5),
         allowBroadcastCross = true)
+      // Eval contamination: eval held at a FIXED size (evalMod scales
+      // with the corpus — a real benchmark doesn't grow with the
+      // train set), broadcast; train side one linear pass. The BNL
+      // join IS the designed shape here, not a fallback.
+      run("te31 eval contamination", k,
+        VectorOps.evalContamination(emb, "vec_id", "embedding",
+          20 * k, 0.4),
+        allowBroadcastCross = true)
       run("td18 line dedup", k,
         TextOps.lineDedup(docs, "doc_id", "text", chunkWords = 10))
       // ExactSubstr removal: gram-keyed aggregate + anti-join +
@@ -220,6 +228,15 @@ object ScaleProbe {
         graft.operators.CurationOps.noveltyCurve(
           docs, "doc_id", "text", 3, buckets = 10),
         allowBroadcastCross = true)
+      // BPE pair stats: the corpus-sized exchange collapses to the
+      // distinct-word frame via partial agg; the pair explode and
+      // rollup run on that frame only; top-k = TakeOrdered.
+      run("td50 bpe pairs", k,
+        graft.operators.CurationOps.bpePairStats(docs, "text", 20))
+      // Padding efficiency: two shard-partitioned windows + batch
+      // rollups; |shards| bounds window parallelism (td48's note).
+      run("td51 padding efficiency", k,
+        graft.operators.CurationOps.paddingEfficiency(docs, "doc_id", "text"))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

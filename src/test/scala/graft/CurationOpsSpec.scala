@@ -133,4 +133,26 @@ class CurationOpsSpec extends AnyFunSuite {
         r._6 == lo && r._7 == hi, s"shard $sh: $r")
     }
   }
+
+  test("bpePairStats counts frequency-weighted adjacent char pairs") {
+    // words: aa(x1) ab(x2) abc(x1); pairs: ab = 2 (from 'ab') + 1
+    // (from 'abc') across 2 distinct words, aa and bc once each.
+    val docs = Seq((1L, "aa ab"), (2L, "ab"), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.bpePairStats(docs, "text", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("ab", 3L, 2L), ("aa", 1L, 1L), ("bc", 1L, 1L)))
+  }
+
+  test("paddingEfficiency prices naive vs length-sorted batching") {
+    // One shard, batch 2, lengths 1/3/2/4 in id order: naive batches
+    // (1,3)(2,4) pad to 3*2 + 4*2 = 14; sorted batches (1,2)(3,4) pad
+    // to 2*2 + 4*2 = 12; saved = 2e6 DIV 14 = 142857 micro.
+    val docs = Seq((1L, "a"), (2L, "a b c"), (3L, "a b"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.paddingEfficiency(docs, "doc_id", "text",
+        batch = 2, nShards = 1)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 4L, 10L, 14L, 12L, 142857L)))
+  }
 }

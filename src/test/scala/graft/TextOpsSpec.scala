@@ -326,6 +326,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) == 0.0)
   }
 
+  test("evalContamination flags train vectors near any eval vector") {
+    // id 0 is the eval split (0 % 20 == 0). Train: id 1 parallel
+    // (cos 1.0), id 2 orthogonal (cos 0), id 3 at exactly 4/5 = 0.8
+    // (integer components keep the scaled-long arithmetic exact).
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(4f, 3f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.evalContamination(vecs, "vec_id", "embedding", 20, 0.5)
+      .orderBy("train_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1.0), (3L, 1L, 0.8)))
+  }
+
   test("IVF k-means with zero Lloyd iterations equals fixed-centroid IVF") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 40L).map(i =>
