@@ -307,4 +307,84 @@ object CurationOps {
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("naive_padded"), col("sorted_padded"), col("saved_micro"))
   }
+
+  /** td52: k-round BPE learning — the actual tokenizer-induction loop
+    * (td50 is round 1's statistics; this emits the merge TABLE a
+    * tokenizer ships). Each round counts adjacent symbol pairs over
+    * the current segmentation, merges the argmax pair, re-segments,
+    * repeats. Segmentation state is a wrapped-symbol string
+    * "(l)(o)(w)": symbols never contain parens (alnum-filtered
+    * vocabulary), so a literal replace of "(a)(b)" with "(ab)" IS
+    * greedy left-to-right non-overlapping BPE merging — reproducible
+    * in any engine's `replace`, which is what makes the op
+    * oracle-checkable.
+    *
+    * Scale anatomy: td50's — all per-round work runs on the
+    * DISTINCT-WORD frame (the corpus is touched once, by the word
+    * count); the driver loop is bounded by `rounds` and collects ONE
+    * row per round (the td47/td42 driver-paced-never-driver-sized
+    * pattern). Each round's re-segmentation is a map-side replace;
+    * localCheckpoint truncates the growing lineage.
+    */
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = docs
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = wf
+        .withColumn("syms",
+          regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1)))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("pa"),
+            element_at(col("syms"), i + 1).as("pb")))).as("p"))
+        .select(col("freq"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pa"), asc("pb"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (pa, pb, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, pa, pb, cnt))
+        wf = wf.withColumn("seg",
+            expr(s"replace(seg, '($pa)($pb)', '($pa$pb)')"))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  /** td53: seeded epoch-shuffle manifest — a training run re-shuffles
+    * the corpus every epoch, but a global sort of 100 TB per epoch is
+    * off the table; instead every doc gets a deterministic pseudo-
+    * random position (md5 of seed:id) and the loader reads shards in
+    * position order. This op emits the per-shard manifest (counts,
+    * token sums, position ranges) that validates such a shuffle:
+    * different seed → different permutation, same seed → byte-stable.
+    *
+    * Scale anatomy: pure map-side hashing + ONE partial-aggregable
+    * rollup to |shards| rows — no sort, no window, no join; the
+    * position doubles as the within-shard sort key the loader uses
+    * (sorting WITHIN a shard is executor-local).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, textCol: String,
+                   seed: String, nShards: Int = 16): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        size(TextOps.words(col(textCol))).cast("long").as("nt"))
+      .withColumn("pos",
+        conv(substring(md5(concat_ws(":", lit(seed),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("shard", (col("pos") % nShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
 }

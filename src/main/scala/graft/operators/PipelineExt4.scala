@@ -69,6 +69,22 @@ object PipelineExt4 extends QueryModule {
       CurationOps.paddingEfficiency(Tables.load(s, dir, "documents"),
           "doc_id", "text", batch = 32, nShards = 16)
         .orderBy("shard")
+    },
+
+    // k-round BPE learning (td52): the merge table a tokenizer ships,
+    // 3 rounds; see CurationOps.bpeLearn for the wrapped-symbol
+    // replace trick that keeps greedy merge semantics oracle-exact.
+    "td52_bpe_learn" -> { (s, dir) =>
+      CurationOps.bpeLearn(Tables.load(s, dir, "documents"), "text", 3)
+        .orderBy("step")
+    },
+
+    // Seeded epoch-shuffle manifest (td53): sort-free per-epoch
+    // corpus permutation, validated shard-by-shard.
+    "td53_epoch_shuffle" -> { (s, dir) =>
+      CurationOps.epochShuffle(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "ep1", nShards = 16)
+        .orderBy("shard")
     }
   )
 
@@ -320,6 +336,61 @@ object PipelineExt4 extends QueryModule {
              (naive_padded - sorted_padded) * 1000000 // naive_padded
                AS saved_micro
       FROM na JOIN oa ON na.shard = oa.shard
-      ORDER BY na.shard"""
+      ORDER BY na.shard""",
+
+    // Unrolled BPE rounds, MATERIALIZED like td47's greedy layers.
+    "td52_bpe_learn" -> s"""
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      wf0 AS MATERIALIZED (
+        SELECT w, count(1) AS freq,
+               regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+        FROM tok
+        WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
+        GROUP BY w),
+      ${bpeLayer(1)},
+      ${bpeLayer(2)},
+      ${bpeLayer(3)}
+      SELECT * FROM (
+        SELECT 1 AS step, pa AS sym_a, pb AS sym_b, cnt FROM t1
+        UNION ALL SELECT 2, pa, pb, cnt FROM t2
+        UNION ALL SELECT 3, pa, pb, cnt FROM t3)
+      ORDER BY step""",
+
+    "td53_epoch_shuffle" -> """
+      WITH t AS (SELECT doc_id AS id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+                   CAST('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+                 FROM documents)
+      SELECT CAST(pos % 16 AS INT) AS shard,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             min(pos) AS min_pos, max(pos) AS max_pos
+      FROM t GROUP BY 1 ORDER BY shard"""
   )
+
+  /** One BPE round of the td52 oracle: count adjacent symbol pairs
+    * over the previous segmentation, keep the argmax (cnt DESC, pair
+    * ASC), re-segment with a literal replace. MATERIALIZED like
+    * td47's layers — plain CTEs re-inline the whole upstream chain
+    * per reference.
+    */
+  private def bpeLayer(i: Int): String = {
+    val p = i - 1
+    s"""
+      t$i AS MATERIALIZED (
+        SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, syms[i] AS pa, syms[i + 1] AS pb
+              FROM (SELECT freq, syms,
+                      CAST(unnest(range(1, len(syms))) AS INT) AS i
+                    FROM (SELECT freq,
+                            regexp_extract_all(seg, '\\(([^)]*)\\)', 1) AS syms
+                          FROM wf$p)))
+        GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+      wf$i AS MATERIALIZED (
+        SELECT w, freq,
+               replace(seg, '(' || pa || ')(' || pb || ')',
+                       '(' || pa || pb || ')') AS seg
+        FROM wf$p CROSS JOIN t$i)"""
+  }
 }

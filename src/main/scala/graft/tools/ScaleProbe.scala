@@ -237,6 +237,13 @@ object ScaleProbe {
       // rollups; |shards| bounds window parallelism (td48's note).
       run("td51 padding efficiency", k,
         graft.operators.CurationOps.paddingEfficiency(docs, "doc_id", "text"))
+      // BPE learning: td50's distinct-word frame, 3 driver-paced
+      // rounds, one collected row per round.
+      run("td52 bpe learn", k,
+        graft.operators.CurationOps.bpeLearn(docs, "text", 3))
+      // Epoch shuffle: pure map-side hashing + one 16-row rollup.
+      run("td53 epoch shuffle", k,
+        graft.operators.CurationOps.epochShuffle(docs, "doc_id", "text", "ep1"))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

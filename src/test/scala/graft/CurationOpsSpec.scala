@@ -144,6 +144,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq(("ab", 3L, 2L), ("aa", 1L, 1L), ("bc", 1L, 1L)))
   }
 
+  test("bpeLearn reproduces the classic low/lower merge sequence") {
+    // low x3, lower x1. Round 1: (l,o)=4 ties (o,w)=4, pa asc -> l+o.
+    // Round 2: (lo,w)=4. Round 3: (low,e)=1 ties (e,r)=1 -> e+r.
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val out = CurationOps.bpeLearn(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "r", 1L)))
+  }
+
+  test("bpeLearn merges greedily left-to-right (overlaps don't double-merge)") {
+    // 'aaaa' x2: round 1 counts 3 (a,a) pairs per word = 6 and the
+    // greedy replace yields (aa)(aa), NOT (aa)(a)(a); round 2 merges
+    // (aa,aa)=2; round 3 has no pairs left and emits nothing.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val out = CurationOps.bpeLearn(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
+
+  test("epochShuffle: seeded positions are JVM-reproducible; seeds permute") {
+    def pos(seed: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val docs = (1L to 40L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = CurationOps.epochShuffle(docs, "doc_id", "text", "ep1", 4)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val expected = (1L to 40L).groupBy(i => (pos("ep1", i) % 4).toInt)
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (sh, ids) =>
+      val ps = ids.map(pos("ep1", _))
+      assert(out(sh) == ((sh, ids.size.toLong, ids.size * 3L,
+        ps.min, ps.max)), s"shard $sh")
+    }
+    // a different seed must produce a different permutation
+    val out2 = CurationOps.epochShuffle(docs, "doc_id", "text", "ep2", 4)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(out2 != out.values.toSet)
+  }
+
   test("paddingEfficiency prices naive vs length-sorted batching") {
     // One shard, batch 2, lengths 1/3/2/4 in id order: naive batches
     // (1,3)(2,4) pad to 3*2 + 4*2 = 14; sorted batches (1,2)(3,4) pad
