@@ -855,6 +855,13 @@ object VectorOps {
   def evalContamination(vecs: DataFrame, idCol: String, vecCol: String,
                         evalMod: Int, threshold: Double,
                         forceExact: Boolean = false): DataFrame = {
+    // prepped()'s round-robin exchange is kept DELIBERATELY: it is a
+    // materialization barrier, not a parallelism fix — without it the
+    // train side's float→double transform and norm are re-inlined
+    // into the pair loop and evaluated |eval| times per row (measured
+    // 1.9 → 13.5 s at the 100× probe tier). Paying corpus bytes once
+    // beats 3× CPU on the |eval| × corpus dot loop for any real
+    // benchmark size.
     val n = prepped(vecs, idCol, vecCol)
     val ev = n.where(col("id") % evalMod === 0)
       .select(col("id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))

@@ -308,6 +308,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"gram exchange not below the ownership window:\n${lines.mkString("\n")}")
   }
 
+  test("bpePairStats explodes pairs on the distinct-word frame, not the token stream") {
+    // td50/td52's load-bearing shape: the corpus-sized exchange is the
+    // word-frequency aggregate (partial map-side, keyed by w); the
+    // char-pair Generate must sit ABOVE it, so the explode runs on the
+    // vocabulary-bounded distinct-word frame. Exactly two hash
+    // exchanges (w, pair) and a TakeOrdered — no global sort.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = graft.operators.CurationOps.bpePairStats(docs, "text", 20)
+    r.collect()
+    val lines = r.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected only the w and pair exchanges:\n${lines.mkString("\n")}")
+    val pairGenIdx = lines.indexWhere(_.contains("Generate explode(transform"))
+    val wExIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(w#"))
+    assert(pairGenIdx >= 0 && wExIdx > pairGenIdx,
+      s"pair explode not above the word aggregate (explodes the token stream):\n${lines.mkString("\n")}")
+    assert(lines.exists(_.contains("TakeOrderedAndProject")),
+      s"top-k fell back to a global sort:\n${lines.mkString("\n")}")
+  }
+
+  test("evalContamination: eval broadcasts; no hash shuffle except the rollup") {
+    // te31's 100 TB shape: eval side broadcast (BNL join is the
+    // DESIGNED shape — a fixed benchmark set vs the streaming train
+    // corpus), the only hash exchange is the per-train-id rollup of
+    // already-thresholded hits. The round-robin exchange below the
+    // join is prepped()'s deliberate materialization barrier (without
+    // it the transform/norm re-inline into the pair loop — measured
+    // 7× at the 100× probe tier); it must carry v+nrm, i.e. sit ABOVE
+    // the norm projection, so the pair loop reuses both.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = graft.operators.VectorOps.evalContamination(
+      emb, "vec_id", "embedding", 20, 0.4)
+    r.collect()
+    val lines = r.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"designed broadcast shape missing:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected only the rollup exchange:\n${lines.mkString("\n")}")
+  }
+
   test("decontaminate never broadcasts a corpus-sized side (plan shape)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = graft.operators.TextOps.decontaminate(
