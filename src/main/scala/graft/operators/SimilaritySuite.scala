@@ -685,6 +685,15 @@ object SimilaritySuite extends QueryModule {
       VectorOps.evalContamination(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", 20, 0.4)
         .orderBy("train_id")
+    },
+
+    // te31's IVF-pruned twin (te32): the scale path when the eval set
+    // outgrows the broadcast guard — train corpus as the IVF index,
+    // eval vectors probe nprobe cells; diff vs te31 = recall report.
+    "te32_ivf_contamination" -> { (s, dir) =>
+      VectorOps.ivfEvalContamination(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 20, 0.4, nlist = 16, nprobe = 2)
+        .orderBy("train_id")
     }
   )
 
@@ -1615,6 +1624,52 @@ object SimilaritySuite extends QueryModule {
       SELECT train_id, CAST(count(1) AS BIGINT) AS n_eval_hits,
              max(cos) AS best_cos
       FROM cs
+      WHERE cos >= 0.4
+      GROUP BY 1
+      ORDER BY train_id""",
+
+    // Exact IVF replay (te05's pattern) with the train/eval role
+    // split: train rows are the crk=1 index, eval rows probe 2 cells.
+    "te32_ivf_contamination" -> """
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        FROM ex GROUP BY vec_id),
+      cdots AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(floor((e.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN ex c ON e.d = c.d AND c.vec_id < 16
+        GROUP BY 1, 2),
+      cranked AS (
+        SELECT cdots.vec_id AS vec_id, cid,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY round(dot / (nv.nrm * nc.nrm), 6) DESC, cid) AS crk
+        FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id
+                   JOIN norms nc ON cdots.cid = nc.vec_id),
+      cells AS (SELECT vec_id, cid AS cell FROM cranked
+                WHERE crk = 1 AND vec_id % 20 <> 0),
+      probes AS (SELECT vec_id AS query_id, cid AS cell FROM cranked
+                 WHERE crk <= 2 AND vec_id % 20 = 0),
+      cand AS (
+        SELECT p.query_id, cl.vec_id
+        FROM probes p JOIN cells cl USING (cell)),
+      dots AS (
+        SELECT cand.query_id, cand.vec_id,
+               CAST(sum(CAST(floor((q.x * c.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM cand JOIN ex q ON q.vec_id = cand.query_id
+                  JOIN ex c ON c.vec_id = cand.vec_id AND q.d = c.d
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT dots.vec_id AS train_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM dots JOIN norms nq ON dots.query_id = nq.vec_id
+                  JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT train_id, CAST(count(1) AS BIGINT) AS n_eval_hits,
+             max(cos) AS best_cos
+      FROM scored
       WHERE cos >= 0.4
       GROUP BY 1
       ORDER BY train_id"""

@@ -876,4 +876,34 @@ object VectorOps {
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("best_cos"))
   }
+
+  /** te32: [[evalContamination]]'s IVF-pruned twin — the path its
+    * guard names when the eval set outgrows the broadcast budget. The
+    * TRAIN corpus is the IVF index (crk = 1 cell assignment — te17's
+    * persistable layout); each EVAL vector probes its `nprobe` nearest
+    * cells, so only ~nprobe/nlist of the corpus is dotted against any
+    * eval vector instead of all of it. Same output schema as the
+    * exact op, so diffing the two IS the recall measurement
+    * (contaminating pairs whose cell wasn't probed are the misses).
+    * Probing all cells (nprobe = nlist) reproduces the exact result —
+    * pinned in TextOpsSpec.
+    */
+  def ivfEvalContamination(vecs: DataFrame, idCol: String, vecCol: String,
+                           evalMod: Int, threshold: Double,
+                           nlist: Int, nprobe: Int): DataFrame = {
+    val ranked = ivfRanked(vecs, idCol, vecCol, nlist)
+    val cells = ranked.where(col("crk") === 1 && col("id") % evalMod =!= 0)
+      .select(col("id").as("train_id"), col("cid").as("ccell"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val probes = ranked.where(col("id") % evalMod === 0 && col("crk") <= nprobe)
+      .select(col("id").as("eval_id"), col("cid").as("cell"),
+        col("v").as("ev"), col("nrm").as("en"))
+    broadcast(probes)
+      .join(cells, col("cell") === col("ccell"))
+      .withColumn("cos", round(
+        scaledToDouble(dot_scaled(col("ev"), col("tv"))) / (col("en") * col("tn")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("best_cos"))
+  }
 }

@@ -158,6 +158,13 @@ object ScaleProbe {
         VectorOps.evalContamination(emb, "vec_id", "embedding",
           20 * k, 0.4),
         allowBroadcastCross = true)
+      // IVF-pruned contamination twin: centroid assignment is the
+      // legitimate broadcast cross (same as te05); each eval vector
+      // dots only ~nprobe/nlist of the corpus.
+      run("te32 ivf contamination", k,
+        VectorOps.ivfEvalContamination(emb, "vec_id", "embedding",
+          20 * k, 0.4, nlist = 16, nprobe = 2),
+        allowBroadcastCross = true)
       run("td18 line dedup", k,
         TextOps.lineDedup(docs, "doc_id", "text", chunkWords = 10))
       // ExactSubstr removal: gram-keyed aggregate + anti-join +

@@ -340,6 +340,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 1.0), (3L, 1L, 0.8)))
   }
 
+  test("ivfEvalContamination probing ALL cells equals the exact scan") {
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 60L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = VectorOps.evalContamination(
+        df, "vec_id", "embedding", 20, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = VectorOps.ivfEvalContamination(
+        df, "vec_id", "embedding", 20, 0.3, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && ivf == exact)
+  }
+
   test("IVF k-means with zero Lloyd iterations equals fixed-centroid IVF") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 40L).map(i =>
