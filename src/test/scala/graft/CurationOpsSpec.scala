@@ -164,6 +164,13 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("bpeLearn with zero rounds returns an empty, correctly-typed merge table") {
+    val docs = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val out = CurationOps.bpeLearn(docs, "text", 0)
+    assert(out.columns.toSeq == Seq("step", "sym_a", "sym_b", "cnt"))
+    assert(out.count() == 0)
+  }
+
   test("epochShuffle: seeded positions are JVM-reproducible; seeds permute") {
     def pos(seed: String, id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

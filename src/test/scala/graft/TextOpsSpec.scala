@@ -354,6 +354,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty && ivf == exact)
   }
 
+  test("ivfEvalContamination with nprobe < nlist is a conservative subset of exact") {
+    // IVF candidates are a subset of all pairs, so every flagged doc
+    // must also be exact-flagged, with hit count and best score never
+    // exceeding the exact ones — the recall trade only DROPS pairs.
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 80L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = VectorOps.evalContamination(
+        df, "vec_id", "embedding", 20, 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ivf = VectorOps.ivfEvalContamination(
+        df, "vec_id", "embedding", 20, 0.2, nlist = 8, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, hits, cos) =>
+      val (eh, ec) = exact.getOrElse(id, fail(s"doc $id not exact-flagged"))
+      assert(hits <= eh && cos <= ec, s"doc $id: ivf ($hits,$cos) vs exact ($eh,$ec)")
+    }
+  }
+
   test("IVF k-means with zero Lloyd iterations equals fixed-centroid IVF") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 40L).map(i =>
