@@ -329,6 +329,16 @@ object CurationOps {
   def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, textCol, rounds)._1.toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  /** The learn loop shared by [[bpeLearn]] (returns the merge table)
+    * and [[bpeApplyStats]] (aggregates the final segmentation): k
+    * rounds of pair-count → argmax merge → map-side re-segment over
+    * the distinct-word frame.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var wf = docs
       .select(explode(TextOps.words(col(textCol))).as("w"))
       .where(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
@@ -359,8 +369,26 @@ object CurationOps {
           .localCheckpoint()
       }
     }
-    merges.result().toDF("step", "sym_a", "sym_b", "cnt")
+    (merges.result(), wf)
   }
+
+  /** td54: BPE tokenization accounting — applies [[bpeLearn]]'s k
+    * merges back to the corpus vocabulary and reports the compression
+    * a tokenizer built from that merge table would achieve: words,
+    * start symbols (chars), and post-merge BPE tokens, over the
+    * learner's domain (alnum words of ≥ 2 chars). The learn → apply →
+    * account loop is how a vocabulary size is actually chosen.
+    *
+    * Scale anatomy: bpeLoop's (corpus touched once); the accounting
+    * itself is ONE partial-aggregable rollup of the distinct-word
+    * frame to a single row.
+    */
+  def bpeApplyStats(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeLoop(docs, textCol, rounds)._2.select(
+      sum(col("freq")).as("n_words"),
+      sum(col("freq") * length(col("w"))).as("n_chars"),
+      sum(col("freq") * size(regexp_extract_all(col("seg"),
+        lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
 
   /** td53: seeded epoch-shuffle manifest — a training run re-shuffles
     * the corpus every epoch, but a global sort of 100 TB per epoch is

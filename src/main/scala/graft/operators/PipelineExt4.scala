@@ -85,6 +85,13 @@ object PipelineExt4 extends QueryModule {
       CurationOps.epochShuffle(Tables.load(s, dir, "documents"),
           "doc_id", "text", "ep1", nShards = 16)
         .orderBy("shard")
+    },
+
+    // BPE tokenization accounting (td54): apply td52's learned merges
+    // back to the corpus and report the compression — the learn →
+    // apply → account loop that picks a vocabulary size.
+    "td54_bpe_apply" -> { (s, dir) =>
+      CurationOps.bpeApplyStats(Tables.load(s, dir, "documents"), "text", 3)
     }
   )
 
@@ -340,22 +347,22 @@ object PipelineExt4 extends QueryModule {
 
     // Unrolled BPE rounds, MATERIALIZED like td47's greedy layers.
     "td52_bpe_learn" -> s"""
-      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
-                   FROM documents),
-      wf0 AS MATERIALIZED (
-        SELECT w, count(1) AS freq,
-               regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
-        FROM tok
-        WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
-        GROUP BY w),
-      ${bpeLayer(1)},
-      ${bpeLayer(2)},
-      ${bpeLayer(3)}
+      WITH $bpeCte
       SELECT * FROM (
         SELECT 1 AS step, pa AS sym_a, pb AS sym_b, cnt FROM t1
         UNION ALL SELECT 2, pa, pb, cnt FROM t2
         UNION ALL SELECT 3, pa, pb, cnt FROM t3)
       ORDER BY step""",
+
+    // Same unrolled learn, then the accounting rollup of wf3's final
+    // segmentation (td54's Spark shape exactly).
+    "td54_bpe_apply" -> s"""
+      WITH $bpeCte
+      SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+             CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+             CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
+               AS BIGINT) AS n_bpe_tokens
+      FROM wf3""",
 
     "td53_epoch_shuffle" -> """
       WITH t AS (SELECT doc_id AS id,
@@ -368,6 +375,22 @@ object PipelineExt4 extends QueryModule {
              min(pos) AS min_pos, max(pos) AS max_pos
       FROM t GROUP BY 1 ORDER BY shard"""
   )
+
+  /** The shared td52/td54 oracle body: word frequencies with initial
+    * char segmentation, then three unrolled BPE rounds (t1..t3 merge
+    * picks, wf1..wf3 re-segmentations).
+    */
+  private def bpeCte: String = s"""tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      wf0 AS MATERIALIZED (
+        SELECT w, count(1) AS freq,
+               regexp_replace(w, '(.)', '(\\1)', 'g') AS seg
+        FROM tok
+        WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
+        GROUP BY w),
+      ${bpeLayer(1)},
+      ${bpeLayer(2)},
+      ${bpeLayer(3)}"""
 
   /** One BPE round of the td52 oracle: count adjacent symbol pairs
     * over the previous segmentation, keep the argmax (cnt DESC, pair

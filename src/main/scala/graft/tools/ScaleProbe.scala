@@ -251,6 +251,10 @@ object ScaleProbe {
       // Epoch shuffle: pure map-side hashing + one 16-row rollup.
       run("td53 epoch shuffle", k,
         graft.operators.CurationOps.epochShuffle(docs, "doc_id", "text", "ep1"))
+      // BPE apply: the learn loop plus one 1-row rollup of the
+      // distinct-word frame's final segmentation.
+      run("td54 bpe apply", k,
+        graft.operators.CurationOps.bpeApplyStats(docs, "text", 3))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

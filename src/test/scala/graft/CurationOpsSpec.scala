@@ -171,6 +171,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("bpeApplyStats accounts the learned compression; zero rounds = chars") {
+    // After l+o, lo+w, e+r: 'low' x3 -> 1 token each, 'lower' ->
+    // (low)(er) = 2 tokens; 4 words, 14 chars, 5 BPE tokens.
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val out = CurationOps.bpeApplyStats(docs, "text", 3)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((4L, 14L, 5L)))
+    val base = CurationOps.bpeApplyStats(docs, "text", 0)
+      .as[(Long, Long, Long)].collect().head
+    assert(base == ((4L, 14L, 14L)))
+  }
+
   test("epochShuffle: seeded positions are JVM-reproducible; seeds permute") {
     def pos(seed: String, id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
