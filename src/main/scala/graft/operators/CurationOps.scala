@@ -390,6 +390,41 @@ object CurationOps {
       sum(col("freq") * size(regexp_extract_all(col("seg"),
         lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
 
+  /** td55: tokenizer-equity report — how well the GLOBAL merge table
+    * compresses EACH source (tokens per million chars). The fairness
+    * check a multilingual/multi-domain corpus owner runs before
+    * shipping a tokenizer: BPE learned on the pooled corpus
+    * systematically over-fragments low-resource slices, and this is
+    * the report that quantifies it per source.
+    *
+    * Scale anatomy: two corpus passes — bpeLoop's word count (keyed
+    * w), then a (source, word) count — both partial-aggregable
+    * map-side; the k learned merges come back as a driver-side list
+    * and are applied as ONE chained codegen'd replace expression (no
+    * join, no broadcast needed: k strings baked into the plan); the
+    * equity rollup collapses to |sources| rows.
+    */
+  def tokenizerEquity(docs: DataFrame, textCol: String, srcCol: String,
+                      rounds: Int): DataFrame = {
+    val merges = bpeLoop(docs, textCol, rounds)._1
+    val applied = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+      case (e, (_, pa, pb, _)) => s"replace($e, '($pa)($pb)', '($pa$pb)')"
+    }
+    docs
+      .select(col(srcCol).as("source"),
+        explode(TextOps.words(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", expr(applied))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w"))).as("n_chars"),
+        sum(col("freq") * size(regexp_extract_all(col("seg"),
+          lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
+      .withColumn("tokens_per_million_chars",
+        expr("n_bpe_tokens * 1000000 DIV n_chars"))
+  }
+
   /** td53: seeded epoch-shuffle manifest — a training run re-shuffles
     * the corpus every epoch, but a global sort of 100 TB per epoch is
     * off the table; instead every doc gets a deterministic pseudo-

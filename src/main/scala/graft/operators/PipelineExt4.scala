@@ -92,6 +92,15 @@ object PipelineExt4 extends QueryModule {
     // apply → account loop that picks a vocabulary size.
     "td54_bpe_apply" -> { (s, dir) =>
       CurationOps.bpeApplyStats(Tables.load(s, dir, "documents"), "text", 3)
+    },
+
+    // Tokenizer-equity report (td55): the global BPE merge table's
+    // compression per source — the fairness check before shipping a
+    // tokenizer learned on a pooled corpus.
+    "td55_tokenizer_equity" -> { (s, dir) =>
+      CurationOps.tokenizerEquity(Tables.load(s, dir, "documents"),
+          "text", "source", 3)
+        .orderBy("source")
     }
   )
 
@@ -363,6 +372,34 @@ object PipelineExt4 extends QueryModule {
              CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
                AS BIGINT) AS n_bpe_tokens
       FROM wf3""",
+
+    // bpeCte's learned merges applied per (source, word) as the same
+    // chained literal replace, rolled up per source.
+    "td55_tokenizer_equity" -> s"""
+      WITH $bpeCte,
+      m AS (SELECT t1.pa AS a1, t1.pb AS b1, t2.pa AS a2, t2.pb AS b2,
+                   t3.pa AS a3, t3.pb AS b3
+            FROM t1 CROSS JOIN t2 CROSS JOIN t3),
+      sw AS (SELECT source, w, count(1) AS freq FROM
+               (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+             WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
+             GROUP BY 1, 2),
+      ap AS (SELECT source, w, freq,
+               replace(replace(replace(
+                 regexp_replace(w, '(.)', '(\\1)', 'g'),
+                 '(' || a1 || ')(' || b1 || ')', '(' || a1 || b1 || ')'),
+                 '(' || a2 || ')(' || b2 || ')', '(' || a2 || b2 || ')'),
+                 '(' || a3 || ')(' || b3 || ')', '(' || a3 || b3 || ')') AS seg
+             FROM sw CROSS JOIN m),
+      agg AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+                CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
+                CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
+                  AS BIGINT) AS n_bpe_tokens
+              FROM ap GROUP BY source)
+      SELECT source, n_words, n_chars, n_bpe_tokens,
+             n_bpe_tokens * 1000000 // n_chars AS tokens_per_million_chars
+      FROM agg ORDER BY source""",
 
     "td53_epoch_shuffle" -> """
       WITH t AS (SELECT doc_id AS id,

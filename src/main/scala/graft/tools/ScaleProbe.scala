@@ -255,6 +255,13 @@ object ScaleProbe {
       // distinct-word frame's final segmentation.
       run("td54 bpe apply", k,
         graft.operators.CurationOps.bpeApplyStats(docs, "text", 3))
+      // Tokenizer equity: bpeLoop + one (source, word)-keyed count;
+      // merges baked into a chained replace (no join).
+      run("td55 tokenizer equity", k,
+        graft.operators.CurationOps.tokenizerEquity(
+          docs.withColumn("source",
+            concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
+          "text", "source", 3))
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {

@@ -183,6 +183,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(base == ((4L, 14L, 14L)))
   }
 
+  test("tokenizerEquity: pooled merges compress sources unevenly") {
+    // Pooled learning picks (l,o), (lo,w), (e,r) — all from srcA.
+    // srcA compresses 14 chars -> 5 tokens (357142 per million);
+    // srcB's words are untouched by the merges: 4 -> 4 (1000000).
+    val docs = Seq(
+      (1L, "low low low lower", "A"), (2L, "zq xv", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = CurationOps.tokenizerEquity(docs, "text", "source", 3)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 4L, 14L, 5L, 357142L), ("B", 2L, 4L, 4L, 1000000L)))
+  }
+
   test("epochShuffle: seeded positions are JVM-reproducible; seeds permute") {
     def pos(seed: String, id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
