@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** The multiplicative shard hash shared by td39/td46/td48/td51.
+    * pmod (not %) at both steps: `id * 2654435761` wraps negative for
+    * id ≥ ~3.5e9 — real at 100 TB doc counts — and Java's % preserves
+    * the sign, which would leak negative "shards" and silently break
+    * the nShards contract; pmod keeps every id in [0, nShards). For
+    * non-overflowing ids (every oracle corpus) pmod == %, so the
+    * DuckDB twins are unchanged.
+    */
+  private[operators] def shardOf(id: Column, nShards: Int): Column =
+    pmod(pmod(id * lit(2654435761L), lit(1000000007L)), lit(nShards))
+      .cast("int")
+
   /** td46: the fused curation pipeline — lenient quality verdict
     * (C4 page rule + langid agreement + exact-dup canonicalization as
     * DROP rules; the Gopher profile stays advisory and is therefore
@@ -77,9 +89,7 @@ object CurationOps {
     val sampled = weights.where(gate < col("w_micro"))
       .select(col("id").as(idCol))
     kept.join(sampled, idCol)
-      .withColumn("shard",
-        (col(idCol) * lit(2654435761L) % lit(1000000007L) % lit(nShards))
-          .cast("int"))
+      .withColumn("shard", shardOf(col(idCol), nShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.words(col(textCol))).cast("long")).as("n_tokens"),
@@ -176,9 +186,7 @@ object CurationOps {
       .select(col(idCol).as("id"),
         size(TextOps.words(col(textCol))).cast("long").as("nt"))
       .where(col("nt") > 0)
-      .withColumn("shard",
-        (col("id") * lit(2654435761L) % lit(1000000007L) % nShards)
-          .cast("int"))
+      .withColumn("shard", shardOf(col("id"), nShards))
       .withColumn("cum_before", sum(col("nt")).over(w) - col("nt"))
       .withColumn("chunk_id", explode(sequence(
         expr(s"cum_before DIV $window"),
@@ -281,8 +289,7 @@ object CurationOps {
       .select(col(idCol).as("id"),
         size(TextOps.words(col(textCol))).cast("long").as("nt"))
       .where(col("nt") > 0)
-      .withColumn("shard",
-        (col("id") * lit(2654435761L) % lit(1000000007L) % nShards).cast("int"))
+      .withColumn("shard", shardOf(col("id"), nShards))
     def cost(order: Seq[Column], name: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(order: _*)
@@ -332,21 +339,42 @@ object CurationOps {
     bpeLoop(docs, textCol, rounds)._1.toDF("step", "sym_a", "sym_b", "cnt")
   }
 
+  /** The learner's vocabulary domain: alnum words of ≥ 2 chars.
+    * `\z` (absolute end), NOT `$`: Java's `$` also matches before a
+    * final line terminator, so a word carrying a trailing newline
+    * would pass here while the oracles' RE2 `$` (true end-of-text)
+    * rejects it — `\z` pins both engines to the same set.
+    */
+  private def learnableWord(w: Column): Column =
+    length(w) >= 2 && w.rlike("^[a-z0-9]+\\z")
+
+  /** The words / start-chars / BPE-tokens accounting triple shared by
+    * [[bpeApplyStats]] and [[tokenizerEquity]].
+    */
+  private def bpeAccounting: Seq[Column] = Seq(
+    sum(col("freq")).as("n_words"),
+    sum(col("freq") * length(col("w"))).as("n_chars"),
+    sum(col("freq") * size(regexp_extract_all(col("seg"),
+      lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
+
   /** The learn loop shared by [[bpeLearn]] (returns the merge table)
-    * and [[bpeApplyStats]] (aggregates the final segmentation): k
-    * rounds of pair-count → argmax merge → map-side re-segment over
-    * the distinct-word frame.
+    * and [[bpeApplyStats]]/[[tokenizerEquity]] (consume the final
+    * segmentation / merge list): k rounds of pair-count → argmax
+    * merge → map-side re-segment over the distinct-word frame. Stops
+    * early when a round finds no pair (wf is then already fully
+    * merged — further rounds would re-run an identical empty scan).
     */
   private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var wf = docs
       .select(explode(TextOps.words(col(textCol))).as("w"))
-      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .where(learnableWord(col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val top = wf
         .withColumn("syms",
           regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1)))
@@ -360,7 +388,8 @@ object CurationOps {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("pa"), asc("pb"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true
+      else {
         val (pa, pb, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, pa, pb, cnt))
@@ -384,11 +413,7 @@ object CurationOps {
     * frame to a single row.
     */
   def bpeApplyStats(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
-    bpeLoop(docs, textCol, rounds)._2.select(
-      sum(col("freq")).as("n_words"),
-      sum(col("freq") * length(col("w"))).as("n_chars"),
-      sum(col("freq") * size(regexp_extract_all(col("seg"),
-        lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
+    bpeLoop(docs, textCol, rounds)._2.select(bpeAccounting: _*)
 
   /** td55: tokenizer-equity report — how well the GLOBAL merge table
     * compresses EACH source (tokens per million chars). The fairness
@@ -413,14 +438,11 @@ object CurationOps {
     docs
       .select(col(srcCol).as("source"),
         explode(TextOps.words(col(textCol))).as("w"))
-      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .where(learnableWord(col("w")))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("seg", expr(applied))
       .groupBy(col("source"))
-      .agg(sum(col("freq")).as("n_words"),
-        sum(col("freq") * length(col("w"))).as("n_chars"),
-        sum(col("freq") * size(regexp_extract_all(col("seg"),
-          lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
+      .agg(bpeAccounting.head, bpeAccounting.tail: _*)
       .withColumn("tokens_per_million_chars",
         expr("n_bpe_tokens * 1000000 DIV n_chars"))
   }

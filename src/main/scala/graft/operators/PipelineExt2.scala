@@ -88,9 +88,7 @@ object PipelineExt2 extends QueryModule {
     // 100 TB export audits before burning GPU hours on skewed shards.
     "td39_shard_manifest" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .withColumn("shard",
-          (col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(16))
-            .cast("int"))
+        .withColumn("shard", CurationOps.shardOf(col("doc_id"), 16))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"),

@@ -377,9 +377,9 @@ object PipelineExt4 extends QueryModule {
     // chained literal replace, rolled up per source.
     "td55_tokenizer_equity" -> s"""
       WITH $bpeCte,
-      m AS (SELECT t1.pa AS a1, t1.pb AS b1, t2.pa AS a2, t2.pb AS b2,
-                   t3.pa AS a3, t3.pb AS b3
-            FROM t1 CROSS JOIN t2 CROSS JOIN t3),
+      m AS (SELECT (SELECT pa FROM t1) AS a1, (SELECT pb FROM t1) AS b1,
+                   (SELECT pa FROM t2) AS a2, (SELECT pb FROM t2) AS b2,
+                   (SELECT pa FROM t3) AS a3, (SELECT pb FROM t3) AS b3),
       sw AS (SELECT source, w, count(1) AS freq FROM
                (SELECT source, unnest(string_split(lower(text), ' ')) AS w
                 FROM documents)
@@ -388,10 +388,17 @@ object PipelineExt4 extends QueryModule {
       ap AS (SELECT source, w, freq,
                replace(replace(replace(
                  regexp_replace(w, '(.)', '(\\1)', 'g'),
-                 '(' || a1 || ')(' || b1 || ')', '(' || a1 || b1 || ')'),
-                 '(' || a2 || ')(' || b2 || ')', '(' || a2 || b2 || ')'),
-                 '(' || a3 || ')(' || b3 || ')', '(' || a3 || b3 || ')') AS seg
+                 coalesce('(' || a1 || ')(' || b1 || ')', chr(1)),
+                 coalesce('(' || a1 || b1 || ')', '')),
+                 coalesce('(' || a2 || ')(' || b2 || ')', chr(1)),
+                 coalesce('(' || a2 || b2 || ')', '')),
+                 coalesce('(' || a3 || ')(' || b3 || ')', chr(1)),
+                 coalesce('(' || a3 || b3 || ')', '')) AS seg
              FROM sw CROSS JOIN m),
+      -- coalesce to a chr(1) no-op pattern: a round that found no
+      -- merge yields NULL a_i/b_i (scalar subquery over empty t_i),
+      -- and the apply must then leave seg untouched, matching Spark's
+      -- foldLeft over only the merges that exist.
       agg AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
                 CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
                 CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
@@ -449,8 +456,13 @@ object PipelineExt4 extends QueryModule {
         GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1),
       wf$i AS MATERIALIZED (
         SELECT w, freq,
-               replace(seg, '(' || pa || ')(' || pb || ')',
-                       '(' || pa || pb || ')') AS seg
-        FROM wf$p CROSS JOIN t$i)"""
+               CASE WHEN pa IS NULL THEN seg
+                    ELSE replace(seg, '(' || pa || ')(' || pb || ')',
+                                 '(' || pa || pb || ')') END AS seg
+        FROM wf$p LEFT JOIN t$i ON true)"""
   }
+  // ^ LEFT JOIN (not CROSS JOIN): when round i finds no pair, t_i is
+  // empty and a cross join would collapse wf_i to zero rows — Spark's
+  // bpeLoop instead keeps wf unchanged, so the oracle must too
+  // (matters for corpora that exhaust in < 3 rounds, e.g. 'aaaa').
 }

@@ -898,7 +898,14 @@ object VectorOps {
     val probes = ranked.where(col("id") % evalMod === 0 && col("crk") <= nprobe)
       .select(col("id").as("eval_id"), col("cid").as("cell"),
         col("v").as("ev"), col("nrm").as("en"))
-    broadcast(probes)
+    // No broadcast hint, deliberately: this op is the escape path for
+    // eval sets too big to broadcast (evalContamination's guard), so
+    // the probe⋈cell join must survive a huge probe side — it's an
+    // EQUALITY join on the cell id, so Catalyst broadcasts the probes
+    // while they're small and falls back to a cell-keyed shuffle hash
+    // join when they aren't, which is exactly the stored-index layout
+    // (te17 partitions by cell).
+    probes
       .join(cells, col("cell") === col("ccell"))
       .withColumn("cos", round(
         scaledToDouble(dot_scaled(col("ev"), col("tv"))) / (col("en") * col("tn")), 6))

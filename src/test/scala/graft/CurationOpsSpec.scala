@@ -183,6 +183,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(base == ((4L, 14L, 14L)))
   }
 
+  test("bpeApplyStats on a corpus that exhausts early keeps the last segmentation") {
+    // 'aaaa' x2 exhausts after 2 merges ((a,a) then (aa,aa)); round 3
+    // finds no pair and the accounting must still see (aaaa) = 1
+    // token per word, not an empty frame.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val out = CurationOps.bpeApplyStats(docs, "text", 3)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((2L, 8L, 2L)))
+  }
+
   test("tokenizerEquity: pooled merges compress sources unevenly") {
     // Pooled learning picks (l,o), (lo,w), (e,r) — all from srcA.
     // srcA compresses 14 chars -> 5 tokens (357142 per million);
