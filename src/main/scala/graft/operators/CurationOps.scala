@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** End-to-end curation compositions (round 13): the whole nightly
   * curation job as ONE Spark DAG (td46), and the sequential greedy
@@ -26,7 +27,7 @@ object CurationOps {
     * non-overflowing ids (every oracle corpus) pmod == %, so the
     * DuckDB twins are unchanged.
     */
-  private[operators] def shardOf(id: Column, nShards: Int): Column =
+  private[graft] def shardOf(id: Column, nShards: Int): Column =
     pmod(pmod(id * lit(2654435761L), lit(1000000007L)), lit(nShards))
       .cast("int")
 
@@ -75,7 +76,7 @@ object CurationOps {
     val keptIds = c4.join(lang, idCol).join(dup, idCol)
       .where(col("r_c4") && col("r_lang") && col("r_dup"))
       .select(col(idCol))
-      .localCheckpoint()
+      .barrier()
     val kept = docs.join(keptIds, idCol)
     val pairs = TextOps.minhashLshPairsIdx(
         TextOps.shingleHashIndex(kept, idCol, textCol, 3), lshThreshold)
@@ -132,7 +133,7 @@ object CurationOps {
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("owners"))
       .groupBy(col("owners")).agg(count(lit(1)).as("n_grams"))
-      .localCheckpoint()
+      .barrier()
     val allSources = sg.select(col("source")).distinct()
       .as[String].collect().sorted.toSeq // bounded: |sources|
     var selected = Vector.empty[String]
@@ -371,7 +372,7 @@ object CurationOps {
       .where(learnableWord(col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
-      .localCheckpoint()
+      .barrier()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -395,7 +396,7 @@ object CurationOps {
         merges += ((r, pa, pb, cnt))
         wf = wf.withColumn("seg",
             expr(s"replace(seg, '($pa)($pb)', '($pa$pb)')"))
-          .localCheckpoint()
+          .barrier()
       }
     }
     (merges.result(), wf)
@@ -468,7 +469,12 @@ object CurationOps {
       .withColumn("pos",
         conv(substring(md5(concat_ws(":", lit(seed),
           col("id").cast("string"))), 1, 15), 16, 10).cast("long"))
-      .withColumn("shard", (col("pos") % nShards).cast("int"))
+      // pmod for consistency with shardOf even though pos (15 hex
+      // digits of an md5) is provably non-negative — the r13 self-
+      // review fixed exactly this overflow class in shardOf, and % vs
+      // pmod is a silent divergence one copy-paste away. Identical
+      // values for non-negative pos, so the DuckDB `% 16` twin holds.
+      .withColumn("shard", pmod(col("pos"), lit(nShards)).cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
         min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))

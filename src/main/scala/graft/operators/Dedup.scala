@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.BarrierOps
 
 /** Deduplication keep-first / keep-last by key in event-time order —
   * semantics of the reference's deduplicate operators
@@ -55,7 +56,7 @@ object Dedup {
     // itself would execute the (possibly expensive — LSH mining) pair
     // pipeline once per branch; checkpointing the directed pairs runs
     // it once and both union branches read the blocks.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a"), col("id_b")).barrier()
     val edges = p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // Adaptive strategy pick, the broadcast-join-threshold pattern: a
@@ -95,7 +96,7 @@ object Dedup {
       return spark.createDataset(rows).toDF("id", "label")
     }
     val nodes = edges.select(col("id_a").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("id")).barrier()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -108,7 +109,7 @@ object Dedup {
       val next = stepped.join(
           stepped.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
         .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
+        .barrier()
       // Convergence check reads the just-materialized checkpoint —
       // no extra join against the previous labels.
       changed = next.filter(col("label") =!= col("old")).count()

@@ -6,6 +6,7 @@ import graft.cep.Nfa.{AfterMatch, Pattern, Quantifier, Step}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** Additional inventory items: CEP OneOrMore quantifier (greedy looping
   * state — flink-cep Pattern.oneOrMore), URL/map scalar functions
@@ -92,13 +93,13 @@ object ExtraParity extends QueryModule {
       val edges = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct().localCheckpoint()
+        .distinct().barrier()
       val nodes = edges.select(col("src").as("n"))
-        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+        .union(edges.select(col("dst"))).distinct().barrier()
       // The degree is loop-invariant: weld it onto the edge list ONCE
       // so each round is one join + one aggregate instead of two joins.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val edgesDeg = edges.join(deg, "src").localCheckpoint()
+      val edgesDeg = edges.join(deg, "src").barrier()
       val cnt = nodes.count()
       var pr = nodes.withColumn("r", lit(1.0 / cnt))
       // The rounds stay LAZY: each references the previous round once,
@@ -136,7 +137,7 @@ object ExtraParity extends QueryModule {
       val edges = base.select(col("a").as("src"), col("b").as("dst"))
         .union(base.select(col("b").as("src"), col("a").as("dst")))
         .withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1)
-        .localCheckpoint()
+        .barrier()
       val nodes = edges.select(col("src").as("n")).distinct()
       val src0 = edges.agg(min(col("src"))).collect()(0).getLong(0)
       Pregel.sssp(nodes, edges, src0, rounds = 6)
@@ -160,7 +161,7 @@ object ExtraParity extends QueryModule {
       val edges = base.select(col("a").as("src"), col("b").as("dst"))
         .union(base.select(col("b").as("src"), col("a").as("dst")))
         .withColumn("w", pmod(col("src") + col("dst"), lit(9)) + 1)
-        .localCheckpoint()
+        .barrier()
       val nodes = edges.select(col("src").as("n")).distinct()
       val src0 = edges.agg(min(col("src"))).collect()(0).getLong(0)
       Pregel.ssspDelta(nodes, edges, src0, rounds = 20)

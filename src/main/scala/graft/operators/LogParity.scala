@@ -7,6 +7,7 @@ import graft.{OracleSafe, QueryModule, Tables}
 import graft.sources.LogSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** Partitioned-log connector parity (§2.1 connectors): Kafka-shaped
   * semantics — per-partition monotone offsets, segment-rolled
@@ -276,7 +277,7 @@ object LogParity extends QueryModule {
         .withColumn("__version", col("seq").cast("long") * 4 + kindRank)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"), col("__rowkind"), col("__version"))
-        .localCheckpoint()
+        .barrier()
       // ONE pass builds all three epoch deltas exactly as upsertSink
       // lands them (the epoch split by event wave, per-epoch
       // keep-latest incl. tombstones, -U dropped): keep-latest windows

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** Vertex-centric bulk-synchronous iteration — the general form of the
   * reference's Gelly scatter-gather / vertex-centric APIs
@@ -79,7 +80,7 @@ object Pregel {
       sendMsg: (Column, Column) => Column,
       mergeMsg: Column => Column,
       update: (Column, Column) => Column): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst"), col("w")).barrier()
     var v = vertices.select(col("n"), col("attr"))
     for (r <- 0 until rounds) {
       val msgs = v.join(e, col("n") === col("src"))
@@ -95,7 +96,7 @@ object Pregel {
       // reference per round, fully lazy, zero per-round jobs.
       if (checkpointInterval > 0 && (r + 1) % checkpointInterval == 0
           && r + 1 < rounds) {
-        v = v.localCheckpoint()
+        v = v.barrier()
       }
     }
     v
@@ -127,7 +128,7 @@ object Pregel {
       .union(vertices.select(col("n").as("src"), col("n").as("dst"),
         selfWeight.as("w")))
       .repartition(col("src")) // one-time exchange; reused every round
-      .localCheckpoint()
+      .barrier()
     var v = vertices.select(col("n"), col("attr"))
     for (_ <- 0 until rounds) {
       v = v.join(e, col("n") === col("src"))
@@ -198,8 +199,8 @@ object Pregel {
       better: (Column, Column) => Column): DataFrame =
       withIterationConf(solution0.sparkSession, shufflePartitions) {
     require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
-    var solution = solution0.select(col("n"), col("attr")).localCheckpoint()
-    var workset = workset0.select(col("n"), col("attr")).localCheckpoint()
+    var solution = solution0.select(col("n"), col("attr")).barrier()
+    var workset = workset0.select(col("n"), col("attr")).barrier()
     var round = 0
     while (round < maxRounds &&
         (round % probeEvery != 0 || workset.limit(1).count() > 0)) {
@@ -222,7 +223,7 @@ object Pregel {
       val joined = solution.join(cands.hint("shuffle_hash"), Seq("n"), "left")
         .select(col("n"), col("attr"),
           when(better(col("cand"), col("attr")), col("cand")).as("imp"))
-        .localCheckpoint()
+        .barrier()
       solution = joined.select(col("n"),
         coalesce(col("imp"), col("attr")).as("attr"))
       workset = joined.where(col("imp").isNotNull)
@@ -255,7 +256,7 @@ object Pregel {
     // round. At cluster scale this is the difference between a
     // per-superstep network pass over the graph and none.
     val e = parts.fold(e0.repartition(col("src")))(
-      p => e0.repartition(p, col("src"))).localCheckpoint()
+      p => e0.repartition(p, col("src"))).barrier()
     val init = nodes.select(col("n"),
       when(col("n") === source, lit(0L)).otherwise(lit(Unreached)).as("attr"))
     // One Bellman-Ford relaxation from a frontier: frontier ⋈ edges →
@@ -324,7 +325,7 @@ object Pregel {
           col("a")).otherwise(col("b")).as("lo"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("b")).otherwise(col("a")).as("hi"))
-      .localCheckpoint()
+      .barrier()
     val wedges = ori.as("e1").join(ori.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("apex"), col("e1.hi").as("u"), col("e2.hi").as("v"))
@@ -351,13 +352,13 @@ object Pregel {
     val spark = und.sparkSession
     val edges0 = und.select(col("a"), col("b"))
       .unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().barrier()
     val parts = iterationPartitions(spark, edges0.count())
     withIterationConf(spark, parts) {
       val edges = parts.map(p => edges0.repartition(p, col("b")))
-        .getOrElse(edges0).localCheckpoint()
+        .getOrElse(edges0).barrier()
       var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint()
+        .withColumn("label", col("id")).barrier()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a")).orderBy(col("c").desc, col("nl"))
       for (_ <- 1 to rounds) {
@@ -366,7 +367,7 @@ object Pregel {
           .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
           .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
           .select(col("a").as("id"), col("nl").as("label"))
-          .localCheckpoint()
+          .barrier()
       }
       labels
     }

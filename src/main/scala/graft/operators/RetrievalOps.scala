@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.BarrierOps
 
 /** Text-retrieval and corpus-curation primitives a training-data
   * pipeline needs beyond dedup: BM25 lexical top-k retrieval, int8
@@ -174,7 +175,7 @@ object RetrievalOps {
     // corpus
     val stats = Some(base
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .localCheckpoint(true))
+      .barrier())
     val fb = bm25PerDoc(base, q0, statsOpt = stats)
       .withColumn("rk", row_number().over(wRank)).where(col("rk") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
@@ -428,7 +429,7 @@ object RetrievalOps {
     // one materialization: v feeds the relevance join AND both sides
     // of the pairwise-sim join (three consumers of the same lambda-cast
     // frame — the localCheckpoint lesson from the salting probe)
-    val vc = v.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    val vc = v.repartition(spark.sparkContext.defaultParallelism).barrier()
     val rel = cand
       .join(vc.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
       .join(vc.select(col("vid").as("vec_id"), col("v").as("cv"), col("nrm").as("cn")), "vec_id")

@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.BarrierOps
 
 /** Media payload metadata produced by the decoder, plus the
   * resize-to-fit dims and a fixed-width feature vector (the
@@ -67,7 +68,7 @@ object SimilaritySuite extends QueryModule {
         .withColumn("nrm",
           sqrt(dot_scaled(col("v"), col("v")).cast("double") / lit(1e12)))
         .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .barrier()
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"),
           explode(VectorOps.srpProbes(col("bucket"), nbits)).as("bucket"),
@@ -179,7 +180,7 @@ object SimilaritySuite extends QueryModule {
       val existing = emb.where(col("vec_id") % 5 =!= 0)
       val newBatch = emb.where(col("vec_id") % 5 === 0)
       val cent = VectorOps.ivfCentroids(existing, "vec_id", "embedding", 16)
-        .localCheckpoint()
+        .barrier()
       def cells(batch: org.apache.spark.sql.DataFrame) =
         VectorOps.ivfAssign(batch, "vec_id", "embedding", cent)
           .where(col("crk") === 1)
@@ -662,7 +663,7 @@ object SimilaritySuite extends QueryModule {
           posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("bucket"), col("vec_id"), col("d"),
           floor(col("x").cast("double") * 1e7).cast("long").as("xs"))
-        .localCheckpoint()
+        .barrier()
       val cent = ex.groupBy(col("bucket"), col("d"))
         .agg(floor(sum(col("xs")).cast("double") / count(lit(1))).cast("long").as("c"))
       val dots = ex.join(cent, Seq("bucket", "d"))

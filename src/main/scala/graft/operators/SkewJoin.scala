@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** Salted equi-join for skewed keys (SURVEY §4.2 / prompt: "salting for
   * skew"): when a few hot keys dominate, a plain shuffle join puts each
@@ -51,7 +52,7 @@ object SkewJoin {
     val hot = right.groupBy(col(key)).agg(count(lit(1)).as("__hn"))
       .where(col("__hn") > hotThreshold)
       .select(col(key), lit(true).as("__hot"))
-      .localCheckpoint()
+      .barrier()
     // Common case — no hot keys: return the PLAIN join so auto-wired
     // call sites (LSH/SRP bucket mining) pay only the probe aggregate,
     // not the tag joins + two-branch union of the salted plan shape.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.BarrierOps
 
 /** Text-pipeline primitives for large-corpus deduplication: shingling,
   * MinHash+LSH, SimHash — the operator set a 100 TB training-data
@@ -214,7 +215,7 @@ object TextOps {
     val capped = fps
       .withColumn("__n", count(lit(1)).over(wFp))
       .where(col("__n") <= bucketCap).drop("__n")
-      .localCheckpoint() // hot probe below is a separate action
+      .barrier() // hot probe below is a separate action
     val a = capped.select(col("fp"), col("id").as("doc_a"))
     val b = capped.select(col("fp"), col("id").as("doc_b"))
     SkewJoin.saltedInnerHot(a, b, "fp", col("doc_a"), saltFactor,
@@ -247,7 +248,7 @@ object TextOps {
     // action (its result must exist before the join plan is built), so
     // without this the upstream signature aggregate would run twice.
     val k = bands.select(struct(col("band"), col("bh")).as("__bk"),
-      col(idCol).as("__id")).localCheckpoint()
+      col(idCol).as("__id")).barrier()
     val a = k.select(col("__bk"), col("__id").as("id_a"))
     val b = k.select(col("__bk"), col("__id").as("id_b"))
     SkewJoin.saltedInnerHot(a, b, "__bk", col("id_a"), saltFactor,
@@ -305,7 +306,7 @@ object TextOps {
     // whole query), and AQE only coalesces the materialization when the
     // data is small enough that downstream reshuffles are cheap anyway.
     val exploded = idx.select(col("id"), xxhash64(col("sh")).as("sh"))
-      .localCheckpoint()
+      .barrier()
     if (!forceExact) {
       // Guard probe runs over the already-materialized checkpoint (ids
       // only, partial distinct per partition) — it never re-runs the
@@ -343,7 +344,7 @@ object TextOps {
     // repartition before the checkpoint: the extra full shuffle of the
     // index measured ~1.5x slower end-to-end, and the per-id aggregates
     // reshuffle to their own key regardless.
-    val mat = idx.localCheckpoint()
+    val mat = idx.barrier()
     val sig = minhashSignatureIdx(mat, numPerms)
     val cands = candidatePairs(lshBands(sig, "id", numPerms, rowsPerBand), "id")
     jaccardVerifyIdx(cands, mat).where(col("jaccard") >= threshold)
@@ -376,10 +377,10 @@ object TextOps {
                             numPerms: Int = 64, rowsPerBand: Int = 2,
                             hotBucketThreshold: Long = 4096L,
                             saltFactor: Int = 16): DataFrame = {
-    val newMat = newIdx.select(col("id"), col("sh")).localCheckpoint()
+    val newMat = newIdx.select(col("id"), col("sh")).barrier()
     val newBands = lshBands(minhashSignatureIdx(newMat, numPerms), "id",
         numPerms, rowsPerBand)
-      .localCheckpoint() // probe side + union side + the hot probe
+      .barrier() // probe side + union side + the hot probe
     val a = newBands.select(struct(col("band"), col("bh")).as("__bk"),
       col("id").as("id_new"))
     val b = newBands.unionByName(
@@ -680,7 +681,7 @@ object TextOps {
     // one hash aggregate over the index (no sort), and the dup-count
     // join runs against a frame AQE broadcasts — the decontaminate
     // anatomy, corpus-against-itself.
-    val idx = shingleHashIndex(docs, idCol, textCol, n).localCheckpoint()
+    val idx = shingleHashIndex(docs, idCol, textCol, n).barrier()
     val shared = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf).select(col("sh"))
     val perDoc = idx.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
@@ -818,7 +819,7 @@ object TextOps {
         (col("n_words") / lit(128.0)).as("x1"),
         (expr("(n_uniq * 1048576L) div n_words") / lit(1048576.0)).as("x2"),
         (expr("(n_chars * 1048576L) div n_words") / lit(1048576.0) / lit(16.0)).as("x3"))
-      .localCheckpoint()
+      .barrier()
     val n = feats.count()
     var w = Array(0.0, 0.0, 0.0, 0.0)
     def xdotw = col("x0") * lit(w(0)) + col("x1") * lit(w(1)) +
@@ -877,7 +878,7 @@ object TextOps {
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
       .select(col("id"), posexplode(words(col("__text"))).as(Seq("pos", "w")))
-      .localCheckpoint() // feeds windows, totals, and the kept anti-join
+      .barrier() // feeds windows, totals, and the kept anti-join
     val withLeads = toks.select(col("id") +: col("pos") +: col("w") +:
       (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i")): _*)
     val allParts = col("w") +: (1 until n).map(i => col(s"w$i"))

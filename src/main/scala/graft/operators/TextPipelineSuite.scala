@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.BarrierOps
 
 /** Training-data text pipeline over `documents` (BASELINE.json north
   * star): exact + near-duplicate detection (n-gram Jaccard, MinHash-LSH,
@@ -168,7 +169,7 @@ object TextPipelineSuite extends QueryModule {
         .select(col("id"), col("sh").as("gr"))
       // sig feeds BOTH sides of the pair join — materialize once or
       // the signature aggregate executes once per branch
-      val sig = TextOps.bbitMinhashSig(idx, 16, 8).localCheckpoint()
+      val sig = TextOps.bbitMinhashSig(idx, 16, 8).barrier()
       val pairs = TextOps.minhashLshPairsIdx(shingles(s, dir), 0.8)
       val a = sig.select(col("id").as("id_a") +:
         (0 until 16).map(i => col(s"b$i").as(s"xa$i")): _*)
@@ -549,7 +550,7 @@ object TextPipelineSuite extends QueryModule {
         docs.filter(col("source") === "src0"), "doc_id", "text", 5)
       val joined = corpus.join(
           bench.select(col("sh"), col("id").as("bench_id")), "sh")
-        .localCheckpoint() // feeds both aggregates below
+        .barrier() // feeds both aggregates below
       // td10's contamination test: DISTINCT grams with any bench match
       val nhits = joined.select(col("id"), col("sh")).distinct()
         .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Checkpoints.BarrierOps
 
 /** Embedding-vector primitives for similarity search over an
   * `array<float>` column: exact cosine (brute-force baseline) and a
@@ -335,11 +336,11 @@ object VectorOps {
     val s = vecs.sparkSession
     val parallelism = s.sparkContext.defaultParallelism
     val ex = explodeVec(vecs, idCol, vecCol, "id").repartition(parallelism)
-      .localCheckpoint() // feeds the mean update of every Lloyd round
+      .barrier() // feeds the mean update of every Lloyd round
     val nrm = norms(vecs, idCol, vecCol, "id").withColumnRenamed("nrm", "vn")
     // (id, arr, vn) — the map-side assignment input.
     val varr = vecs.select(col(idCol).as("id"), toDouble(col(vecCol)).as("arr"))
-      .join(nrm, "id").repartition(parallelism).localCheckpoint()
+      .join(nrm, "id").repartition(parallelism).barrier()
 
     // Same arithmetic as scaledSum(x*mx), driver side.
     def centroidNorm(c: Array[Double]): Double =
@@ -403,7 +404,7 @@ object VectorOps {
         1, math.max(nprobe, 1)).as("best"))
       .select(col("id"), posexplode(col("best")).as(Seq("p", "b")))
       .select(col("id"), (-col("b.nc")).as("cell"), (col("p") + 1).as("crk"))
-      .localCheckpoint() // feeds both the cell map and the probe list
+      .barrier() // feeds both the cell map and the probe list
     val cells = ranked.where(col("crk") === 1).select(col("id"), col("cell"))
     val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
       .select(col("id").as("query_id"), col("cell"))
@@ -451,7 +452,7 @@ object VectorOps {
       .select(col("vec_id").as("cid"), col("sub").as("csub"),
         col("dd").as("cdd"), col("x").as("cx"))
     val adot = pqAdot(sx, cent)
-      .localCheckpoint() // feeds codes + the query ADC table
+      .barrier() // feeds codes + the query ADC table
     val qdot = adot.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("sub").as("qsub"),
         col("cid"), col("dt"))
@@ -526,7 +527,7 @@ object VectorOps {
     val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
     // IVF assignment (te05 form); e feeds centroids, assignment AND the
     // exact re-rank arrays — materialize once.
-    val e = prepped(vecs, idCol, vecCol).localCheckpoint()
+    val e = prepped(vecs, idCol, vecCol).barrier()
     val cent = e.filter(col("id") < nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("id"))
@@ -537,7 +538,7 @@ object VectorOps {
       .select(col("id"), col("cid"), col("cosc"))
       .withColumn("crk", row_number().over(wAssign))
       .select(col("id"), col("cid"), col("crk"))
-      .localCheckpoint() // feeds cells + probes
+      .barrier() // feeds cells + probes
     val cells = ranked.where(col("crk") === 1)
       .select(col("id").as("vec_id"), col("cid").as("cell"))
     val probes = ranked.where(isQuery(col("id")) && col("crk") <= nprobe)
@@ -554,7 +555,7 @@ object VectorOps {
         col("sub") === col("csub") && col("dd") === col("cdd"))
       .groupBy(col("vec_id"), col("sub"), col("cid"))
       .agg(sum(floor(col("x") * col("cx") * lit(1e12)).cast("long")).as("dt"))
-      .localCheckpoint() // feeds codes + the query ADC table
+      .barrier() // feeds codes + the query ADC table
     val wA = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dt").desc, col("cid"))
     val codes = adot.withColumn("rk", row_number().over(wA))
@@ -702,7 +703,7 @@ object VectorOps {
       .withColumn("crk", row_number().over(wAssign))
       .where(col("crk") === 1)
       .select(col("id"), col("cid").as("cell"), col("v"), col("nrm"))
-      .localCheckpoint() // feeds size probe / split rounds / pair join / output
+      .barrier() // feeds size probe / split rounds / pair join / output
     val step = math.max(fanout, nlist).toLong
     var depth = 0
     var splitting = true
@@ -743,7 +744,7 @@ object VectorOps {
           .select(col("id"),
             ((col("cell") + 1) * step + col("sub")).as("cell"),
             col("v"), col("nrm"))
-        cells = okRows.union(splitRows).localCheckpoint()
+        cells = okRows.union(splitRows).barrier()
         depth += 1
       }
     }
@@ -780,7 +781,7 @@ object VectorOps {
     */
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
                        dim: Int = 64): DataFrame = {
-    val e = prepped(vecs, idCol, vecCol).localCheckpoint()
+    val e = prepped(vecs, idCol, vecCol).barrier()
     val dimSums = (0 until dim).map(d =>
       sum(floor(element_at(col("v"), d + 1) * lit(1e12)).cast("long")).as(s"s$d"))
     val sums = e.agg(count(lit(1)).as("n"), dimSums: _*).collect()(0)
@@ -816,7 +817,7 @@ object VectorOps {
                nbits: Int, k: Int): DataFrame = {
     val e = prepped(vecs, idCol, vecCol)
       .withColumn("bucket", srpBucket(col("v"), nbits))
-      .localCheckpoint() // both sides of the bucket join + nothing else
+      .barrier() // both sides of the bucket join + nothing else
     val a = e.select(col("bucket"), col("id"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("bucket"), col("id").as("nb_id"),
@@ -827,7 +828,7 @@ object VectorOps {
         scaledToDouble(dot_scaled(col("va"), col("vb"))) / (col("na") * col("nb")), 6))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("id"), col("nb_id"), col("cos"), col("rk"))
-      .localCheckpoint() // feeds both sides of the mutuality join
+      .barrier() // feeds both sides of the mutuality join
     val rev = knn.select(col("nb_id").as("id"), col("id").as("nb_id"),
       lit(true).as("__m"))
     knn.join(rev, Seq("id", "nb_id"), "left")

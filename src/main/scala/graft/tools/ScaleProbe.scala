@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{CurationOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -932,9 +932,7 @@ object ScaleProbe {
       run("td39 shard manifest", k, {
         val d = docs.withColumn("lang",
           concat(lit("l"), pmod(col("doc_id"), lit(5))))
-        d.withColumn("shard",
-            (col("doc_id") * lit(2654435761L) % lit(1000000007L) % lit(16))
-              .cast("int"))
+        d.withColumn("shard", CurationOps.shardOf(col("doc_id"), 16))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"),
