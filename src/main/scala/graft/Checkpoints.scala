@@ -63,6 +63,28 @@ object Checkpoints {
     } else df.localCheckpoint()
   }
 
+  /** Barrier for driver loops that re-materialize one evolving frame
+    * per round (BPE re-segmentation, and any future loop of that
+    * shape): materialize `df`, then release the PREVIOUS round's
+    * barrier blocks so the loop holds one copy of the frame instead
+    * of accumulating k copies over k rounds (executor storage is the
+    * bound that matters — the frame itself is small by design, but
+    * "small × 30k rounds" is not). `prevIds` is the persistent-RDD id
+    * set returned by the prior call; pass Set.empty on the first.
+    * On the reliable-checkpoint path nothing is pinned in block
+    * storage, so the release is a no-op and checkpoint files are left
+    * to the TTL'd dir (see SCALE.md).
+    */
+  def rollingBarrier(df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = barrier(df)
+    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    prevIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    (out, mine)
+  }
+
   /** `.barrier()` postfix syntax for the operator code. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
     def barrier(): DataFrame = Checkpoints.barrier(df)

@@ -319,25 +319,46 @@ object CurationOps {
   /** td52: k-round BPE learning — the actual tokenizer-induction loop
     * (td50 is round 1's statistics; this emits the merge TABLE a
     * tokenizer ships). Each round counts adjacent symbol pairs over
-    * the current segmentation, merges the argmax pair, re-segments,
-    * repeats. Segmentation state is a wrapped-symbol string
-    * "(l)(o)(w)": symbols never contain parens (alnum-filtered
-    * vocabulary), so a literal replace of "(a)(b)" with "(ab)" IS
-    * greedy left-to-right non-overlapping BPE merging — reproducible
-    * in any engine's `replace`, which is what makes the op
-    * oracle-checkable.
+    * the current segmentation, accepts a BATCH of top non-overlapping
+    * pairs (below), re-segments, repeats. Segmentation state is a
+    * wrapped-symbol string "(l)(o)(w)": symbols never contain parens
+    * (alnum-filtered vocabulary), so a literal replace of "(a)(b)"
+    * with "(ab)" IS greedy left-to-right non-overlapping BPE merging —
+    * reproducible in any engine's `replace`, which is what makes the
+    * op oracle-checkable.
+    *
+    * Batched acceptance (BPE's standard batching, the fix for the
+    * one-merge-per-Spark-job regime boundary): rank the round's pairs
+    * by (cnt DESC, pa, pb), window to the top `batch`, and accept a
+    * candidate iff NO higher-ranked candidate in the window shares a
+    * symbol with it. Accepted pairs are symbol-disjoint, so their
+    * replaces commute and cannot create or destroy each other's
+    * occurrences — applying them simultaneously equals applying them
+    * in any order, and each accepted pair's count is exact for the
+    * segmentation it was counted on. (The rank-1 pair is always
+    * accepted, so batch=1 IS the classic sequential learner.) The
+    * no-higher-RANKED rule — rather than no-higher-ACCEPTED — is
+    * deliberately the conservative variant: it needs no sequential
+    * recursion, so the DuckDB oracle expresses it as one NOT EXISTS
+    * self-join per round and both engines provably pick the same set.
     *
     * Scale anatomy: td50's — all per-round work runs on the
     * DISTINCT-WORD frame (the corpus is touched once, by the word
-    * count); the driver loop is bounded by `rounds` and collects ONE
-    * row per round (the td47/td42 driver-paced-never-driver-sized
-    * pattern). Each round's re-segmentation is a map-side replace;
-    * localCheckpoint truncates the growing lineage.
+    * count); the driver loop is bounded by `rounds` and collects
+    * `batch` rows per round (the td47/td42 driver-paced-never-driver-
+    * sized pattern). Each round's re-segmentation is ≤ `batch`
+    * map-side replaces (bounded codegen depth per projection);
+    * rollingBarrier truncates the growing lineage AND releases the
+    * previous round's blocks, so the loop holds one copy of the frame
+    * at any round count. Tested merge-count regime: see SCALE.md
+    * (probed at 50 rounds × batch 8 ≈ 400 merges).
     */
-  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int,
+               batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLoop(docs, textCol, rounds)._1.toDF("step", "sym_a", "sym_b", "cnt")
+    bpeLoop(docs, textCol, rounds, batch)._1
+      .toDF("step", "sym_a", "sym_b", "cnt")
   }
 
   /** The learner's vocabulary domain: alnum words of ≥ 2 chars.
@@ -358,24 +379,58 @@ object CurationOps {
     sum(col("freq") * size(regexp_extract_all(col("seg"),
       lit("\\(([^)]*)\\)"), lit(1)))).as("n_bpe_tokens"))
 
+  /** One merge's literal-replace application to a wrapped-symbol
+    * segmentation column. Column form (not an expr string): symbols
+    * are alnum by [[learnableWord]], but lit() makes the no-injection
+    * property structural instead of an invariant.
+    */
+  private def applyMerge(seg: Column, pa: String, pb: String): Column =
+    replace(seg, lit(s"($pa)($pb)"), lit(s"($pa$pb)"))
+
+  /** Apply a learned merge list to a segmentation column in bounded-
+    * codegen-depth chunks: each chunk is one projection of ≤ `chunk`
+    * nested replaces, with a barrier between chunks so no single
+    * codegen'd expression grows with the total merge count (a 30k-
+    * merge table folded into ONE expression blows Janino's 64 KB
+    * method / constant-pool limits in the low hundreds — see
+    * SCALE.md). The final chunk stays lazy so downstream aggregates
+    * fuse with it.
+    */
+  private[graft] def applyMerges(df: DataFrame, segCol: String,
+                                 merges: Seq[(String, String)],
+                                 chunk: Int = 32): DataFrame = {
+    val groups = merges.grouped(chunk).toSeq
+    groups.zipWithIndex.foldLeft(df) { case (d, (grp, i)) =>
+      val applied = d.withColumn(segCol,
+        grp.foldLeft(col(segCol)) { case (c, (pa, pb)) => applyMerge(c, pa, pb) })
+      if (i < groups.length - 1) graft.Checkpoints.barrier(applied)
+      else applied
+    }
+  }
+
   /** The learn loop shared by [[bpeLearn]] (returns the merge table)
     * and [[bpeApplyStats]]/[[tokenizerEquity]] (consume the final
-    * segmentation / merge list): k rounds of pair-count → argmax
-    * merge → map-side re-segment over the distinct-word frame. Stops
-    * early when a round finds no pair (wf is then already fully
-    * merged — further rounds would re-run an identical empty scan).
+    * segmentation / merge list): `rounds` rounds of pair-count →
+    * batched non-overlapping accept (see [[bpeLearn]]) → map-side
+    * re-segment over the distinct-word frame. Stops early when a
+    * round finds no pair (wf is then already fully merged — further
+    * rounds would re-run an identical empty scan). Returned steps
+    * number the accepted merges globally in (round, rank) order.
     */
-  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int)
+  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int,
+                      batch: Int = 1)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var wf = docs
+    require(batch >= 1, s"bpe batch must be >= 1, got $batch")
+    var (wf, ids) = graft.Checkpoints.rollingBarrier(docs
       .select(explode(TextOps.words(col(textCol))).as("w"))
       .where(learnableWord(col("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
-      .barrier()
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)")),
+      Set.empty)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
     var exhausted = false
-    for (r <- 1 to rounds if !exhausted) {
+    for (_ <- 1 to rounds if !exhausted) {
       val top = wf
         .withColumn("syms",
           regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1)))
@@ -388,15 +443,29 @@ object CurationOps {
         .groupBy(col("pa"), col("pb"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("pa"), asc("pb"))
-        .limit(1).collect()
+        .limit(batch).collect() // bounded: batch rows
       if (top.isEmpty) exhausted = true
       else {
-        val (pa, pb, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, pa, pb, cnt))
-        wf = wf.withColumn("seg",
-            expr(s"replace(seg, '($pa)($pb)', '($pa$pb)')"))
-          .barrier()
+        val cands = top.toSeq.map(t =>
+          (t.getString(0), t.getString(1), t.getLong(2)))
+        // conservative non-overlap: accept iff no HIGHER-RANKED
+        // candidate in the window shares a symbol (rank 1 always in)
+        val accepted = cands.indices.filter { i =>
+          val (pa, pb, _) = cands(i)
+          !(0 until i).exists { j =>
+            val (qa, qb, _) = cands(j)
+            qa == pa || qa == pb || qb == pa || qb == pb
+          }
+        }.map(cands)
+        accepted.foreach { case (pa, pb, cnt) =>
+          step += 1; merges += ((step, pa, pb, cnt))
+        }
+        val reseg = wf.withColumn("seg",
+          accepted.foldLeft(col("seg")) { case (c, (pa, pb, _)) =>
+            applyMerge(c, pa, pb)
+          })
+        val (w2, ids2) = graft.Checkpoints.rollingBarrier(reseg, ids)
+        wf = w2; ids = ids2
       }
     }
     (merges.result(), wf)
@@ -413,8 +482,9 @@ object CurationOps {
     * itself is ONE partial-aggregable rollup of the distinct-word
     * frame to a single row.
     */
-  def bpeApplyStats(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
-    bpeLoop(docs, textCol, rounds)._2.select(bpeAccounting: _*)
+  def bpeApplyStats(docs: DataFrame, textCol: String, rounds: Int,
+                    batch: Int = 1): DataFrame =
+    bpeLoop(docs, textCol, rounds, batch)._2.select(bpeAccounting: _*)
 
   /** td55: tokenizer-equity report — how well the GLOBAL merge table
     * compresses EACH source (tokens per million chars). The fairness
@@ -425,23 +495,23 @@ object CurationOps {
     *
     * Scale anatomy: two corpus passes — bpeLoop's word count (keyed
     * w), then a (source, word) count — both partial-aggregable
-    * map-side; the k learned merges come back as a driver-side list
-    * and are applied as ONE chained codegen'd replace expression (no
-    * join, no broadcast needed: k strings baked into the plan); the
-    * equity rollup collapses to |sources| rows.
+    * map-side; the learned merges come back as a driver-side list (no
+    * join, no broadcast needed: the strings bake into the plan) and
+    * are applied by [[applyMerges]] as chunks of ≤ 32 codegen'd
+    * replaces with a barrier between chunks — the iterative column
+    * fold that keeps any merge count clear of Janino's expression
+    * limits; the equity rollup collapses to |sources| rows.
     */
   def tokenizerEquity(docs: DataFrame, textCol: String, srcCol: String,
-                      rounds: Int): DataFrame = {
-    val merges = bpeLoop(docs, textCol, rounds)._1
-    val applied = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
-      case (e, (_, pa, pb, _)) => s"replace($e, '($pa)($pb)', '($pa$pb)')"
-    }
-    docs
+                      rounds: Int, batch: Int = 1): DataFrame = {
+    val merges = bpeLoop(docs, textCol, rounds, batch)._1
+    val sw = docs
       .select(col(srcCol).as("source"),
         explode(TextOps.words(col(textCol))).as("w"))
       .where(learnableWord(col("w")))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", expr(applied))
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
+    applyMerges(sw, "seg", merges.map { case (_, pa, pb, _) => (pa, pb) })
       .groupBy(col("source"))
       .agg(bpeAccounting.head, bpeAccounting.tail: _*)
       .withColumn("tokens_per_million_chars",

@@ -71,11 +71,15 @@ object PipelineExt4 extends QueryModule {
         .orderBy("shard")
     },
 
-    // k-round BPE learning (td52): the merge table a tokenizer ships,
-    // 3 rounds; see CurationOps.bpeLearn for the wrapped-symbol
-    // replace trick that keeps greedy merge semantics oracle-exact.
+    // k-round batched BPE learning (td52): the merge table a tokenizer
+    // ships — 8 rounds × up to 4 non-overlapping merges per round
+    // (20+ merges in 8 Spark jobs; one job per merge is the regime
+    // boundary the batching removes). See CurationOps.bpeLearn for
+    // the wrapped-symbol replace trick and the conservative
+    // non-overlap rule that keeps batched semantics oracle-exact.
     "td52_bpe_learn" -> { (s, dir) =>
-      CurationOps.bpeLearn(Tables.load(s, dir, "documents"), "text", 3)
+      CurationOps.bpeLearn(Tables.load(s, dir, "documents"), "text",
+          BpeRounds, BpeBatch)
         .orderBy("step")
     },
 
@@ -91,7 +95,8 @@ object PipelineExt4 extends QueryModule {
     // back to the corpus and report the compression — the learn →
     // apply → account loop that picks a vocabulary size.
     "td54_bpe_apply" -> { (s, dir) =>
-      CurationOps.bpeApplyStats(Tables.load(s, dir, "documents"), "text", 3)
+      CurationOps.bpeApplyStats(Tables.load(s, dir, "documents"), "text",
+        BpeRounds, BpeBatch)
     },
 
     // Tokenizer-equity report (td55): the global BPE merge table's
@@ -99,7 +104,7 @@ object PipelineExt4 extends QueryModule {
     // tokenizer learned on a pooled corpus.
     "td55_tokenizer_equity" -> { (s, dir) =>
       CurationOps.tokenizerEquity(Tables.load(s, dir, "documents"),
-          "text", "source", 3)
+          "text", "source", BpeRounds, BpeBatch)
         .orderBy("source")
     }
   )
@@ -354,51 +359,46 @@ object PipelineExt4 extends QueryModule {
       FROM na JOIN oa ON na.shard = oa.shard
       ORDER BY na.shard""",
 
-    // Unrolled BPE rounds, MATERIALIZED like td47's greedy layers.
+    // Unrolled batched BPE rounds, MATERIALIZED like td47's greedy
+    // layers; step = global (round, rank) order over the accepted
+    // merges.
     "td52_bpe_learn" -> s"""
-      WITH $bpeCte
-      SELECT * FROM (
-        SELECT 1 AS step, pa AS sym_a, pb AS sym_b, cnt FROM t1
-        UNION ALL SELECT 2, pa, pb, cnt FROM t2
-        UNION ALL SELECT 3, pa, pb, cnt FROM t3)
+      WITH $bpeCte,
+      all_m AS (${(1 to BpeRounds)
+        .map(i => s"SELECT $i AS rnd, ark, pa, pb, cnt FROM s$i")
+        .mkString("\n            UNION ALL ")})
+      SELECT CAST(row_number() OVER (ORDER BY rnd, ark) AS INT) AS step,
+             pa AS sym_a, pb AS sym_b, cnt
+      FROM all_m
       ORDER BY step""",
 
-    // Same unrolled learn, then the accounting rollup of wf3's final
-    // segmentation (td54's Spark shape exactly).
+    // Same unrolled learn, then the accounting rollup of the final
+    // round's segmentation (td54's Spark shape exactly).
     "td54_bpe_apply" -> s"""
       WITH $bpeCte
       SELECT CAST(sum(freq) AS BIGINT) AS n_words,
              CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
              CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
                AS BIGINT) AS n_bpe_tokens
-      FROM wf3""",
+      FROM wf$BpeRounds""",
 
     // bpeCte's learned merges applied per (source, word) as the same
-    // chained literal replace, rolled up per source.
+    // chained literal replaces in (round, rank) order, rolled up per
+    // source. Each m$i is a guaranteed 1-row scalar frame, so the
+    // cross-join chain never changes sw's row count.
     "td55_tokenizer_equity" -> s"""
       WITH $bpeCte,
-      m AS (SELECT (SELECT pa FROM t1) AS a1, (SELECT pb FROM t1) AS b1,
-                   (SELECT pa FROM t2) AS a2, (SELECT pb FROM t2) AS b2,
-                   (SELECT pa FROM t3) AS a3, (SELECT pb FROM t3) AS b3),
       sw AS (SELECT source, w, count(1) AS freq FROM
                (SELECT source, unnest(string_split(lower(text), ' ')) AS w
                 FROM documents)
              WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
              GROUP BY 1, 2),
       ap AS (SELECT source, w, freq,
-               replace(replace(replace(
-                 regexp_replace(w, '(.)', '(\\1)', 'g'),
-                 coalesce('(' || a1 || ')(' || b1 || ')', chr(1)),
-                 coalesce('(' || a1 || b1 || ')', '')),
-                 coalesce('(' || a2 || ')(' || b2 || ')', chr(1)),
-                 coalesce('(' || a2 || b2 || ')', '')),
-                 coalesce('(' || a3 || ')(' || b3 || ')', chr(1)),
-                 coalesce('(' || a3 || b3 || ')', '')) AS seg
-             FROM sw CROSS JOIN m),
-      -- coalesce to a chr(1) no-op pattern: a round that found no
-      -- merge yields NULL a_i/b_i (scalar subquery over empty t_i),
-      -- and the apply must then leave seg untouched, matching Spark's
-      -- foldLeft over only the merges that exist.
+               ${(1 to BpeRounds).foldLeft(
+                 "regexp_replace(w, '(.)', '(\\1)', 'g')")(
+                 (e, i) => applyChainSql(e, i))} AS seg
+             FROM sw ${(1 to BpeRounds)
+               .map(i => s"CROSS JOIN m$i").mkString(" ")}),
       agg AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
                 CAST(sum(freq * len(w)) AS BIGINT) AS n_chars,
                 CAST(sum(freq * len(regexp_extract_all(seg, '\\(([^)]*)\\)', 1)))
@@ -420,9 +420,17 @@ object PipelineExt4 extends QueryModule {
       FROM t GROUP BY 1 ORDER BY shard"""
   )
 
-  /** The shared td52/td54 oracle body: word frequencies with initial
-    * char segmentation, then three unrolled BPE rounds (t1..t3 merge
-    * picks, wf1..wf3 re-segmentations).
+  /** BPE learner shape shared by the td52/td54/td55 queries and their
+    * oracles: 8 rounds × up to 4 non-overlapping merges per round.
+    */
+  private val BpeRounds = 8
+  private val BpeBatch = 4
+
+  /** The shared td52/td54/td55 oracle body: word frequencies with
+    * initial char segmentation, then [[BpeRounds]] unrolled BATCHED
+    * BPE rounds (c_i ranked candidate window, s_i the accepted
+    * non-overlapping subset, m_i its 1-row scalar pivot, wf_i the
+    * re-segmentation).
     */
   private def bpeCte: String = s"""tok AS (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -432,37 +440,63 @@ object PipelineExt4 extends QueryModule {
         FROM tok
         WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
         GROUP BY w),
-      ${bpeLayer(1)},
-      ${bpeLayer(2)},
-      ${bpeLayer(3)}"""
+      ${(1 to BpeRounds).map(bpeLayer).mkString(",\n      ")}"""
 
-  /** One BPE round of the td52 oracle: count adjacent symbol pairs
-    * over the previous segmentation, keep the argmax (cnt DESC, pair
-    * ASC), re-segment with a literal replace. MATERIALIZED like
+  /** The chained literal replace applying round `i`'s accepted merges
+    * (ranks 1..[[BpeBatch]]) to the segmentation expression `e`, in
+    * rank order. coalesce to a chr(1) no-op pattern: a rank with no
+    * accepted merge yields NULL a/b scalars, and the apply must leave
+    * seg untouched — matching Spark's fold over only the merges that
+    * exist. seg never contains chr(1) (alnum symbols + parens).
+    */
+  private def applyChainSql(e: String, i: Int): String =
+    (1 to BpeBatch).foldLeft(e) { (acc, k) =>
+      s"""replace($acc,
+                 coalesce('(' || a${i}_$k || ')(' || b${i}_$k || ')', chr(1)),
+                 coalesce('(' || a${i}_$k || b${i}_$k || ')', ''))"""
+    }
+
+  /** One BATCHED BPE round of the td52 oracle: rank adjacent symbol
+    * pairs over the previous segmentation (cnt DESC, pair ASC), window
+    * to the top [[BpeBatch]], accept a candidate iff no higher-ranked
+    * candidate in the window shares a symbol (the sequential-recursion-
+    * free rule CurationOps.bpeLoop implements — both engines provably
+    * pick the same set), and re-segment with the accepted merges'
+    * literal replaces in rank order (symbol-disjoint, so order is
+    * immaterial — but keep it identical anyway). MATERIALIZED like
     * td47's layers — plain CTEs re-inline the whole upstream chain
     * per reference.
     */
   private def bpeLayer(i: Int): String = {
     val p = i - 1
+    val scalars = (1 to BpeBatch).map(k =>
+      s"""(SELECT pa FROM s$i WHERE ark = $k) AS a${i}_$k,
+          (SELECT pb FROM s$i WHERE ark = $k) AS b${i}_$k""").mkString(",\n        ")
     s"""
-      t$i AS MATERIALIZED (
-        SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq, syms[i] AS pa, syms[i + 1] AS pb
-              FROM (SELECT freq, syms,
-                      CAST(unnest(range(1, len(syms))) AS INT) AS i
-                    FROM (SELECT freq,
-                            regexp_extract_all(seg, '\\(([^)]*)\\)', 1) AS syms
-                          FROM wf$p)))
-        GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+      c$i AS MATERIALIZED (
+        SELECT pa, pb, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pa, pb) AS rk
+        FROM (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT freq, syms[i] AS pa, syms[i + 1] AS pb
+                    FROM (SELECT freq, syms,
+                            CAST(unnest(range(1, len(syms))) AS INT) AS i
+                          FROM (SELECT freq,
+                                  regexp_extract_all(seg, '\\(([^)]*)\\)', 1) AS syms
+                                FROM wf$p)))
+              GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT $BpeBatch)),
+      s$i AS MATERIALIZED (
+        SELECT pa, pb, cnt, CAST(row_number() OVER (ORDER BY rk) AS INT) AS ark
+        FROM c$i a
+        WHERE NOT EXISTS (SELECT 1 FROM c$i b WHERE b.rk < a.rk
+          AND (b.pa = a.pa OR b.pa = a.pb OR b.pb = a.pa OR b.pb = a.pb))),
+      m$i AS (SELECT
+        $scalars),
       wf$i AS MATERIALIZED (
-        SELECT w, freq,
-               CASE WHEN pa IS NULL THEN seg
-                    ELSE replace(seg, '(' || pa || ')(' || pb || ')',
-                                 '(' || pa || pb || ')') END AS seg
-        FROM wf$p LEFT JOIN t$i ON true)"""
+        SELECT w, freq, ${applyChainSql("seg", i)} AS seg
+        FROM wf$p CROSS JOIN m$i)"""
   }
-  // ^ LEFT JOIN (not CROSS JOIN): when round i finds no pair, t_i is
-  // empty and a cross join would collapse wf_i to zero rows — Spark's
-  // bpeLoop instead keeps wf unchanged, so the oracle must too
-  // (matters for corpora that exhaust in < 3 rounds, e.g. 'aaaa').
+  // ^ CROSS JOIN is safe here (unlike the old t_i LEFT JOIN): m_i is a
+  // pure scalar-subquery SELECT, so it is exactly one row even when
+  // s_i is empty — the scalars are then NULL and the chr(1) no-ops in
+  // applyChainSql leave seg unchanged, matching Spark's exhausted loop.
 }

@@ -245,9 +245,16 @@ object ScaleProbe {
       run("td51 padding efficiency", k,
         graft.operators.CurationOps.paddingEfficiency(docs, "doc_id", "text"))
       // BPE learning: td50's distinct-word frame, 3 driver-paced
-      // rounds, one collected row per round.
+      // rounds, `batch` collected rows per round.
       run("td52 bpe learn", k,
         graft.operators.CurationOps.bpeLearn(docs, "text", 3))
+      // The merge-count regime probe (r13 verdict #1): 50 rounds × up
+      // to 8 non-overlapping merges per round ≈ 400 merges in 50 jobs
+      // — the shape a shipping tokenizer's merge table is built in.
+      // rollingBarrier holds ONE copy of the distinct-word frame;
+      // per-round codegen depth is ≤ 8 replaces.
+      run("td52b bpe learn 50x8", k,
+        graft.operators.CurationOps.bpeLearn(docs, "text", 50, 8))
       // Epoch shuffle: pure map-side hashing + one 16-row rollup.
       run("td53 epoch shuffle", k,
         graft.operators.CurationOps.epochShuffle(docs, "doc_id", "text", "ep1"))

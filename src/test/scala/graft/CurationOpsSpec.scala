@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.CurationOps
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, regexp_replace}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CurationOpsSpec extends AnyFunSuite {
@@ -204,6 +205,46 @@ class CurationOpsSpec extends AnyFunSuite {
       .orderBy("source")
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("A", 4L, 14L, 5L, 357142L), ("B", 2L, 4L, 4L, 1000000L)))
+  }
+
+  test("bpeLearn batched: accepts top non-overlapping pairs per round") {
+    // Round-1 ranked pairs of "low low low lower": (l,o)=4, (o,w)=4,
+    // (e,r)=1, (w,e)=1. Window of 4, conservative rule: (l,o) in;
+    // (o,w) shares o with rank 1 — out; (e,r) disjoint — in; (w,e)
+    // shares w with rank 2 (accepted or not — ranked is what counts)
+    // — out. Round 2: (lo,w)=4 in, (w,er)=1 shares w — out. Round 3:
+    // (low,er)=1. Steps number globally in (round, rank) order.
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val out = CurationOps.bpeLearn(docs, "text", 3, batch = 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "l", "o", 4L), (2, "e", "r", 1L),
+      (3, "lo", "w", 4L), (4, "low", "er", 1L)))
+  }
+
+  test("bpeLearn batch=1 equals the classic sequential learner") {
+    val docs = Seq((1L, "low low low lower newest newest")).toDF("doc_id", "text")
+    val seq = CurationOps.bpeLearn(docs, "text", 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b1 = CurationOps.bpeLearn(docs, "text", 5, batch = 1)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(seq == b1)
+  }
+
+  test("applyMerges chunked fold equals the single-expression fold") {
+    // 6 merges applied with chunk=2 (3 chunks, 2 barriers) must give
+    // byte-identical segmentations to chunk=1000 (one projection) —
+    // the bounded-codegen-depth path cannot change results.
+    val docs = Seq((1L, "low low lower lowest newest west")).toDF("doc_id", "text")
+    val merges = CurationOps.bpeLearn(docs, "text", 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    assert(merges.size >= 4)
+    val base = Seq("low", "lower", "lowest", "newest", "west").toDF("w")
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "($1)"))
+    def segs(chunk: Int): Map[String, String] =
+      CurationOps.applyMerges(base, "seg", merges, chunk)
+        .select("w", "seg").as[(String, String)].collect().toMap
+    assert(segs(2) == segs(1000))
   }
 
   test("epochShuffle: seeded positions are JVM-reproducible; seeds permute") {
