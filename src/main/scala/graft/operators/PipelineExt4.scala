@@ -106,8 +106,68 @@ object PipelineExt4 extends QueryModule {
       CurationOps.tokenizerEquity(Tables.load(s, dir, "documents"),
           "text", "source", BpeRounds, BpeBatch)
         .orderBy("source")
+    },
+
+    // Streaming/incremental curation (td56): td46's continuous twin —
+    // the corpus arrives as ~3 admission-controlled micro-batches
+    // through a doc_id-ordered graft-log (so every epoch is an
+    // id-ordered prefix), each epoch updates the persisted curation
+    // state (seen-hash store, td31's band+shingle LSH indexes,
+    // append-only pair store, kfk06-shaped upsert manifest state) via
+    // IncrementalCuration.processEpoch, and the merge-on-read manifest
+    // must equal the batch pipeline's — the oracle IS td46's, verbatim.
+    "td56_incremental_curation" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = scratch("td56", dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val n = docs.count()
+      graft.sources.LogSource.write(
+        docs.withColumn("partition", lit(0))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+          .select(col("partition"),
+            to_json(struct(col("doc_id"), col("text"), col("lang")))
+              .as("value")),
+        s"$base/log")
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType)))
+      val src = s.readStream.format("graft-log")
+        .option("path", s"$base/log")
+        // ~3 epochs at any SF: per-epoch fixed costs (component
+        // relabel, store reads) are paid a constant number of times
+        // while the multi-epoch incremental path stays exercised
+        // (mid-stream restart is IncrementalCurationSpec's job)
+        .option("maxRecordsPerTrigger", math.max(1L, (n + 2) / 3).toString)
+        .load()
+      val q = src
+        .select(from_json(col("value"), docSchema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          graft.streaming.IncrementalCuration.processEpoch(
+            epoch, batch, s"$base/st", "doc_id", "text", "lang")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.IncrementalCuration.manifest(s, s"$base/st")
+        .orderBy("shard")
     }
   )
+
+  /** Deterministic scratch dir per (query, sf dir); wiped per seed —
+    * LogParity's idiom.
+    */
+  private def scratch(name: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cur-${name}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    p.toString
+  }
 
   /** The 3-gram shingle CTE shared by both oracles (same construction
     * as TextPipelineSuite's).
@@ -152,13 +212,14 @@ object PipelineExt4 extends QueryModule {
                               WHERE x.source = sg.source))"""
   }
 
-  override def oracleSql: Map[String, String] = Map(
-
-    // Verdict (3 enforced rules) → kept docs → exact-Jaccard pairs →
-    // transitive closure → cluster sizes → inverse-size weights →
-    // md5 micro-gate → shard manifest. Every stage is the already-
-    // oracled td41/td43/td16/td44/td13/td39 logic, chained.
-    "td46_curation_pipeline" -> """
+  /** Verdict (3 enforced rules) → kept docs → exact-Jaccard pairs →
+    * transitive closure → cluster sizes → inverse-size weights →
+    * md5 micro-gate → shard manifest. Every stage is the already-
+    * oracled td41/td43/td16/td44/td13/td39 logic, chained. Shared by
+    * td46 (batch) and td56 (incremental) — the two paths must
+    * converge on the same manifest.
+    */
+  private val curationOracle = """
       WITH RECURSIVE
       w0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
              FROM documents),
@@ -242,7 +303,19 @@ object PipelineExt4 extends QueryModule {
              min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM kept_docs JOIN sampled ON doc_id = id
       GROUP BY 1
-      ORDER BY shard""",
+      ORDER BY shard"""
+
+  override def oracleSql: Map[String, String] = Map(
+
+    // Verdict (3 enforced rules) → kept docs → exact-Jaccard pairs →
+    // transitive closure → cluster sizes → inverse-size weights →
+    // md5 micro-gate → shard manifest. Every stage is the already-
+    // oracled td41/td43/td16/td44/td13/td39 logic, chained.
+    "td46_curation_pipeline" -> curationOracle,
+
+    // td56 produces the identical manifest through the incremental
+    // path, so its oracle IS the batch pipeline's, verbatim.
+    "td56_incremental_curation" -> curationOracle,
 
     // 5 unrolled greedy layers over the distinct (source, gram)
     // index; cum_grams via a running sum over the picks.

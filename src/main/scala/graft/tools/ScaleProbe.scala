@@ -222,6 +222,23 @@ object ScaleProbe {
           docs.withColumn("source",
             concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
           "doc_id", "text", "source", 3, steps = 5))
+      // Incremental curation (td56): 3 id-ordered epochs through the
+      // persisted-state path (hash store, band+shingle LSH indexes,
+      // pair store, upsert manifest state) + the merge-on-read
+      // manifest. Per-epoch work is O(|batch| + colliding postings);
+      // the component relabel runs on the pair store (dup-slice-sized).
+      run("td56 incremental curation", k, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-td56-probe").toString
+        val n = docBase * k
+        val d = docs.withColumn("lang", lit("en"))
+        for (e <- 0 until 3)
+          graft.streaming.IncrementalCuration.processEpoch(e.toLong,
+            d.where(col("doc_id") >= e * n / 3 &&
+              col("doc_id") < (e + 1) * n / 3),
+            base, "doc_id", "text", "lang")
+        graft.streaming.IncrementalCuration.manifest(spark, base)
+      })
       // Context-window packing: one cumsum window per shard + a
       // bounded explode (|docs| + |tokens|/512 rows) + partial rollup.
       run("td48 context windows", k,

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.CurationOps
+import graft.sources.LogSource
+import graft.streaming.IncrementalCuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** td56 — the incremental curation pipeline's contracts: epoch-by-
+  * epoch processing converges to the batch manifest exactly (cross-
+  * epoch exact dups, cross-epoch near-dup clusters that tombstone
+  * earlier sampling decisions), committed epochs replay as no-ops,
+  * a crash between side-store appends and the state commit is
+  * recoverable, and the streaming form resumes from its checkpoint
+  * across a kill with new data landing in between.
+  */
+class IncrementalCurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  /** ≥30-word alnum English texts pass the lenient verdict (see
+    * CurationOpsSpec). Corpus staged so every cross-epoch interaction
+    * fires:
+    *  - epoch 0: 1/2 near-dups (trailing word dropped), 3 clean
+    *    singleton, 4 fails C4 (too short);
+    *  - epoch 1: 5 = EXACT dup of 3's text (cross-epoch drop),
+    *    6 = near-dup of 3 (cross-epoch pair → cluster {3,6}: 3's
+    *    earlier always-sampled +I must be superseded), 7 fails langid
+    *    (metadata de, stopword vote en);
+    *  - epoch 2: 8 = near-dup of 3/6 (cluster grows to {3,6,8} →
+    *    w=333333, everyone re-gated), 9/10 exact dups of each other
+    *    WITHIN the epoch (min id 9 kept).
+    */
+  private val baseA = (1 to 31).map(i => s"w$i").mkString(" ")
+  private val baseB = (1 to 30).map(i => s"v$i").mkString(" ")
+  private val baseC = (1 to 30).map(i => s"y$i").mkString(" ")
+  private val all = Seq(
+    (1L, baseA + " tail", "en"),
+    (2L, baseA, "en"),
+    (3L, baseB, "en"),
+    (4L, "too short", "en"),
+    (5L, baseB, "en"),
+    (6L, baseB + " tail", "en"),
+    (7L, (1 to 30).map(i => s"x$i").mkString(" "), "de"),
+    (8L, baseB + " tail more", "en"),
+    (9L, baseC, "en"),
+    (10L, baseC, "en"))
+  private val epochs = Seq(all.take(4), all.slice(4, 7), all.drop(7))
+
+  private def df(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "lang")
+
+  private def batchManifest: Set[Seq[Any]] =
+    CurationOps.curationManifest(df(all), "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+
+  private def incManifest(base: String): Set[Seq[Any]] =
+    IncrementalCuration.manifest(spark, base).collect().map(_.toSeq).toSet
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-inccur-").toString
+
+  test("epoch-by-epoch processing equals the batch curation manifest") {
+    val base = tmp()
+    epochs.zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+    }
+    val inc = incManifest(base)
+    assert(inc == batchManifest)
+    // the cross-epoch cluster really formed: 3 docs share the {3,6,8}
+    // component, so at most ceil-gate survivors of w=333333 remain —
+    // state must contain a -D-superseded doc only if its gate failed
+    val state = graft.streaming.CdcStream.readState(
+        spark, s"$base/state", Seq("id"), "__version")
+      .select("id").as[Long].collect().toSet
+    def gate(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16) % 1000000L
+    }
+    val expected =
+      Seq(1L, 2L).filter(gate(_) < 500000L).toSet ++
+        Seq(3L, 6L, 8L).filter(gate(_) < 333333L).toSet + 9L
+    assert(state == expected)
+  }
+
+  test("a committed epoch replays as a no-op; a crashed epoch recovers") {
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    val after1 = incManifest(base)
+    // committed replay: exact no-op
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == after1)
+    // crash simulation: epoch 2's side stores commit, the state delta
+    // doesn't — wipe it post-hoc and replay; the replay must not read
+    // epoch 2's own side deltas (the readStore epoch bound) and must
+    // land the identical state
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    val done = incManifest(base)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(s"$base/state", f"delta=${2L}%020d").toFile)
+    assert(!IncrementalCuration.epochCommitted(base, 2L))
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == done)
+    assert(incManifest(base) == batchManifest)
+  }
+
+  test("streaming form resumes from its checkpoint across a kill") {
+    val base = tmp()
+    val logDir = s"$base/log"
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    def writeLog(rows: Seq[(Long, String, String)]): Unit =
+      LogSource.write(
+        df(rows).withColumn("partition", lit(0))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+          .select(col("partition"),
+            to_json(struct(col("doc_id"), col("text"), col("lang")))
+              .as("value")),
+        logDir)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").option("path", logDir)
+        .option("maxRecordsPerTrigger", 4).load()
+        .select(from_json(col("value"), docSchema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          IncrementalCuration.processEpoch(epoch, batch, s"$base/st",
+            "doc_id", "text", "lang")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeLog(epochs(0)) // first dump lands
+    run()               // ... is processed, query killed
+    writeLog(epochs(1)) // more dumps land while the pipeline is down
+    writeLog(epochs(2))
+    run()               // restart from the checkpoint: only new offsets
+    assert(incManifest(s"$base/st") == batchManifest)
+  }
+}
