@@ -152,6 +152,37 @@ object PipelineExt4 extends QueryModule {
       try q.processAllAvailable() finally q.stop()
       graft.streaming.IncrementalCuration.manifest(s, s"$base/st")
         .orderBy("shard")
+    },
+
+    // CODEC-REAL multimodal (mm13): a real PCM WAV container is
+    // synthesized per doc (params derived deterministically from
+    // doc_id/text so the oracle can recompute them — stands in for
+    // the upstream system that produced the media bytes, mm01's
+    // convention), and every reported field is then PARSED BACK from
+    // the container's actual bytes at their fixed offsets with
+    // codegen'd expressions (hex/substring/conv — no UDF). The oracle
+    // computes the fields from the parameters directly, so any parse
+    // (or synthesis) bug hash-mismatches. RiffWavSpec additionally
+    // cross-checks the parse against javax.sound's real WAV codec.
+    "mm13_wav_riff_parse" -> { (s, dir) =>
+      val params = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).as("ch"),
+          (lit(8000) + pmod(col("doc_id"), lit(5)) * 4000).as("rate"),
+          (lit(8) * (lit(1) + pmod(length(col("text")), lit(2)))).as("pbits"),
+          (lit(50) + pmod(length(col("text")), lit(200))).as("frames"))
+      val blobs = params
+        .withColumn("payload",
+          RiffWav.wavBytes(col("ch"), col("rate"), col("pbits"),
+            col("frames")))
+        .select(col("doc_id"), col("payload"))
+      RiffWav.parseWav(blobs, col("payload"))
+        .select(col("doc_id"), col("riff_ok"),
+          col("channels"), col("sample_rate"), col("bits"),
+          col("block_align"), col("byte_rate"), col("data_size"),
+          col("n_frames"), col("duration_micros"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
     }
   )
 
@@ -480,6 +511,32 @@ object PipelineExt4 extends QueryModule {
       SELECT source, n_words, n_chars, n_bpe_tokens,
              n_bpe_tokens * 1000000 // n_chars AS tokens_per_million_chars
       FROM agg ORDER BY source""",
+
+    // The oracle recomputes every header field from the deterministic
+    // parameters — the Spark side must round-trip them through the
+    // container's actual bytes to match.
+    "mm13_wav_riff_parse" -> """
+      WITH p AS (SELECT doc_id,
+                   1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 5) * 4000 AS rate,
+                   8 * (1 + length(text) % 2) AS pbits,
+                   50 + length(text) % 200 AS frames
+                 FROM documents),
+      d AS (SELECT doc_id, ch, rate, pbits, frames,
+              ch * pbits // 8 AS block_align
+            FROM p)
+      SELECT doc_id, TRUE AS riff_ok,
+             CAST(ch AS BIGINT) AS channels,
+             CAST(rate AS BIGINT) AS sample_rate,
+             CAST(pbits AS BIGINT) AS bits,
+             CAST(block_align AS BIGINT) AS block_align,
+             CAST(rate * block_align AS BIGINT) AS byte_rate,
+             CAST(frames * block_align AS BIGINT) AS data_size,
+             CAST(frames AS BIGINT) AS n_frames,
+             CAST(frames * 1000000 // rate AS BIGINT) AS duration_micros,
+             CAST(44 + frames * block_align AS BIGINT) AS n_bytes
+      FROM d
+      ORDER BY doc_id""",
 
     "td53_epoch_shuffle" -> """
       WITH t AS (SELECT doc_id AS id,

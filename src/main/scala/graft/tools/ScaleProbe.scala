@@ -286,6 +286,21 @@ object ScaleProbe {
           docs.withColumn("source",
             concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
           "text", "source", 3))
+      // RIFF/WAV header sniff (mm13): synthesize + parse real
+      // containers entirely in codegen'd expressions — pure map-side
+      // projection, zero shuffle (the header-manifest pass a media
+      // lake runs over millions of blobs without decoding payloads).
+      run("mm13 wav header sniff", k, {
+        val p = docs.select(col("doc_id"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).as("ch"),
+          (lit(8000) + pmod(col("doc_id"), lit(5)) * 4000).as("rate"),
+          (lit(8) * (lit(1) + pmod(length(col("text")), lit(2)))).as("pbits"),
+          (lit(50) + pmod(length(col("text")), lit(200))).as("frames"))
+        graft.operators.RiffWav.parseWav(
+          p.withColumn("payload", graft.operators.RiffWav.wavBytes(
+            col("ch"), col("rate"), col("pbits"), col("frames"))),
+          col("payload"))
+      })
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
       run("mm05 speech segments", k, {
