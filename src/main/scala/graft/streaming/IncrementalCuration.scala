@@ -100,10 +100,19 @@ object IncrementalCuration {
     val dirs = Option(Paths.get(store).toFile.listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("delta="))
-      .filter(_.getName.stripPrefix("delta=").toLong < epoch)
+      .filter(deltaEpoch(_) < epoch)
       .map(_.getPath)
     if (dirs.nonEmpty) spark.read.parquet(dirs.toIndexedSeq: _*) else empty
   }
+
+  /** The epoch a delta dir covers UP TO: the leading digits of its
+    * name — `delta=00…07` reads 7, and a compacted dir `delta=00…07c`
+    * (CdcStream.compact's write-first naming, reused by
+    * [[compactStores]]) also reads 7, so the strictly-below-epoch
+    * read bound holds across compactions.
+    */
+  private def deltaEpoch(f: java.io.File): Long =
+    f.getName.stripPrefix("delta=").takeWhile(_.isDigit).toLong
 
   /** Whether `epoch` is already fully processed (its state delta
     * committed) — the replay guard processEpoch keys on.
@@ -210,6 +219,46 @@ object IncrementalCuration {
       clusteredRows.unionByName(singletonRows)
         .withColumn("__version", lit(epoch)),
       s"$base/state", epoch)
+  }
+
+  /** Compact the pipeline's state under `base`: fold every store's
+    * committed epoch deltas STRICTLY BELOW `belowEpoch` into one
+    * delta (named `delta=<maxFolded>c` — CdcStream.compact's
+    * write-first crash-safe convention: the compacted dir lands
+    * first under a name the readers match and [[deltaEpoch]] parses
+    * to the same bound, then the originals are deleted; a crash in
+    * between leaves originals + compacted, which read to the same
+    * rows because the side stores are append-only unions and the
+    * state reader's keep-latest is idempotent over duplicates). The
+    * periodic rewrite that keeps a year of daily epochs from
+    * becoming a year of file listings; row counts are unchanged for
+    * the side stores and the state keeps its latest image per key
+    * (tombstoned keys are GC'd like CdcStream.compact).
+    *
+    * Run it only for epochs at/below the ingest checkpoint's last
+    * committed batch: a crash replays only the last UNcommitted
+    * epoch, so the replay guard's exact state-delta dir and the
+    * replay's strictly-below reads are never compacted away.
+    */
+  def compactStores(spark: SparkSession, base: String,
+                    belowEpoch: Long): Unit = {
+    def fold(store: String, rewrite: DataFrame => DataFrame): Unit = {
+      val olds = Option(Paths.get(store).toFile.listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("delta=") &&
+          deltaEpoch(f) < belowEpoch)
+      if (olds.length <= 1) return
+      val merged = rewrite(
+        spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*))
+      val target = Paths.get(store, olds.map(_.getName).max + "c")
+      merged.write.mode("overwrite").parquet(target.toString)
+      olds.foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(d))
+    }
+    Seq("hashes", "shingles", "bands", "pairs", "kept")
+      .foreach(st => fold(s"$base/$st", identity))
+    fold(s"$base/state", df => graft.operators.ChangelogOps.normalize(
+      df, Seq(col("id")), Seq(col("__version")), col("__rowkind")))
   }
 
   /** The merge-on-read training manifest from the upsert state —

@@ -117,6 +117,30 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(incManifest(base) == batchManifest)
   }
 
+  test("store compaction preserves state and later epochs still converge") {
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    val before = incManifest(base)
+    // fold epochs 0-1 of every store into one delta each
+    IncrementalCuration.compactStores(spark, base, 2L)
+    assert(incManifest(base) == before)
+    // each compacted store must be down to a single delta dir
+    Seq("hashes", "shingles", "bands", "pairs", "kept", "state").foreach { st =>
+      val deltas = new java.io.File(s"$base/$st").listFiles()
+        .filter(_.getName.startsWith("delta="))
+      assert(deltas.length == 1, s"$st has ${deltas.length} deltas")
+    }
+    // epoch 2 reads the compacted stores (cross-epoch pairs against
+    // compacted bands/shingles, dup rule against the compacted hash
+    // store) and the final manifest still equals the batch pipeline
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == batchManifest)
+  }
+
   test("streaming form resumes from its checkpoint across a kill") {
     val base = tmp()
     val logDir = s"$base/log"
