@@ -73,7 +73,10 @@ object Checkpoints {
     * set returned by the prior call; pass Set.empty on the first.
     * On the reliable-checkpoint path nothing is pinned in block
     * storage, so the release is a no-op and checkpoint files are left
-    * to the TTL'd dir (see SCALE.md).
+    * to the TTL'd dir (see SCALE.md). Driver-loop use only: the id
+    * diff assumes the loop is the session's only concurrent
+    * persister — a stray concurrent id landing in the diff costs that
+    * frame a recompute after release, never correctness.
     */
   def rollingBarrier(df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext

@@ -139,17 +139,26 @@ object PipelineExt4 extends QueryModule {
         // (mid-stream restart is IncrementalCurationSpec's job)
         .option("maxRecordsPerTrigger", math.max(1L, (n + 2) / 3).toString)
         .load()
-      val q = src
-        .select(from_json(col("value"), docSchema).as("d"))
-        .select(col("d.*"))
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          graft.streaming.IncrementalCuration.processEpoch(
-            epoch, batch, s"$base/st", "doc_id", "text", "lang")
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // Per-epoch frames are batch-sized (1/3 corpus) and most of the
+      // pipeline's exchanges collapse to dup-slice/id frames — size
+      // the shuffle to the epoch, not the suite default (kfk04's
+      // stateful-shuffle rationale; conf binds per batch action, so
+      // the foreachBatch bodies inherit it).
+      val prevP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "16")
+      try {
+        val q = src
+          .select(from_json(col("value"), docSchema).as("d"))
+          .select(col("d.*"))
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            graft.streaming.IncrementalCuration.processEpoch(
+              epoch, batch, s"$base/st", "doc_id", "text", "lang")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevP)
       graft.streaming.IncrementalCuration.manifest(s, s"$base/st")
         .orderBy("shard")
     },
