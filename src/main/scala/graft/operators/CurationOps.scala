@@ -20,15 +20,20 @@ import graft.Checkpoints.BarrierOps
 object CurationOps {
 
   /** The multiplicative shard hash shared by td39/td46/td48/td51.
-    * pmod (not %) at both steps: `id * 2654435761` wraps negative for
-    * id ≥ ~3.5e9 — real at 100 TB doc counts — and Java's % preserves
-    * the sign, which would leak negative "shards" and silently break
-    * the nShards contract; pmod keeps every id in [0, nShards). For
-    * non-overflowing ids (every oracle corpus) pmod == %, so the
-    * DuckDB twins are unchanged.
+    * The id is reduced mod 1e9+7 BEFORE the multiply: under Spark 4's
+    * default ANSI mode, `id * 2654435761` doesn't wrap for
+    * id ≥ ~3.5e9 — it THROWS ARITHMETIC_OVERFLOW and kills the job
+    * (real at 100 TB doc counts; found by CurationOpsSpec's overflow
+    * property sweep — the r13 pmod hardening only fixed the
+    * non-ANSI sign leak). (id mod p)·c mod p ≡ id·c mod p, and the
+    * reduced product tops out at ~2.65e18 < 2^63, so values are
+    * IDENTICAL for every id — including the oracle corpora, whose
+    * DuckDB twins keep the plain `%` form. pmod (not %) still guards
+    * the sign for any caller that feeds negative ids.
     */
   private[graft] def shardOf(id: Column, nShards: Int): Column =
-    pmod(pmod(id * lit(2654435761L), lit(1000000007L)), lit(nShards))
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)), lit(nShards))
       .cast("int")
 
   /** td46: the fused curation pipeline — lenient quality verdict

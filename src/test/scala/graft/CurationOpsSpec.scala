@@ -135,6 +135,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard hashing stays in [0, nShards) beyond the 2^31.7 id overflow point") {
+    // id * 2654435761 wraps Long-negative for id >= ~3.5e9 — real at
+    // 100 TB doc counts; pmod (not %) keeps every shard in range.
+    // Property-style sweep across the overflow boundary and beyond,
+    // plus the epochShuffle path (md5-position pmod).
+    val ids = Seq(1L, 3499999999L, 3500000001L, 4000000000L,
+      123456789012345L, Long.MaxValue / 2654435761L * 2654435761L / 3)
+    val docs = ids.map(i => (i, "a b c")).toDF("doc_id", "text")
+    val shards = docs.select(
+      graft.operators.CurationOps.shardOf(col("doc_id"), 16).as("s"))
+      .as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 16), shards.toSeq.toString)
+    val eShards = CurationOps.epochShuffle(docs, "doc_id", "text", "x", 16)
+      .select("shard").as[Int].collect()
+    assert(eShards.forall(s => s >= 0 && s < 16), eShards.toSeq.toString)
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     // words: aa(x1) ab(x2) abc(x1); pairs: ab = 2 (from 'ab') + 1
     // (from 'abc') across 2 distinct words, aa and bc once each.

@@ -408,6 +408,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"scrub plan shuffles:\n$plan")
   }
 
+  test("WAV synth+parse is one map-side pass: no Exchange in the plan") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p = docs.select(col("doc_id"),
+      (lit(1) + pmod(col("doc_id"), lit(2))).as("ch"),
+      (lit(8000) + pmod(col("doc_id"), lit(5)) * 4000).as("rate"),
+      (lit(8) * (lit(1) + pmod(length(col("text")), lit(2)))).as("pbits"),
+      (lit(50) + pmod(length(col("text")), lit(200))).as("frames"))
+    val r = graft.operators.RiffWav.parseWav(
+      p.withColumn("payload", graft.operators.RiffWav.wavBytes(
+        col("ch"), col("rate"), col("pbits"), col("frames"))),
+      col("payload"))
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // header sniffing must stay a stateless projection over the scan —
+    // any Exchange would mean a 100 TB media lake gets reshuffled just
+    // to read 44-byte headers
+    assert(!plan.contains("Exchange"), s"mm13 plan shuffles:\n$plan")
+  }
+
   test("PQ re-rank scores only the shortlist (plan shape: no corpus pair join)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val r = graft.operators.VectorOps.pqRerankTopK(emb, "vec_id", "embedding",
