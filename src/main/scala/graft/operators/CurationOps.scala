@@ -19,6 +19,24 @@ import graft.Checkpoints.BarrierOps
   */
 object CurationOps {
 
+  /** floor(num·1e6 DIV den) — the report layer's micros-ratio column,
+    * overflow-guarded for 100 TB group counts. Exact and
+    * oracle-identical whenever num·1e6 fits a signed long
+    * (num ≤ 9·10¹² — every oracle corpus by orders of magnitude);
+    * beyond that, the un-guarded multiply THROWS under Spark 4's
+    * default ANSI mode (the shardOf bug class, same round), so both
+    * terms are shifted down 20 bits first — still pure long
+    * arithmetic (num>>20 ≤ 8.8e12, ×1e6 < 2^63), and with
+    * num, den > 9e12 ≥ 2^43 the shift perturbs the ratio by < 2^-20,
+    * far inside the 6 significant digits the column carries. Callers
+    * must have num ≤ den·k for small k (all sites are shares or
+    * per-unit rates), so den>>20 can't reach 0 while num is big.
+    */
+  private[graft] def microRatio(num: String, den: String): Column =
+    expr(s"""CASE WHEN $num > 9000000000000 THEN
+      (shiftright($num, 20) * 1000000) DIV shiftright($den, 20)
+      ELSE ($num * 1000000) DIV $den END""")
+
   /** The multiplicative shard hash shared by td39/td46/td48/td51.
     * The id is reduced mod 1e9+7 BEFORE the multiply: under Spark 4's
     * default ANSI mode, `id * 2654435761` doesn't wrap for
@@ -237,7 +255,7 @@ object CurationOps {
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
           .as("n_novel"))
-      .withColumn("novel_micro", expr("n_novel * 1000000 DIV n_pairs"))
+      .withColumn("novel_micro", microRatio("n_novel", "n_pairs"))
   }
 
   /** td50: first-round BPE merge-pair statistics — the distributed
@@ -316,7 +334,7 @@ object CurationOps {
       .drop("sorted_padded_tok", "sorted_padded_docs")
     naive.join(sorted, "shard")
       .withColumn("saved_micro",
-        expr("(naive_padded - sorted_padded) * 1000000 DIV naive_padded"))
+        microRatio("(naive_padded - sorted_padded)", "naive_padded"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("naive_padded"), col("sorted_padded"), col("saved_micro"))
   }
@@ -520,7 +538,7 @@ object CurationOps {
       .groupBy(col("source"))
       .agg(bpeAccounting.head, bpeAccounting.tail: _*)
       .withColumn("tokens_per_million_chars",
-        expr("n_bpe_tokens * 1000000 DIV n_chars"))
+        microRatio("n_bpe_tokens", "n_chars"))
   }
 
   /** td53: seeded epoch-shuffle manifest — a training run re-shuffles

@@ -74,8 +74,10 @@ object PipelineExt2 extends QueryModule {
         sum(col("n_tokens")).as("tot_t"))
       per.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_docs"), col("n_tokens"),
-          expr("(n_tokens * 1000000) DIV tot_t").as("raw_micro"),
-          expr("(s_scaled * 1000000) DIV tot_s").as("w_micro"))
+          // microRatio, not a bare multiply: tot_t is the CORPUS token
+          // count — at 100 TB, n_tokens·1e6 overflows (ANSI: throws)
+          CurationOps.microRatio("n_tokens", "tot_t").as("raw_micro"),
+          CurationOps.microRatio("s_scaled", "tot_s").as("w_micro"))
         .orderBy("lang")
     },
 

@@ -152,6 +152,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(eShards.forall(s => s >= 0 && s < 16), eShards.toSeq.toString)
   }
 
+  test("microRatio: exact below the guard, 6-digit-true and non-throwing above") {
+    val rows = Seq(
+      (3L, 7L),                                   // exact regime
+      (8999999999999L, 9000000000000L),           // just under the guard
+      (1000000000000000L, 4000000000000000L),     // 1e15/4e15: ANSI would throw
+      (300000000000000L, 300000000000001L))       // ratio ~1 at scale
+      .toDF("num", "den")
+    val got = rows.withColumn("micro",
+        graft.operators.CurationOps.microRatio("num", "den"))
+      .select("num", "den", "micro").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((3L, 7L)) == 428571L)
+    assert(got((8999999999999L, 9000000000000L)) == 999999L)
+    // big regime: within 1 micro of the true ratio, no overflow throw
+    assert(math.abs(got((1000000000000000L, 4000000000000000L)) - 250000L) <= 1)
+    assert(math.abs(got((300000000000000L, 300000000000001L)) - 999999L) <= 1)
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     // words: aa(x1) ab(x2) abc(x1); pairs: ab = 2 (from 'ab') + 1
     // (from 'abc') across 2 distinct words, aa and bc once each.
