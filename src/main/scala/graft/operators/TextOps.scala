@@ -885,12 +885,19 @@ object TextOps {
     val wins = withLeads
       .where(allParts.map(_.isNotNull).reduce(_ && _))
       .select(col("id"), col("pos").as("q"), concat_ws(" ", allParts: _*).as("g"))
+    // min over the lexicographic (id, pos) STRUCT, not id*1e6+pos:
+    // the packed form collides for ≥ 1e6-token documents (wrong
+    // keeper) and, under Spark 4's default ANSI mode, THROWS on
+    // overflow once ids pass ~9.2e12 (the shardOf bug class, round
+    // 14). The struct min picks the identical keeper in every
+    // non-pathological case and is total for all of them.
     val dups = wins.groupBy(col("g"))
-      .agg(count(lit(1)).as("__c"), min(col("id") * 1000000L + col("q")).as("__keep"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("q"))).as("__keep"))
       .where(col("__c") >= 2)
       .select(col("g"), col("__keep"))
     val rm = wins.join(dups, "g")
-      .where(col("id") * 1000000L + col("q") =!= col("__keep"))
+      .where(struct(col("id"), col("q")) =!= col("__keep"))
       .select(col("id"), explode(sequence(col("q"), col("q") + n - 1)).as("pos"))
       .distinct()
     val keptText = toks.join(rm, Seq("id", "pos"), "left_anti")

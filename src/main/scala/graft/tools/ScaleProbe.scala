@@ -1013,8 +1013,8 @@ object ScaleProbe {
         val tot = per.agg(sum(col("s_scaled")).as("tot_s"),
           sum(col("n_tokens")).as("tot_t"))
         per.crossJoin(broadcast(tot))
-          .select(col("lang"), expr("(n_tokens * 1000000) DIV tot_t").as("raw_micro"),
-            expr("(s_scaled * 1000000) DIV tot_s").as("w_micro"))
+          .select(col("lang"), graft.operators.CurationOps.microRatio("n_tokens", "tot_t").as("raw_micro"),
+            graft.operators.CurationOps.microRatio("s_scaled", "tot_s").as("w_micro"))
       }, allowBroadcastCross = true)
     }
     spark.stop()
