@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two data snapshots — the
+  * report layer a 100 TB pipeline runs BEFORE mixing a new dump or a
+  * re-embedded corpus into training: "did the distribution move, and
+  * where". Classic monitoring stats (PSI/KL) need logs; these ops use
+  * the L1 / total-variation form instead — per-bucket shares in exact
+  * integer micros and absolute differences — so every number is
+  * engine-reproducible to the bit (the repo's no-transcendentals
+  * oracle contract) while ranking drifted dimensions identically in
+  * practice. Reference behavior: the reference ships no drift ops —
+  * this extends the beyond-reference pipeline family (SURVEY §6) the
+  * same way the dedup/ANN/curation rows do.
+  *
+  * Scale anatomy (both ops): each snapshot is scanned ONCE, map-side
+  * bucketed, and partial-aggregated to a FIXED-size frame
+  * (dims × buckets, or features × buckets) before anything joins —
+  * shares and L1 rollups run on that tiny frame. Counts never
+  * multiply by 1e6 directly: shares go through
+  * [[CurationOps.microRatio]], so per-side totals beyond 9.2e12 rows
+  * (a real 100 TB snapshot) shift instead of throwing under ANSI
+  * mode, and the L1 sum is bounded by 2e6·buckets regardless of
+  * corpus size.
+  */
+object DriftOps {
+
+  /** Per-dimension drift between embedding snapshot A (`isB` false)
+    * and B (`isB` true): fixed [-1, 1] bucketing (`buckets` equal
+    * cells, clamped), per-side bucket shares in micros, and per dim
+    *  - `l1_micro`: Σ_buckets |share_A − share_B| (0 = identical,
+    *    2e6 = disjoint),
+    *  - `top_bucket` / `top_shift_micro`: the bucket with the largest
+    *    absolute share shift (ties to the lower bucket).
+    * One row per dimension, ordered by `l1_micro` descending — the
+    * "which dims did the new encoder move" report.
+    */
+  def embeddingDrift(vecs: DataFrame, idCol: String, vecCol: String,
+                     isB: Column, buckets: Int = 10): DataFrame = {
+    val e = vecs.select(col(idCol).as("id"), isB.as("b"),
+        posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("d", "x")))
+      .withColumn("bkt", least(lit(buckets - 1), greatest(lit(0),
+        floor((col("x") + lit(1.0)) / lit(2.0) * lit(buckets)).cast("int"))))
+    // dims × buckets frame after one partial-aggregated pass
+    val cnt = e.groupBy(col("d"), col("bkt"))
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
+    // per-side totals are per-DIM constants (every vector carries every
+    // dim) — a 2-scalar broadcast, not a per-dim join
+    val tot = vecs.agg(
+      sum(when(isB, 0L).otherwise(1L)).as("tot_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("tot_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d")).orderBy(desc("shift"), asc("bkt"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("s_a", CurationOps.microRatio("n_a", "tot_a"))
+      .withColumn("s_b", CurationOps.microRatio("n_b", "tot_b"))
+      .withColumn("shift", abs(col("s_a") - col("s_b")))
+      .withColumn("rk", row_number().over(w)) // tiny frame: dims×buckets
+      .groupBy(col("d"))
+      .agg(sum(col("shift")).as("l1_micro"),
+        max(when(col("rk") === 1, col("bkt"))).as("top_bucket"),
+        max(when(col("rk") === 1, col("shift"))).as("top_shift_micro"))
+      .orderBy(desc("l1_micro"), asc("d"))
+  }
+
+  /** Corpus-feature drift between document snapshot A and B (`isB`):
+    * three per-doc features — token-length bucket (`nt DIV 20`,
+    * clamped to 10), stopword-share bucket (share-in-micros DIV 1e5,
+    * i.e. 10% cells), and language — each bucketed, per-side shares
+    * in micros, one row per feature with the L1 drift and the most
+    * shifted bucket. The "did the new dump change the corpus" gate.
+    */
+  def corpusDrift(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, isB: Column,
+                  stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"))
+      : DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    val nt = size(ws).cast("long")
+    val nStop = size(filter(ws,
+      w => stopWords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    val base = docs.select(isB.as("b"),
+        nt.as("nt"), nStop.as("n_stop"), col(langCol).as("lang"))
+      .where(col("nt") > 0)
+      .withColumn("stop_micro", CurationOps.microRatio("n_stop", "nt"))
+    val feats = base.select(col("b"), explode(map(
+      lit("len"), least(lit(9L), expr("nt DIV 20")).cast("string"),
+      lit("stop_ratio"), least(lit(9L), expr("stop_micro DIV 100000")).cast("string"),
+      lit("lang"), col("lang"))).as(Seq("feature", "bucket")))
+    val cnt = feats.groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
+    val tot = base.agg(
+      sum(when(col("b"), 0L).otherwise(1L)).as("tot_a"),
+      sum(when(col("b"), 1L).otherwise(0L)).as("tot_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(desc("shift"), asc("bucket"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("s_a", CurationOps.microRatio("n_a", "tot_a"))
+      .withColumn("s_b", CurationOps.microRatio("n_b", "tot_b"))
+      .withColumn("shift", abs(col("s_a") - col("s_b")))
+      .withColumn("rk", row_number().over(w)) // tiny frame
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("shift")).as("l1_micro"),
+        max(when(col("rk") === 1, col("bucket"))).as("top_bucket"),
+        max(when(col("rk") === 1, col("shift"))).as("top_shift_micro"))
+      .orderBy("feature")
+  }
+}

@@ -163,6 +163,24 @@ object PipelineExt4 extends QueryModule {
         .orderBy("shard")
     },
 
+    // Embedding-distribution drift (te33): per-dimension L1 drift
+    // between two embedding snapshots (fixed [-1,1] bucket shares in
+    // exact micros) — the "did the new encoder move the space" gate a
+    // re-embedding run must pass before its vectors mix into a
+    // serving index. See DriftOps.embeddingDrift.
+    "te33_embedding_drift" -> { (s, dir) =>
+      DriftOps.embeddingDrift(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 2 === 1)
+    },
+
+    // Corpus-feature drift (td57): token-length / stopword-share /
+    // language bucket shares compared across two document snapshots —
+    // the "did the new dump change the corpus" gate upstream of td46.
+    "td57_corpus_drift" -> { (s, dir) =>
+      DriftOps.corpusDrift(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", col("doc_id") % 2 === 1)
+    },
+
     // CODEC-REAL multimodal (mm13): a real PCM WAV container is
     // synthesized per doc (params derived deterministically from
     // doc_id/text so the oracle can recompute them — stands in for
@@ -520,6 +538,78 @@ object PipelineExt4 extends QueryModule {
       SELECT source, n_words, n_chars, n_bpe_tokens,
              n_bpe_tokens * 1000000 // n_chars AS tokens_per_million_chars
       FROM agg ORDER BY source""",
+
+    // Same bucket/share/L1 arithmetic in DuckDB, exact integers all
+    // the way (the parallel-unnest zip is te19's oracle idiom).
+    "te33_embedding_drift" -> """
+      WITH e AS (SELECT vec_id, vec_id % 2 = 1 AS b,
+                   CAST(unnest(range(0, 64)) AS INT) AS d,
+                   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+                 FROM embeddings),
+      bk AS (SELECT d, b,
+               least(9, greatest(0, CAST(floor((x + 1.0) / 2.0 * 10) AS INT)))
+                 AS bkt
+             FROM e),
+      cnt AS (SELECT d, bkt,
+                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
+                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
+              FROM bk GROUP BY 1, 2),
+      tot AS (SELECT sum(CASE WHEN vec_id % 2 = 1 THEN 0 ELSE 1 END) AS tot_a,
+                     sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS tot_b
+              FROM embeddings),
+      sh AS (SELECT d, bkt,
+               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+                 AS shift
+             FROM cnt CROSS JOIN tot),
+      top AS (SELECT d, bkt, shift,
+                row_number() OVER (PARTITION BY d ORDER BY shift DESC, bkt)
+                  AS rk
+              FROM sh)
+      SELECT d, CAST(sum(shift) AS BIGINT) AS l1_micro,
+             CAST(max(CASE WHEN rk = 1 THEN bkt END) AS INT) AS top_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
+               AS top_shift_micro
+      FROM top
+      GROUP BY d
+      ORDER BY l1_micro DESC, d""",
+
+    "td57_corpus_drift" -> """
+      WITH base AS (SELECT doc_id % 2 = 1 AS b,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+               lang
+             FROM documents),
+      b2 AS (SELECT *, (n_stop * 1000000) // nt AS stop_micro
+             FROM base WHERE nt > 0),
+      f AS (SELECT b, 'len' AS feature,
+              CAST(least(9, nt // 20) AS VARCHAR) AS bucket FROM b2
+            UNION ALL SELECT b, 'stop_ratio',
+              CAST(least(9, stop_micro // 100000) AS VARCHAR) FROM b2
+            UNION ALL SELECT b, 'lang', lang FROM b2),
+      cnt AS (SELECT feature, bucket,
+                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
+                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
+              FROM f GROUP BY 1, 2),
+      tot AS (SELECT sum(CASE WHEN b THEN 0 ELSE 1 END) AS tot_a,
+                     sum(CASE WHEN b THEN 1 ELSE 0 END) AS tot_b
+              FROM b2),
+      sh AS (SELECT feature, bucket,
+               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+                 AS shift
+             FROM cnt CROSS JOIN tot),
+      top AS (SELECT feature, bucket, shift,
+                row_number() OVER (PARTITION BY feature
+                  ORDER BY shift DESC, bucket) AS rk
+              FROM sh)
+      SELECT feature, CAST(count(1) AS BIGINT) AS n_buckets,
+             CAST(sum(shift) AS BIGINT) AS l1_micro,
+             max(CASE WHEN rk = 1 THEN bucket END) AS top_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
+               AS top_shift_micro
+      FROM top
+      GROUP BY feature
+      ORDER BY feature""",
 
     // The oracle recomputes every header field from the deterministic
     // parameters — the Spark side must round-trip them through the

@@ -144,6 +144,13 @@ object ScaleProbe {
       val isQ = (id: org.apache.spark.sql.Column) =>
         id % 25 === 0 && id < embBase
       run("te03 SRP-LSH ANN", k, srpProbe(spark, emb, isQ(col("vec_id"))))
+      // Embedding drift (te33): one bucketing pass over the exploded
+      // index (corpus × dims rows, map-side), partial-aggregated to a
+      // dims×buckets frame before the share/L1 math.
+      run("te33 embedding drift", k,
+        graft.operators.DriftOps.embeddingDrift(
+          emb, "vec_id", "embedding", col("vec_id") % 2 === 1),
+        allowBroadcastCross = true) // the 1-row totals frame (td38's budget-row shape)
       run("te05 IVF ANN", k, VectorOps.ivfTopK(emb, "vec_id", "embedding",
         isQ, nlist = 16, nprobe = 2, k = 5),
         allowBroadcastCross = true)
@@ -286,6 +293,14 @@ object ScaleProbe {
           docs.withColumn("source",
             concat(lit("src"), pmod(hash(col("doc_id") * 17), lit(20)))),
           "text", "source", 3))
+      // Corpus-feature drift (td57): one bucketing pass over the
+      // corpus, partial-aggregated to a features×buckets frame;
+      // shares + L1 run on that tiny frame.
+      run("td57 corpus drift", k,
+        graft.operators.DriftOps.corpusDrift(
+          docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          "doc_id", "text", "lang", col("doc_id") % 2 === 1),
+        allowBroadcastCross = true) // the 1-row totals frame
       // RIFF/WAV header sniff (mm13): synthesize + parse real
       // containers entirely in codegen'd expressions — pure map-side
       // projection, zero shuffle (the header-manifest pass a media

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.DriftOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift-monitoring contracts: identical snapshots read zero drift,
+  * a constructed shift reads exactly its share arithmetic, and the
+  * top-bucket attribution points at the moved mass.
+  */
+class DriftOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  import spark.implicits._
+
+  test("embeddingDrift: identical snapshots have zero drift") {
+    // ids 2k and 2k+1 carry the same vector → sides A and B identical
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i / 2 % 5).toFloat / 5f - 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = DriftOps.embeddingDrift(vecs, "vec_id", "embedding",
+      col("vec_id") % 2 === 1, buckets = 10)
+      .select("d", "l1_micro").as[(Int, Long)].collect().toMap
+    assert(out == Map(0 -> 0L, 1 -> 0L))
+  }
+
+  test("embeddingDrift: a moved dimension reads its exact share shift") {
+    // dim 0: side A all at -0.85 (bucket 0), side B all at +0.85
+    // (bucket 9) → both buckets shift by 1e6 → l1 = 2e6, top bucket 0
+    // (tie broken to the lower bucket). dim 1 identical on both sides
+    // (its only occupied bucket, 5, is the top with zero shift).
+    val vecs = (0L until 20L).map(i =>
+      (i, Array(if (i % 2 == 1) 0.85f else -0.85f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = DriftOps.embeddingDrift(vecs, "vec_id", "embedding",
+      col("vec_id") % 2 === 1, buckets = 10)
+      .as[(Int, Long, Int, Long)].collect().toList
+    assert(out == List((0, 2000000L, 0, 1000000L), (1, 0L, 5, 0L)))
+  }
+
+  test("corpusDrift: language mix shift is attributed to the moved lang") {
+    // A: 4 en docs; B: 2 en + 2 de docs. lang drift: en 1e6 vs 5e5
+    // (5e5) + de 0 vs 5e5 (5e5) → l1 = 1e6; top bucket 'de' (ties by
+    // shift first — de and en tie at 5e5, lower bucket string 'de'
+    // wins). len/stop_ratio identical (same texts on both sides).
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, text, "en"), (2L, text, "en"), (4L, text, "en"), (6L, text, "en"),
+      (1L, text, "en"), (3L, text, "en"), (5L, text, "de"), (7L, text, "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = DriftOps.corpusDrift(docs, "doc_id", "text", "lang",
+      col("doc_id") % 2 === 1)
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("lang") == (("lang", 2L, 1000000L, "de", 500000L)))
+    assert(out("len")._3 == 0L)
+    assert(out("stop_ratio")._3 == 0L)
+  }
+}
