@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * (a real 100 TB snapshot) shift instead of throwing under ANSI
   * mode, and the L1 sum is bounded by 2e6·buckets regardless of
   * corpus size.
+  *
+  * Contract: BOTH snapshots must be non-empty — an empty side makes
+  * its share denominator 0 and the op fails loudly (ANSI division by
+  * zero, identically in the DuckDB twin) rather than reporting a
+  * meaningless drift against nothing.
   */
 object DriftOps {
 
