@@ -47,8 +47,9 @@ object Dedup {
     * iteration, SURVEY §2.12). Driver runs the loop; per-round work is
     * one edge join + one keyed min — fully distributed. Pointer
     * doubling (label ← label-of-label, the large-star/small-star idea)
-    * converges in O(log diameter) rounds, and localCheckpoint truncates
-    * lineage so planning cost stays constant per round.
+    * converges in O(log diameter) rounds, and a Checkpoints.barrier
+    * (localCheckpoint by default, reliable under the SCALE.md knob)
+    * truncates lineage so planning cost stays constant per round.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           smallGraphEdgeCap: Long = 1000000L): DataFrame = {

@@ -19,8 +19,8 @@ import graft.Checkpoints.BarrierOps
   * results an exact function of (graph, rounds), which is what lets a
   * recursive-CTE oracle replay the computation round for round; callers
   * needing convergence-driven stopping wrap it in the
-  * [[Dedup.connectedComponents]]-style driver loop with localCheckpoint
-  * lineage truncation.
+  * [[Dedup.connectedComponents]]-style driver loop with
+  * Checkpoints.barrier lineage truncation.
   */
 object Pregel {
 
