@@ -34,8 +34,29 @@ object CurationOps {
     */
   private[graft] def microRatio(num: String, den: String): Column =
     expr(s"""CASE WHEN $num > 9000000000000 THEN
-      (shiftright($num, 20) * 1000000) DIV shiftright($den, 20)
+      CASE WHEN shiftright($den, 20) = 0 THEN
+        CAST(raise_error(concat('microRatio contract violated: num=',
+          CAST($num AS STRING), ' > 9e12 with den=', CAST($den AS STRING),
+          ' — callers must keep num <= den*k for small k')) AS BIGINT)
+      ELSE (shiftright($num, 20) * 1000000) DIV shiftright($den, 20) END
       ELSE ($num * 1000000) DIV $den END""")
+
+  /** td13's deterministic content-independent sampling gate: md5 of
+    * the id's DECIMAL string, first 15 hex digits as a long, mod
+    * `modulus`. Non-negative by construction — conv of 15 hex digits
+    * is in [0, 16^60bits) < 2^60, so the plain `%` (not pmod) can
+    * never go negative and both engines agree digit-for-digit.
+    * THE single definition: [[curationManifest]] (td46) and the
+    * incremental emission in graft.streaming.IncrementalCuration
+    * (td56/td58) gate with the SAME expression against the SAME
+    * [[graft.operators.Dedup.wMicroOf]] weight — any drift between
+    * the two sites silently diverges the two manifests, which is why
+    * the expression lives here once (the epochShuffle-pmod /
+    * td39-shard-hash copy-divergence class, closed at the source).
+    */
+  private[graft] def sampleGate(id: Column, modulus: Long = 1000000L): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % modulus
 
   /** The multiplicative shard hash shared by td39/td46/td48/td51.
     * The id is reduced mod 1e9+7 BEFORE the multiply: under Spark 4's
@@ -105,12 +126,10 @@ object CurationOps {
         TextOps.shingleHashIndex(kept, idCol, textCol, 3), lshThreshold)
       .select(col("id_a"), col("id_b"))
     val weights = Dedup.softDedupWeights(kept, col(idCol), pairs)
-    // td13's reproducible content-independent gate, in micros: md5 of
-    // the id, first 15 hex digits, mod 1e6 — stateless map-side filter,
-    // identical across engines/runs/partitionings.
-    val gate = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000000L
-    val sampled = weights.where(gate < col("w_micro"))
+    // td13's reproducible content-independent gate, in micros —
+    // stateless map-side filter, identical across engines/runs/
+    // partitionings (shared definition: sampleGate).
+    val sampled = weights.where(sampleGate(col("id")) < col("w_micro"))
       .select(col("id").as(idCol))
     kept.join(sampled, idCol)
       .withColumn("shard", shardOf(col(idCol), nShards))

@@ -219,6 +219,23 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("cluster_size"))
     labeled.join(sizes, Seq("rep_id"))
       .select(col("id"), col("rep_id"), col("cluster_size"),
-        expr("1000000 DIV cluster_size").as("w_micro"))
+        wMicroOf(col("cluster_size")).as("w_micro"))
   }
+
+  /** The inverse-cluster-size sampling weight in micros — THE single
+    * definition of `1e6 DIV size`, shared by [[softDedupWeights]]
+    * (td44/td46) and the incremental emission in
+    * graft.streaming.IncrementalCuration (td56/td58). Exact integer
+    * floor division (both engines agree); size must be >= 1 (a
+    * cluster always contains its members). Kept in lockstep with
+    * [[CurationOps.sampleGate]] — the gate passes iff
+    * gate < wMicroOf(size), and the batch and incremental manifests
+    * only converge if both sites evaluate the identical pair.
+    * floor-of-double is exact here: a misround across an integer
+    * boundary needs 1/size < ulp(1e6/size)/2, i.e. size > ~4.5e9 —
+    * where the quotient is already far below 1 and floors to 0 on
+    * both paths.
+    */
+  private[graft] def wMicroOf(clusterSize: Column): Column =
+    floor(lit(1000000L) / clusterSize).cast("long")
 }

@@ -86,8 +86,14 @@ object DriftOps {
     val nt = size(ws).cast("long")
     val nStop = size(filter(ws,
       w => stopWords.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    // NULL langs coalesce to a sentinel BUCKET (both engines): a NULL
+    // bucket would otherwise sort NULLS FIRST in Spark's tie-break
+    // window but NULLS LAST in the DuckDB twin's ORDER BY, so
+    // top_bucket could diverge on shift ties involving the NULL-lang
+    // bucket.
     val base = docs.select(isB.as("b"),
-        nt.as("nt"), nStop.as("n_stop"), col(langCol).as("lang"))
+        nt.as("nt"), nStop.as("n_stop"),
+        coalesce(col(langCol), lit("__null")).as("lang"))
       .where(col("nt") > 0)
       .withColumn("stop_micro", CurationOps.microRatio("n_stop", "nt"))
     val feats = base.select(col("b"), explode(map(

@@ -578,7 +578,7 @@ object PipelineExt4 extends QueryModule {
                CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
                CAST(len(list_filter(string_split(lower(text), ' '),
                  w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-               lang
+               coalesce(lang, '__null') AS lang
              FROM documents),
       b2 AS (SELECT *, (n_stop * 1000000) // nt AS stop_micro
              FROM base WHERE nt > 0),

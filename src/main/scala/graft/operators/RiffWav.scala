@@ -40,10 +40,23 @@ object RiffWav {
     substring(bin, off, n).cast("string")
 
   /** Little-endian hex ENCODING of an integer column, for container
-    * synthesis (the write-side twin of [[leLong]]).
+    * synthesis (the write-side twin of [[leLong]]). Values are
+    * range-checked per row: lpad TRUNCATES over-long strings, so an
+    * out-of-range value (e.g. data_size >= 2^32 in a 4-byte field)
+    * would otherwise silently keep its HIGH-order digits and emit a
+    * plausible-looking corrupt container that still parses with
+    * riff_ok=true — instead it fails loudly.
     */
   def leHex(v: Column, nBytes: Int): Column = {
-    val h = lpad(hex(v.cast("long")), nBytes * 2, "0")
+    require(nBytes >= 1 && nBytes <= 7,
+      s"leHex supports 1..7-byte fields, got $nBytes")
+    val bound = 1L << (8 * nBytes)
+    val lv = v.cast("long")
+    val checked = when(lv >= 0L && lv < bound, lv).otherwise(
+      raise_error(concat(
+        lit(s"leHex: value out of range for a $nBytes-byte field: "),
+        lv.cast("string"))).cast("long"))
+    val h = lpad(hex(checked), nBytes * 2, "0")
     concat((0 until nBytes).map(i =>
       substring(h, nBytes * 2 - 2 * i - 1, 2)): _*)
   }

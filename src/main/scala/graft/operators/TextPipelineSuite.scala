@@ -369,8 +369,7 @@ object TextPipelineSuite extends QueryModule {
     // as a stateless map-side filter (no shuffle at all until the
     // summary aggregate).
     "td13_sample_mix" -> { (s, dir) =>
-      val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
+      val gate = CurationOps.sampleGate(col("doc_id"), 100)
       val rate = when(col("lang") === "en", 50)
         .when(col("lang") === "zh", 30).otherwise(80)
       Tables.load(s, dir, "documents")

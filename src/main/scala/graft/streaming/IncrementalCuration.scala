@@ -202,13 +202,14 @@ object IncrementalCuration {
         "id")
       .select(col("label")).distinct()
     val allKept = storedKept.unionByName(newKeptStats)
-    val gate = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    // gate and weight are the SHARED batch-path definitions — the two
+    // manifests only converge if both sites evaluate the identical pair
     val clusteredRows = comp.join(touched, "label")
       .join(sizes, "label")
       .join(allKept, "id") // id-keyed; clustered side is the small one
       .withColumn("__rowkind",
-        when(gate < expr("1000000 DIV cluster_size"), "+U").otherwise("-D"))
+        when(CurationOps.sampleGate(col("id")) <
+          Dedup.wMicroOf(col("cluster_size")), "+U").otherwise("-D"))
       .select(col("id"), col("nt"), col("nchars"), col("lang"),
         col("__rowkind"))
     val singletonRows = newKeptStats

@@ -170,6 +170,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(got((300000000000000L, 300000000000001L)) - 999999L) <= 1)
   }
 
+  test("microRatio: a contract-violating caller fails loudly, not by zero-division") {
+    // num > 9e12 with den < 2^20: the guarded branch would divide by a
+    // zero-shifted denominator — the contract CASE must raise a named
+    // error instead of an anonymous ANSI divide-by-zero at 100 TB.
+    val bad = Seq((10000000000000L, 5L)).toDF("num", "den")
+      .withColumn("micro",
+        graft.operators.CurationOps.microRatio("num", "den"))
+    val e = intercept[Exception] {
+      bad.select("micro").collect()
+    }
+    assert(e.getMessage.contains("microRatio contract violated"))
+  }
+
+  test("sampleGate matches the JVM md5 replica and never goes negative") {
+    val ids = Seq(0L, 1L, 42L, 999999999999L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"),
+        graft.operators.CurationOps.sampleGate(col("id")).as("g"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(got(id) == gateMicro(id), s"gate($id)")
+      assert(got(id) >= 0L && got(id) < 1000000L)
+    }
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     // words: aa(x1) ab(x2) abc(x1); pairs: ab = 2 (from 'ab') + 1
     // (from 'abc') across 2 distinct words, aa and bc once each.

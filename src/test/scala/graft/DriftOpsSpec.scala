@@ -56,4 +56,25 @@ class DriftOpsSpec extends AnyFunSuite {
     assert(out("len")._3 == 0L)
     assert(out("stop_ratio")._3 == 0L)
   }
+
+  test("corpusDrift: NULL langs bucket to the sentinel, not a NULL bucket") {
+    // A: 4 en; B: 2 en + 2 NULL-lang. The NULL side must bucket as
+    // '__null' (a real, non-NULL bucket string), so the tie-break
+    // window and the oracle's ORDER BY agree (NULL would sort FIRST in
+    // Spark's asc but LAST in DuckDB's default).
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, text, Some("en")), (2L, text, Some("en")),
+      (4L, text, Some("en")), (6L, text, Some("en")),
+      (1L, text, Some("en")), (3L, text, Some("en")),
+      (5L, text, None), (7L, text, None))
+      .toDF("doc_id", "text", "lang")
+    val out = DriftOps.corpusDrift(docs, "doc_id", "text", "lang",
+      col("doc_id") % 2 === 1)
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en 1e6 vs 5e5, __null 0 vs 5e5 → l1 = 1e6; tie at 5e5 breaks to
+    // the lexically lower bucket '__null'
+    assert(out("lang") == (("lang", 2L, 1000000L, "__null", 500000L)))
+  }
 }

@@ -67,4 +67,18 @@ class RiffWavSpec extends AnyFunSuite {
       .select("riff_ok").as[Boolean].collect()
     assert(out.forall(_ == false))
   }
+
+  test("leHex fails loudly on a value that does not fit the field") {
+    // 2^32 in a 4-byte field: lpad would silently keep the high-order
+    // hex digits and synthesize a plausible-looking corrupt container
+    val bad = Seq(4294967296L, 7L).toDF("v")
+      .select(RiffWav.leHex(col("v"), 4).as("h"))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("leHex: value out of range"))
+    // in-range values still round-trip
+    val ok = Seq(258L).toDF("v")
+      .select(RiffWav.leLong(unhex(RiffWav.leHex(col("v"), 4)), 1, 4).as("r"))
+      .as[Long].collect()
+    assert(ok.toSeq == Seq(258L))
+  }
 }
