@@ -110,57 +110,30 @@ object PipelineExt4 extends QueryModule {
 
     // Streaming/incremental curation (td56): td46's continuous twin —
     // the corpus arrives as ~3 admission-controlled micro-batches
-    // through a doc_id-ordered graft-log (so every epoch is an
-    // id-ordered prefix), each epoch updates the persisted curation
-    // state (seen-hash store, td31's band+shingle LSH indexes,
-    // append-only pair store, kfk06-shaped upsert manifest state) via
-    // IncrementalCuration.processEpoch, and the merge-on-read manifest
-    // must equal the batch pipeline's — the oracle IS td46's, verbatim.
+    // through a doc_id-ordered graft-log (the in-order ingest-stream
+    // regime), each epoch updates the persisted curation state
+    // (min-id keeper hash store, td31's band+shingle LSH indexes,
+    // append-only pair store, retraction list, kfk06-shaped upsert
+    // manifest state) via IncrementalCuration.processEpoch, and the
+    // merge-on-read manifest must equal the batch pipeline's — the
+    // oracle IS td46's, verbatim.
     "td56_incremental_curation" -> { (s, dir) =>
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val base = scratch("td56", dir)
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"))
-      val n = docs.count()
-      graft.sources.LogSource.write(
-        docs.withColumn("partition", lit(0))
-          .repartition(1).sortWithinPartitions(col("doc_id"))
-          .select(col("partition"),
-            to_json(struct(col("doc_id"), col("text"), col("lang")))
-              .as("value")),
-        s"$base/log")
-      val docSchema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType), StructField("lang", StringType)))
-      val src = s.readStream.format("graft-log")
-        .option("path", s"$base/log")
-        // ~3 epochs at any SF: per-epoch fixed costs (component
-        // relabel, store reads) are paid a constant number of times
-        // while the multi-epoch incremental path stays exercised
-        // (mid-stream restart is IncrementalCurationSpec's job)
-        .option("maxRecordsPerTrigger", math.max(1L, (n + 2) / 3).toString)
-        .load()
-      // Per-epoch frames are batch-sized (1/3 corpus) and most of the
-      // pipeline's exchanges collapse to dup-slice/id frames — size
-      // the shuffle to the epoch, not the suite default (kfk04's
-      // stateful-shuffle rationale; conf binds per batch action, so
-      // the foreachBatch bodies inherit it).
-      val prevP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "16")
-      try {
-        val q = src
-          .select(from_json(col("value"), docSchema).as("d"))
-          .select(col("d.*"))
-          .writeStream
-          .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            graft.streaming.IncrementalCuration.processEpoch(
-              epoch, batch, s"$base/st", "doc_id", "text", "lang")
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevP)
-      graft.streaming.IncrementalCuration.manifest(s, s"$base/st")
-        .orderBy("shard")
+      incrementalCuration(s, dir, "td56", asc("doc_id"))
+    },
+
+    // OUT-OF-ORDER incremental curation (td58): the same pipeline fed
+    // the corpus in doc_id-DESCENDING order — every exact-dup group
+    // spanning an epoch boundary now sees its larger id FIRST, so the
+    // stored keeper must be retracted (-D through the upsert state,
+    // masked out of the LSH indexes) and the smaller id re-elected
+    // when it lands, the reference's retract pattern
+    // (RowTimeDeduplicateFunction UPDATE_BEFORE emission) applied to
+    // the whole curation DAG. Late dumps and multi-source interleave
+    // are the NORMAL shape of real ingestion; the manifest must still
+    // converge to the batch pipeline's — the oracle IS td46's,
+    // verbatim, same as td56.
+    "td58_ooo_incremental_curation" -> { (s, dir) =>
+      incrementalCuration(s, dir, "td58", desc("doc_id"))
     },
 
     // Embedding-distribution drift (te33): per-dimension L1 drift
@@ -212,6 +185,60 @@ object PipelineExt4 extends QueryModule {
         .orderBy("doc_id")
     }
   )
+
+  /** The shared td56/td58 runner: write the documents table to a
+    * single-partition graft-log in `order`, stream it back through
+    * ~3 admission-controlled micro-batch epochs into
+    * IncrementalCuration.processEpoch, and read the merge-on-read
+    * manifest.
+    */
+  private def incrementalCuration(s: SparkSession, dir: String,
+      name: String, order: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = scratch(name, dir)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val n = docs.count()
+    graft.sources.LogSource.write(
+      docs.withColumn("partition", lit(0))
+        .repartition(1).sortWithinPartitions(order)
+        .select(col("partition"),
+          to_json(struct(col("doc_id"), col("text"), col("lang")))
+            .as("value")),
+      s"$base/log")
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val src = s.readStream.format("graft-log")
+      .option("path", s"$base/log")
+      // ~3 epochs at any SF: per-epoch fixed costs (component
+      // relabel, store reads) are paid a constant number of times
+      // while the multi-epoch incremental path stays exercised
+      // (mid-stream restart is IncrementalCurationSpec's job)
+      .option("maxRecordsPerTrigger", math.max(1L, (n + 2) / 3).toString)
+      .load()
+    // Per-epoch frames are batch-sized (1/3 corpus) and most of the
+    // pipeline's exchanges collapse to dup-slice/id frames — size
+    // the shuffle to the epoch, not the suite default (kfk04's
+    // stateful-shuffle rationale; conf binds per batch action, so
+    // the foreachBatch bodies inherit it).
+    val prevP = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val q = src
+        .select(from_json(col("value"), docSchema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          graft.streaming.IncrementalCuration.processEpoch(
+            epoch, batch, s"$base/st", "doc_id", "text", "lang")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevP)
+    graft.streaming.IncrementalCuration.manifest(s, s"$base/st")
+      .orderBy("shard")
+  }
 
   /** Deterministic scratch dir per (query, sf dir); wiped per seed —
     * LogParity's idiom.
@@ -274,8 +301,9 @@ object PipelineExt4 extends QueryModule {
     * transitive closure → cluster sizes → inverse-size weights →
     * md5 micro-gate → shard manifest. Every stage is the already-
     * oracled td41/td43/td16/td44/td13/td39 logic, chained. Shared by
-    * td46 (batch) and td56 (incremental) — the two paths must
-    * converge on the same manifest.
+    * td46 (batch), td56 (in-order incremental) and td58 (out-of-order
+    * incremental) — all three paths must converge on the same
+    * manifest.
     */
   private val curationOracle = """
       WITH RECURSIVE
@@ -371,9 +399,11 @@ object PipelineExt4 extends QueryModule {
     // oracled td41/td43/td16/td44/td13/td39 logic, chained.
     "td46_curation_pipeline" -> curationOracle,
 
-    // td56 produces the identical manifest through the incremental
-    // path, so its oracle IS the batch pipeline's, verbatim.
+    // td56 (in-order) and td58 (id-descending) produce the identical
+    // manifest through the incremental path, so their oracle IS the
+    // batch pipeline's, verbatim.
     "td56_incremental_curation" -> curationOracle,
+    "td58_ooo_incremental_curation" -> curationOracle,
 
     // 5 unrolled greedy layers over the distinct (source, gram)
     // index; cum_grams via a running sum over the picks.

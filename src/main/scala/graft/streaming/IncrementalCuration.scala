@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 import graft.Checkpoints.BarrierOps
 import graft.operators.{CurationOps, Dedup, TextOps}
@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** td56: the STREAMING/INCREMENTAL twin of td46's nightly batch
+/** td56/td58: the STREAMING/INCREMENTAL twin of td46's nightly batch
   * curation pipeline — the shape a real 100 TB corpus owner actually
   * operates: a new dump arrives as an epoch micro-batch, and the
   * verdict / near-dup weights / sampled-manifest state UPDATE rather
@@ -25,53 +25,82 @@ import org.apache.spark.sql.functions._
   *
   * Per-epoch state stores under `base` (all epoch-keyed delta dirs,
   * written with a _SUCCESS-guarded idempotent commit so replays are
-  * no-ops and half-written dirs are rewritten):
-  *  - `hashes/`   seen exact-dup text hashes (append-only)
+  * no-ops and half-written dirs are rewritten; all filesystem access
+  * goes through Hadoop's FileSystem API, so `base` can live on any
+  * Hadoop-visible store — local, HDFS, or an object store):
+  *  - `hashes/`   (h, id): per text-hash, the smallest doc id seen in
+  *                each epoch that IMPROVED on the stored keeper; the
+  *                canonical keeper is min(id) per h on read — a
+  *                min-merge is order-independent, which is what makes
+  *                exact-dup election correct under out-of-order
+  *                ingestion
   *  - `shingles/` kept docs' hashed shingle index (td31's store)
   *  - `bands/`    kept docs' LSH band index (td31's store)
-  *  - `pairs/`    verified near-dup pairs (append-only: LSH bands are
-  *                deterministic per doc, so the union over epochs of
-  *                "pairs with >= 1 side in the new batch" IS the batch
-  *                pair set)
+  *  - `pairs/`    verified near-dup pairs (append-only RAW: pairs
+  *                whose side is later retracted are masked on read
+  *                via `dropped/`, never rewritten)
   *  - `kept/`     per-kept-doc manifest stats (id, nt, nchars, lang)
+  *  - `dropped/`  ids of previously-KEPT docs later superseded by a
+  *                smaller-id exact duplicate (the retraction list;
+  *                every side-store read is anti-joined against it)
   *  - `state/`    the upsert table of SAMPLED docs (kfk06's
   *                merge-on-read delta shape, pk=id, version=epoch)
   *
-  * Exactness vs the batch pipeline (the td56 oracle is td46's,
-  * verbatim): epochs must arrive as id-ordered prefixes of the corpus
-  * (the ingest-stream convention — the td56 query feeds a
-  * single-partition graft-log sorted by doc_id, so ANY micro-batch
-  * admission split is a valid prefix). Then
-  *  - the per-doc rules (C4, langid) are embarrassingly incremental;
-  *  - exact-dup canonicalization: the min-id doc of a hash group lands
-  *    in the earliest epoch containing the hash, so "hash unseen AND
-  *    min within epoch" equals the global min-id rule;
+  * Exactness vs the batch pipeline (the td56/td58 oracle is td46's,
+  * verbatim) holds for ANY arrival order — epochs do NOT need to be
+  * id-ordered prefixes (td58 feeds the corpus id-DESCENDING to pin
+  * this):
+  *  - per-doc rules (C4, langid) are embarrassingly incremental;
+  *  - exact-dup canonicalization is RE-ELECTED: the keeper of a hash
+  *    group is the min id seen SO FAR (min-merge over the `hashes`
+  *    store). When an epoch brings a smaller id than the stored
+  *    keeper, the superseded keeper is retracted — appended to
+  *    `dropped/`, masked out of every index read, and tombstoned in
+  *    the state with a `-D` row — and the new keeper flows through
+  *    the normal kept path. This is the reference's retract pattern
+  *    (flink-table-runtime .../deduplicate/
+  *    RowTimeDeduplicateFunction.java emitting UPDATE_BEFORE for a
+  *    superseded row, StreamExecChangelogNormalize downstream)
+  *    applied to the curation pipeline;
   *  - near-dup pairs: minhash signatures/bands are per-doc
   *    deterministic, so incremental candidates + exact verify equal
-  *    the batch LSH pair set, discovered at the later member's epoch;
-  *  - weights: cluster sizes only GROW, so w_micro only falls and a
-  *    doc's sampled status is monotone-removable — each epoch re-emits
-  *    (+U / -D, version=epoch) the members of components TOUCHED by
-  *    new docs/pairs (evaluated at current = final-so-far size), and
-  *    keep-latest-version merge-on-read therefore converges to the
-  *    batch gate decision at final cluster sizes. Untouched
-  *    components' past rows stay valid by construction. New docs in
-  *    no component are +I singletons (w=1e6: the gate always passes).
+  *    the batch LSH pair set over LIVE (non-retracted) docs,
+  *    discovered at the later member's epoch; a retracted doc's
+  *    pairs are masked on read, and its exact-dup replacement (same
+  *    lowered text ⇒ identical shingles) re-discovers the same
+  *    partners when it is kept;
+  *  - weights: every component whose membership, edges, or size
+  *    changed this epoch has ALL its live members re-emitted
+  *    (version=epoch) at the new size. The touched set is complete
+  *    by construction: size/edge changes happen only via a new kept
+  *    member (signalled by its id), a new pair (signalled by its
+  *    endpoints), or a retraction (signalled by the retracted id,
+  *    traced to its old partners through the PRE-retraction pair
+  *    graph). Keep-latest-version merge-on-read therefore converges
+  *    to the batch gate decision at final cluster sizes; untouched
+  *    components' past rows stay valid. New docs in no component are
+  *    re-emitted as singletons, as are docs whose cluster dissolved
+  *    under retraction (w=1e6: the gate always passes).
   *
   * Scale anatomy per epoch: O(|batch|) rule evaluation + O(|batch| +
   * colliding postings) incremental LSH (never O(corpus) — the stored
-  * corpus enters only through band-bucket and candidate-id joins);
-  * the component relabel runs on the PAIR store (duplicated-slice-
-  * sized, the td16 invariant) and emission is bounded by the touched
-  * slice. Nothing is driver-resident; the state stores are parquet
-  * deltas a 1000-executor job reads/writes like any table, and
-  * `CdcStream.compact` folds `state/` deltas when read amplification
-  * grows.
+  * corpus enters only through band-bucket, hash-keyed, and
+  * candidate-id joins); the component relabel runs on the PAIR store
+  * (duplicated-slice-sized, the td16 invariant) and emission is
+  * bounded by the touched slice. The retraction path costs one extra
+  * pair-store component pass ONLY on epochs that actually supersede
+  * a keeper (driver-gated on a bounded ≤|batch|-row frame). Nothing
+  * is driver-resident; the state stores are parquet deltas a
+  * 1000-executor job reads/writes like any table, and
+  * [[compactStores]] folds deltas when read amplification grows.
   */
 object IncrementalCuration {
 
-  private def deltaDir(store: String, epoch: Long) =
-    Paths.get(store, f"delta=$epoch%020d")
+  private def hadoopFs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deltaDir(store: String, epoch: Long): Path =
+    new Path(store, f"delta=$epoch%020d")
 
   /** Idempotent epoch-keyed append: a committed delta (has _SUCCESS)
     * is never rewritten; a half-written one (crash mid-write) is
@@ -79,11 +108,38 @@ object IncrementalCuration {
     * hardened with the _SUCCESS check.
     */
   private def appendEpoch(df: DataFrame, store: String, epoch: Long): Unit = {
+    val fs = hadoopFs(df.sparkSession, store)
     val dir = deltaDir(store, epoch)
-    if (Files.exists(dir) && !Files.exists(dir.resolve("_SUCCESS")))
-      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-    if (!Files.exists(dir))
+    if (fs.exists(dir) && !fs.exists(new Path(dir, "_SUCCESS")))
+      fs.delete(dir, true)
+    if (!fs.exists(dir))
       df.write.mode("errorifexists").parquet(dir.toString)
+  }
+
+  /** The delta dirs of `store` that are CURRENT — i.e. not covered by
+    * a compacted dir. [[compactStores]] writes the compacted dir
+    * FIRST (crash-safe: `delta=<maxFolded>c`) and deletes the
+    * originals after; a crash in between leaves both, and a reader
+    * that unioned them would double every side-store row (benign for
+    * the keep-latest state, but duplicated shingle rows would inflate
+    * the LSH verify's count-based intersections). So: any
+    * non-compacted dir at/below the newest compacted dir's epoch, and
+    * any OLDER compacted dir (residue of a crashed re-compaction), is
+    * stale. Returns (live, stale).
+    */
+  private def deltaDirs(fs: FileSystem, store: String)
+      : (Array[FileStatus], Array[FileStatus]) = {
+    val all =
+      try fs.listStatus(new Path(store))
+      catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+    val deltas = all.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("delta="))
+    val covered = deltas.filter(isCompacted).map(deltaEpoch)
+      .foldLeft(-1L)(math.max)
+    val (stale, live) = deltas.partition(d =>
+      (!isCompacted(d) && deltaEpoch(d) <= covered) ||
+        (isCompacted(d) && deltaEpoch(d) < covered))
+    (live, stale)
   }
 
   /** Read a store's deltas STRICTLY BELOW `epoch`, or `empty` (a
@@ -95,67 +151,97 @@ object IncrementalCuration {
     * e.g. the epoch's docs would anti-join against their own freshly-
     * appended text hashes and every doc would drop as a "duplicate".
     */
-  private def readStore(spark: SparkSession, store: String, epoch: Long,
-                        empty: => DataFrame): DataFrame = {
-    val dirs = Option(Paths.get(store).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+  private[graft] def readStore(spark: SparkSession, store: String, epoch: Long,
+                               empty: => DataFrame): DataFrame = {
+    val dirs = deltaDirs(hadoopFs(spark, store), store)._1
       .filter(deltaEpoch(_) < epoch)
-      .map(_.getPath)
+      .map(_.getPath.toString)
     if (dirs.nonEmpty) spark.read.parquet(dirs.toIndexedSeq: _*) else empty
   }
 
   /** The epoch a delta dir covers UP TO: the leading digits of its
     * name — `delta=00…07` reads 7, and a compacted dir `delta=00…07c`
-    * (CdcStream.compact's write-first naming, reused by
-    * [[compactStores]]) also reads 7, so the strictly-below-epoch
-    * read bound holds across compactions.
+    * also reads 7, so the strictly-below-epoch read bound holds
+    * across compactions.
     */
-  private def deltaEpoch(f: java.io.File): Long =
-    f.getName.stripPrefix("delta=").takeWhile(_.isDigit).toLong
+  private def deltaEpoch(f: FileStatus): Long =
+    f.getPath.getName.stripPrefix("delta=").takeWhile(_.isDigit).toLong
+
+  private def isCompacted(f: FileStatus): Boolean =
+    f.getPath.getName.endsWith("c")
 
   /** Whether `epoch` is already fully processed (its state delta
     * committed) — the replay guard processEpoch keys on.
     */
-  def epochCommitted(base: String, epoch: Long): Boolean =
-    Files.exists(deltaDir(s"$base/state", epoch).resolve("_SUCCESS"))
+  def epochCommitted(spark: SparkSession, base: String, epoch: Long): Boolean = {
+    val fs = hadoopFs(spark, base)
+    fs.exists(new Path(deltaDir(s"$base/state", epoch), "_SUCCESS"))
+  }
 
-  /** Process one id-ordered epoch of new documents against the
-    * persisted curation state under `base`. Idempotent: a replayed
-    * committed epoch is a no-op (foreachBatch's at-least-once contract
-    * becomes exactly-once, like upsertSink's).
+  /** Process one epoch of new documents — arriving in ANY id order
+    * relative to previous epochs — against the persisted curation
+    * state under `base`. Idempotent: a replayed committed epoch is a
+    * no-op (foreachBatch's at-least-once contract becomes
+    * exactly-once, like upsertSink's).
     */
   def processEpoch(epoch: Long, newDocs: DataFrame, base: String,
                    idCol: String, textCol: String, langCol: String,
                    lshThreshold: Double = 0.8, numPerms: Int = 64,
                    rowsPerBand: Int = 2): Unit = {
-    if (epochCommitted(base, epoch)) return
     val spark = newDocs.sparkSession
+    if (epochCommitted(spark, base, epoch)) return
     // one narrow projection feeds every rule + the stats/shingle paths
     val docs = newDocs
       .select(col(idCol).as("id"), col(textCol).as("text"),
         col(langCol).as("lang"))
       .barrier()
 
+    // ---- exact-dup canonical RE-election (order-independent) -------
+    val hashed = docs.withColumn("__h", md5(lower(col("text"))))
+    val storedKeepers = readStore(spark, s"$base/hashes", epoch,
+        hashed.select(col("__h").as("h"), col("id")).limit(0))
+      .groupBy(col("h")).agg(min(col("id")).as("keeper"))
+    // r_dup: the doc is the min id of its hash group ACROSS everything
+    // seen so far — min within the epoch AND strictly below the stored
+    // keeper (ids are unique, so equality with a stored keeper is
+    // impossible). Barriered as a NARROW id/hash frame: three
+    // consumers (verdict join, hashes append, retraction detection)
+    // would otherwise each re-run the hash-store aggregate + join.
+    val epochMin = min(col("id")).over(Window.partitionBy(col("__h")))
+    val dup = hashed
+      .join(storedKeepers.withColumnRenamed("h", "__h"), Seq("__h"), "left")
+      .withColumn("r_dup",
+        col("id") === epochMin &&
+          (col("keeper").isNull || col("id") < col("keeper")))
+      .select(col("id"), col("__h").as("h"), col("keeper"), col("r_dup"))
+      .barrier()
+    // keepers superseded by a strictly smaller id in this epoch; of
+    // those, only previously-KEPT docs have any store/state presence
+    val supersededKeepers = dup
+      .where(col("r_dup") && col("keeper").isNotNull)
+      .select(col("keeper").as("id"))
+    val droppedBefore = readStore(spark, s"$base/dropped", epoch,
+      docs.select(col("id")).limit(0))
+    val storedKeptRaw = readStore(spark, s"$base/kept", epoch,
+      docs.select(col("id"), lit(0L).as("nt"), lit(0L).as("nchars"),
+        col("lang")).limit(0))
+    val retracted = supersededKeepers
+      .join(storedKeptRaw.select(col("id")), Seq("id"), "left_semi")
+      .barrier() // feeds the dropped append, -D rows, index masking,
+                 // the touch graph, and the driver gate below
+    // Bounded driver check (≤ |epoch| hash groups can supersede): the
+    // extra PRE-retraction component pass below is paid only on
+    // epochs that actually retract a keeper — in-order ingestion
+    // never does.
+    val hasRetractions = !retracted.isEmpty
+
     // ---- verdict on the new batch (td46's three enforced rules) ----
     val c4 = TextOps.c4Clean(docs, "id", "text") // output key is "doc_id"
       .select(col("doc_id").as("id"), col("keep_doc").as("r_c4"))
     val lang = TextOps.langidAgreement(docs, "id", "text", "lang")
-    val hashed = docs.withColumn("__h", md5(lower(col("text"))))
-    val storedHashes = readStore(spark, s"$base/hashes", epoch,
-      hashed.select(col("__h").as("h")).limit(0))
-    // incremental exact-dup canonicalization: a doc whose hash is
-    // already in the store can never be the global min id (epochs are
-    // id-ordered prefixes), so the anti-join drops it outright; within
-    // the epoch the usual min-id window decides.
-    val dup = hashed
-      .join(storedHashes.select(col("h").as("__h")), Seq("__h"), "left_anti")
-      .withColumn("r_dup",
-        col("id") === min(col("id")).over(Window.partitionBy(col("__h"))))
-      .select(col("id"), col("r_dup"))
     // materialized BEFORE any store append (an epoch must never see
     // its own writes), and the id-only frame feeds three consumers
-    val keptIds = c4.join(lang, "id").join(dup, "id")
+    val keptIds = c4.join(lang, "id").join(dup.select(col("id"), col("r_dup")), "id")
       .where(col("r_c4") && col("r_lang") && col("r_dup"))
       .select(col("id"))
       .barrier()
@@ -165,6 +251,13 @@ object IncrementalCuration {
         length(col("text")).cast("long").as("nchars"), col("lang"))
       .barrier() // feeds the kept-store append + stats joins below
 
+    // every stored index is read MINUS the full retraction list —
+    // including this epoch's, so a re-elected keeper's replacement
+    // (identical shingles!) can't pair with the ghost it replaced
+    val droppedAll = droppedBefore.union(retracted)
+    def minusDropped(df: DataFrame): DataFrame =
+      df.join(droppedAll, Seq("id"), "left_anti")
+
     // ---- incremental near-dup against the persisted LSH index ----
     val newIdx = TextOps.shingleHashIndex(kept, "id", "text", 3)
       .select(col("id"), col("sh")).barrier()
@@ -172,39 +265,67 @@ object IncrementalCuration {
         TextOps.minhashSignatureIdx(newIdx, numPerms), "id",
         numPerms, rowsPerBand)
       .barrier()
-    val storedBands = readStore(spark, s"$base/bands", epoch, newBands.limit(0))
-    val storedShingles = readStore(spark, s"$base/shingles", epoch, newIdx.limit(0))
+    val storedBands = minusDropped(
+      readStore(spark, s"$base/bands", epoch, newBands.limit(0)))
+    val storedShingles = minusDropped(
+      readStore(spark, s"$base/shingles", epoch, newIdx.limit(0)))
     val newPairs = TextOps.incrementalNearDupIdx(newIdx, storedBands,
         storedShingles, lshThreshold, numPerms, rowsPerBand)
       .select(col("id_a"), col("id_b"))
-      .barrier() // feeds the pair-store append + the relabel union
-    val storedPairs = readStore(spark, s"$base/pairs", epoch, newPairs.limit(0))
-    val storedKept = readStore(spark, s"$base/kept", epoch, newKeptStats.limit(0))
+      .barrier() // feeds the pair-store append + both graphs below
+    val storedPairsRaw = readStore(spark, s"$base/pairs", epoch,
+      newPairs.limit(0))
+    def pairsMinus(dropped: DataFrame): DataFrame = storedPairsRaw
+      .join(dropped.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dropped.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
 
     // ---- append-only index maintenance (all epoch-keyed, idempotent)
-    appendEpoch(hashed.select(col("__h").as("h")).distinct()
-      .join(storedHashes, Seq("h"), "left_anti"), s"$base/hashes", epoch)
+    // hashes: only IMPROVEMENTS (new hash, or a smaller id than the
+    // stored keeper) — min-on-read stays correct and the store grows
+    // by at most the epoch's distinct hashes
+    appendEpoch(dup
+      .where(col("r_dup"))
+      .select(col("h"), col("id")), s"$base/hashes", epoch)
     appendEpoch(newIdx, s"$base/shingles", epoch)
     appendEpoch(newBands, s"$base/bands", epoch)
     appendEpoch(newPairs, s"$base/pairs", epoch)
     appendEpoch(newKeptStats, s"$base/kept", epoch)
+    appendEpoch(retracted, s"$base/dropped", epoch)
 
     // ---- re-weight TOUCHED components, emit the epoch's upsert delta
-    val comp = Dedup.connectedComponents(
-      storedPairs.union(newPairs)) // pair-store-sized, never corpus
-    val sizes = comp.groupBy(col("label"))
+    // LIVE graph: pairs among currently-live docs — cluster sizes and
+    // membership come from here. Pair-store-sized, never corpus.
+    val livePairs = pairsMinus(droppedAll).union(newPairs)
+    val compLive = Dedup.connectedComponents(livePairs).barrier()
+    val sizes = compLive.groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
-    val touched = comp.join(
-        keptIds
-          .union(newPairs.select(col("id_a").as("id")))
-          .union(newPairs.select(col("id_b").as("id")))
-          .distinct(),
-        "id")
+    // docs affected by a retraction: the retracted keeper's old
+    // partners, traced through the PRE-retraction graph (the live
+    // graph no longer holds those edges — this is the only signal
+    // that a component shrank or split). Gated: in-order ingestion
+    // never pays this pass.
+    val retractionAffected =
+      if (!hasRetractions) compLive.select(col("id")).limit(0)
+      else {
+        val touchGraph = pairsMinus(droppedBefore).union(newPairs)
+        val compTouch = Dedup.connectedComponents(touchGraph)
+        val retractedLabels = compTouch
+          .join(retracted, "id").select(col("label")).distinct()
+        compTouch.join(retractedLabels, "label").select(col("id"))
+          .join(droppedAll, Seq("id"), "left_anti")
+      }
+    val touchedIds = keptIds
+      .union(newPairs.select(col("id_a").as("id")))
+      .union(newPairs.select(col("id_b").as("id")))
+      .union(retractionAffected)
+      .distinct()
+    val touchedLabels = compLive.join(touchedIds, "id")
       .select(col("label")).distinct()
-    val allKept = storedKept.unionByName(newKeptStats)
+    val allKept = minusDropped(storedKeptRaw).unionByName(newKeptStats)
     // gate and weight are the SHARED batch-path definitions — the two
     // manifests only converge if both sites evaluate the identical pair
-    val clusteredRows = comp.join(touched, "label")
+    val clusteredRows = compLive.join(touchedLabels, "label")
       .join(sizes, "label")
       .join(allKept, "id") // id-keyed; clustered side is the small one
       .withColumn("__rowkind",
@@ -212,29 +333,38 @@ object IncrementalCuration {
           Dedup.wMicroOf(col("cluster_size")), "+U").otherwise("-D"))
       .select(col("id"), col("nt"), col("nchars"), col("lang"),
         col("__rowkind"))
-    val singletonRows = newKeptStats
-      .join(comp, Seq("id"), "left_anti") // w=1e6: the gate always passes
+    // singletons: new kept docs in no component, plus previously-
+    // clustered docs whose cluster dissolved under retraction — either
+    // way w=1e6, the gate always passes, and keep-latest treats the
+    // +I exactly like a +U re-emission
+    val singletonIds = keptIds.union(retractionAffected).distinct()
+      .join(compLive, Seq("id"), "left_anti")
+    val singletonRows = allKept.join(singletonIds, Seq("id"), "left_semi")
       .select(col("id"), col("nt"), col("nchars"), col("lang"),
         lit("+I").as("__rowkind"))
+    // tombstones for the keepers this epoch superseded
+    val retractedRows = storedKeptRaw
+      .join(retracted, Seq("id"), "left_semi")
+      .select(col("id"), col("nt"), col("nchars"), col("lang"),
+        lit("-D").as("__rowkind"))
     appendEpoch(
-      clusteredRows.unionByName(singletonRows)
+      clusteredRows.unionByName(singletonRows).unionByName(retractedRows)
         .withColumn("__version", lit(epoch)),
       s"$base/state", epoch)
   }
 
   /** Compact the pipeline's state under `base`: fold every store's
     * committed epoch deltas STRICTLY BELOW `belowEpoch` into one
-    * delta (named `delta=<maxFolded>c` — CdcStream.compact's
+    * delta (named `delta=<maxFolded>c`, CdcStream.compact's
     * write-first crash-safe convention: the compacted dir lands
-    * first under a name the readers match and [[deltaEpoch]] parses
-    * to the same bound, then the originals are deleted; a crash in
-    * between leaves originals + compacted, which read to the same
-    * rows because the side stores are append-only unions and the
-    * state reader's keep-latest is idempotent over duplicates). The
-    * periodic rewrite that keeps a year of daily epochs from
-    * becoming a year of file listings; row counts are unchanged for
-    * the side stores and the state keeps its latest image per key
-    * (tombstoned keys are GC'd like CdcStream.compact).
+    * first, then the originals are deleted). A crash in between
+    * leaves originals + compacted on disk — [[deltaDirs]] masks the
+    * covered originals on EVERY read, so no store ever reads a row
+    * twice, and the next fold deletes the residue. Row counts are
+    * unchanged for the append-only side stores (the `hashes` store
+    * min-merges, shrinking to one keeper row per hash) and the state
+    * keeps its latest image per key (tombstoned keys are GC'd like
+    * CdcStream.compact).
     *
     * Run it only for epochs at/below the ingest checkpoint's last
     * committed batch: a crash replays only the last UNcommitted
@@ -244,28 +374,31 @@ object IncrementalCuration {
   def compactStores(spark: SparkSession, base: String,
                     belowEpoch: Long): Unit = {
     def fold(store: String, rewrite: DataFrame => DataFrame): Unit = {
-      val olds = Option(Paths.get(store).toFile.listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("delta=") &&
-          deltaEpoch(f) < belowEpoch)
+      val fs = hadoopFs(spark, store)
+      val (live, stale) = deltaDirs(fs, store)
+      stale.foreach(d => fs.delete(d.getPath, true)) // crash residue
+      val olds = live.filter(deltaEpoch(_) < belowEpoch)
       if (olds.length <= 1) return
       val merged = rewrite(
-        spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*))
-      val target = Paths.get(store, olds.map(_.getName).max + "c")
+        spark.read.parquet(olds.map(_.getPath.toString).toIndexedSeq: _*))
+      val target = new Path(store,
+        olds.map(_.getPath.getName).max + "c")
       merged.write.mode("overwrite").parquet(target.toString)
-      olds.foreach(d =>
-        org.apache.commons.io.FileUtils.deleteDirectory(d))
+      olds.foreach(d => fs.delete(d.getPath, true))
     }
-    Seq("hashes", "shingles", "bands", "pairs", "kept")
+    Seq("shingles", "bands", "pairs", "kept", "dropped")
       .foreach(st => fold(s"$base/$st", identity))
+    fold(s"$base/hashes",
+      df => df.groupBy(col("h")).agg(min(col("id")).as("id")))
     fold(s"$base/state", df => graft.operators.ChangelogOps.normalize(
       df, Seq(col("id")), Seq(col("__version")), col("__rowkind")))
   }
 
   /** The merge-on-read training manifest from the upsert state —
     * equals batch `CurationOps.curationManifest` over the union of
-    * all processed epochs (td46's own oracle checks td56). One
-    * keep-latest pass over the state deltas + a 16-row rollup.
+    * all processed epochs, in whatever order they arrived (td46's own
+    * oracle checks both td56 and td58). One keep-latest pass over the
+    * state deltas + a 16-row rollup.
     */
   def manifest(spark: SparkSession, base: String,
                nShards: Int = 16): DataFrame =

@@ -110,7 +110,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
     val done = incManifest(base)
     org.apache.commons.io.FileUtils.deleteDirectory(
       java.nio.file.Paths.get(s"$base/state", f"delta=${2L}%020d").toFile)
-    assert(!IncrementalCuration.epochCommitted(base, 2L))
+    assert(!IncrementalCuration.epochCommitted(spark, base, 2L))
     IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
       "doc_id", "text", "lang")
     assert(incManifest(base) == done)
@@ -139,6 +139,102 @@ class IncrementalCurationSpec extends AnyFunSuite {
     IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
       "doc_id", "text", "lang")
     assert(incManifest(base) == batchManifest)
+  }
+
+  test("epochs arriving in REVERSE id order still converge (keeper re-election)") {
+    // Every cross-epoch exact-dup group now sees its larger id FIRST:
+    // doc 5 (epoch 1 of the reversed stream) is elected keeper of
+    // baseB's hash group, is kept, and enters the LSH index with pairs
+    // to 6 and 8; when doc 3 lands later, 5 must be retracted (-D,
+    // masked out of the indexes) and 3 re-elected, its pairs to 6/8
+    // re-discovered through the stored bands.
+    val base = tmp()
+    epochs.reverse.zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+    }
+    assert(incManifest(base) == batchManifest)
+    // the superseded keeper really was retracted, not just outscored
+    val dropped = spark.read.parquet(s"$base/dropped/delta=*")
+      .as[Long].collect().toSet
+    assert(dropped == Set(5L))
+    val state = graft.streaming.CdcStream.readState(
+        spark, s"$base/state", Seq("id"), "__version")
+      .select("id").as[Long].collect().toSet
+    assert(!state.contains(5L))
+  }
+
+  test("interleaved (id % 3) epochs converge — no prefix structure at all") {
+    val base = tmp()
+    val slices = Seq(0, 1, 2).map(r => all.filter(_._1 % 3 == r))
+    slices.zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+    }
+    assert(incManifest(base) == batchManifest)
+  }
+
+  test("late dump: a failing-rules smaller dup dissolves a cluster (revert to singleton)") {
+    // Epoch 0: B(10) and A(12) are near-dups → cluster {10, 12},
+    // both gated at w=500000. Epoch 1: B'(5) lands LATE with B's
+    // exact text but metadata lang 'de' (stopword vote says en) →
+    // keeper re-election retracts 10, but 5 itself FAILS langid —
+    // the content vanishes and A must revert to an always-sampled
+    // singleton. Batch semantics: min id 5 of the hash group fails
+    // a rule, non-min 10 is r_dup-dropped, 12 is a kept singleton.
+    val textB = (1 to 30).map(i => s"z$i").mkString(" ")
+    val late = Seq(
+      Seq((10L, textB, "en"), (12L, textB + " tail", "en")),
+      Seq((5L, textB, "de")))
+    val base = tmp()
+    late.zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+    }
+    val inc = incManifest(base)
+    val batch = CurationOps.curationManifest(df(late.flatten), "doc_id",
+      "text", "lang").collect().map(_.toSeq).toSet
+    assert(inc == batch)
+    val state = graft.streaming.CdcStream.readState(
+        spark, s"$base/state", Seq("id"), "__version")
+      .select("id").as[Long].collect().toSet
+    assert(state == Set(12L)) // 10 tombstoned, 5 never kept, 12 reverted
+  }
+
+  test("a crashed compaction (compacted + originals both on disk) never double-reads") {
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    def shingleRows: Long = IncrementalCuration.readStore(
+      spark, s"$base/shingles", Long.MaxValue, spark.emptyDataFrame).count()
+    val before = shingleRows
+    // snapshot the shingles store, compact, then resurrect the
+    // pre-compaction originals NEXT TO the compacted dir — exactly the
+    // on-disk state a crash between the compacted write and the
+    // original deletes leaves behind
+    val shDir = new java.io.File(s"$base/shingles")
+    val backup = Files.createTempDirectory("graft-bk-").toFile
+    org.apache.commons.io.FileUtils.copyDirectory(shDir, backup)
+    IncrementalCuration.compactStores(spark, base, 2L)
+    assert(shingleRows == before)
+    backup.listFiles().filter(_.getName.startsWith("delta=")).foreach { d =>
+      org.apache.commons.io.FileUtils.copyDirectory(d,
+        new java.io.File(shDir, d.getName))
+    }
+    // covered originals are masked: the row count must NOT double
+    assert(shingleRows == before)
+    // the pipeline still converges over the residue...
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == batchManifest)
+    // ...and the next compaction sweep deletes it
+    IncrementalCuration.compactStores(spark, base, 2L)
+    val left = shDir.listFiles().map(_.getName)
+      .filter(_.startsWith("delta=")).toSeq
+    assert(left.count(_.stripPrefix("delta=").takeWhile(_.isDigit).toLong < 2L)
+      == 1, s"residue not swept: $left")
   }
 
   test("streaming form resumes from its checkpoint across a kill") {
