@@ -164,6 +164,45 @@ object PipelineExt4 extends QueryModule {
     // computes the fields from the parameters directly, so any parse
     // (or synthesis) bug hash-mismatches. RiffWavSpec additionally
     // cross-checks the parse against javax.sound's real WAV codec.
+    // CODEC-REAL image gate (mm14): a real PNG container (signature,
+    // spec-valid IHDR with its true CRC-32, filler IDAT, IEND) is
+    // synthesized per doc from deterministic parameters (mm13's
+    // convention — stands in for the upstream system that produced
+    // the media bytes), then the LAION-style quality gate (Schuhmann
+    // et al. 2022: min resolution, aspect bounds, min bytes) runs on
+    // dimensions PARSED BACK from the container's actual big-endian
+    // header bytes, with the CRC recomputed from those bytes. The
+    // oracle computes the fields from the parameters directly, so any
+    // parse (or synthesis) bug hash-mismatches; PngIhdrSpec
+    // additionally cross-checks the parse against javax.imageio's
+    // real PNG encoder. Pure map-side projection, zero shuffle —
+    // the header-sniff manifest pass over millions of blobs.
+    "mm14_png_ihdr_gate" -> { (s, dir) =>
+      val params = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(18))).as("h"),
+          (lit(2) + lit(4) * pmod(col("doc_id"), lit(2))).as("ctype"),
+          (lit(100) + pmod(length(col("text")), lit(300)))
+            .cast("long").as("ilen"))
+      val blobs = params
+        .withColumn("payload", PngIhdr.pngBytes(col("w"), col("h"),
+          lit(8L), col("ctype"), col("ilen")))
+        .select(col("doc_id"), col("payload"))
+      PngIhdr.parsePng(blobs, col("payload"))
+        .select(col("doc_id"), col("png_ok"), col("crc_ok"),
+          col("width"), col("height"), col("bit_depth"),
+          col("color_type"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .withColumn("r_minres", col("width") * col("height") >= 200)
+        .withColumn("r_aspect", col("width") <= col("height") * 2 &&
+          col("height") <= col("width") * 2)
+        .withColumn("r_minbytes", col("n_bytes") >= 200)
+        .withColumn("keep", col("png_ok") && col("crc_ok") &&
+          col("r_minres") && col("r_aspect") && col("r_minbytes"))
+        .orderBy("doc_id")
+    },
+
     "mm13_wav_riff_parse" -> { (s, dir) =>
       val params = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -640,6 +679,30 @@ object PipelineExt4 extends QueryModule {
       FROM top
       GROUP BY feature
       ORDER BY feature""",
+
+    // The oracle recomputes every header field and gate from the
+    // deterministic parameters — the Spark side must round-trip them
+    // through the container's actual bytes (including the CRC-32
+    // check, TRUE here) to match. Container overhead is fixed:
+    // 8 (sig) + 25 (IHDR) + 12 (IDAT framing) + 12 (IEND) = 57 bytes.
+    "mm14_png_ihdr_gate" -> """
+      WITH p AS (SELECT doc_id,
+                   8 + doc_id % 24 AS w,
+                   6 + doc_id % 18 AS h,
+                   2 + 4 * (doc_id % 2) AS ctype,
+                   100 + length(text) % 300 AS ilen
+                 FROM documents)
+      SELECT doc_id, TRUE AS png_ok, TRUE AS crc_ok,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(8 AS BIGINT) AS bit_depth,
+             CAST(ctype AS BIGINT) AS color_type,
+             CAST(57 + ilen AS BIGINT) AS n_bytes,
+             (w * h >= 200) AS r_minres,
+             (w <= h * 2 AND h <= w * 2) AS r_aspect,
+             (57 + ilen >= 200) AS r_minbytes,
+             (w * h >= 200 AND w <= h * 2 AND h <= w * 2
+               AND 57 + ilen >= 200) AS keep
+      FROM p ORDER BY doc_id""",
 
     // The oracle recomputes every header field from the deterministic
     // parameters — the Spark side must round-trip them through the
