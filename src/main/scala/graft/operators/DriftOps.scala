@@ -82,6 +82,26 @@ object DriftOps {
                   langCol: String, isB: Column,
                   stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"))
       : DataFrame = {
+    val base = featureRows(docs, textCol, langCol, isB, stopWords)
+    val cnt = base.groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
+    // per-side totals are per-FEATURE constants (every doc contributes
+    // one row per feature) — a 2-scalar broadcast, not a per-feature
+    // join; dividing the 3× feature fan-out back out keeps one agg
+    val tot = base.agg(
+      (sum(when(col("b"), 0L).otherwise(1L)) / 3).cast("long").as("tot_a"),
+      (sum(when(col("b"), 1L).otherwise(0L)) / 3).cast("long").as("tot_b"))
+    driftRollup(cnt.crossJoin(broadcast(tot)))
+  }
+
+  /** The per-doc (b, feature, bucket) rows behind [[corpusDrift]] and
+    * [[corpusFeatureCounts]] — one corpus scan, exploded 3× (len /
+    * stop_ratio / lang features).
+    */
+  private def featureRows(docs: DataFrame, textCol: String,
+                          langCol: String, isB: Column,
+                          stopWords: Seq[String]): DataFrame = {
     val ws = TextOps.words(col(textCol))
     val nt = size(ws).cast("long")
     val nStop = size(filter(ws,
@@ -91,24 +111,25 @@ object DriftOps {
     // window but NULLS LAST in the DuckDB twin's ORDER BY, so
     // top_bucket could diverge on shift ties involving the NULL-lang
     // bucket.
-    val base = docs.select(isB.as("b"),
+    docs.select(isB.as("b"),
         nt.as("nt"), nStop.as("n_stop"),
         coalesce(col(langCol), lit("__null")).as("lang"))
       .where(col("nt") > 0)
       .withColumn("stop_micro", CurationOps.microRatio("n_stop", "nt"))
-    val feats = base.select(col("b"), explode(map(
-      lit("len"), least(lit(9L), expr("nt DIV 20")).cast("string"),
-      lit("stop_ratio"), least(lit(9L), expr("stop_micro DIV 100000")).cast("string"),
-      lit("lang"), col("lang"))).as(Seq("feature", "bucket")))
-    val cnt = feats.groupBy(col("feature"), col("bucket"))
-      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
-        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
-    val tot = base.agg(
-      sum(when(col("b"), 0L).otherwise(1L)).as("tot_a"),
-      sum(when(col("b"), 1L).otherwise(0L)).as("tot_b"))
+      .select(col("b"), explode(map(
+        lit("len"), least(lit(9L), expr("nt DIV 20")).cast("string"),
+        lit("stop_ratio"), least(lit(9L), expr("stop_micro DIV 100000")).cast("string"),
+        lit("lang"), col("lang"))).as(Seq("feature", "bucket")))
+  }
+
+  /** The share/L1/top-bucket rollup shared by [[corpusDrift]] and
+    * [[driftVsBaseline]]: input carries (feature, bucket, n_a, n_b,
+    * tot_a, tot_b) on a tiny features×buckets frame.
+    */
+  private def driftRollup(withTot: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("feature")).orderBy(desc("shift"), asc("bucket"))
-    cnt.crossJoin(broadcast(tot))
+    withTot
       .withColumn("s_a", CurationOps.microRatio("n_a", "tot_a"))
       .withColumn("s_b", CurationOps.microRatio("n_b", "tot_b"))
       .withColumn("shift", abs(col("s_a") - col("s_b")))
@@ -118,5 +139,43 @@ object DriftOps {
         max(when(col("rk") === 1, col("bucket"))).as("top_bucket"),
         max(when(col("rk") === 1, col("shift"))).as("top_shift_micro"))
       .orderBy("feature")
+  }
+
+  /** One snapshot's (feature, bucket, n) count frame — the FIXED-size
+    * (features × buckets) artifact a drift BASELINE persists. Write
+    * it once when a corpus snapshot is blessed; every later gate run
+    * then compares TODAY's scan against the stored frame via
+    * [[driftVsBaseline]] and the reference side costs ZERO corpus
+    * scans — the production monitoring shape (td57/te33 compare two
+    * live snapshots, which re-scans the reference every run).
+    */
+  def corpusFeatureCounts(docs: DataFrame, idCol: String, textCol: String,
+                          langCol: String,
+                          stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"))
+      : DataFrame =
+    featureRows(docs, textCol, langCol, lit(false), stopWords)
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Corpus-feature drift of a LIVE count frame against a PERSISTED
+    * baseline count frame (both [[corpusFeatureCounts]]-shaped;
+    * baseline = side A, live = side B). Buckets present on one side
+    * only count as 0 on the other (full outer join). Same output
+    * schema and arithmetic as [[corpusDrift]], so the same oracle
+    * checks both paths. All joins/rollups run on features×buckets
+    * rows — nothing here scales with the corpus.
+    */
+  def driftVsBaseline(live: DataFrame, baseline: DataFrame): DataFrame = {
+    val cnt = baseline.select(col("feature"), col("bucket"),
+        col("n").as("n_a"))
+      .join(live.select(col("feature"), col("bucket"), col("n").as("n_b")),
+        Seq("feature", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    // per-feature totals from the frames themselves (= snapshot doc
+    // counts; a per-feature aggregate keeps this exact even if a
+    // future feature doesn't cover every doc)
+    val tot = cnt.groupBy(col("feature"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    driftRollup(cnt.join(tot, "feature"))
   }
 }

@@ -164,6 +164,25 @@ object PipelineExt4 extends QueryModule {
     // computes the fields from the parameters directly, so any parse
     // (or synthesis) bug hash-mismatches. RiffWavSpec additionally
     // cross-checks the parse against javax.sound's real WAV codec.
+    // Persisted-baseline drift gate (td59): the PRODUCTION monitoring
+    // shape — td57 compares two live snapshots (re-scanning the
+    // reference every run); here the blessed snapshot's fixed-size
+    // (features × buckets) count frame is WRITTEN ONCE, and the gate
+    // compares today's scan against the stored frame, so the
+    // reference side costs zero corpus scans per run. Same output
+    // arithmetic as td57 (the oracle IS td57's, verbatim): baseline =
+    // even doc_ids, live = odd.
+    "td59_drift_vs_baseline" -> { (s, dir) =>
+      val base = scratch("td59", dir)
+      val docs = Tables.load(s, dir, "documents")
+      DriftOps.corpusFeatureCounts(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang")
+        .write.parquet(s"$base/baseline") // the once-per-blessing write
+      val live = DriftOps.corpusFeatureCounts(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", "lang")
+      DriftOps.driftVsBaseline(live, s.read.parquet(s"$base/baseline"))
+    },
+
     // CODEC-REAL image gate (mm14): a real PNG container (signature,
     // spec-valid IHDR with its true CRC-32, filler IDAT, IEND) is
     // synthesized per doc from deterministic parameters (mm13's
@@ -430,6 +449,49 @@ object PipelineExt4 extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""
 
+  /** td57's share/L1/top-bucket drift report over the even/odd doc_id
+    * split — exact integers all the way. Shared by td57 (two live
+    * snapshots) and td59 (live vs persisted baseline): the two paths
+    * must produce the numerically identical report.
+    */
+  private val corpusDriftOracle = """
+      WITH base AS (SELECT doc_id % 2 = 1 AS b,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+               coalesce(lang, '__null') AS lang
+             FROM documents),
+      b2 AS (SELECT *, (n_stop * 1000000) // nt AS stop_micro
+             FROM base WHERE nt > 0),
+      f AS (SELECT b, 'len' AS feature,
+              CAST(least(9, nt // 20) AS VARCHAR) AS bucket FROM b2
+            UNION ALL SELECT b, 'stop_ratio',
+              CAST(least(9, stop_micro // 100000) AS VARCHAR) FROM b2
+            UNION ALL SELECT b, 'lang', lang FROM b2),
+      cnt AS (SELECT feature, bucket,
+                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
+                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
+              FROM f GROUP BY 1, 2),
+      tot AS (SELECT sum(CASE WHEN b THEN 0 ELSE 1 END) AS tot_a,
+                     sum(CASE WHEN b THEN 1 ELSE 0 END) AS tot_b
+              FROM b2),
+      sh AS (SELECT feature, bucket,
+               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+                 AS shift
+             FROM cnt CROSS JOIN tot),
+      top AS (SELECT feature, bucket, shift,
+                row_number() OVER (PARTITION BY feature
+                  ORDER BY shift DESC, bucket) AS rk
+              FROM sh)
+      SELECT feature, CAST(count(1) AS BIGINT) AS n_buckets,
+             CAST(sum(shift) AS BIGINT) AS l1_micro,
+             max(CASE WHEN rk = 1 THEN bucket END) AS top_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
+               AS top_shift_micro
+      FROM top
+      GROUP BY feature
+      ORDER BY feature"""
+
   override def oracleSql: Map[String, String] = Map(
 
     // Verdict (3 enforced rules) → kept docs → exact-Jaccard pairs →
@@ -642,43 +704,12 @@ object PipelineExt4 extends QueryModule {
       GROUP BY d
       ORDER BY l1_micro DESC, d""",
 
-    "td57_corpus_drift" -> """
-      WITH base AS (SELECT doc_id % 2 = 1 AS b,
-               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
-               CAST(len(list_filter(string_split(lower(text), ' '),
-                 w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-               coalesce(lang, '__null') AS lang
-             FROM documents),
-      b2 AS (SELECT *, (n_stop * 1000000) // nt AS stop_micro
-             FROM base WHERE nt > 0),
-      f AS (SELECT b, 'len' AS feature,
-              CAST(least(9, nt // 20) AS VARCHAR) AS bucket FROM b2
-            UNION ALL SELECT b, 'stop_ratio',
-              CAST(least(9, stop_micro // 100000) AS VARCHAR) FROM b2
-            UNION ALL SELECT b, 'lang', lang FROM b2),
-      cnt AS (SELECT feature, bucket,
-                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
-                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
-              FROM f GROUP BY 1, 2),
-      tot AS (SELECT sum(CASE WHEN b THEN 0 ELSE 1 END) AS tot_a,
-                     sum(CASE WHEN b THEN 1 ELSE 0 END) AS tot_b
-              FROM b2),
-      sh AS (SELECT feature, bucket,
-               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
-                 AS shift
-             FROM cnt CROSS JOIN tot),
-      top AS (SELECT feature, bucket, shift,
-                row_number() OVER (PARTITION BY feature
-                  ORDER BY shift DESC, bucket) AS rk
-              FROM sh)
-      SELECT feature, CAST(count(1) AS BIGINT) AS n_buckets,
-             CAST(sum(shift) AS BIGINT) AS l1_micro,
-             max(CASE WHEN rk = 1 THEN bucket END) AS top_bucket,
-             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
-               AS top_shift_micro
-      FROM top
-      GROUP BY feature
-      ORDER BY feature""",
+    "td57_corpus_drift" -> corpusDriftOracle,
+
+    // td59 gates the odd-id live snapshot against the even-id
+    // PERSISTED baseline frame — numerically the identical report, so
+    // the oracle is td57's verbatim.
+    "td59_drift_vs_baseline" -> corpusDriftOracle,
 
     // The oracle recomputes every header field and gate from the
     // deterministic parameters — the Spark side must round-trip them

@@ -77,4 +77,29 @@ class DriftOpsSpec extends AnyFunSuite {
     // the lexically lower bucket '__null'
     assert(out("lang") == (("lang", 2L, 1000000L, "__null", 500000L)))
   }
+
+  test("driftVsBaseline over a persisted count frame equals corpusDrift") {
+    // the live side carries a lang ('fr') absent from the baseline —
+    // the full outer join must count it 0 on the baseline side, same
+    // as corpusDrift's single-scan counts do
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (1 to 45).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, short, "en"), (2L, short, "en"), (4L, long, "de"),
+      (1L, long, "en"), (3L, short, "fr"), (5L, long, "fr"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-base-").toString
+    DriftOps.corpusFeatureCounts(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lang")
+      .write.parquet(s"$dir/baseline")
+    val live = DriftOps.corpusFeatureCounts(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", "lang")
+    val viaBaseline = DriftOps.driftVsBaseline(live,
+      spark.read.parquet(s"$dir/baseline")).collect().map(_.toSeq).toSeq
+    val direct = DriftOps.corpusDrift(docs, "doc_id", "text", "lang",
+      col("doc_id") % 2 === 1).collect().map(_.toSeq).toSeq
+    assert(viaBaseline == direct)
+    assert(viaBaseline.nonEmpty)
+  }
 }
