@@ -392,8 +392,11 @@ object CurationOps {
     * map-side replaces (bounded codegen depth per projection);
     * rollingBarrier truncates the growing lineage AND releases the
     * previous round's blocks, so the loop holds one copy of the frame
-    * at any round count. Tested merge-count regime: see SCALE.md
-    * (probed at 50 rounds × batch 8 ≈ 400 merges).
+    * at any round count. Tested merge-count regime: see SCALE.md —
+    * BpeScaleProbe measured 1005 accepted merges in 170 rounds /
+    * 142.8 s at batch 256 (acceptance is symbol-disjointness-bound,
+    * 3.4/round over a fresh 16-char alphabet rising to 8.5/round as
+    * merges mint symbols), and a full-depth applyMerges pass at 9 s.
     */
   def bpeLearn(docs: DataFrame, textCol: String, rounds: Int,
                batch: Int = 1): DataFrame = {
@@ -459,8 +462,10 @@ object CurationOps {
     * rounds would re-run an identical empty scan). Returned steps
     * number the accepted merges globally in (round, rank) order.
     */
-  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int,
-                      batch: Int = 1)
+  private[graft] def bpeLoop(docs: DataFrame, textCol: String, rounds: Int,
+                             batch: Int = 1,
+                             maxMerges: Int = Int.MaxValue,
+                             onRound: (Int, Int, Long) => Unit = null)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(batch >= 1, s"bpe batch must be >= 1, got $batch")
     var (wf, ids) = graft.Checkpoints.rollingBarrier(docs
@@ -471,8 +476,11 @@ object CurationOps {
       Set.empty)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
+    var round = 0
     var exhausted = false
-    for (_ <- 1 to rounds if !exhausted) {
+    for (_ <- 1 to rounds if !exhausted && step < maxMerges) {
+      round += 1
+      val roundStart = System.nanoTime()
       val top = wf
         .withColumn("syms",
           regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1)))
@@ -508,6 +516,9 @@ object CurationOps {
           })
         val (w2, ids2) = graft.Checkpoints.rollingBarrier(reseg, ids)
         wf = w2; ids = ids2
+        if (onRound != null)
+          onRound(round, accepted.size,
+            (System.nanoTime() - roundStart) / 1000000L)
       }
     }
     (merges.result(), wf)

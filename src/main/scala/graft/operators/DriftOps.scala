@@ -86,13 +86,20 @@ object DriftOps {
     val cnt = base.groupBy(col("feature"), col("bucket"))
       .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
         sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
-    // per-side totals are per-FEATURE constants (every doc contributes
-    // one row per feature) — a 2-scalar broadcast, not a per-feature
-    // join; dividing the 3× feature fan-out back out keeps one agg
-    val tot = base.agg(
-      (sum(when(col("b"), 0L).otherwise(1L)) / 3).cast("long").as("tot_a"),
-      (sum(when(col("b"), 1L).otherwise(0L)) / 3).cast("long").as("tot_b"))
-    driftRollup(cnt.crossJoin(broadcast(tot)))
+    // per-side totals DERIVE from the tiny count frame (sum over one
+    // feature's buckets = that side's doc count) instead of
+    // re-aggregating the corpus — the DriftFloorProbe attribution
+    // found the old base.agg was a SECOND full corpus scan, ~2× the
+    // whole query at 100×. A global window over the features×buckets
+    // frame (not a separate agg + crossJoin: Spark would re-evaluate
+    // the cnt subtree for the broadcast side) keeps it ONE scan.
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val withTot = cnt
+      .withColumn("tot_a",
+        sum(when(col("feature") === "len", col("n_a"))).over(totW))
+      .withColumn("tot_b",
+        sum(when(col("feature") === "len", col("n_b"))).over(totW))
+    driftRollup(withTot)
   }
 
   /** The per-doc (b, feature, bucket) rows behind [[corpusDrift]] and
