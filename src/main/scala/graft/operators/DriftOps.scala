@@ -52,14 +52,20 @@ object DriftOps {
     val cnt = e.groupBy(col("d"), col("bkt"))
       .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
         sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
-    // per-side totals are per-DIM constants (every vector carries every
-    // dim) — a 2-scalar broadcast, not a per-dim join
-    val tot = vecs.agg(
-      sum(when(isB, 0L).otherwise(1L)).as("tot_a"),
-      sum(when(isB, 1L).otherwise(0L)).as("tot_b"))
+    // per-side totals are per-DIM constants (every vector carries
+    // every dim), DERIVED from the tiny count frame — sum over dim
+    // 0's buckets = that side's vector count. A separate vecs.agg was
+    // a SECOND full snapshot scan per report (the corpusDrift
+    // DriftFloorProbe finding, same shape), and an agg + broadcast
+    // crossJoin would re-evaluate the cnt subtree for the broadcast
+    // side — the global window keeps it ONE scan.
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val withTot = cnt
+      .withColumn("tot_a", sum(when(col("d") === 0, col("n_a"))).over(totW))
+      .withColumn("tot_b", sum(when(col("d") === 0, col("n_b"))).over(totW))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d")).orderBy(desc("shift"), asc("bkt"))
-    cnt.crossJoin(broadcast(tot))
+    withTot
       .withColumn("s_a", CurationOps.microRatio("n_a", "tot_a"))
       .withColumn("s_b", CurationOps.microRatio("n_b", "tot_b"))
       .withColumn("shift", abs(col("s_a") - col("s_b")))
