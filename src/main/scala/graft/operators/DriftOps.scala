@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * Contract: BOTH snapshots must be non-empty — an empty side makes
   * its share denominator 0 and the op fails loudly (ANSI division by
   * zero, identically in the DuckDB twin) rather than reporting a
-  * meaningless drift against nothing.
+  * meaningless drift against nothing. For [[embeddingDrift]],
+  * vectors must also be non-empty arrays: the per-side totals are
+  * derived from dimension 0's bucket sums (the one-scan shape), so a
+  * zero-length embedding would be invisible to the denominator.
   */
 object DriftOps {
 
