@@ -47,21 +47,36 @@ object DriftOps {
     */
   def embeddingDrift(vecs: DataFrame, idCol: String, vecCol: String,
                      isB: Column, buckets: Int = 10): DataFrame = {
-    val e = vecs.select(col(idCol).as("id"), isB.as("b"),
-        posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("d", "x")))
-      .withColumn("bkt", least(lit(buckets - 1), greatest(lit(0),
-        floor((col("x") + lit(1.0)) / lit(2.0) * lit(buckets)).cast("int"))))
+    val e = embBucketRows(vecs, idCol, vecCol, isB, buckets)
     // dims × buckets frame after one partial-aggregated pass
     val cnt = e.groupBy(col("d"), col("bkt"))
       .agg(sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
         sum(when(col("b"), 1L).otherwise(0L)).as("n_b"))
-    // per-side totals are per-DIM constants (every vector carries
-    // every dim), DERIVED from the tiny count frame — sum over dim
-    // 0's buckets = that side's vector count. A separate vecs.agg was
-    // a SECOND full snapshot scan per report (the corpusDrift
-    // DriftFloorProbe finding, same shape), and an agg + broadcast
-    // crossJoin would re-evaluate the cnt subtree for the broadcast
-    // side — the global window keeps it ONE scan.
+    embDriftRollup(cnt)
+  }
+
+  /** The per-(vector, dim) bucket rows behind [[embeddingDrift]] and
+    * [[embeddingBucketCounts]]: fixed [-1, 1] bucketing, `buckets`
+    * equal cells, clamped.
+    */
+  private def embBucketRows(vecs: DataFrame, idCol: String, vecCol: String,
+                            isB: Column, buckets: Int): DataFrame =
+    vecs.select(col(idCol).as("id"), isB.as("b"),
+        posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("d", "x")))
+      .withColumn("bkt", least(lit(buckets - 1), greatest(lit(0),
+        floor((col("x") + lit(1.0)) / lit(2.0) * lit(buckets)).cast("int"))))
+
+  /** The shares/L1/top-bucket rollup shared by [[embeddingDrift]] and
+    * [[embeddingDriftVsBaseline]]: input is the tiny dims×buckets
+    * (d, bkt, n_a, n_b) frame. Per-side totals are per-DIM constants
+    * (every vector carries every dim), DERIVED from the count frame —
+    * sum over dim 0's buckets = that side's vector count. A separate
+    * vecs.agg was a SECOND full snapshot scan per report (the
+    * corpusDrift DriftFloorProbe finding, same shape), and an agg +
+    * broadcast crossJoin would re-evaluate the cnt subtree for the
+    * broadcast side — the global window keeps it ONE scan.
+    */
+  private def embDriftRollup(cnt: DataFrame): DataFrame = {
     val totW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val withTot = cnt
       .withColumn("tot_a", sum(when(col("d") === 0, col("n_a"))).over(totW))
@@ -79,6 +94,33 @@ object DriftOps {
         max(when(col("rk") === 1, col("shift"))).as("top_shift_micro"))
       .orderBy(desc("l1_micro"), asc("d"))
   }
+
+  /** One embedding snapshot's (d, bkt, n) count frame — the
+    * fixed-size (dims × buckets) artifact an EMBEDDING drift baseline
+    * persists, the [[corpusFeatureCounts]] sibling for re-embedding
+    * gates: write it once when an encoder's output is blessed, and
+    * every later gate run compares today's vectors against the stored
+    * frame at zero reference-side scans.
+    */
+  def embeddingBucketCounts(vecs: DataFrame, idCol: String, vecCol: String,
+                            buckets: Int = 10): DataFrame =
+    embBucketRows(vecs, idCol, vecCol, lit(false), buckets)
+      .groupBy(col("d"), col("bkt"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Per-dimension drift of a LIVE embedding count frame against a
+    * PERSISTED baseline frame (both [[embeddingBucketCounts]]-shaped;
+    * baseline = side A, live = side B). Same output schema and
+    * arithmetic as [[embeddingDrift]], so the same oracle checks both
+    * paths; buckets present on one side only count 0 on the other.
+    */
+  def embeddingDriftVsBaseline(live: DataFrame, baseline: DataFrame)
+      : DataFrame =
+    embDriftRollup(
+      baseline.select(col("d"), col("bkt"), col("n").as("n_a"))
+        .join(live.select(col("d"), col("bkt"), col("n").as("n_b")),
+          Seq("d", "bkt"), "full_outer")
+        .na.fill(0L, Seq("n_a", "n_b")))
 
   /** Corpus-feature drift between document snapshot A and B (`isB`):
     * three per-doc features — token-length bucket (`nt DIV 20`,

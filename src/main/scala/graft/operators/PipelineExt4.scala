@@ -146,6 +146,24 @@ object PipelineExt4 extends QueryModule {
         "vec_id", "embedding", col("vec_id") % 2 === 1)
     },
 
+    // Persisted-baseline EMBEDDING drift gate (te34): td59's sibling
+    // for re-embedding runs — the blessed encoder's dims×buckets
+    // count frame is written once, and the gate compares today's
+    // vectors against the stored frame at zero reference-side scans.
+    // The oracle IS te33's, verbatim: baseline = even vec_ids, live =
+    // odd.
+    "te34_embedding_drift_baseline" -> { (s, dir) =>
+      val base = scratch("te34", dir)
+      val vecs = Tables.load(s, dir, "embeddings")
+      DriftOps.embeddingBucketCounts(vecs.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding")
+        .write.parquet(s"$base/baseline") // the once-per-blessing write
+      val live = DriftOps.embeddingBucketCounts(
+        vecs.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      DriftOps.embeddingDriftVsBaseline(live,
+        s.read.parquet(s"$base/baseline"))
+    },
+
     // Corpus-feature drift (td57): token-length / stopword-share /
     // language bucket shares compared across two document snapshots —
     // the "did the new dump change the corpus" gate upstream of td46.
@@ -449,6 +467,44 @@ object PipelineExt4 extends QueryModule {
       GROUP BY 1
       ORDER BY shard"""
 
+  /** te33's per-dimension share/L1/top-bucket drift report over the
+    * even/odd vec_id split — exact integers all the way (the
+    * parallel-unnest zip is te19's oracle idiom). Shared by te33 (two
+    * live snapshots) and te34 (live vs persisted baseline): the two
+    * paths must produce the numerically identical report.
+    */
+  private val embeddingDriftOracle = """
+      WITH e AS (SELECT vec_id, vec_id % 2 = 1 AS b,
+                   CAST(unnest(range(0, 64)) AS INT) AS d,
+                   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+                 FROM embeddings),
+      bk AS (SELECT d, b,
+               least(9, greatest(0, CAST(floor((x + 1.0) / 2.0 * 10) AS INT)))
+                 AS bkt
+             FROM e),
+      cnt AS (SELECT d, bkt,
+                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
+                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
+              FROM bk GROUP BY 1, 2),
+      tot AS (SELECT sum(CASE WHEN vec_id % 2 = 1 THEN 0 ELSE 1 END) AS tot_a,
+                     sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS tot_b
+              FROM embeddings),
+      sh AS (SELECT d, bkt,
+               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+                 AS shift
+             FROM cnt CROSS JOIN tot),
+      top AS (SELECT d, bkt, shift,
+                row_number() OVER (PARTITION BY d ORDER BY shift DESC, bkt)
+                  AS rk
+              FROM sh)
+      SELECT d, CAST(sum(shift) AS BIGINT) AS l1_micro,
+             CAST(max(CASE WHEN rk = 1 THEN bkt END) AS INT) AS top_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
+               AS top_shift_micro
+      FROM top
+      GROUP BY d
+      ORDER BY l1_micro DESC, d"""
+
   /** td57's share/L1/top-bucket drift report over the even/odd doc_id
     * split — exact integers all the way. Shared by td57 (two live
     * snapshots) and td59 (live vs persisted baseline): the two paths
@@ -672,37 +728,12 @@ object PipelineExt4 extends QueryModule {
 
     // Same bucket/share/L1 arithmetic in DuckDB, exact integers all
     // the way (the parallel-unnest zip is te19's oracle idiom).
-    "te33_embedding_drift" -> """
-      WITH e AS (SELECT vec_id, vec_id % 2 = 1 AS b,
-                   CAST(unnest(range(0, 64)) AS INT) AS d,
-                   unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
-                 FROM embeddings),
-      bk AS (SELECT d, b,
-               least(9, greatest(0, CAST(floor((x + 1.0) / 2.0 * 10) AS INT)))
-                 AS bkt
-             FROM e),
-      cnt AS (SELECT d, bkt,
-                sum(CASE WHEN b THEN 0 ELSE 1 END) AS n_a,
-                sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_b
-              FROM bk GROUP BY 1, 2),
-      tot AS (SELECT sum(CASE WHEN vec_id % 2 = 1 THEN 0 ELSE 1 END) AS tot_a,
-                     sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS tot_b
-              FROM embeddings),
-      sh AS (SELECT d, bkt,
-               abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
-                 AS shift
-             FROM cnt CROSS JOIN tot),
-      top AS (SELECT d, bkt, shift,
-                row_number() OVER (PARTITION BY d ORDER BY shift DESC, bkt)
-                  AS rk
-              FROM sh)
-      SELECT d, CAST(sum(shift) AS BIGINT) AS l1_micro,
-             CAST(max(CASE WHEN rk = 1 THEN bkt END) AS INT) AS top_bucket,
-             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
-               AS top_shift_micro
-      FROM top
-      GROUP BY d
-      ORDER BY l1_micro DESC, d""",
+    "te33_embedding_drift" -> embeddingDriftOracle,
+
+    // te34 gates the odd-id live snapshot against the even-id
+    // PERSISTED baseline frame — numerically the identical report,
+    // so the oracle is te33's verbatim.
+    "te34_embedding_drift_baseline" -> embeddingDriftOracle,
 
     "td57_corpus_drift" -> corpusDriftOracle,
 

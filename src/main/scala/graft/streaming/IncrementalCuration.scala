@@ -386,8 +386,25 @@ object IncrementalCuration {
       merged.write.mode("overwrite").parquet(target.toString)
       olds.foreach(d => fs.delete(d.getPath, true))
     }
-    Seq("shingles", "bands", "pairs", "kept", "dropped")
-      .foreach(st => fold(s"$base/$st", identity))
+    // retraction-aware fold: rows of superseded keepers are PHYSICALLY
+    // removed from the folded side stores (they are masked on every
+    // read anyway, so reads are unchanged) — without this, a year of
+    // keeper re-elections leaves ghost index rows and an ever-growing
+    // anti-join list on the hot read path. The dropped store itself is
+    // RETAINED (identity fold): deltas above the fold bound can still
+    // hold pair rows that reference an id dropped below it, and those
+    // reads keep masking until they are folded too. Safe because ids
+    // are unique — a dropped id never re-enters, so removing its rows
+    // commutes with every later epoch's read.
+    val droppedIds = readStore(spark, s"$base/dropped", belowEpoch,
+      spark.range(0).select(col("id")))
+    def minusDroppedOn(cols: String*)(df: DataFrame): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        d.join(droppedIds.select(col("id").as(c)), Seq(c), "left_anti"))
+    Seq("shingles", "bands", "kept")
+      .foreach(st => fold(s"$base/$st", minusDroppedOn("id")))
+    fold(s"$base/pairs", minusDroppedOn("id_a", "id_b"))
+    fold(s"$base/dropped", identity)
     fold(s"$base/hashes",
       df => df.groupBy(col("h")).agg(min(col("id")).as("id")))
     fold(s"$base/state", df => graft.operators.ChangelogOps.normalize(

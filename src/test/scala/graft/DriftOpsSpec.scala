@@ -102,4 +102,24 @@ class DriftOpsSpec extends AnyFunSuite {
     assert(viaBaseline == direct)
     assert(viaBaseline.nonEmpty)
   }
+
+  test("embeddingDriftVsBaseline over a persisted frame equals embeddingDrift") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array(if (i % 2 == 1) 0.85f else -0.85f, (i % 4).toFloat / 8f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-embdrift-base-").toString
+    DriftOps.embeddingBucketCounts(vecs.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding")
+      .write.parquet(s"$dir/baseline")
+    val live = DriftOps.embeddingBucketCounts(
+      vecs.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val viaBaseline = DriftOps.embeddingDriftVsBaseline(live,
+      spark.read.parquet(s"$dir/baseline")).collect().map(_.toSeq).toSeq
+    val direct = DriftOps.embeddingDrift(vecs, "vec_id", "embedding",
+      col("vec_id") % 2 === 1).collect().map(_.toSeq).toSeq
+    assert(viaBaseline == direct)
+    // dim 0 is fully disjoint between the sides (bucket 0 vs 9)
+    assert(direct.head(1) == 2000000L)
+  }
 }

@@ -201,6 +201,33 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(state == Set(12L)) // 10 tombstoned, 5 never kept, 12 reverted
   }
 
+  test("compaction after a retraction physically drops the ghost rows") {
+    // reversed epochs 0-1 retract keeper 5 (doc 3 supersedes it);
+    // folding those epochs must remove 5's kept/shingle/band/pair
+    // rows from the folded dirs (they were read-masked anyway), so a
+    // year of re-elections can't accrete ghost index rows
+    val base = tmp()
+    epochs.reverse.take(3).zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+    }
+    val before = incManifest(base)
+    IncrementalCuration.compactStores(spark, base, 3L)
+    assert(incManifest(base) == before)
+    assert(incManifest(base) == batchManifest)
+    // the superseded keeper's rows are GONE from the folded stores
+    val keptIds = spark.read.parquet(s"$base/kept/delta=*")
+      .select("id").as[Long].collect().toSet
+    assert(!keptIds.contains(5L), "ghost kept row survived the fold")
+    val bandIds = spark.read.parquet(s"$base/bands/delta=*")
+      .select("id").as[Long].collect().toSet
+    assert(!bandIds.contains(5L), "ghost band rows survived the fold")
+    val pairSides = spark.read.parquet(s"$base/pairs/delta=*")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!pairSides.contains(5L), "ghost pair rows survived the fold")
+  }
+
   test("a crashed compaction (compacted + originals both on disk) never double-reads") {
     val base = tmp()
     IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
