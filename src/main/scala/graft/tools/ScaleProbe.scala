@@ -301,6 +301,36 @@ object ScaleProbe {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
           "doc_id", "text", "lang", col("doc_id") % 2 === 1),
         allowBroadcastCross = true) // the 1-row totals frame
+      // Persisted-baseline drift gate (td59/te34 shape): the LIVE
+      // side of the gate — one bucketing pass partial-aggregated to
+      // the features×buckets frame (the baseline side is a stored
+      // KB-sized frame, zero scans, so the live pass IS the gate's
+      // whole corpus-facing cost).
+      run("td59 baseline-gate live pass", k,
+        graft.operators.DriftOps.corpusFeatureCounts(
+          docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+          "doc_id", "text", "lang"))
+      // PNG header sniff + CRC (mm14): synthesize spec-valid
+      // containers (real CRC-32 over the IHDR bytes) and parse every
+      // field + re-verify the CRC — pure map-side projection, zero
+      // shuffle, the image sibling of mm13.
+      // (aggregated over the PARSED fields — a bare count() would let
+      // the optimizer prune the parse columns and measure only the
+      // scan)
+      run("mm14 png header sniff", k, {
+        val p = docs.select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(18))).as("h"),
+          (lit(2) + lit(4) * pmod(col("doc_id"), lit(2))).as("ctype"),
+          (lit(100) + pmod(length(col("text")), lit(300)))
+            .cast("long").as("ilen"))
+        graft.operators.PngIhdr.parsePng(
+            p.withColumn("payload", graft.operators.PngIhdr.pngBytes(
+              col("w"), col("h"), lit(8L), col("ctype"), col("ilen"))),
+            col("payload"))
+          .agg(sum(when(col("png_ok") && col("crc_ok"), 1L)).as("n_ok"),
+            sum(col("width") * col("height")).as("px"))
+      })
       // RIFF/WAV header sniff (mm13): synthesize + parse real
       // containers entirely in codegen'd expressions — pure map-side
       // projection, zero shuffle (the header-manifest pass a media
@@ -312,9 +342,11 @@ object ScaleProbe {
           (lit(8) * (lit(1) + pmod(length(col("text")), lit(2)))).as("pbits"),
           (lit(50) + pmod(length(col("text")), lit(200))).as("frames"))
         graft.operators.RiffWav.parseWav(
-          p.withColumn("payload", graft.operators.RiffWav.wavBytes(
-            col("ch"), col("rate"), col("pbits"), col("frames"))),
-          col("payload"))
+            p.withColumn("payload", graft.operators.RiffWav.wavBytes(
+              col("ch"), col("rate"), col("pbits"), col("frames"))),
+            col("payload"))
+          .agg(sum(when(col("riff_ok"), 1L)).as("n_ok"),
+            sum(col("duration_micros")).as("dur"))
       })
       // VAD gaps-and-islands: typed per-payload energy pass + one
       // doc-keyed window + one keyed aggregate.
