@@ -584,6 +584,56 @@ object CurationOps {
     * position doubles as the within-shard sort key the loader uses
     * (sorting WITHIN a shard is executor-local).
     */
+  /** td60: histogram-exact global quantile gate — "keep the top q of
+    * the corpus by score" (the threshold-calibration step behind
+    * every classifier-scored quality filter: FastText/CCNet-style
+    * quality scores, toxicity screens, LAION aesthetic gates) WITHOUT
+    * sorting the corpus. `scored` carries an integer-micros score
+    * column (domain [0, 1e6] by convention); the threshold is the
+    * LARGEST score value t with count(score >= t) >= K, K =
+    * floor(n·keepMicro/1e6) (ties at t are kept — both engines apply
+    * the identical rule, so the gate is oracle-exact). Returns
+    * `scored` filtered to the kept slice with `threshold_micro`
+    * attached.
+    *
+    * Scale anatomy: ONE pass partial-aggregates the corpus to a
+    * score-value histogram whose row count is bounded by the SCORE
+    * DOMAIN (≤ 1e6+1 rows, usually far fewer) — never by the corpus;
+    * the cumulative window and threshold pick run on that bounded
+    * frame (the single-partition window is deliberate and safe at
+    * that size), and the gate itself is a broadcast-scalar filter.
+    * The alternative — exact quantile via sort/rank — is a full
+    * corpus shuffle of the score column; the histogram form is how a
+    * bounded-domain quantile should be computed at 100 TB. K's
+    * arithmetic is ANSI-overflow-safe to 9.2e12 rows (the microRatio
+    * convention): n·keepMicro is decomposed as
+    * (n DIV 1e6)·keepMicro + ((n mod 1e6)·keepMicro) DIV 1e6.
+    */
+  def quantileGate(scored: DataFrame, scoreCol: String,
+                   keepMicro: Long): DataFrame = {
+    require(keepMicro >= 0 && keepMicro <= 1000000L,
+      s"keepMicro must be in [0, 1e6], got $keepMicro")
+    // two consumers (histogram + the gate) — materialize the scoring
+    // subtree once; callers should pass a NARROW scored projection
+    // (ids + score + rollup columns), the keptIds-barrier convention
+    val sc = graft.Checkpoints.barrier(scored)
+    val hist = sc.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(desc("s"))
+      .rowsBetween(Long.MinValue, 0)
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("total", sum(col("cnt")).over(totW))
+      .withColumn("k", greatest(lit(1L),
+        expr(s"(total DIV 1000000) * $keepMicro" +
+          s" + ((total % 1000000) * $keepMicro) DIV 1000000")))
+      .where(col("cum") >= col("k"))
+      .agg(max(col("s")).as("threshold_micro"))
+    sc.crossJoin(broadcast(thr)) // 1-row scalar frame
+      .where(col(scoreCol) >= col("threshold_micro"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, textCol: String,
                    seed: String, nShards: Int = 16): DataFrame =
     docs

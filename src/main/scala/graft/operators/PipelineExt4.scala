@@ -146,6 +146,30 @@ object PipelineExt4 extends QueryModule {
         "vec_id", "embedding", col("vec_id") % 2 === 1)
     },
 
+    // Histogram-exact quantile quality gate (td60): keep the global
+    // top-30% of the corpus by an integer-micros quality score (the
+    // unique-word ratio — the exact stand-in for a classifier score)
+    // WITHOUT sorting the corpus: the threshold comes from a
+    // score-value histogram bounded by the score DOMAIN, ties at the
+    // threshold included by rule on both engines. The calibration
+    // step behind every "keep the top q% by quality" filter.
+    "td60_quantile_gate" -> { (s, dir) =>
+      val words = TextOps.words(col("text"))
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(words).cast("long").as("nw"),
+          size(array_distinct(words)).cast("long").as("nu"))
+        .where(col("nw") > 0)
+        .withColumn("score_micro", expr("(nu * 1000000) DIV nw"))
+      CurationOps.quantileGate(scored, "score_micro", keepMicro = 300000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("nw")).as("n_tokens"),
+          min(col("doc_id")).as("first_kept"),
+          max(col("threshold_micro")).as("threshold_micro"))
+        .orderBy("lang")
+    },
+
     // Persisted-baseline EMBEDDING drift gate (te34): td59's sibling
     // for re-embedding runs — the blessed encoder's dims×buckets
     // count frame is written once, and the gate compares today's
@@ -741,6 +765,36 @@ object PipelineExt4 extends QueryModule {
     // PERSISTED baseline frame — numerically the identical report, so
     // the oracle is td57's verbatim.
     "td59_drift_vs_baseline" -> corpusDriftOracle,
+
+    // Same histogram/cumulative/threshold arithmetic in DuckDB —
+    // exact integers, ties at the threshold kept, K decomposed to
+    // stay inside BIGINT exactly like the Spark side.
+    "td60_quantile_gate" -> """
+      WITH s AS (SELECT doc_id, lang,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nw,
+                   CAST(len(list_distinct(string_split(lower(text), ' ')))
+                     AS BIGINT) AS nu
+                 FROM documents),
+      sc AS (SELECT doc_id, lang, nw, (nu * 1000000) // nw AS score_micro
+             FROM s WHERE nw > 0),
+      h AS (SELECT score_micro AS sv, CAST(count(1) AS BIGINT) AS cnt
+            FROM sc GROUP BY 1),
+      c AS (SELECT sv,
+              CAST(sum(cnt) OVER (ORDER BY sv DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER () AS BIGINT) AS total
+            FROM h),
+      t AS (SELECT max(sv) AS threshold_micro FROM c
+            WHERE cum >= greatest(1, (total // 1000000) * 300000
+              + ((total % 1000000) * 300000) // 1000000))
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_kept,
+             CAST(sum(nw) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_kept,
+             CAST(max(t.threshold_micro) AS BIGINT) AS threshold_micro
+      FROM sc CROSS JOIN t
+      WHERE score_micro >= t.threshold_micro
+      GROUP BY lang
+      ORDER BY lang""",
 
     // The oracle recomputes every header field and gate from the
     // deterministic parameters — the Spark side must round-trip them

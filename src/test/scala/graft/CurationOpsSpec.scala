@@ -195,6 +195,26 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileGate: histogram threshold is exact; ties at the cut are kept") {
+    // scores [10,20,20,30,40], keep 40% → K=2 → largest s with
+    // count(>=s) >= 2 is 30 → kept = {30, 40}
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 40L))
+      .toDF("id", "score")
+    val keptA = graft.operators.CurationOps
+      .quantileGate(a, "score", 400000L)
+      .select("id").as[Long].collect().toSet
+    assert(keptA == Set(4L, 5L))
+    // scores [10,20,20,30], keep 50% → K=2 → threshold 20; BOTH 20s
+    // kept (tie rule) so the kept count may exceed K
+    val b = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L))
+      .toDF("id", "score")
+    val keptB = graft.operators.CurationOps
+      .quantileGate(b, "score", 500000L)
+      .select("id", "threshold_micro").as[(Long, Long)].collect()
+    assert(keptB.map(_._1).toSet == Set(2L, 3L, 4L))
+    assert(keptB.forall(_._2 == 20L))
+  }
+
   test("bpePairStats counts frequency-weighted adjacent char pairs") {
     // words: aa(x1) ab(x2) abc(x1); pairs: ab = 2 (from 'ab') + 1
     // (from 'abc') across 2 distinct words, aa and bc once each.
