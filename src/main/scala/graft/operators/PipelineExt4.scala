@@ -264,6 +264,66 @@ object PipelineExt4 extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Heterogeneous container dispatch (mm15): a REAL media lake's
+    // blob column is mixed — this one carries WAV containers on even
+    // doc_ids and PNG on odd — and the manifest pass must sniff the
+    // magic bytes and dispatch to the right header parser, emitting
+    // one unified metadata row per blob (audio fields NULL for
+    // images and vice versa). Every branch reads the container's
+    // actual bytes (mm13/mm14's codegen'd readers); the CASE gates
+    // evaluate lazily per row, so a PNG blob never runs the WAV
+    // arithmetic (whose DIV would be garbage-fed). Pure map-side
+    // projection, zero shuffle.
+    "mm15_container_dispatch" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).as("ch"),
+          (lit(8000) + pmod(col("doc_id"), lit(5)) * 4000).as("rate"),
+          (lit(50) + pmod(length(col("text")), lit(200))).as("frames"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(18))).as("h"),
+          (lit(100) + pmod(length(col("text")), lit(300)))
+            .cast("long").as("ilen"))
+      val blobs = base.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          RiffWav.wavBytes(col("ch"), col("rate"), lit(16), col("frames")))
+        .otherwise(
+          PngIhdr.pngBytes(col("w"), col("h"), lit(8L), lit(2L),
+            col("ilen"))).as("payload"))
+      val bin = col("payload")
+      val isWav = RiffWav.tag(bin, 1, 4) === "RIFF" &&
+        RiffWav.tag(bin, 9, 4) === "WAVE"
+      val isPng = lower(hex(substring(bin, 1, 8))) === "89504e470d0a1a0a"
+      blobs
+        .withColumn("kind",
+          when(isWav, "wav").when(isPng, "png").otherwise("unknown"))
+        .withColumn("media_ok",
+          when(isWav,
+            RiffWav.tag(bin, 13, 4) === "fmt " &&
+              RiffWav.tag(bin, 37, 4) === "data" &&
+              RiffWav.leLong(bin, 21, 2) === 1L)
+          .when(isPng,
+            PngIhdr.beLong(bin, 9, 4) === 13L &&
+              PngIhdr.beLong(bin, 30, 4) === crc32(substring(bin, 13, 17)))
+          .otherwise(lit(false)))
+        .withColumn("channels", when(isWav, RiffWav.leLong(bin, 23, 2)))
+        .withColumn("sample_rate", when(isWav, RiffWav.leLong(bin, 25, 4)))
+        // frames = data_size DIV block_align; duration = frames·1e6
+        // DIV rate — floor-of-double is exact at header magnitudes
+        .withColumn("duration_micros", when(isWav,
+          floor(floor(RiffWav.leLong(bin, 41, 4) /
+              RiffWav.leLong(bin, 33, 2)) * 1000000L /
+            RiffWav.leLong(bin, 25, 4)).cast("long")))
+        .withColumn("width", when(isPng, PngIhdr.beLong(bin, 17, 4)))
+        .withColumn("height", when(isPng, PngIhdr.beLong(bin, 21, 4)))
+        .withColumn("bit_depth", when(isPng, PngIhdr.beLong(bin, 25, 1)))
+        .select(col("doc_id"), col("kind"), col("media_ok"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("channels"), col("sample_rate"), col("duration_micros"),
+          col("width"), col("height"), col("bit_depth"))
+        .orderBy("doc_id")
+    },
+
     "mm13_wav_riff_parse" -> { (s, dir) =>
       val params = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -818,6 +878,31 @@ object PipelineExt4 extends QueryModule {
              (57 + ilen >= 200) AS r_minbytes,
              (w * h >= 200 AND w <= h * 2 AND h <= w * 2
                AND 57 + ilen >= 200) AS keep
+      FROM p ORDER BY doc_id""",
+
+    // Per-kind fields recomputed from the parameters; the Spark side
+    // must sniff the right container type from the magic bytes and
+    // round-trip every field through the actual header bytes (wav on
+    // even ids: ch=1, bits=16, block_align=2; png on odd ids:
+    // overhead 57 B).
+    "mm15_container_dispatch" -> """
+      WITH p AS (SELECT doc_id, length(text) AS lt FROM documents)
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS kind,
+        TRUE AS media_ok,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + (50 + lt % 200) * 2
+             ELSE 57 + (100 + lt % 300) END AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 END AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 2 = 0
+             THEN 8000 + (doc_id % 5) * 4000 END AS BIGINT) AS sample_rate,
+        CAST(CASE WHEN doc_id % 2 = 0
+             THEN (50 + lt % 200) * 1000000 // (8000 + (doc_id % 5) * 4000)
+             END AS BIGINT) AS duration_micros,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 8 + doc_id % 24 END AS BIGINT)
+          AS width,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 6 + doc_id % 18 END AS BIGINT)
+          AS height,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 8 END AS BIGINT) AS bit_depth
       FROM p ORDER BY doc_id""",
 
     // The oracle recomputes every header field from the deterministic
