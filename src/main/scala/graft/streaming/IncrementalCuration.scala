@@ -198,8 +198,17 @@ object IncrementalCuration {
 
     // ---- exact-dup canonical RE-election (order-independent) -------
     val hashed = docs.withColumn("__h", md5(lower(col("text"))))
+    // keepers are needed ONLY for hashes colliding with this epoch:
+    // semi-join the store by the epoch's hash set BEFORE aggregating,
+    // so in the daily-dump regime (epoch ≪ corpus) the store side is
+    // one scan + a broadcast semi-join and the keeper frame (and the
+    // r_dup join below) are epoch-collision-sized — not two
+    // store-wide exchanges per epoch; a huge epoch degrades to the
+    // shuffle join via AQE, never worse than the unfiltered aggregate
+    val epochHashes = hashed.select(col("__h").as("h")).distinct()
     val storedKeepers = readStore(spark, s"$base/hashes", epoch,
         hashed.select(col("__h").as("h"), col("id")).limit(0))
+      .join(epochHashes, Seq("h"), "left_semi")
       .groupBy(col("h")).agg(min(col("id")).as("keeper"))
     // r_dup: the doc is the min id of its hash group ACROSS everything
     // seen so far — min within the epoch AND strictly below the stored
