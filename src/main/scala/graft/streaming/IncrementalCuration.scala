@@ -420,6 +420,43 @@ object IncrementalCuration {
       df, Seq(col("id")), Seq(col("__version")), col("__rowkind")))
   }
 
+  /** Day-2 operations view of the pipeline state under `base`: one
+    * row per store with live/committed/stale delta-dir counts, the
+    * highest committed epoch, whether a half-written (crashed,
+    * will-be-rewritten) delta is present, and the committed row
+    * count — the monitoring/alerting query an operator runs against
+    * the state WITHOUT touching the corpus (listing via Hadoop FS;
+    * parquet count() resolves from row-group metadata, no data
+    * scan). `n_stale` > 0 means a compaction crashed mid-swap (reads
+    * are already masked; the next compaction sweeps it) and
+    * `has_uncommitted` means the last epoch died mid-write (the
+    * replay rewrites it).
+    */
+  def storeStats(spark: SparkSession, base: String): DataFrame = {
+    val stores = Seq("hashes", "shingles", "bands", "pairs", "kept",
+      "dropped", "state")
+    val rows = stores.map { st =>
+      val store = s"$base/$st"
+      val fs = hadoopFs(spark, store)
+      val (live, stale) = deltaDirs(fs, store)
+      val (committed, uncommitted) = live.partition(d =>
+        fs.exists(new Path(d.getPath, "_SUCCESS")))
+      val maxEpoch =
+        if (committed.isEmpty) -1L
+        else committed.map(deltaEpoch).max
+      val nRows =
+        if (committed.isEmpty) 0L
+        else spark.read
+          .parquet(committed.map(_.getPath.toString).toIndexedSeq: _*)
+          .count()
+      (st, live.length, committed.length, uncommitted.nonEmpty,
+        stale.length, maxEpoch, nRows)
+    }
+    import spark.implicits._
+    rows.toDF("store", "n_deltas", "n_committed", "has_uncommitted",
+      "n_stale", "max_epoch", "n_rows")
+  }
+
   /** The merge-on-read training manifest from the upsert state —
     * equals batch `CurationOps.curationManifest` over the union of
     * all processed epochs, in whatever order they arrived (td46's own

@@ -264,6 +264,36 @@ class IncrementalCurationSpec extends AnyFunSuite {
       == 1, s"residue not swept: $left")
   }
 
+  test("storeStats reads the operational state without touching the corpus") {
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    def stats = IncrementalCuration.storeStats(spark, base)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = stats
+    Seq("hashes", "kept", "state").foreach { st =>
+      assert(s1(st).getInt(1) == 2, s"$st deltas")
+      assert(s1(st).getInt(2) == 2, s"$st committed")
+      assert(!s1(st).getBoolean(3), s"$st uncommitted")
+      assert(s1(st).getLong(5) == 1L, s"$st max epoch")
+    }
+    assert(s1("kept").getLong(6) > 0L)
+    // a crashed write (delta dir without _SUCCESS) is flagged
+    val crashDir = new java.io.File(s"$base/kept/delta=" + "0" * 18 + "05")
+    crashDir.mkdirs()
+    assert(stats("kept").getBoolean(3), "uncommitted delta not flagged")
+    org.apache.commons.io.FileUtils.deleteDirectory(crashDir)
+    // compaction folds to one committed delta per store
+    IncrementalCuration.compactStores(spark, base, 2L)
+    val s2 = stats
+    Seq("hashes", "kept", "state").foreach { st =>
+      assert(s2(st).getInt(1) == 1, s"$st post-compaction deltas")
+      assert(s2(st).getLong(5) == 1L, s"$st post-compaction epoch bound")
+    }
+  }
+
   test("streaming form resumes from its checkpoint across a kill") {
     val base = tmp()
     val logDir = s"$base/log"
