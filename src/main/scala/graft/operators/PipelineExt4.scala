@@ -146,6 +146,62 @@ object PipelineExt4 extends QueryModule {
         "vec_id", "embedding", col("vec_id") % 2 === 1)
     },
 
+    // Streaming epoch drift monitor (td61): the "did this dump move
+    // the corpus" gate RUN WHERE IT RUNS IN PRODUCTION — inside the
+    // ingest stream. Each micro-batch epoch's fixed-size feature
+    // count frame is persisted as it is admitted (one scan of the
+    // batch, the td59 write helper); the report then gates every
+    // later epoch against epoch 0's stored baseline at zero
+    // reference-side scans. Epoch membership is deterministic (the
+    // id-sorted log + the admission cap), so the DuckDB oracle can
+    // reconstruct the exact per-epoch slices with a row_number.
+    "td61_epoch_drift_monitor" -> { (s, dir) =>
+      import s.implicits._
+      val base = scratch("td61", dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val n = docs.count()
+      graft.sources.LogSource.write(
+        docs.withColumn("partition", lit(0))
+          .repartition(1).sortWithinPartitions(asc("doc_id"))
+          .select(col("partition"),
+            to_json(struct(col("doc_id"), col("text"), col("lang")))
+              .as("value")),
+        s"$base/log")
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      val q = s.readStream.format("graft-log").option("path", s"$base/log")
+        .option("maxRecordsPerTrigger", math.max(1L, (n + 2) / 3).toString)
+        .load()
+        .select(from_json(col("value"), docSchema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          DriftOps.corpusFeatureCounts(batch, "doc_id", "text", "lang")
+            .write.mode("overwrite").parquet(s"$base/fc/epoch=$epoch")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val fc = s.read.parquet(s"$base/fc")
+      val baseline = fc.where(col("epoch") === 0).drop("epoch")
+      val eps = fc.where(col("epoch") > 0)
+        .select(col("epoch").cast("int")).distinct().as[Int]
+        .collect().sorted // bounded: one value per admitted epoch
+      eps.map(e => DriftOps.driftVsBaseline(
+          fc.where(col("epoch") === e).drop("epoch"), baseline)
+          .withColumn("epoch", lit(e)))
+        .reduce(_ unionByName _)
+        .select(col("epoch"), col("feature"), col("n_buckets"),
+          col("l1_micro"), col("top_bucket"), col("top_shift_micro"))
+        .orderBy("epoch", "feature")
+    },
+
     // Histogram-exact quantile quality gate (td60): keep the global
     // top-30% of the corpus by an integer-micros quality score (the
     // unique-word ratio — the exact stand-in for a classifier score)
@@ -825,6 +881,64 @@ object PipelineExt4 extends QueryModule {
     // PERSISTED baseline frame — numerically the identical report, so
     // the oracle is td57's verbatim.
     "td59_drift_vs_baseline" -> corpusDriftOracle,
+
+    // Epoch slices reconstructed by row_number over the id-sorted
+    // stream (epoch = least(2, (rn-1) DIV ceil(n/3)), the admission
+    // cap's arithmetic); per-epoch counts full-outer against epoch
+    // 0's, per-(epoch, feature) totals from the joined frame — the
+    // exact driftVsBaseline semantics per epoch.
+    "td61_epoch_drift_monitor" -> """
+      WITH ord AS (SELECT doc_id, text, lang,
+              row_number() OVER (ORDER BY doc_id) AS rn,
+              count(1) OVER () AS n
+            FROM documents),
+      ep AS (SELECT text, coalesce(lang, '__null') AS lang,
+              CAST(least(2, (rn - 1) // ((n + 2) // 3)) AS INT) AS epoch
+            FROM ord),
+      base AS (SELECT epoch,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+               lang
+             FROM ep),
+      b2 AS (SELECT *, (n_stop * 1000000) // nt AS stop_micro
+             FROM base WHERE nt > 0),
+      f AS (SELECT epoch, 'len' AS feature,
+              CAST(least(9, nt // 20) AS VARCHAR) AS bucket FROM b2
+            UNION ALL SELECT epoch, 'stop_ratio',
+              CAST(least(9, stop_micro // 100000) AS VARCHAR) FROM b2
+            UNION ALL SELECT epoch, 'lang', lang FROM b2),
+      cnt AS (SELECT epoch, feature, bucket, CAST(count(1) AS BIGINT) AS cn
+              FROM f GROUP BY 1, 2, 3),
+      eps AS (SELECT DISTINCT epoch FROM cnt WHERE epoch > 0),
+      keys AS (SELECT DISTINCT e.epoch, c.feature, c.bucket
+               FROM eps e JOIN cnt c ON c.epoch = 0 OR c.epoch = e.epoch),
+      j AS (SELECT k.epoch, k.feature, k.bucket,
+              coalesce(c0.cn, 0) AS n_a, coalesce(ce.cn, 0) AS n_b
+            FROM keys k
+            LEFT JOIN cnt c0 ON c0.epoch = 0 AND c0.feature = k.feature
+              AND c0.bucket = k.bucket
+            LEFT JOIN cnt ce ON ce.epoch = k.epoch AND ce.feature = k.feature
+              AND ce.bucket = k.bucket),
+      tot AS (SELECT epoch, feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+              FROM j GROUP BY 1, 2),
+      sh AS (SELECT j.epoch, j.feature, j.bucket,
+              abs((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b)
+                AS shift
+             FROM j JOIN tot ON j.epoch = tot.epoch
+               AND j.feature = tot.feature),
+      top AS (SELECT epoch, feature, bucket, shift,
+                row_number() OVER (PARTITION BY epoch, feature
+                  ORDER BY shift DESC, bucket) AS rk
+              FROM sh)
+      SELECT epoch, feature, CAST(count(1) AS BIGINT) AS n_buckets,
+             CAST(sum(shift) AS BIGINT) AS l1_micro,
+             max(CASE WHEN rk = 1 THEN bucket END) AS top_bucket,
+             CAST(max(CASE WHEN rk = 1 THEN shift END) AS BIGINT)
+               AS top_shift_micro
+      FROM top
+      GROUP BY 1, 2
+      ORDER BY epoch, feature""",
 
     // Same histogram/cumulative/threshold arithmetic in DuckDB —
     // exact integers, ties at the threshold kept, K decomposed to
