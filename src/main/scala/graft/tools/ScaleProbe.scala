@@ -301,6 +301,21 @@ object ScaleProbe {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
           "doc_id", "text", "lang", col("doc_id") % 2 === 1),
         allowBroadcastCross = true) // the 1-row totals frame
+      // Histogram-exact quantile gate (td60): one corpus pass to the
+      // score histogram (bounded by the 1e6+1 score DOMAIN), the
+      // threshold pick on that frame, broadcast-scalar gate + rollup.
+      run("td60 quantile gate", k, {
+        val words = TextOps.words(col("text"))
+        val scored = docs
+          .select(col("doc_id"),
+            size(words).cast("long").as("nw"),
+            size(array_distinct(words)).cast("long").as("nu"))
+          .where(col("nw") > 0)
+          .withColumn("score_micro", expr("(nu * 1000000) DIV nw"))
+        graft.operators.CurationOps
+          .quantileGate(scored, "score_micro", 300000L)
+          .agg(count(lit(1)).as("n_kept"), sum(col("nw")).as("n_tokens"))
+      }, allowBroadcastCross = true) // the 1-row threshold frame
       // Persisted-baseline drift gate (td59/te34 shape): the LIVE
       // side of the gate — one bucketing pass partial-aggregated to
       // the features×buckets frame (the baseline side is a stored
