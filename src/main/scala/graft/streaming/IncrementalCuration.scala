@@ -238,6 +238,25 @@ object IncrementalCuration {
       .join(storedKeptRaw.select(col("id")), Seq("id"), "left_semi")
       .barrier() // feeds the dropped append, -D rows, index masking,
                  // the touch graph, and the driver gate below
+    // Loud id-uniqueness guard: the pipeline's stores model each doc
+    // id as ingested ONCE (the log/offset contract — a re-crawled doc
+    // must arrive under a new id or through a keep-latest compaction
+    // upstream). A re-ingested id whose OLD version contributed state
+    // would silently corrupt the manifest (its old kept/shingle/pair
+    // rows can't be re-derived for retraction), so it fails here
+    // instead. One bounded semi-join count on the epoch frame; ids
+    // that previously failed rules or lost a dup election leave no
+    // state and are not detectable — the invariant for those is the
+    // ingest contract itself, documented above.
+    val reIngested = docs.select(col("id"))
+      .join(storedKeptRaw.select(col("id"))
+        .union(droppedBefore.select(col("id"))), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(reIngested.isEmpty,
+      s"epoch $epoch re-ingests doc id ${reIngested.headOption.map(_.get(0))}" +
+        " which already contributed state — ids must be unique across" +
+        " the ingest stream (re-crawls need new ids or upstream" +
+        " keep-latest compaction)")
     // Bounded driver check (≤ |epoch| hash groups can supersede): the
     // extra PRE-retraction component pass below is paid only on
     // epochs that actually retract a keeper — in-order ingestion

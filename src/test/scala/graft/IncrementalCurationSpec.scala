@@ -264,6 +264,25 @@ class IncrementalCurationSpec extends AnyFunSuite {
       == 1, s"residue not swept: $left")
   }
 
+  test("re-ingesting an id that contributed state fails loudly, not silently") {
+    // doc 3 was kept in epoch 0; a later epoch delivering doc_id 3
+    // again (a re-crawl under the same id) would silently corrupt the
+    // manifest — the old version's index rows can't be re-derived for
+    // retraction — so processEpoch must refuse it
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0).take(3)), base,
+      "doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.processEpoch(1L,
+        df(Seq((3L, baseB + " recrawled", "en"))), base,
+        "doc_id", "text", "lang")
+    }
+    assert(e.getMessage.contains("re-ingests doc id"))
+    // the refused epoch left no state commit: it can be replayed with
+    // corrected data
+    assert(!IncrementalCuration.epochCommitted(spark, base, 1L))
+  }
+
   test("storeStats reads the operational state without touching the corpus") {
     val base = tmp()
     IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
