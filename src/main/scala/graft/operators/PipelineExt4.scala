@@ -146,6 +146,41 @@ object PipelineExt4 extends QueryModule {
         "vec_id", "embedding", col("vec_id") % 2 === 1)
     },
 
+    // Per-source dedup audit (td62): the data-vendor procurement
+    // report — per source, how much of what it ships is exact-dup
+    // (non-canonical copies of content seen anywhere in the pool) and
+    // how much of its canonical content is near-dup entangled with
+    // the rest of the corpus. Composes the already-oracled exact-dup
+    // canonicalization and banded-LSH pair mining, adding only the
+    // source rollup; rates in exact micros through the shared
+    // microRatio (ANSI-safe at vendor-scale counts). Scale anatomy:
+    // the corpus is scanned once for hashing, once for shingling the
+    // canonical slice; the pair graph stays duplicated-slice-sized.
+    "td62_source_dedup_audit" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val dup = TextOps.exactDupCanonical(docs, "doc_id", "text")
+      val flagged = docs.join(dup, "doc_id")
+      val canon = flagged.where(col("r_dup"))
+      val pairs = TextOps.minhashLshPairsIdx(
+          TextOps.shingleHashIndex(canon, "doc_id", "text", 3), 0.8)
+        .select(col("id_a"), col("id_b"))
+      val members = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      flagged
+        .join(members.withColumn("near", lit(true)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("r_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("r_dup") && col("near"), 1L).otherwise(0L))
+            .as("n_neardup"))
+        .withColumn("exact_dup_micro",
+          CurationOps.microRatio("n_exact_dup", "n_docs"))
+        .withColumn("neardup_micro",
+          CurationOps.microRatio("n_neardup", "n_docs"))
+        .orderBy("source")
+    },
+
     // Streaming epoch drift monitor (td61): the "did this dump move
     // the corpus" gate RUN WHERE IT RUNS IN PRODUCTION — inside the
     // ingest stream. Each micro-batch epoch's fixed-size feature
@@ -881,6 +916,47 @@ object PipelineExt4 extends QueryModule {
     // PERSISTED baseline frame — numerically the identical report, so
     // the oracle is td57's verbatim.
     "td59_drift_vs_baseline" -> corpusDriftOracle,
+
+    // Exact-dup canonical via the md5 window, near-dup membership via
+    // exact shingle Jaccard over the canonical slice (the LSH side is
+    // candidate-lossless above threshold and exact-verified, so both
+    // engines derive the identical member set — td03/td46's parity).
+    "td62_source_dedup_audit" -> """
+      WITH dp AS (SELECT doc_id, source, text,
+              doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                AS r_dup
+            FROM documents),
+      w2 AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+             FROM dp WHERE r_dup),
+      g2 AS (SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                 THEN list_distinct(list_transform(range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                 ELSE [] END AS shingles
+             FROM w2),
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g2),
+      sz AS (SELECT doc_id AS id, len(shingles) AS n FROM g2),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(1) AS inter
+                FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2),
+      prs AS (SELECT id_a, id_b FROM inter
+              JOIN sz sa ON id_a = sa.id
+              JOIN sz sb ON id_b = sb.id
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+      mem AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)),
+      agg AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN NOT r_dup THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_dup,
+                CAST(sum(CASE WHEN r_dup AND EXISTS
+                    (SELECT 1 FROM mem WHERE mem.id = dp.doc_id)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+              FROM dp GROUP BY source)
+      SELECT source, n_docs, n_exact_dup,
+             (n_exact_dup * 1000000) // n_docs AS exact_dup_micro,
+             n_neardup,
+             (n_neardup * 1000000) // n_docs AS neardup_micro
+      FROM agg ORDER BY source""",
 
     // Epoch slices reconstructed by row_number over the id-sorted
     // stream (epoch = least(2, (rn-1) DIV ceil(n/3)), the admission
