@@ -26,6 +26,7 @@ object SparkEntry {
     operators.PipelineExt2,
     operators.PipelineExt3,
     operators.PipelineExt4,
+    operators.PipelineExt5,
     operators.CdcParity,
     operators.TpchGate
   )

@@ -461,11 +461,26 @@ object CurationOps {
     * round finds no pair (wf is then already fully merged — further
     * rounds would re-run an identical empty scan). Returned steps
     * number the accepted merges globally in (round, rank) order.
+    *
+    * `rampEvery` > 0 turns on the measured-regime batch RAMP: the
+    * candidate window doubles (capped at `maxBatch`) every
+    * `rampEvery` ACCEPTED merges. Acceptance density grows with the
+    * minted symbol pool (BpeScaleProbe measured 3.4 → 8.5
+    * merges/round at fixed batch 256 as merges minted symbols), so a
+    * fixed window under-fills late rounds; widening it as the pool
+    * grows cuts rounds several-fold at IDENTICAL semantics — the
+    * conservative non-overlap rule is applied within whatever window
+    * each round ranks, so every accepted set is still a batched
+    * disjoint acceptance, oracle-checkable at any window size. The
+    * shipping queries (td52/td54/td55) keep a FIXED batch because
+    * their oracles unroll that exact window.
     */
   private[graft] def bpeLoop(docs: DataFrame, textCol: String, rounds: Int,
                              batch: Int = 1,
                              maxMerges: Int = Int.MaxValue,
-                             onRound: (Int, Int, Long) => Unit = null)
+                             onRound: (Int, Int, Long) => Unit = null,
+                             rampEvery: Int = 0,
+                             maxBatch: Int = Int.MaxValue)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(batch >= 1, s"bpe batch must be >= 1, got $batch")
     var (wf, ids) = graft.Checkpoints.rollingBarrier(docs
@@ -481,6 +496,10 @@ object CurationOps {
     for (_ <- 1 to rounds if !exhausted && step < maxMerges) {
       round += 1
       val roundStart = System.nanoTime()
+      val effBatch =
+        if (rampEvery <= 0) batch
+        else math.min(maxBatch.toLong,
+          batch.toLong << math.min(30, step / rampEvery)).toInt
       val top = wf
         .withColumn("syms",
           regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1)))
@@ -493,7 +512,8 @@ object CurationOps {
         .groupBy(col("pa"), col("pb"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("pa"), asc("pb"))
-        .limit(batch).collect() // bounded: batch rows
+        .limit(effBatch).collect() // bounded: effBatch rows
+      var nAccepted = 0
       if (top.isEmpty) exhausted = true
       else {
         val cands = top.toSeq.map(t =>
@@ -516,10 +536,13 @@ object CurationOps {
           })
         val (w2, ids2) = graft.Checkpoints.rollingBarrier(reseg, ids)
         wf = w2; ids = ids2
-        if (onRound != null)
-          onRound(round, accepted.size,
-            (System.nanoTime() - roundStart) / 1000000L)
+        nAccepted = accepted.size
       }
+      // unconditional (nAccepted may be 0 on the exhausted round) so a
+      // probe's per-round density histogram counts empty rounds too
+      if (onRound != null)
+        onRound(round, nAccepted,
+          (System.nanoTime() - roundStart) / 1000000L)
     }
     (merges.result(), wf)
   }
@@ -607,7 +630,10 @@ object CurationOps {
     * bounded-domain quantile should be computed at 100 TB. K's
     * arithmetic is ANSI-overflow-safe to 9.2e12 rows (the microRatio
     * convention): n·keepMicro is decomposed as
-    * (n DIV 1e6)·keepMicro + ((n mod 1e6)·keepMicro) DIV 1e6.
+    * (n DIV 1e6)·keepMicro + ((n mod 1e6)·keepMicro) DIV 1e6 — and K
+    * is clamped to ≥ 1 BY DESIGN: a gate never returns an empty
+    * slice, so keepMicro = 0 still keeps the top-score tie group (the
+    * oracle applies the identical clamp).
     */
   def quantileGate(scored: DataFrame, scoreCol: String,
                    keepMicro: Long): DataFrame = {
@@ -617,12 +643,36 @@ object CurationOps {
     // subtree once; callers should pass a NARROW scored projection
     // (ids + score + rollup columns), the keptIds-barrier convention
     val sc = graft.Checkpoints.barrier(scored)
-    val hist = sc.groupBy(col(scoreCol).as("s"))
-      .agg(count(lit(1)).as("cnt"))
+    val thr = histThreshold(scoreHistogram(sc, scoreCol), keepMicro)
+    sc.crossJoin(broadcast(thr)) // 1-row scalar frame
+      .where(col(scoreCol) >= col("threshold_micro"))
+  }
+
+  /** One snapshot's score-value histogram (s, cnt) — the
+    * score-DOMAIN-bounded (≤ 1e6+1 rows) frame [[quantileGate]]
+    * computes its threshold on, and the KB-sized artifact a STREAMING
+    * gate persists per admitted epoch and merges on read (td63, the
+    * td59 persisted-artifact pattern applied to calibration).
+    */
+  def scoreHistogram(scored: DataFrame, scoreCol: String): DataFrame =
+    scored.groupBy(col(scoreCol).as("s")).agg(count(lit(1)).as("cnt"))
+
+  /** The 1-row threshold frame over a stack of (s, cnt) histogram
+    * rows: threshold_micro = the largest score t with
+    * count(score >= t) >= K, K = max(1, floor(n·keepMicro/1e6)) —
+    * [[quantileGate]]'s rule, factored out so batch (one histogram)
+    * and streaming (a union of per-epoch histograms, re-aggregated
+    * here by score value) calibrate through the IDENTICAL arithmetic.
+    * Everything runs on the domain-bounded frame; the deliberate
+    * single-partition window is safe at that size.
+    */
+  private[graft] def histThreshold(hist: DataFrame,
+                                   keepMicro: Long): DataFrame = {
     val cumW = org.apache.spark.sql.expressions.Window.orderBy(desc("s"))
       .rowsBetween(Long.MinValue, 0)
     val totW = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val thr = hist
+    hist
+      .groupBy(col("s")).agg(sum(col("cnt")).as("cnt")) // merge epochs
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("total", sum(col("cnt")).over(totW))
       .withColumn("k", greatest(lit(1L),
@@ -630,8 +680,6 @@ object CurationOps {
           s" + ((total % 1000000) * $keepMicro) DIV 1000000")))
       .where(col("cum") >= col("k"))
       .agg(max(col("s")).as("threshold_micro"))
-    sc.crossJoin(broadcast(thr)) // 1-row scalar frame
-      .where(col(scoreCol) >= col("threshold_micro"))
   }
 
   def epochShuffle(docs: DataFrame, idCol: String, textCol: String,

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * meaningless drift against nothing. For [[embeddingDrift]],
   * vectors must also be non-empty arrays: the per-side totals are
   * derived from dimension 0's bucket sums (the one-scan shape), so a
-  * zero-length embedding would be invisible to the denominator.
+  * zero-length embedding would be invisible to the denominator. That
+  * contract is ENFORCED, not just documented — [[embBucketRows]]
+  * raise_errors on a NULL or zero-length embedding (the microRatio
+  * guard's pattern), so a degenerate snapshot fails instead of
+  * silently skewing every share.
   */
 object DriftOps {
 
@@ -57,14 +61,23 @@ object DriftOps {
 
   /** The per-(vector, dim) bucket rows behind [[embeddingDrift]] and
     * [[embeddingBucketCounts]]: fixed [-1, 1] bucketing, `buckets`
-    * equal cells, clamped.
+    * equal cells, clamped. A NULL or zero-length embedding fails
+    * LOUDLY here: posexplode of an empty array emits no rows, so such
+    * a vector would otherwise silently vanish from the per-side
+    * totals (which [[embDriftRollup]] derives from dimension 0's
+    * bucket sums) and skew every share with no error.
     */
   private def embBucketRows(vecs: DataFrame, idCol: String, vecCol: String,
-                            isB: Column, buckets: Int): DataFrame =
+                            isB: Column, buckets: Int): DataFrame = {
+    val v = VectorOps.toDouble(col(vecCol))
+    val guarded = when(size(v) > 0, v).otherwise(raise_error(concat(
+      lit("drift: NULL or empty embedding for id "),
+      col(idCol).cast("string"))))
     vecs.select(col(idCol).as("id"), isB.as("b"),
-        posexplode(VectorOps.toDouble(col(vecCol))).as(Seq("d", "x")))
+        posexplode(guarded).as(Seq("d", "x")))
       .withColumn("bkt", least(lit(buckets - 1), greatest(lit(0),
         floor((col("x") + lit(1.0)) / lit(2.0) * lit(buckets)).cast("int"))))
+  }
 
   /** The shares/L1/top-bucket rollup shared by [[embeddingDrift]] and
     * [[embeddingDriftVsBaseline]]: input is the tiny dims×buckets
@@ -180,23 +193,25 @@ object DriftOps {
         lit("lang"), col("lang"))).as(Seq("feature", "bucket")))
   }
 
-  /** The share/L1/top-bucket rollup shared by [[corpusDrift]] and
-    * [[driftVsBaseline]]: input carries (feature, bucket, n_a, n_b,
-    * tot_a, tot_b) on a tiny features×buckets frame.
+  /** The share/L1/top-bucket rollup shared by [[corpusDrift]],
+    * [[driftVsBaseline]] and [[driftVsBaselineByEpoch]]: input carries
+    * (keys..., bucket, n_a, n_b, tot_a, tot_b) on a tiny
+    * keys×buckets frame; one report row per key tuple.
     */
-  private def driftRollup(withTot: DataFrame): DataFrame = {
+  private def driftRollup(withTot: DataFrame,
+                          keys: Seq[String] = Seq("feature")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("feature")).orderBy(desc("shift"), asc("bucket"))
+      .partitionBy(keys.map(col): _*).orderBy(desc("shift"), asc("bucket"))
     withTot
       .withColumn("s_a", CurationOps.microRatio("n_a", "tot_a"))
       .withColumn("s_b", CurationOps.microRatio("n_b", "tot_b"))
       .withColumn("shift", abs(col("s_a") - col("s_b")))
       .withColumn("rk", row_number().over(w)) // tiny frame
-      .groupBy(col("feature"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_buckets"), sum(col("shift")).as("l1_micro"),
         max(when(col("rk") === 1, col("bucket"))).as("top_bucket"),
         max(when(col("rk") === 1, col("shift"))).as("top_shift_micro"))
-      .orderBy("feature")
+      .orderBy(keys.map(col): _*)
   }
 
   /** One snapshot's (feature, bucket, n) count frame — the FIXED-size
@@ -235,5 +250,40 @@ object DriftOps {
     val tot = cnt.groupBy(col("feature"))
       .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
     driftRollup(cnt.join(tot, "feature"))
+  }
+
+  /** EVERY epoch's [[driftVsBaseline]] report in ONE plan: `live` is
+    * a stack of per-epoch count frames ((epoch, feature, bucket, n) —
+    * the shape an ingest loop persists one of per admitted dump, the
+    * td61 store), `baseline` the single blessed
+    * [[corpusFeatureCounts]] frame. The production monitoring regime
+    * accumulates one epoch per day — a driver loop unioning one
+    * sub-plan per epoch (the shape this replaces) is ~365 unioned
+    * plans and 365 tiny reads per report after a year, a driver-side
+    * plan-size bottleneck; here the KB-sized baseline is broadcast
+    * against the distinct-epoch frame once and every epoch's rollup
+    * runs in the same grouped pass, so per-epoch cost is one tiny
+    * frame's worth of rows, flat in the epoch count (measured flat to
+    * 100 epochs — artifacts/td61_multi_epoch_probe_r16.txt). Same
+    * arithmetic as [[driftVsBaseline]] per epoch, one report row per
+    * (epoch, feature).
+    */
+  def driftVsBaselineByEpoch(live: DataFrame, baseline: DataFrame)
+      : DataFrame = {
+    val epochs = live.select(col("epoch")).distinct()
+    // every epoch must compare against EVERY baseline bucket (a bucket
+    // absent from an epoch's frame counts 0 live) — the crossJoin is
+    // |epochs| × the KB-sized baseline frame, nowhere near data scale
+    val cnt = epochs
+      .crossJoin(broadcast(baseline.select(col("feature"), col("bucket"),
+        col("n").as("n_a"))))
+      .join(live.select(col("epoch"), col("feature"), col("bucket"),
+          col("n").as("n_b")),
+        Seq("epoch", "feature", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = cnt.groupBy(col("epoch"), col("feature"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    driftRollup(cnt.join(tot, Seq("epoch", "feature")),
+      Seq("epoch", "feature"))
   }
 }

@@ -187,11 +187,13 @@ object PipelineExt4 extends QueryModule {
     // count frame is persisted as it is admitted (one scan of the
     // batch, the td59 write helper); the report then gates every
     // later epoch against epoch 0's stored baseline at zero
-    // reference-side scans. Epoch membership is deterministic (the
+    // reference-side scans — ALL epochs in one grouped plan
+    // (DriftOps.driftVsBaselineByEpoch), not a driver loop unioning
+    // one sub-plan per epoch, so a year of daily dumps reports at
+    // flat per-epoch cost. Epoch membership is deterministic (the
     // id-sorted log + the admission cap), so the DuckDB oracle can
     // reconstruct the exact per-epoch slices with a row_number.
     "td61_epoch_drift_monitor" -> { (s, dir) =>
-      import s.implicits._
       val base = scratch("td61", dir)
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
@@ -224,14 +226,11 @@ object PipelineExt4 extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
       val fc = s.read.parquet(s"$base/fc")
-      val baseline = fc.where(col("epoch") === 0).drop("epoch")
-      val eps = fc.where(col("epoch") > 0)
-        .select(col("epoch").cast("int")).distinct().as[Int]
-        .collect().sorted // bounded: one value per admitted epoch
-      eps.map(e => DriftOps.driftVsBaseline(
-          fc.where(col("epoch") === e).drop("epoch"), baseline)
-          .withColumn("epoch", lit(e)))
-        .reduce(_ unionByName _)
+      DriftOps.driftVsBaselineByEpoch(
+          fc.where(col("epoch") > 0)
+            .select(col("epoch").cast("int").as("epoch"), col("feature"),
+              col("bucket"), col("n")),
+          fc.where(col("epoch") === 0).drop("epoch"))
         .select(col("epoch"), col("feature"), col("n_buckets"),
           col("l1_micro"), col("top_bucket"), col("top_shift_micro"))
         .orderBy("epoch", "feature")

@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *  - `dropped/`  ids of previously-KEPT docs later superseded by a
   *                smaller-id exact duplicate (the retraction list;
   *                every side-store read is anti-joined against it)
+  *  - `ledger/`   EVERY ingested doc id, one id-only row per doc —
+  *                the complete seen-id set behind the loud
+  *                re-ingestion guard (ids that failed rules or lost a
+  *                dup election leave no other state, but they are
+  *                still here, so re-shipping ANY previously-seen id
+  *                is refused, not just state-bearing ones)
   *  - `state/`    the upsert table of SAMPLED docs (kfk06's
   *                merge-on-read delta shape, pk=id, version=epoch)
   *
@@ -123,9 +129,14 @@ object IncrementalCuration {
     * that unioned them would double every side-store row (benign for
     * the keep-latest state, but duplicated shingle rows would inflate
     * the LSH verify's count-based intersections). So: any
-    * non-compacted dir at/below the newest compacted dir's epoch, and
-    * any OLDER compacted dir (residue of a crashed re-compaction), is
-    * stale. Returns (live, stale).
+    * non-compacted dir at/below the newest COMMITTED compacted dir's
+    * epoch, and any OLDER compacted dir (residue of a crashed
+    * re-compaction), is stale. A compacted dir WITHOUT `_SUCCESS` — a
+    * crash DURING the compacted write itself — is always stale and
+    * never covers anything: treating it as covering would mask the
+    * intact originals behind a partial frame and let the next
+    * compaction delete them, i.e. silent data loss. Returns
+    * (live, stale).
     */
   private def deltaDirs(fs: FileSystem, store: String)
       : (Array[FileStatus], Array[FileStatus]) = {
@@ -134,10 +145,14 @@ object IncrementalCuration {
       catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
     val deltas = all.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("delta="))
-    val covered = deltas.filter(isCompacted).map(deltaEpoch)
+    def committed(d: FileStatus): Boolean =
+      fs.exists(new Path(d.getPath, "_SUCCESS"))
+    val covered = deltas
+      .filter(d => isCompacted(d) && committed(d)).map(deltaEpoch)
       .foldLeft(-1L)(math.max)
     val (stale, live) = deltas.partition(d =>
-      (!isCompacted(d) && deltaEpoch(d) <= covered) ||
+      (isCompacted(d) && !committed(d)) ||
+        (!isCompacted(d) && deltaEpoch(d) <= covered) ||
         (isCompacted(d) && deltaEpoch(d) < covered))
     (live, stale)
   }
@@ -183,6 +198,22 @@ object IncrementalCuration {
     * state under `base`. Idempotent: a replayed committed epoch is a
     * no-op (foreachBatch's at-least-once contract becomes
     * exactly-once, like upsertSink's).
+    *
+    * EPOCHS MUST BE SERIALIZED per `base`: the strictly-below-epoch
+    * store reads and the `_SUCCESS` commit protocol assume one writer
+    * advancing one epoch at a time (which a single Structured
+    * Streaming query's foreachBatch guarantees by construction). Two
+    * CONCURRENT writers — e.g. two source streams ingesting into the
+    * same base — would race the commit protocol; route them through
+    * one coordinator query (union the sources upstream, or alternate
+    * their dumps as epochs) and have each ingest process hold the
+    * [[withWriterLease]] lease so a misconfigured second pipeline
+    * fails loudly instead of corrupting the stores. Per-source store
+    * namespaces merged on read were considered and rejected: exact-dup
+    * keeper election min-merges correctly across namespaces, but
+    * near-dup pair DISCOVERY is cross-source (each namespace's LSH
+    * index only holds its own docs), so split indexes silently miss
+    * cross-source pairs — the manifest would diverge from batch.
     */
   def processEpoch(epoch: Long, newDocs: DataFrame, base: String,
                    idCol: String, textCol: String, langCol: String,
@@ -241,20 +272,24 @@ object IncrementalCuration {
     // Loud id-uniqueness guard: the pipeline's stores model each doc
     // id as ingested ONCE (the log/offset contract — a re-crawled doc
     // must arrive under a new id or through a keep-latest compaction
-    // upstream). A re-ingested id whose OLD version contributed state
-    // would silently corrupt the manifest (its old kept/shingle/pair
-    // rows can't be re-derived for retraction), so it fails here
-    // instead. One bounded semi-join count on the epoch frame; ids
-    // that previously failed rules or lost a dup election leave no
-    // state and are not detectable — the invariant for those is the
-    // ingest contract itself, documented above.
+    // upstream). A re-ingested id would silently corrupt the manifest
+    // — a state-bearing id's old kept/shingle/pair rows can't be
+    // re-derived for retraction, and even a STATELESS id (failed
+    // rules, lost a dup election) re-arriving with different text
+    // would corrupt the hash→keeper mapping — so the guard checks the
+    // COMPLETE seen-id set, the id-only `ledger/` store appended from
+    // every ingested batch. One semi-join of the ledger scan against
+    // the (broadcastable) epoch id set; the ledger is the narrowest
+    // possible corpus-linear frame (one long column) and compacts
+    // like every other store.
+    val ledgerBefore = readStore(spark, s"$base/ledger", epoch,
+      docs.select(col("id")).limit(0))
     val reIngested = docs.select(col("id"))
-      .join(storedKeptRaw.select(col("id"))
-        .union(droppedBefore.select(col("id"))), Seq("id"), "left_semi")
+      .join(ledgerBefore, Seq("id"), "left_semi")
       .limit(1).collect()
     require(reIngested.isEmpty,
-      s"epoch $epoch re-ingests doc id ${reIngested.headOption.map(_.get(0))}" +
-        " which already contributed state — ids must be unique across" +
+      s"epoch $epoch re-ingests doc id ${reIngested.head.get(0)}" +
+        " which was already ingested — ids must be unique across" +
         " the ingest stream (re-crawls need new ids or upstream" +
         " keep-latest compaction)")
     // Bounded driver check (≤ |epoch| hash groups can supersede): the
@@ -320,6 +355,7 @@ object IncrementalCuration {
     appendEpoch(newPairs, s"$base/pairs", epoch)
     appendEpoch(newKeptStats, s"$base/kept", epoch)
     appendEpoch(retracted, s"$base/dropped", epoch)
+    appendEpoch(docs.select(col("id")), s"$base/ledger", epoch)
 
     // ---- re-weight TOUCHED components, emit the epoch's upsert delta
     // LIVE graph: pairs among currently-live docs — cluster sizes and
@@ -433,10 +469,102 @@ object IncrementalCuration {
       .foreach(st => fold(s"$base/$st", minusDroppedOn("id")))
     fold(s"$base/pairs", minusDroppedOn("id_a", "id_b"))
     fold(s"$base/dropped", identity)
+    fold(s"$base/ledger", identity) // ids unique: identity IS distinct
     fold(s"$base/hashes",
       df => df.groupBy(col("h")).agg(min(col("id")).as("id")))
     fold(s"$base/state", df => graft.operators.ChangelogOps.normalize(
       df, Seq(col("id")), Seq(col("__version")), col("__rowkind")))
+  }
+
+  /** The single-writer lease file guarding a pipeline base — see
+    * [[processEpoch]]'s serialized-epochs contract.
+    */
+  private def leasePath(base: String): Path = new Path(base, "_writer.lock")
+
+  /** Acquire the single-writer lease on `base` for `owner`, failing
+    * LOUDLY (naming the current holder) if another writer holds it —
+    * the guard against two ingest pipelines racing the same stores.
+    * Atomicity rides on the filesystem's create-if-absent (atomic on
+    * HDFS and POSIX; object stores need their conditional-put flavor
+    * — on plain S3 keep the lease on a consistent store, e.g. the
+    * checkpoint volume). A crashed writer leaves its lease behind by
+    * design: an operator confirms the holder is dead and removes the
+    * file (or re-acquires under the same owner id, which is allowed —
+    * re-entry after a crash is the normal restart path).
+    */
+  def acquireWriterLease(spark: SparkSession, base: String,
+                         owner: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val p = leasePath(base)
+    if (fs.exists(p) && readLeaseOwner(fs, p) == owner) return // re-entry
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"writer lease on $base is held by '${readLeaseOwner(fs, p)}'" +
+              s" — refusing a second concurrent writer '$owner'" +
+              " (epochs must be serialized; see processEpoch)")
+      }
+    try out.write(owner.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Release `owner`'s lease on `base`; loud if someone else holds it
+    * (a release race is a coordination bug worth surfacing).
+    */
+  def releaseWriterLease(spark: SparkSession, base: String,
+                         owner: String): Unit = {
+    val fs = hadoopFs(spark, base)
+    val p = leasePath(base)
+    if (!fs.exists(p)) return
+    val holder = readLeaseOwner(fs, p)
+    require(holder == owner,
+      s"writer lease on $base is held by '$holder', not '$owner'")
+    fs.delete(p, false)
+  }
+
+  private def readLeaseOwner(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](4096)
+      val n = math.max(0, in.read(buf))
+      new String(buf, 0, n, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Run `body` holding the single-writer lease on `base` — the
+    * coordinator wrapper an ingest loop puts around its stream (NOT
+    * around each epoch: the lease marks the writing PROCESS, not a
+    * batch).
+    */
+  def withWriterLease[T](spark: SparkSession, base: String,
+                         owner: String)(body: => T): T = {
+    acquireWriterLease(spark, base, owner)
+    try body finally releaseWriterLease(spark, base, owner)
+  }
+
+  /** Compaction SCHEDULING policy — the automation hook around
+    * [[compactStores]]: fold when any store's live delta-dir count
+    * exceeds `maxDeltas`, so a long-running ingest loop calling this
+    * after each committed epoch keeps read amplification bounded
+    * without an operator in the loop. `belowEpoch` must still respect
+    * compactStores' checkpoint-bound rule (pass the epoch that just
+    * COMMITTED: the fold is strictly below it, so the replay guard's
+    * exact state delta and a replayed epoch's strictly-below reads
+    * both survive). Pure dir-listing probe when under threshold —
+    * no data is read. Returns whether a compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, base: String, belowEpoch: Long,
+                   maxDeltas: Int = 8): Boolean = {
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    val stores = Seq("hashes", "shingles", "bands", "pairs", "kept",
+      "dropped", "ledger", "state")
+    val over = stores.exists { st =>
+      deltaDirs(hadoopFs(spark, s"$base/$st"), s"$base/$st")
+        ._1.count(deltaEpoch(_) < belowEpoch) > maxDeltas
+    }
+    if (over) compactStores(spark, base, belowEpoch)
+    over
   }
 
   /** Day-2 operations view of the pipeline state under `base`: one
@@ -453,7 +581,7 @@ object IncrementalCuration {
     */
   def storeStats(spark: SparkSession, base: String): DataFrame = {
     val stores = Seq("hashes", "shingles", "bands", "pairs", "kept",
-      "dropped", "state")
+      "dropped", "ledger", "state")
     val rows = stores.map { st =>
       val store = s"$base/$st"
       val fs = hadoopFs(spark, store)

@@ -17,14 +17,21 @@ import org.apache.spark.sql.functions._
   * per-round acceptance density and wall time, then one
   * [[CurationOps.applyMerges]] pass is timed at the FULL learned
   * merge-table depth (the chunked-codegen path a tokenizer-apply job
-  * exercises). Usage:
+  * exercises). `rampEvery` > 0 doubles the candidate window every
+  * that many accepted merges (capped at `maxBatch`) — the
+  * measured-regime mitigation for fixed-window under-fill at depth
+  * (r15 verdict #5); semantics stay the batched disjoint acceptance
+  * at whatever window each round ranks. Usage:
   *   runMain graft.tools.BpeScaleProbe [target] [batch] [vocab]
+  *     [rampEvery] [maxBatch]
   */
 object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val target = if (args.length > 0) args(0).toInt else 1000
     val batch = if (args.length > 1) args(1).toInt else 256
     val vocab = if (args.length > 2) args(2).toInt else 50000
+    val rampEvery = if (args.length > 3) args(3).toInt else 0
+    val maxBatch = if (args.length > 4) args(4).toInt else Int.MaxValue
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,13 +49,16 @@ object BpeScaleProbe {
       .groupBy(col("doc"))
       .agg(concat_ws(" ", collect_list(col("piece"))).as("text"))
 
-    println(s"[bpe-scale] target=$target batch=$batch vocab~$vocab")
+    println(s"[bpe-scale] target=$target batch=$batch vocab~$vocab" +
+      (if (rampEvery > 0) s" rampEvery=$rampEvery maxBatch=$maxBatch"
+       else " (no ramp)"))
     val t0 = System.nanoTime()
     var lastLog = 0
     val hist = Seq.newBuilder[(Int, Int, Long)]
     var cum = 0
     val (merges, wf) = CurationOps.bpeLoop(docs, "text",
       rounds = 100000, batch = batch, maxMerges = target,
+      rampEvery = rampEvery, maxBatch = maxBatch,
       onRound = (round, accepted, ms) => {
         cum += accepted
         hist += ((round, accepted, ms))

@@ -122,4 +122,50 @@ class DriftOpsSpec extends AnyFunSuite {
     // dim 0 is fully disjoint between the sides (bucket 0 vs 9)
     assert(direct.head(1) == 2000000L)
   }
+
+  test("a NULL or empty embedding fails LOUDLY, never silently skews shares") {
+    // posexplode of an empty array emits no rows, so without the guard
+    // the vector would vanish from the dim-0-derived totals and every
+    // share would silently overcount — the contract is raise_error
+    val empt = Seq((0L, Array(0.1f, 0.2f)), (1L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      DriftOps.embeddingBucketCounts(empt, "vec_id", "embedding").collect()
+    }
+    assert(e1.getMessage.contains("empty embedding for id 1"))
+    val nul = Seq((0L, Some(Array(0.1f, 0.2f))), (3L, None))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      DriftOps.embeddingDrift(nul, "vec_id", "embedding",
+        col("vec_id") % 2 === 1).collect()
+    }
+    assert(e2.getMessage.contains("empty embedding for id 3"))
+    // valid snapshots are untouched by the guard
+    assert(DriftOps.embeddingBucketCounts(
+      empt.where(col("vec_id") === 0), "vec_id", "embedding")
+      .count() == 2L)
+  }
+
+  test("driftVsBaselineByEpoch: ONE plan equals per-epoch driftVsBaseline") {
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (1 to 45).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, short, "en"), (2L, short, "en"), (4L, long, "de"),
+      (1L, long, "en"), (3L, short, "fr"), (5L, long, "fr"),
+      (7L, long, "de"), (9L, short, "de"))
+      .toDF("doc_id", "text", "lang")
+    val baseline = DriftOps.corpusFeatureCounts(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", "lang")
+    def epochCounts(e: Int) = DriftOps.corpusFeatureCounts(
+        docs.where(col("doc_id") % 3 === e), "doc_id", "text", "lang")
+      .withColumn("epoch", lit(e))
+    val live = epochCounts(1).unionByName(epochCounts(2))
+    val grouped = DriftOps.driftVsBaselineByEpoch(live, baseline)
+      .collect().map(_.toSeq).toSeq
+    val perEpoch = Seq(1, 2).flatMap(e =>
+      DriftOps.driftVsBaseline(epochCounts(e).drop("epoch"), baseline)
+        .collect().map(r => e +: r.toSeq))
+    assert(grouped == perEpoch)
+    assert(grouped.size == 6) // 2 epochs × 3 features
+  }
 }

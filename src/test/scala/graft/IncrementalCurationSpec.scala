@@ -264,6 +264,129 @@ class IncrementalCurationSpec extends AnyFunSuite {
       == 1, s"residue not swept: $left")
   }
 
+  test("a crash DURING the compacted write itself never loses the originals") {
+    // deltaDirs must treat a compacted dir WITHOUT _SUCCESS as stale:
+    // if it covered its epoch by name alone, every read would mask the
+    // intact originals behind the partial frame and the next
+    // compaction would delete them as 'stale' — permanent data loss
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    val before = incManifest(base)
+    def shingleRows: Long = IncrementalCuration.readStore(
+      spark, s"$base/shingles", Long.MaxValue, spark.emptyDataFrame).count()
+    val rowsBefore = shingleRows
+    // simulate the crash: a PARTIAL compacted dir (subset of the rows,
+    // no _SUCCESS) lands next to the intact originals
+    val shDir = s"$base/shingles"
+    spark.read.parquet(s"$shDir/delta=" + "0" * 19 + "0")
+      .limit(1).write.parquet(s"$shDir/delta=" + "0" * 19 + "1c")
+    new java.io.File(s"$shDir/delta=" + "0" * 19 + "1c/_SUCCESS").delete()
+    // reads still see the originals, not the partial frame
+    assert(shingleRows == rowsBefore)
+    assert(incManifest(base) == before)
+    // the next compaction sweeps the partial dir and folds the intact
+    // originals — nothing is lost
+    IncrementalCuration.compactStores(spark, base, 2L)
+    assert(shingleRows == rowsBefore)
+    assert(incManifest(base) == before)
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == batchManifest)
+  }
+
+  test("re-ingesting STATELESS ids (failed rules / lost elections) fails loudly too") {
+    // doc 4 failed C4 in epoch 0 and doc 5 lost the exact-dup election
+    // in epoch 1 — neither has kept/dropped/hashes state, but both are
+    // in the id ledger, and re-shipping either (possibly with NEW
+    // text, which would corrupt the hash→keeper mapping) must refuse
+    val base = tmp()
+    IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+      "doc_id", "text", "lang")
+    IncrementalCuration.processEpoch(1L, df(epochs(1)), base,
+      "doc_id", "text", "lang")
+    Seq(
+      (4L, "too short", "en"),                    // rules-failed, same text
+      (5L, baseB + " now different", "en")        // dup-loser, NEW text
+    ).foreach { row =>
+      val e = intercept[IllegalArgumentException] {
+        IncrementalCuration.processEpoch(2L, df(Seq(row)), base,
+          "doc_id", "text", "lang")
+      }
+      assert(e.getMessage.contains(s"re-ingests doc id ${row._1}"))
+      assert(!IncrementalCuration.epochCommitted(spark, base, 2L))
+    }
+    // fresh ids still flow
+    IncrementalCuration.processEpoch(2L, df(epochs(2)), base,
+      "doc_id", "text", "lang")
+    assert(incManifest(base) == batchManifest)
+  }
+
+  test("the single-writer lease is loud on conflict and re-entrant after a crash") {
+    val base = tmp()
+    IncrementalCuration.acquireWriterLease(spark, base, "pipeline-a")
+    // a second concurrent writer fails loudly, naming the holder
+    val e = intercept[IllegalStateException] {
+      IncrementalCuration.acquireWriterLease(spark, base, "pipeline-b")
+    }
+    assert(e.getMessage.contains("pipeline-a"))
+    assert(e.getMessage.contains("pipeline-b"))
+    // crash-restart: the SAME owner re-acquires (the normal replay path)
+    IncrementalCuration.acquireWriterLease(spark, base, "pipeline-a")
+    // a foreign release is a coordination bug worth surfacing
+    intercept[IllegalArgumentException] {
+      IncrementalCuration.releaseWriterLease(spark, base, "pipeline-b")
+    }
+    IncrementalCuration.releaseWriterLease(spark, base, "pipeline-a")
+    // released: the other pipeline can now take over
+    IncrementalCuration.withWriterLease(spark, base, "pipeline-b") {
+      IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
+        "doc_id", "text", "lang")
+    }
+  }
+
+  test("two sources through ONE coordinator (alternating epochs under the lease) converge") {
+    // the multi-stream regime processEpoch's contract prescribes: the
+    // coordinator serializes the sources' dumps as alternating epochs
+    // — cross-SOURCE exact dups (9/10 land via different sources) and
+    // near-dups must still resolve exactly like the pooled batch
+    val base = tmp()
+    val bySource = Seq(all.filter(_._1 % 2 == 0), all.filter(_._1 % 2 == 1))
+    IncrementalCuration.withWriterLease(spark, base, "coordinator") {
+      // a stray second pipeline starting mid-run is refused
+      intercept[IllegalStateException] {
+        IncrementalCuration.acquireWriterLease(spark, base, "stray")
+      }
+      bySource(0).grouped(2).zip(bySource(1).grouped(2))
+        .flatMap { case (a, b) => Seq(a, b) }
+        .zipWithIndex.foreach { case (rows, e) =>
+          IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+            "doc_id", "text", "lang")
+        }
+    }
+    assert(incManifest(base) == batchManifest)
+  }
+
+  test("maybeCompact keeps a long run's delta counts bounded without breaking replay") {
+    val base = tmp()
+    all.grouped(2).zipWithIndex.foreach { case (rows, e) =>
+      IncrementalCuration.processEpoch(e.toLong, df(rows), base,
+        "doc_id", "text", "lang")
+      // the ingest-loop hook: epoch e just committed, fold below it
+      IncrementalCuration.maybeCompact(spark, base, e.toLong, maxDeltas = 2)
+    }
+    // bounded: every store stays at <= maxDeltas + 1 live dirs (the
+    // fold runs when the strictly-below count EXCEEDS the threshold)
+    val stats = IncrementalCuration.storeStats(spark, base)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    stats.foreach { case (st, n) =>
+      assert(n <= 4, s"$st grew to $n deltas despite auto-compaction")
+    }
+    assert(incManifest(base) == batchManifest)
+  }
+
   test("re-ingesting an id that contributed state fails loudly, not silently") {
     // doc 3 was kept in epoch 0; a later epoch delivering doc_id 3
     // again (a re-crawl under the same id) would silently corrupt the
