@@ -61,6 +61,61 @@ object PipelineExt5 extends QueryModule {
           col("n_tokens"), col("first_kept"), col("last_kept"),
           col("threshold_micro"))
         .orderBy("epoch")
+    },
+
+    // Per-dump admission funnel (td64): for each ingest epoch, how
+    // much of the dump was content we already had — read from the
+    // incremental pipeline's OWN stores (id ledger + min-merged hash
+    // keepers, IncrementalCuration.dedupFunnel) at zero corpus
+    // re-scans. The dumps arrive id-INTERLEAVED (doc_id % 3 → epoch),
+    // so cross-epoch keeper re-elections fire and the report must
+    // still equal the batch recompute (the global min-id keeper per
+    // content hash, attributed to its arrival epoch) — td62's
+    // per-source audit, turned per-dump and incremental.
+    "td64_dedup_funnel" -> { (s, dir) =>
+      val base = scratch("td64", dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      (0 to 2).foreach { e =>
+        graft.streaming.IncrementalCuration.processDedupEpoch(e.toLong,
+          docs.where(pmod(col("doc_id"), lit(3)) === e),
+          s"$base/st", "doc_id", "text")
+      }
+      graft.streaming.IncrementalCuration.dedupFunnel(s, s"$base/st")
+        .orderBy("epoch")
+    },
+
+    // CODEC-REAL JPEG frame header (mm16): the family's first
+    // DYNAMIC-offset container — JPEG's SOF0 frame header lands
+    // wherever the variable-length APP0/COM/DQT segments before it
+    // end, so the parse must WALK the segment list reading each
+    // length from the container's actual bytes (JpegSof.sofOffset's
+    // bounded aggregate fold; fixed-offset reads cannot parse JPEG).
+    // Odd doc_ids carry an extra COM segment whose length varies with
+    // the text, so SOF0's offset differs row to row and a
+    // fixed-offset cheat would hash-mismatch immediately. The oracle
+    // recomputes every field from the deterministic parameters;
+    // JpegSofSpec additionally cross-checks the walker against
+    // javax.imageio's REAL JPEG encoder output.
+    "mm16_jpeg_sof_walk" -> { (s, dir) =>
+      val params = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(120))).as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(90))).as("h"),
+          (lit(1) + lit(2) * pmod(col("doc_id"), lit(2))).as("ncomp"),
+          when(col("doc_id") % 2 === 1,
+            lit(4) + pmod(length(col("text")), lit(60)))
+            .otherwise(lit(0)).cast("long").as("comlen"))
+      val blobs = params.withColumn("payload",
+          JpegSof.jpegBytes(col("w"), col("h"), col("ncomp"),
+            col("comlen")))
+        .select(col("doc_id"), col("payload"))
+      JpegSof.parseJpeg(blobs, col("payload"))
+        .select(col("doc_id"), col("jpeg_ok"), col("width"),
+          col("height"), col("precision").as("precision_bits"),
+          col("n_components"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
     }
   )
 
@@ -146,7 +201,49 @@ object PipelineExt5 extends QueryModule {
       FROM s2 JOIN t ON s2.epoch = t.epoch
       WHERE score_micro >= t.threshold_micro
       GROUP BY s2.epoch
-      ORDER BY s2.epoch"""
+      ORDER BY s2.epoch""",
+
+    // The batch recompute of the funnel: global min-id keeper per
+    // content hash (the exact-dup canonical election), attributed to
+    // its arrival epoch (doc_id % 3 — the interleaved dump layout the
+    // query feeds), per-epoch counts and exact-integer dup rate.
+    "td64_dedup_funnel" -> """
+      WITH dp AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS epoch,
+              doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                AS canon
+            FROM documents)
+      SELECT epoch, CAST(count(1) AS BIGINT) AS n_ingested,
+             CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_canonical,
+             CAST(sum(CASE WHEN canon THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_exact_dup,
+             CAST((sum(CASE WHEN canon THEN 0 ELSE 1 END) * 1000000)
+               // count(1) AS BIGINT) AS exact_dup_micro
+      FROM dp
+      GROUP BY epoch
+      ORDER BY epoch""",
+
+    // Every field recomputed from the deterministic parameters; the
+    // Spark side must walk the segment list through the container's
+    // actual bytes to find SOF0 (its offset moves with the odd-id COM
+    // segment). Container bytes: SOI 2 + APP0 18 + [COM comlen+4 on
+    // odd ids] + DQT 69 + SOF0 (10 + 3*ncomp) + EOI 2.
+    "mm16_jpeg_sof_walk" -> """
+      WITH p AS (SELECT doc_id,
+                   8 + doc_id % 120 AS w,
+                   6 + doc_id % 90 AS h,
+                   1 + 2 * (doc_id % 2) AS ncomp,
+                   CASE WHEN doc_id % 2 = 1
+                     THEN 4 + length(text) % 60 ELSE 0 END AS comlen
+                 FROM documents)
+      SELECT doc_id, TRUE AS jpeg_ok,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(8 AS BIGINT) AS precision_bits,
+             CAST(ncomp AS BIGINT) AS n_components,
+             CAST(101 + 3 * ncomp
+               + CASE WHEN doc_id % 2 = 1 THEN comlen + 4 ELSE 0 END
+               AS BIGINT) AS n_bytes
+      FROM p ORDER BY doc_id"""
   )
 
   /** Deterministic scratch dir per (query, sf dir); wiped per seed —

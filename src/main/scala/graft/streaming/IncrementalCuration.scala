@@ -43,12 +43,13 @@ import org.apache.spark.sql.functions._
   *  - `dropped/`  ids of previously-KEPT docs later superseded by a
   *                smaller-id exact duplicate (the retraction list;
   *                every side-store read is anti-joined against it)
-  *  - `ledger/`   EVERY ingested doc id, one id-only row per doc —
-  *                the complete seen-id set behind the loud
-  *                re-ingestion guard (ids that failed rules or lost a
-  *                dup election leave no other state, but they are
-  *                still here, so re-shipping ANY previously-seen id
-  *                is refused, not just state-bearing ones)
+  *  - `ledger/`   EVERY ingested doc id with its ingest epoch — the
+  *                complete seen-id set behind the loud re-ingestion
+  *                guard (ids that failed rules or lost a dup election
+  *                leave no other state, but they are still here, so
+  *                re-shipping ANY previously-seen id is refused, not
+  *                just state-bearing ones), and the arrival-epoch
+  *                attribution the per-dump funnel reports join on
   *  - `state/`    the upsert table of SAMPLED docs (kfk06's
   *                merge-on-read delta shape, pk=id, version=epoch)
   *
@@ -355,7 +356,8 @@ object IncrementalCuration {
     appendEpoch(newPairs, s"$base/pairs", epoch)
     appendEpoch(newKeptStats, s"$base/kept", epoch)
     appendEpoch(retracted, s"$base/dropped", epoch)
-    appendEpoch(docs.select(col("id")), s"$base/ledger", epoch)
+    appendEpoch(docs.select(col("id"))
+      .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch)
 
     // ---- re-weight TOUCHED components, emit the epoch's upsert delta
     // LIVE graph: pairs among currently-live docs — cluster sizes and
@@ -415,6 +417,89 @@ object IncrementalCuration {
       clusteredRows.unionByName(singletonRows).unionByName(retractedRows)
         .withColumn("__version", lit(epoch)),
       s"$base/state", epoch)
+  }
+
+  /** td64: [[processEpoch]]'s LIGHTWEIGHT sibling for the per-dump
+    * admission monitoring regime — maintains ONLY the exact-dup
+    * election state (`hashes/` min-merge improvements) and the id
+    * `ledger/` (with arrival epochs), so an ops pipeline that just
+    * needs the novelty/dup-rate funnel per dump pays one hash pass +
+    * one store-side semi-join per epoch, never the full curation
+    * DAG's rules/LSH/component machinery. Stores are the SAME layout
+    * as processEpoch's, so [[dedupFunnel]] reads either pipeline's
+    * base. Same commit protocol: the ledger delta (written LAST) is
+    * the epoch's commit marker, every append is `_SUCCESS`-guarded
+    * and replay-safe, and the same loud re-ingestion guard applies.
+    * Same order-independence: the min-merge election is correct under
+    * ANY epoch arrival order.
+    */
+  def processDedupEpoch(epoch: Long, newDocs: DataFrame, base: String,
+                        idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val fs = hadoopFs(spark, base)
+    if (fs.exists(new Path(deltaDir(s"$base/ledger", epoch), "_SUCCESS")))
+      return // committed replay: no-op
+    val docs = newDocs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val ledgerBefore = readStore(spark, s"$base/ledger", epoch,
+      docs.select(col("id")).limit(0))
+    val reIngested = docs.select(col("id"))
+      .join(ledgerBefore.select(col("id")), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(reIngested.isEmpty,
+      s"epoch $epoch re-ingests doc id ${reIngested.head.get(0)}" +
+        " which was already ingested — ids must be unique across" +
+        " the ingest stream")
+    val hashed = docs.withColumn("__h", md5(lower(col("text")))).barrier()
+    // keepers only for hashes colliding with this epoch (processEpoch's
+    // bounded-keeper-frame shape)
+    val epochHashes = hashed.select(col("__h").as("h")).distinct()
+    val storedKeepers = readStore(spark, s"$base/hashes", epoch,
+        hashed.select(col("__h").as("h"), col("id")).limit(0))
+      .join(epochHashes, Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("id")).as("keeper"))
+    val epochMin = min(col("id")).over(Window.partitionBy(col("__h")))
+    val improvements = hashed
+      .join(storedKeepers.withColumnRenamed("h", "__h"), Seq("__h"), "left")
+      .withColumn("__imp", col("id") === epochMin &&
+        (col("keeper").isNull || col("id") < col("keeper")))
+      .where(col("__imp"))
+      .select(col("__h").as("h"), col("id"))
+    appendEpoch(improvements, s"$base/hashes", epoch)
+    appendEpoch(docs.select(col("id"))
+      .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch)
+  }
+
+  /** td64: the per-dump admission funnel, read from the pipeline's
+    * OWN stores at zero corpus re-scans — per ingest epoch, how many
+    * docs arrived (`n_ingested`, the ledger), how many are the FINAL
+    * canonical keeper of their content hash (`n_canonical`: min-merge
+    * the hashes store to the current keeper set, attribute each
+    * keeper to its arrival epoch through the ledger), and the
+    * exact-dup rate in micros — the "what fraction of each dump was
+    * content we already had" report a corpus owner reads per vendor
+    * delivery (td62 is the per-SOURCE batch twin). Order-independent:
+    * keeper re-elections move a hash's keeper (and so its epoch
+    * attribution) exactly as the final global election dictates, so
+    * the report equals the batch recompute under ANY arrival order.
+    * Scale anatomy: one scan of the two narrowest stores (id ledger,
+    * hash→keeper), one id-keyed join, |epochs| output rows.
+    */
+  def dedupFunnel(spark: SparkSession, base: String): DataFrame = {
+    val ledger = readStore(spark, s"$base/ledger", Long.MaxValue,
+      spark.range(0).select(col("id"), col("id").as("epoch")))
+    val keepers = readStore(spark, s"$base/hashes", Long.MaxValue,
+        spark.range(0).select(col("id").cast("string").as("h"), col("id")))
+      .groupBy(col("h")).agg(min(col("id")).as("id"))
+      .select(col("id"), lit(true).as("canon"))
+    ledger
+      .join(keepers, Seq("id"), "left")
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_ingested"),
+        sum(when(col("canon"), 1L).otherwise(0L)).as("n_canonical"))
+      .withColumn("n_exact_dup", col("n_ingested") - col("n_canonical"))
+      .withColumn("exact_dup_micro",
+        graft.operators.CurationOps.microRatio("n_exact_dup", "n_ingested"))
   }
 
   /** Compact the pipeline's state under `base`: fold every store's

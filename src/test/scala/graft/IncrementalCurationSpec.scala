@@ -406,6 +406,40 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(!IncrementalCuration.epochCommitted(spark, base, 1L))
   }
 
+  test("dedupFunnel: per-dump novelty attribution equals the global election, any order") {
+    // slices arrive as epochs in a scrambled order, so keepers get
+    // re-elected across epochs; each epoch's n_canonical must still
+    // count exactly the docs that are GLOBAL minima of their content
+    // hash (the batch election), attributed to their arrival epoch
+    val slices = Seq(0, 1, 2).map(r => all.filter(_._1 % 3 == r))
+    val order = Seq(2, 0, 1)
+    val base = tmp()
+    order.zipWithIndex.foreach { case (si, e) =>
+      IncrementalCuration.processDedupEpoch(e.toLong, df(slices(si)),
+        s"$base/st", "doc_id", "text")
+    }
+    val out = IncrementalCuration.dedupFunnel(spark, s"$base/st")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val canon = all.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val expected = order.zipWithIndex.map { case (si, e) =>
+      val sl = slices(si)
+      e.toLong -> ((sl.size.toLong, sl.count(t => canon(t._1)).toLong,
+        sl.count(t => !canon(t._1)).toLong))
+    }.toMap
+    assert(out == expected)
+    // a committed epoch replays as a no-op; a seen id is refused
+    IncrementalCuration.processDedupEpoch(0L, df(slices(2)), s"$base/st",
+      "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IncrementalCuration.processDedupEpoch(3L, df(slices(0).take(1)),
+        s"$base/st", "doc_id", "text")
+    }
+    assert(IncrementalCuration.dedupFunnel(spark, s"$base/st")
+      .count() == 3L)
+  }
+
   test("storeStats reads the operational state without touching the corpus") {
     val base = tmp()
     IncrementalCuration.processEpoch(0L, df(epochs(0)), base,
