@@ -229,33 +229,10 @@ object IncrementalCuration {
       .barrier()
 
     // ---- exact-dup canonical RE-election (order-independent) -------
-    val hashed = docs.withColumn("__h", md5(lower(col("text"))))
-    // keepers are needed ONLY for hashes colliding with this epoch:
-    // semi-join the store by the epoch's hash set BEFORE aggregating,
-    // so in the daily-dump regime (epoch ≪ corpus) the store side is
-    // one scan + a broadcast semi-join and the keeper frame (and the
-    // r_dup join below) are epoch-collision-sized — not two
-    // store-wide exchanges per epoch; a huge epoch degrades to the
-    // shuffle join via AQE, never worse than the unfiltered aggregate
-    val epochHashes = hashed.select(col("__h").as("h")).distinct()
-    val storedKeepers = readStore(spark, s"$base/hashes", epoch,
-        hashed.select(col("__h").as("h"), col("id")).limit(0))
-      .join(epochHashes, Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(min(col("id")).as("keeper"))
-    // r_dup: the doc is the min id of its hash group ACROSS everything
-    // seen so far — min within the epoch AND strictly below the stored
-    // keeper (ids are unique, so equality with a stored keeper is
-    // impossible). Barriered as a NARROW id/hash frame: three
-    // consumers (verdict join, hashes append, retraction detection)
-    // would otherwise each re-run the hash-store aggregate + join.
-    val epochMin = min(col("id")).over(Window.partitionBy(col("__h")))
-    val dup = hashed
-      .join(storedKeepers.withColumnRenamed("h", "__h"), Seq("__h"), "left")
-      .withColumn("r_dup",
-        col("id") === epochMin &&
-          (col("keeper").isNull || col("id") < col("keeper")))
-      .select(col("id"), col("__h").as("h"), col("keeper"), col("r_dup"))
-      .barrier()
+    // Barriered as a NARROW id/hash frame: three consumers (verdict
+    // join, hashes append, retraction detection) would otherwise each
+    // re-run the hash-store aggregate + join.
+    val dup = dupElection(docs, base, epoch).barrier()
     // keepers superseded by a strictly smaller id in this epoch; of
     // those, only previously-KEPT docs have any store/state presence
     val supersededKeepers = dup
@@ -270,29 +247,7 @@ object IncrementalCuration {
       .join(storedKeptRaw.select(col("id")), Seq("id"), "left_semi")
       .barrier() // feeds the dropped append, -D rows, index masking,
                  // the touch graph, and the driver gate below
-    // Loud id-uniqueness guard: the pipeline's stores model each doc
-    // id as ingested ONCE (the log/offset contract — a re-crawled doc
-    // must arrive under a new id or through a keep-latest compaction
-    // upstream). A re-ingested id would silently corrupt the manifest
-    // — a state-bearing id's old kept/shingle/pair rows can't be
-    // re-derived for retraction, and even a STATELESS id (failed
-    // rules, lost a dup election) re-arriving with different text
-    // would corrupt the hash→keeper mapping — so the guard checks the
-    // COMPLETE seen-id set, the id-only `ledger/` store appended from
-    // every ingested batch. One semi-join of the ledger scan against
-    // the (broadcastable) epoch id set; the ledger is the narrowest
-    // possible corpus-linear frame (one long column) and compacts
-    // like every other store.
-    val ledgerBefore = readStore(spark, s"$base/ledger", epoch,
-      docs.select(col("id")).limit(0))
-    val reIngested = docs.select(col("id"))
-      .join(ledgerBefore, Seq("id"), "left_semi")
-      .limit(1).collect()
-    require(reIngested.isEmpty,
-      s"epoch $epoch re-ingests doc id ${reIngested.head.get(0)}" +
-        " which was already ingested — ids must be unique across" +
-        " the ingest stream (re-crawls need new ids or upstream" +
-        " keep-latest compaction)")
+    requireFreshIds(docs, base, epoch)
     // Bounded driver check (≤ |epoch| hash groups can supersede): the
     // extra PRE-retraction component pass below is paid only on
     // epochs that actually retract a keeper — in-order ingestion
@@ -441,6 +396,65 @@ object IncrementalCuration {
       return // committed replay: no-op
     val docs = newDocs
       .select(col(idCol).as("id"), col(textCol).as("text"))
+    requireFreshIds(docs, base, epoch)
+    val dup = dupElection(docs, base, epoch)
+    appendEpoch(dup.where(col("r_dup"))
+      .select(col("h"), col("id")), s"$base/hashes", epoch)
+    appendEpoch(docs.select(col("id"))
+      .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch)
+  }
+
+  /** THE exact-dup canonical election shared by [[processEpoch]] and
+    * [[processDedupEpoch]] (one definition, like sampleGate/wMicroOf —
+    * drift between the two sites would silently diverge their
+    * stores): per epoch doc, its content hash `h`, the stored
+    * `keeper` of that hash (NULL for a new hash), and `r_dup` — the
+    * doc is the min id of its hash group ACROSS everything seen so
+    * far (min within the epoch AND strictly below the stored keeper;
+    * ids are unique, so equality with a stored keeper is impossible).
+    * Keepers are read ONLY for hashes colliding with this epoch:
+    * semi-join the store by the epoch's hash set BEFORE aggregating,
+    * so in the daily-dump regime (epoch ≪ corpus) the store side is
+    * one scan + a broadcast semi-join and the keeper frame is
+    * epoch-collision-sized — not two store-wide exchanges per epoch;
+    * a huge epoch degrades to the shuffle join via AQE, never worse
+    * than the unfiltered aggregate.
+    */
+  private def dupElection(docs: DataFrame, base: String,
+                          epoch: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val hashed = docs.withColumn("__h", md5(lower(col("text"))))
+    val epochHashes = hashed.select(col("__h").as("h")).distinct()
+    val storedKeepers = readStore(spark, s"$base/hashes", epoch,
+        hashed.select(col("__h").as("h"), col("id")).limit(0))
+      .join(epochHashes, Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("id")).as("keeper"))
+    val epochMin = min(col("id")).over(Window.partitionBy(col("__h")))
+    hashed
+      .join(storedKeepers.withColumnRenamed("h", "__h"), Seq("__h"), "left")
+      .withColumn("r_dup",
+        col("id") === epochMin &&
+          (col("keeper").isNull || col("id") < col("keeper")))
+      .select(col("id"), col("__h").as("h"), col("keeper"), col("r_dup"))
+  }
+
+  /** THE loud id-uniqueness guard shared by [[processEpoch]] and
+    * [[processDedupEpoch]]: the pipeline's stores model each doc id
+    * as ingested ONCE (the log/offset contract — a re-crawled doc
+    * must arrive under a new id or through a keep-latest compaction
+    * upstream). A re-ingested id would silently corrupt the state —
+    * a state-bearing id's old index rows can't be re-derived for
+    * retraction, and even a STATELESS id (failed rules, lost a dup
+    * election) re-arriving with different text would corrupt the
+    * hash→keeper mapping — so the guard checks the COMPLETE seen-id
+    * set, the `ledger/` store appended from every ingested batch.
+    * One semi-join of the ledger scan against the (broadcastable)
+    * epoch id set; the ledger is the narrowest possible corpus-linear
+    * frame and compacts like every other store.
+    */
+  private def requireFreshIds(docs: DataFrame, base: String,
+                              epoch: Long): Unit = {
+    val spark = docs.sparkSession
     val ledgerBefore = readStore(spark, s"$base/ledger", epoch,
       docs.select(col("id")).limit(0))
     val reIngested = docs.select(col("id"))
@@ -449,25 +463,8 @@ object IncrementalCuration {
     require(reIngested.isEmpty,
       s"epoch $epoch re-ingests doc id ${reIngested.head.get(0)}" +
         " which was already ingested — ids must be unique across" +
-        " the ingest stream")
-    val hashed = docs.withColumn("__h", md5(lower(col("text")))).barrier()
-    // keepers only for hashes colliding with this epoch (processEpoch's
-    // bounded-keeper-frame shape)
-    val epochHashes = hashed.select(col("__h").as("h")).distinct()
-    val storedKeepers = readStore(spark, s"$base/hashes", epoch,
-        hashed.select(col("__h").as("h"), col("id")).limit(0))
-      .join(epochHashes, Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(min(col("id")).as("keeper"))
-    val epochMin = min(col("id")).over(Window.partitionBy(col("__h")))
-    val improvements = hashed
-      .join(storedKeepers.withColumnRenamed("h", "__h"), Seq("__h"), "left")
-      .withColumn("__imp", col("id") === epochMin &&
-        (col("keeper").isNull || col("id") < col("keeper")))
-      .where(col("__imp"))
-      .select(col("__h").as("h"), col("id"))
-    appendEpoch(improvements, s"$base/hashes", epoch)
-    appendEpoch(docs.select(col("id"))
-      .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch)
+        " the ingest stream (re-crawls need new ids or upstream" +
+        " keep-latest compaction)")
   }
 
   /** td64: the per-dump admission funnel, read from the pipeline's
@@ -483,7 +480,12 @@ object IncrementalCuration {
     * attribution) exactly as the final global election dictates, so
     * the report equals the batch recompute under ANY arrival order.
     * Scale anatomy: one scan of the two narrowest stores (id ledger,
-    * hash→keeper), one id-keyed join, |epochs| output rows.
+    * hash→keeper), one id-keyed join, |epochs| output rows. A read
+    * racing a crashed epoch (hashes delta committed, ledger delta
+    * not — the one possible gap, since the ledger is the commit
+    * marker) simply shows the post-replay attribution early: keepers
+    * without a ledger row don't join, and the replay's hashes append
+    * is a no-op, so the report converges to the same rows.
     */
   def dedupFunnel(spark: SparkSession, base: String): DataFrame = {
     val ledger = readStore(spark, s"$base/ledger", Long.MaxValue,
