@@ -221,6 +221,19 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Cluster-quota diversity pruning (te35): te06's k-means fit put
+    // to the data-pruning use — every vector ranked by cosine to its
+    // OWN centroid (most prototypical first), at most 20 kept per
+    // cluster, so a dominant embedding mode contributes the same
+    // quota as a rare one. The whole prune is fit + one per-cell
+    // window; the corpus is never compared pairwise.
+    "te35_prototype_prune" -> { (s, dir) =>
+      VectorOps.prototypePrune(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", nlist = 16, lloydIters = 1, cap = 20)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+
     // PQ (product quantization) ANN: 8 subspaces × 8 dims, 16 centroids
     // per subspace (first 16 vectors' subvectors — deterministic), codes
     // by max scaled dot with cid tie-break, queries scored by ADC
@@ -698,6 +711,57 @@ object SimilaritySuite extends QueryModule {
     }
   )
 
+  /** One-Lloyd-iteration k-means replay shared by the te06 and te35
+    * oracles: seed cells = first 16 vectors, one exact-decimal mean
+    * update, final assignment r1 exposing BOTH the rank (crk) and the
+    * rounded centroid cosine (cosc) so te06 reads probes off crk and
+    * te35 reads prototypicality off the crk=1 row's cosc.
+    */
+  private val kmeans1Cte = """ex AS (
+        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
+               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS vn
+        FROM ex GROUP BY vec_id),
+      cm0 AS (SELECT vec_id AS cell, d, x AS mx FROM ex WHERE vec_id < 16),
+      cn0 AS (
+        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
+        FROM cm0 GROUP BY cell),
+      a0 AS (
+        SELECT e.vec_id, cm0.cell,
+               CAST(sum(CAST(floor((e.x * cm0.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN cm0 ON e.d = cm0.d
+        GROUP BY 1, 2),
+      r0 AS (
+        SELECT a0.vec_id AS vec_id, a0.cell AS cell,
+               row_number() OVER (PARTITION BY a0.vec_id
+                 ORDER BY round(dot / (nv.vn * cn0.cn), 6) DESC, a0.cell) AS crk
+        FROM a0 JOIN norms nv ON a0.vec_id = nv.vec_id
+                JOIN cn0 ON a0.cell = cn0.cell),
+      cells0 AS (SELECT vec_id, cell FROM r0 WHERE crk = 1),
+      cm1 AS (
+        SELECT cell, d,
+               CAST(sum(CAST(e.x AS DECIMAL(25,6))) AS DOUBLE) / count(1) AS mx
+        FROM ex e JOIN cells0 c0 ON e.vec_id = c0.vec_id
+        GROUP BY cell, d),
+      cn1 AS (
+        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
+        FROM cm1 GROUP BY cell),
+      a1 AS (
+        SELECT e.vec_id, cm1.cell,
+               CAST(sum(CAST(floor((e.x * cm1.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex e JOIN cm1 ON e.d = cm1.d
+        GROUP BY 1, 2),
+      r1 AS (
+        SELECT a1.vec_id AS vec_id, a1.cell AS cell,
+               round(dot / (nv.vn * cn1.cn), 6) AS cosc,
+               row_number() OVER (PARTITION BY a1.vec_id
+                 ORDER BY round(dot / (nv.vn * cn1.cn), 6) DESC, a1.cell) AS crk
+        FROM a1 JOIN norms nv ON a1.vec_id = nv.vec_id
+                JOIN cn1 ON a1.cell = cn1.cell),
+      cells1 AS (SELECT vec_id, cell FROM r1 WHERE crk = 1)"""
+
   private val pqOracleSql = """
       WITH ex AS (
         SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
@@ -996,50 +1060,21 @@ object SimilaritySuite extends QueryModule {
       WHERE rk <= 5
       ORDER BY query_id, rk""",
 
-    "te06_ann_ivf_kmeans" -> """
-      WITH ex AS (
-        SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
-               unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
-        FROM embeddings),
-      norms AS (
-        SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS vn
-        FROM ex GROUP BY vec_id),
-      cm0 AS (SELECT vec_id AS cell, d, x AS mx FROM ex WHERE vec_id < 16),
-      cn0 AS (
-        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
-        FROM cm0 GROUP BY cell),
-      a0 AS (
-        SELECT e.vec_id, cm0.cell,
-               CAST(sum(CAST(floor((e.x * cm0.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM ex e JOIN cm0 ON e.d = cm0.d
-        GROUP BY 1, 2),
-      r0 AS (
-        SELECT a0.vec_id AS vec_id, a0.cell AS cell,
-               row_number() OVER (PARTITION BY a0.vec_id
-                 ORDER BY round(dot / (nv.vn * cn0.cn), 6) DESC, a0.cell) AS crk
-        FROM a0 JOIN norms nv ON a0.vec_id = nv.vec_id
-                JOIN cn0 ON a0.cell = cn0.cell),
-      cells0 AS (SELECT vec_id, cell FROM r0 WHERE crk = 1),
-      cm1 AS (
-        SELECT cell, d,
-               CAST(sum(CAST(e.x AS DECIMAL(25,6))) AS DOUBLE) / count(1) AS mx
-        FROM ex e JOIN cells0 c0 ON e.vec_id = c0.vec_id
-        GROUP BY cell, d),
-      cn1 AS (
-        SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
-        FROM cm1 GROUP BY cell),
-      a1 AS (
-        SELECT e.vec_id, cm1.cell,
-               CAST(sum(CAST(floor((e.x * cm1.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM ex e JOIN cm1 ON e.d = cm1.d
-        GROUP BY 1, 2),
-      r1 AS (
-        SELECT a1.vec_id AS vec_id, a1.cell AS cell,
-               row_number() OVER (PARTITION BY a1.vec_id
-                 ORDER BY round(dot / (nv.vn * cn1.cn), 6) DESC, a1.cell) AS crk
-        FROM a1 JOIN norms nv ON a1.vec_id = nv.vec_id
-                JOIN cn1 ON a1.cell = cn1.cell),
-      cells1 AS (SELECT vec_id, cell FROM r1 WHERE crk = 1),
+    // The shared fit's final assignment (crk=1 row of r1) re-ranked
+    // within each cell by the exposed centroid cosine; kept = the
+    // same crk <= 20 clamp the Spark window applies.
+    "te35_prototype_prune" -> s"""
+      WITH $kmeans1Cte,
+      best AS (SELECT vec_id, cell, cosc AS cos_centroid
+               FROM r1 WHERE crk = 1)
+      SELECT vec_id, cell, cos_centroid, crk, crk <= 20 AS kept
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+              ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS crk
+            FROM best)
+      ORDER BY vec_id""",
+
+    "te06_ann_ivf_kmeans" -> s"""
+      WITH $kmeans1Cte,
       probes AS (SELECT vec_id AS query_id, cell FROM r1
                  WHERE crk <= 2 AND vec_id % 25 = 0),
       cand AS (

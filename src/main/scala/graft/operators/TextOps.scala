@@ -139,6 +139,23 @@ object TextOps {
     * Input: (id, gr) distinct string shingles. Output: (id, b0..b{k-1}).
     */
   def bbitMinhashSig(idx: DataFrame, numPerms: Int, bBits: Int): DataFrame = {
+    val full = minhashSigReplayable(idx, numPerms)
+    full.select(col("id") +:
+      (0 until numPerms).map(i =>
+        (col(s"mh$i") % lit(1L << bBits)).as(s"b$i")): _*)
+  }
+
+  /** Full-width MinHash signatures from [[bbitMinhashSig]]'s
+    * DuckDB-replayable permutation family (the md5 60-bit prefix +
+    * three-round multiply-xor-shift mix documented above): one row per
+    * id with columns mh0..mh{k-1}, each the minimum mixed value over
+    * the id's shingles. [[bbitMinhashSig]] is exactly this with the
+    * low `bBits` kept (min first, mask after — the order the estimator
+    * and its oracle both use); [[lshBandTuning]] bands the full
+    * values. ONE codegen'd aggregate pass over the exploded index.
+    * Input: (id, gr) distinct string shingles.
+    */
+  def minhashSigReplayable(idx: DataFrame, numPerms: Int): DataFrame = {
     val mask27 = (1L << 27) - 1
     val mask32 = (1L << 32) - 1
     def round(v: Column, mult: Long): Column = {
@@ -152,9 +169,122 @@ object TextOps {
       val h1 = round(y, 2654435761L)
       val h2 = round(h1.bitwiseXOR(shiftright(y, 27)), 1597334677L)
       val h3 = round(h2.bitwiseXOR(shiftright(y, 54)), 2654435761L)
-      (min(h3) % lit(1L << bBits)).as(s"b$i")
+      min(h3).as(s"mh$i")
     }
     withX.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding tuner (the S-curve analysis of Leskovec/Rajaraman/
+    * Ullman, "Mining of Massive Datasets" ch. 3.4): BEFORE committing
+    * a (bands b × rows r) configuration for a corpus-scale MinHash
+    * dedup run, measure — on the live corpus — what each divisor
+    * configuration of a `numPerms`-perm signature would actually
+    * harvest. One row per candidate config with the OBSERVED columns
+    * (candidate-pair load, true/false split at `threshold`, share of
+    * the observed true-pair universe caught) next to the THEORETICAL
+    * S-curve `1-(1-s^r)^b` evaluated exactly at s=0.8 and s=0.5.
+    *
+    * Observed universe: the union of every grid config's candidates.
+    * With min(rowsGrid) = 2 this union IS the r=2 config's candidate
+    * set — any aligned r-block of matching perms (r ≥ 2 in the grid)
+    * contains an aligned 2-block (first 2-aligned boundary inside the
+    * block starts at most minR-1 past the block start, and
+    * r ≥ 2·minR-1 for all grid entries), so caught_micro at r=2 is
+    * 1e6 by construction and every other config is measured against
+    * the same denominator. caught_micro is NULL when the corpus has
+    * no true pairs at all (nothing to tune against — not an error).
+    *
+    * Exactness: the permutation family is [[minhashSigReplayable]]'s
+    * (an oracle replays every signature bit); the S-curve columns are
+    * exact integer rationals — s=0.8=4/5 gives
+    * p = 1 - (5^r - 4^r)^b / 5^numPerms with every intermediate under
+    * 2^63 for numPerms ≤ 16 (5^16·1e6 ≈ 1.5e17), s=0.5 likewise over
+    * 2^numPerms — so no float pow crosses an engine boundary.
+    *
+    * Scale anatomy: one corpus scan builds the signature aggregate;
+    * each doc emits sum(numPerms/r) band rows (16 at the default
+    * grid); ONE hot-salted self-join mines all configs' candidates
+    * together (band keys are disjoint across configs by the "r:band:"
+    * prefix); the exact-Jaccard verify is bounded by the distinct
+    * candidate count — the loosest config bounds the tuner's cost
+    * exactly as it would bound the production run it is sizing, and
+    * the output is #configs rows. Input: (id, sh) distinct string
+    * shingles (the [[shingleIndex]] shape).
+    */
+  def lshBandTuning(strIdx: DataFrame, numPerms: Int = 12,
+                    rowsGrid: Seq[Int] = Seq(2, 3, 4, 6, 12),
+                    threshold: Double = 0.8): DataFrame = {
+    require(numPerms >= 2 && numPerms <= 16,
+      s"numPerms must be in [2, 16] (S-curve stays in exact BIGINT range), got $numPerms")
+    require(rowsGrid.nonEmpty && rowsGrid.forall(r => r >= 2 && numPerms % r == 0),
+      s"rowsGrid entries must divide numPerms=$numPerms and be >= 2, got $rowsGrid")
+    val minR = rowsGrid.min
+    require(rowsGrid.forall(r => r >= 2 * minR - 1 || r == minR),
+      s"every grid entry must be >= 2*min-1 = ${2 * minR - 1} for the " +
+        s"union = loosest-config containment to hold, got $rowsGrid")
+    val sig = minhashSigReplayable(
+      strIdx.select(col("id"), col("sh").as("gr")), numPerms).barrier()
+    val bandStructs = rowsGrid.flatMap { r =>
+      (0 until numPerms / r).map { b =>
+        val vals = (b * r until (b + 1) * r).map(i => col(s"mh$i").cast("string"))
+        struct(lit(r.toLong).as("r"),
+          concat_ws(",", lit(s"$r:$b") +: vals: _*).as("bk"))
+      }
+    }
+    val bands = sig.select(col("id"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("id"), col("__b.r").as("r"), col("__b.bk").as("bk"))
+    // hot-salted but result-identical to the plain self-join; r rides
+    // along on the left so per-config membership survives the join
+    val cand = SkewJoin.saltedInnerHot(
+        bands.select(col("bk"), col("r"), col("id").as("id_a")),
+        bands.select(col("bk"), col("id").as("id_b")),
+        "bk", col("id_a"), 16, 4096L)
+      .where(col("id_a") < col("id_b"))
+      .select(col("r"), col("id_a"), col("id_b")).distinct()
+      .barrier() // feeds the union verify AND the per-config rollup
+    val uniq = cand.select(col("id_a"), col("id_b")).distinct()
+    val ver = jaccardVerifyIdx(uniq, strIdx).barrier()
+    // r = 0 marks the union pseudo-config — the caught_micro
+    // denominator — carried through the same rollup then peeled off
+    val tagged = cand.unionByName(uniq.withColumn("r", lit(0L)))
+      .join(ver, Seq("id_a", "id_b"))
+    val agg = tagged.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= lit(threshold), 1L).otherwise(0L)).as("n_true"))
+      .withColumn("n_false", col("n_candidates") - col("n_true"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val p80 = rowsGrid.map(r => r.toLong -> sCurveMicro(5, 4, r, numPerms)).toMap
+    val p50 = rowsGrid.map(r => r.toLong -> sCurveMicro(2, 1, r, numPerms)).toMap
+    def lut(m: Map[Long, Long]): Column =
+      m.foldLeft(lit(null).cast("long")) { case (c, (r, v)) =>
+        when(col("r") === lit(r), lit(v)).otherwise(c)
+      }
+    agg
+      .withColumn("__total_true", max(when(col("r") === 0L, col("n_true"))).over(w))
+      .where(col("r") =!= 0L)
+      .withColumn("caught_micro",
+        when(col("__total_true") > 0L,
+          expr("(n_true * 1000000) DIV __total_true")))
+      .select(
+        (lit(numPerms.toLong) / col("r")).cast("long").as("bands"),
+        col("r").as("rows_per_band"),
+        col("n_candidates"), col("n_true"), col("n_false"),
+        col("caught_micro"),
+        lut(p80).as("p80_micro"), lut(p50).as("p50_micro"))
+  }
+
+  /** Exact integer S-curve point: floor(1e6 · (1 - (d^r - n^r)^b / d^P))
+    * for similarity s = n/d, b = P/r bands — BigInt inside, required to
+    * stay in Long so the DuckDB twin's BIGINT arithmetic replays it.
+    */
+  private def sCurveMicro(d: Long, n: Long, r: Int, numPerms: Int): Long = {
+    val dP = BigInt(d).pow(numPerms)
+    val miss = (BigInt(d).pow(r) - BigInt(n).pow(r)).pow(numPerms / r)
+    val micro = (dP - miss) * 1000000 / dP
+    require(dP * 1000000 <= BigInt(Long.MaxValue),
+      s"S-curve denominator d^P*1e6 exceeds BIGINT for d=$d, P=$numPerms")
+    micro.toLong
   }
 
   /** MOSS-style robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03):
@@ -810,6 +940,27 @@ object TextOps {
     */
   def linearProbe(docs: DataFrame, idCol: String, textCol: String,
                   label: Column, iters: Int = 5, eta: Double = 0.25): DataFrame = {
+    val scored = linearProbeS6(docs, idCol, textCol, label, iters, eta)
+    val tot = scored.agg(sum(col("__s6")).as("__tot"),
+      count(lit(1)).as("__n"))
+    // floor of the DOUBLE quotient on both sides (as te12 does): Spark's
+    // integer `div` truncates toward zero while DuckDB's `//` floors, so
+    // a negative summed score would put the threshold off by one.
+    scored.crossJoin(broadcast(tot))
+      .select(col("id"), col("y"), (col("__s6") / lit(1e6)).as("score"),
+        (col("__s6") >= floor(col("__tot") / col("__n")).cast("long")).as("selected"))
+  }
+
+  /** [[linearProbe]]'s trained scores BEFORE the mean-threshold cut —
+    * (id, y, __s6: long micros) — factored so [[probeCalibration]]
+    * sweeps thresholds over the SAME integer scores the selection
+    * rule floors (one definition of the training loop; a re-derived
+    * float score would drift from the oracle at bucket boundaries).
+    */
+  private[graft] def linearProbeS6(docs: DataFrame, idCol: String,
+                                   textCol: String, label: Column,
+                                   iters: Int = 5,
+                                   eta: Double = 0.25): DataFrame = {
     val ws = words(col(textCol))
     val feats = docs.select(col(idCol).as("id"), label.cast("double").as("y"),
         size(ws).as("n_words"), size(array_distinct(ws)).as("n_uniq"),
@@ -834,16 +985,60 @@ object TextOps {
         .collect()(0)
       w = Array.tabulate(4)(j => w(j) - eta * (g.getLong(j).toDouble / 1e9) / n)
     }
-    val scored = feats.select(col("id"), col("y"),
+    feats.select(col("id"), col("y"),
       floor(xdotw * lit(1e6)).cast("long").as("__s6"))
-    val tot = scored.agg(sum(col("__s6")).as("__tot"),
-      count(lit(1)).as("__n"))
-    // floor of the DOUBLE quotient on both sides (as te12 does): Spark's
-    // integer `div` truncates toward zero while DuckDB's `//` floors, so
-    // a negative summed score would put the threshold off by one.
-    scored.crossJoin(broadcast(tot))
-      .select(col("id"), col("y"), (col("__s6") / lit(1e6)).as("score"),
-        (col("__s6") >= floor(col("__tot") / col("__n")).cast("long")).as("selected"))
+  }
+
+  /** Classifier calibration sweep (td66): BEFORE committing a quality
+    * classifier's threshold for a corpus-scale filter run, the
+    * precision/recall trade at EVERY candidate threshold — the same
+    * measure-first discipline as the LSH banding tuner
+    * ([[lshBandTuning]]), applied to [[linearProbe]]'s quality score.
+    * Scores are bucketed at `bucketMicros` granularity (floor of the
+    * exact double quotient — both engines floor the identical IEEE
+    * division, and truncating integer DIV would disagree on negative
+    * scores); each occupied bucket is one candidate threshold row:
+    * keeping every doc scoring at or above that bucket yields
+    * n_pred_keep predictions of which tp carry the training label —
+    * precision/recall in floor'd integer micros against the label
+    * counts.
+    *
+    * Scale anatomy: one corpus scan trains and scores (the
+    * [[linearProbe]] loop — `iters` bounded driver-round aggregates);
+    * ONE hash aggregate reduces the corpus to the score-domain-
+    * bounded histogram (≤ score-range/bucketMicros rows, hundreds at
+    * the default); the cumulative sweep is a single-partition window
+    * over THAT frame — bounded by the domain, never the corpus, the
+    * [[CurationOps.quantileGate]] rationale. recall_micro is NULL
+    * when the corpus carries no positive labels (nothing to
+    * calibrate against — not an error).
+    */
+  def probeCalibration(docs: DataFrame, idCol: String, textCol: String,
+                       label: Column,
+                       bucketMicros: Long = 15625L): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be >= 1, got $bucketMicros")
+    val scored = linearProbeS6(docs, idCol, textCol, label)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("thr_bucket").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    scored
+      .groupBy(floor(col("__s6") / lit(bucketMicros.toDouble)).cast("long")
+        .as("thr_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("pos"))
+      .withColumn("n_pred_keep", sum(col("n")).over(w))
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("__total_pos", sum(col("pos")).over(wAll))
+      .withColumn("fp", col("n_pred_keep") - col("tp"))
+      .withColumn("fn", col("__total_pos") - col("tp"))
+      .withColumn("precision_micro",
+        expr("(tp * 1000000) DIV n_pred_keep"))
+      .withColumn("recall_micro",
+        when(col("__total_pos") > 0L, expr("(tp * 1000000) DIV __total_pos")))
+      .select(col("thr_bucket"), col("n"), col("pos"), col("n_pred_keep"),
+        col("tp"), col("fp"), col("fn"), col("precision_micro"),
+        col("recall_micro"))
   }
 
   /** ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,

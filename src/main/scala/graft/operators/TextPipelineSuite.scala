@@ -153,6 +153,20 @@ object TextPipelineSuite extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // LSH banding tuner (td65): the pre-100TB sizing decision — which
+    // (bands × rows) split of a 12-perm MinHash signature to commit
+    // the corpus-scale dedup run to. One salted self-join mines every
+    // divisor config's candidates together; each config's row reports
+    // observed candidate load, the true/false split at J >= 0.8, the
+    // share of the observed true-pair universe caught, and the exact
+    // integer S-curve 1-(1-s^r)^b at s = 0.8 and 0.5. Perm family is
+    // td34's md5-derived mix, so the oracle replays every band key.
+    "td65_lsh_tuning" -> { (s, dir) =>
+      TextOps.lshBandTuning(TextOps.shingleIndex(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 3))
+        .orderBy("rows_per_band")
+    },
+
     // b-bit MinHash (td34): the signature-compression estimator next
     // to td03's full-width LSH — only the low 8 bits of 16 MinHash
     // perms are kept (8× smaller signatures), and the collision-
@@ -628,6 +642,19 @@ object TextPipelineSuite extends QueryModule {
           "doc_id", "text", col("lang") === "en")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Classifier calibration sweep (td66): td23's trained quality
+    // probe calibrated BEFORE its threshold is committed — one row
+    // per occupied score bucket with the confusion counts and
+    // precision/recall (integer micros) of "keep everything scoring
+    // at or above this bucket". The corpus reduces to a domain-
+    // bounded histogram in one aggregate; the sweep is a window over
+    // that frame, never the corpus.
+    "td66_classifier_calibration" -> { (s, dir) =>
+      TextOps.probeCalibration(Tables.load(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("thr_bucket")
     }
   )
 
@@ -703,6 +730,71 @@ object TextPipelineSuite extends QueryModule {
                THEN 'eval' ELSE 'train' END AS split
       FROM documents d LEFT JOIN ccl ON ccl.id = d.doc_id
       ORDER BY d.doc_id""",
+
+    // Every 12-perm signature replayed bit for bit (td34's mix), each
+    // divisor config's band keys grouped by (r, band, value tuple),
+    // candidates self-joined per config, exact Jaccard on the distinct
+    // union, and the S-curve columns in exact BIGINT rationals.
+    "td65_lsh_tuning" -> s"""
+      WITH $shingleCte,
+      e AS (SELECT doc_id AS id, unnest(shingles) AS sh FROM g),
+      sizes AS (SELECT doc_id AS id, len(shingles) AS n FROM g),
+      perms AS (SELECT CAST(unnest(range(0, 12)) AS BIGINT) AS i),
+      xbase AS (SELECT id, CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS x
+                FROM e),
+      sig AS (
+        SELECT id, i, min(xor(m3, m3 >> 16)) AS mh FROM (
+          SELECT id, i, ((xor(h2, y >> 54) & 134217727) * 2654435761) & 4294967295 AS m3 FROM (
+            SELECT id, i, y, xor(m2, m2 >> 16) AS h2 FROM (
+              SELECT id, i, y, ((xor(h1, y >> 27) & 134217727) * 1597334677) & 4294967295 AS m2 FROM (
+                SELECT id, i, y, xor(m1, m1 >> 16) AS h1 FROM (
+                  SELECT id, i, y, ((y & 134217727) * 2654435761) & 4294967295 AS m1 FROM (
+                    SELECT b.id, p.i, xor(b.x, p.i * 173961102589770) AS y
+                    FROM xbase b, perms p)))))) GROUP BY 1, 2),
+      cfg AS (SELECT CAST(unnest([2, 3, 4, 6, 12]) AS BIGINT) AS r),
+      bands AS (SELECT c.r, s.id, s.i // c.r AS band,
+                       string_agg(s.mh, ',' ORDER BY s.i) AS vals
+                FROM sig s CROSS JOIN cfg c GROUP BY 1, 2, 3),
+      cand0 AS (SELECT DISTINCT a.r, a.id AS id_a, b.id AS id_b
+                FROM bands a JOIN bands b ON a.r = b.r AND a.band = b.band
+                  AND a.vals = b.vals AND a.id < b.id),
+      uniq AS (SELECT DISTINCT id_a, id_b FROM cand0),
+      inter AS (SELECT u.id_a, u.id_b, count(1) AS inter
+                FROM uniq u
+                JOIN e a ON a.id = u.id_a
+                JOIN e b ON b.id = u.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+      ver AS (SELECT u.id_a, u.id_b,
+                     coalesce(i.inter, 0) * 1.0
+                       / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard
+              FROM uniq u
+              LEFT JOIN inter i ON i.id_a = u.id_a AND i.id_b = u.id_b
+              JOIN sizes sa ON sa.id = u.id_a
+              JOIN sizes sb ON sb.id = u.id_b),
+      cand AS (SELECT r, id_a, id_b FROM cand0
+               UNION ALL SELECT CAST(0 AS BIGINT) AS r, id_a, id_b FROM uniq),
+      agg AS (SELECT c.r, CAST(count(1) AS BIGINT) AS n_candidates,
+                     CAST(sum(CASE WHEN v.jaccard >= 0.8 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_true
+              FROM cand c JOIN ver v ON v.id_a = c.id_a AND v.id_b = c.id_b
+              GROUP BY 1),
+      tot AS (SELECT n_true AS total_true FROM agg WHERE r = 0)
+      SELECT CAST(12 // a.r AS BIGINT) AS bands,
+             a.r AS rows_per_band,
+             a.n_candidates, a.n_true,
+             a.n_candidates - a.n_true AS n_false,
+             CASE WHEN t.total_true > 0
+               THEN (a.n_true * 1000000) // t.total_true END AS caught_micro,
+             CAST((CAST(power(5, 12) AS BIGINT)
+                    - CAST(power(CAST(power(5, a.r) AS BIGINT)
+                        - CAST(power(4, a.r) AS BIGINT), 12 // a.r) AS BIGINT))
+                  * 1000000 // CAST(power(5, 12) AS BIGINT) AS BIGINT) AS p80_micro,
+             CAST((4096 - CAST(power(CAST(power(2, a.r) AS BIGINT) - 1,
+                                 12 // a.r) AS BIGINT))
+                  * 1000000 // 4096 AS BIGINT) AS p50_micro
+      FROM agg a CROSS JOIN tot t
+      WHERE a.r > 0
+      ORDER BY rows_per_band""",
 
     // td03's exact >= 0.8 pair set, plus every b-bit signature replayed
     // bit for bit (per-perm md5("<sh>#<i>") 60-bit prefix, low-8-bit
@@ -1329,8 +1421,45 @@ object TextPipelineSuite extends QueryModule {
     // div + power-of-two scales), per-round floor-scaled gradient sums,
     // left-associated dot products — every double op sees identical
     // operands in both engines.
-    "td23_quality_probe" -> """
-      WITH RECURSIVE
+    "td23_quality_probe" -> s"""
+      WITH RECURSIVE $probeScoredCte,
+      tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t, count(1) AS n2 FROM scored)
+      SELECT doc_id, y, s6 / 1e6 AS score,
+             (s6 >= (SELECT CAST(floor(t / n2) AS BIGINT) FROM tot)) AS selected
+      FROM scored
+      ORDER BY doc_id""",
+
+    // td23's trained scores bucketed at 15625-micro granularity
+    // (floor of the identical IEEE double quotient), descending
+    // cumulative confusion counts over the occupied buckets.
+    "td66_classifier_calibration" -> s"""
+      WITH RECURSIVE $probeScoredCte,
+      hist AS (
+        SELECT CAST(floor(s6 / 15625.0) AS BIGINT) AS thr_bucket,
+               CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+      cum AS (
+        SELECT *,
+               CAST(sum(n) OVER (ORDER BY thr_bucket DESC) AS BIGINT) AS n_pred_keep,
+               CAST(sum(pos) OVER (ORDER BY thr_bucket DESC) AS BIGINT) AS tp,
+               CAST(sum(pos) OVER () AS BIGINT) AS total_pos
+        FROM hist)
+      SELECT thr_bucket, n, pos, n_pred_keep, tp,
+             n_pred_keep - tp AS fp,
+             total_pos - tp AS fn,
+             (tp * 1000000) // n_pred_keep AS precision_micro,
+             CASE WHEN total_pos > 0
+               THEN (tp * 1000000) // total_pos END AS recall_micro
+      FROM cum
+      ORDER BY thr_bucket"""
+  )
+
+  /** The td23 gradient-descent training replay shared by the td23 and
+    * td66 oracles — feats, 5 recursive weight iterations, and the
+    * floor'd integer micro scores. Callers prepend WITH RECURSIVE.
+    */
+  private val probeScoredCte = """
       feats AS (
         SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                1.0 AS x0,
@@ -1357,11 +1486,5 @@ object TextPipelineSuite extends QueryModule {
       scored AS (
         SELECT doc_id, y,
                CAST(floor((x0*w0 + x1*w1 + x2*w2 + x3*w3) * 1e6) AS BIGINT) AS s6
-        FROM feats CROSS JOIN (SELECT w0, w1, w2, w3 FROM w WHERE iter = 5)),
-      tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t, count(1) AS n2 FROM scored)
-      SELECT doc_id, y, s6 / 1e6 AS score,
-             (s6 >= (SELECT CAST(floor(t / n2) AS BIGINT) FROM tot)) AS selected
-      FROM scored
-      ORDER BY doc_id"""
-  )
+        FROM feats CROSS JOIN (SELECT w0, w1, w2, w3 FROM w WHERE iter = 5))"""
 }

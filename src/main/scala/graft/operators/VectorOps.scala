@@ -330,9 +330,22 @@ object VectorOps {
     * round(.,6), cell-id tie-breaks), so results are unchanged — the
     * oracle gate checks this at sf0.01.
     */
-  def ivfKmeansTopK(vecs: DataFrame, idCol: String, vecCol: String,
-                    isQuery: Column => Column, nlist: Int, nprobe: Int,
-                    k: Int, lloydIters: Int): DataFrame = {
+  /** Deterministic Lloyd fit shared by [[ivfKmeansTopK]] and
+    * [[prototypePrune]] (one definition — drift between a search
+    * quantizer and a pruning quantizer fitted "the same way" would be
+    * invisible until cluster audits disagree). Seeds from the first
+    * `nlist` vectors, runs `lloydIters` exact-decimal mean updates,
+    * and returns (varr, scoredCells): varr = (id, arr, vn) assignment
+    * input; scoredCells = the final (id, cell, cosc) cross frame —
+    * one codegen'd DotScaledLong loop per (vector, centroid) against
+    * the broadcast centroid frame + HALF_UP round(.,6), identical
+    * arithmetic to the exploded SQL form. Centroids live on the
+    * driver between rounds: nlist × dim doubles, KB-scale at any
+    * corpus size — the corpus itself only ever streams through the
+    * scoring and mean aggregates.
+    */
+  private def lloydFit(vecs: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val s = vecs.sparkSession
     val parallelism = s.sparkContext.defaultParallelism
     val ex = explodeVec(vecs, idCol, vecCol, "id").repartition(parallelism)
@@ -345,11 +358,6 @@ object VectorOps {
     // Same arithmetic as scaledSum(x*mx), driver side.
     def centroidNorm(c: Array[Double]): Double =
       math.sqrt(c.map(v => math.floor(v * v * 1e12).toLong).sum.toDouble / 1e12)
-    // Driver-held centroids as a tiny broadcast frame: assignment is
-    // the te05 expression form — one codegen'd DotScaledLong loop per
-    // (vector, centroid) + HALF_UP round(.,6), identical arithmetic to
-    // the exploded form — rather than a per-row interpreted Scala UDF
-    // (r2's slowest visible link).
     def scoredCells(cents: Array[(Long, Array[Double], Double)]): DataFrame = {
       val centDf = s.createDataFrame(
         cents.toSeq.map { case (cell, c, cn) => (cell, c.toSeq, cn) })
@@ -390,6 +398,13 @@ object VectorOps {
         }.toArray.sortBy(_._1)
       iter += 1
     }
+    (varr, scoredCells(cents))
+  }
+
+  def ivfKmeansTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                    isQuery: Column => Column, nlist: Int, nprobe: Int,
+                    k: Int, lloydIters: Int): DataFrame = {
+    val (varr, scored) = lloydFit(vecs, idCol, vecCol, nlist, lloydIters)
 
     // Final assignment + probe list: rank cells best-first (cosc desc,
     // cell asc — same ordering as te05's window), keep only the nprobe
@@ -397,7 +412,7 @@ object VectorOps {
     // a partial-aggregable collect_list + sort_array over the ≤nlist
     // co-located cell scores per vector — no N×nlist shuffle+sort (the
     // struct sorts by cosc desc then -cell desc = cell asc).
-    val ranked = scoredCells(cents)
+    val ranked = scored
       .groupBy(col("id"))
       .agg(slice(sort_array(collect_list(
           struct(col("cosc"), (-col("cell")).as("nc"))), asc = false),
@@ -428,6 +443,45 @@ object VectorOps {
         scaledToDouble(dot_scaled(col("qarr"), col("carr"))) / (col("qn") * col("cn2")), 6))
       .withColumn("rk", row_number().over(wTop)).where(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cell"), col("cos"), col("rk"))
+  }
+
+  /** Cluster-quota diversity pruning (the embedding-space data-pruning
+    * family: SemDeDup's cluster pass, Sorscher et al. NeurIPS'22
+    * prototypicality ranking, DCLM-style cluster-balanced subsets):
+    * fit [[lloydFit]]'s deterministic k-means, rank each cluster's
+    * members by cosine to their OWN centroid (most prototypical
+    * first, id tie-break), and keep at most `cap` per cluster — a
+    * dominant mode (boilerplate-heavy crawl clusters) contributes the
+    * same quota as a rare one, flattening the cluster-size
+    * distribution instead of sampling proportional to it. Emits every
+    * vector with its cell, prototype rank, rounded centroid cosine
+    * and keep verdict, so downstream mixing can ALSO invert the rule
+    * (keep the tail past `cap` — the hard-example regime when data is
+    * abundant) without refitting.
+    *
+    * Scale anatomy: the fit is [[lloydFit]] (corpus × broadcast
+    * centroid scoring per round, exact-decimal mean aggregate); the
+    * rank is ONE window per cell — cells are the partition key, so
+    * the sort is per-cell-sized, and a skewed cell bounds a task at
+    * its own size (same exposure as the IVF serve path, handled there
+    * and here by nlist sizing, not by an all-corpus sort).
+    */
+  def prototypePrune(vecs: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, lloydIters: Int, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val (_, scored) = lloydFit(vecs, idCol, vecCol, nlist, lloydIters)
+    val best = scored
+      .groupBy(col("id"))
+      .agg(max(struct(col("cosc"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("id"), (-col("best.nc")).as("cell"),
+        col("best.cosc").as("cos_centroid"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cos_centroid").desc, col("id"))
+    best
+      .withColumn("crk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("crk") <= cap)
+      .select(col("id"), col("cell"), col("cos_centroid"), col("crk"),
+        col("kept"))
   }
 
   /** PQ (product quantization) ANN: split each vector into `dim/subDim`

@@ -138,6 +138,11 @@ object ScaleProbe {
         TextOps.minhashLshPairsIdx(
             TextOps.shingleHashIndex(docs, "doc_id", "text", 3), 0.8)
           .select(col("id_a"), col("id_b"))))
+      // Banding tuner: all five divisor configs mined through ONE
+      // salted self-join; cost tracks the loosest config's candidate
+      // harvest — exactly the quantity the tuner exists to size.
+      run("td65 LSH tuning", k,
+        TextOps.lshBandTuning(TextOps.shingleIndex(docs, "doc_id", "text", 3)))
       val emb = syntheticEmbeddings(spark, embBase * k)
       // Fixed query batch (the base corpus's every-25th id) at every
       // scale: serving cost = batch × probed corpus fraction.
@@ -156,6 +161,12 @@ object ScaleProbe {
         allowBroadcastCross = true)
       run("te07 PQ ANN", k, VectorOps.pqTopK(emb, "vec_id", "embedding",
         isQ, subDim = 8, nCent = 16, k = 5),
+        allowBroadcastCross = true)
+      // Cluster-quota pruning: the Lloyd fit's corpus × broadcast-
+      // centroid scoring passes + one per-cell window — never pairwise.
+      run("te35 prototype prune", k,
+        VectorOps.prototypePrune(emb, "vec_id", "embedding",
+          nlist = 16, lloydIters = 1, cap = 20),
         allowBroadcastCross = true)
       // Eval contamination: eval held at a FIXED size (evalMod scales
       // with the corpus — a real benchmark doesn't grow with the
@@ -188,6 +199,12 @@ object ScaleProbe {
       })
       run("td22 bigram LM", k,
         TextOps.bigramLmScore(docs, "doc_id", "text"))
+      // Calibration sweep: the linearProbe training loop (bounded
+      // driver rounds) + one hash agg to the domain-bounded histogram
+      // + a window on THAT frame — the corpus is scanned, never sorted.
+      run("td66 classifier calibration", k,
+        TextOps.probeCalibration(docs, "doc_id", "text",
+          col("doc_id") % 3 === 0))
       // PII scrub: pure map-side compiled-regex pass; every 5th doc
       // carries an email + phone so the redact branch actually fires.
       run("td21 PII redact", k,

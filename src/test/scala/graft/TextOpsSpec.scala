@@ -659,6 +659,136 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m13 <= 3, s"disjoint sets matched $m13/16 b-bit entries")
   }
 
+  test("lshBandTuning: exact S-curve columns, loosest config catches the union") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six eight"),   // J = 4/6 < 0.8
+      (5L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.shingleIndex(docs, "doc_id", "text", 3)
+    val rows = TextOps.lshBandTuning(idx).orderBy("rows_per_band").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L, 6L, 12L))
+    rows.foreach { r =>
+      assert(r.getLong(0) == 12L / r.getLong(1)) // bands = P / r
+      // the identical pair (1,2) matches every band of every config
+      assert(r.getLong(3) >= 1L, s"n_true at r=${r.getLong(1)}")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3)) // n_false
+    }
+    val byR = rows.map(r => r.getLong(1) -> r).toMap
+    // containment: the union IS r=2's candidate set, so its caught
+    // share is exactly 1e6; r=12's candidates are a subset of every
+    // other config's (an aligned 12-block contains every divisor block)
+    assert(byR(2L).getLong(5) == 1000000L)
+    assert(rows.map(_.getLong(2)).forall(_ <= byR(2L).getLong(2)))
+    assert(rows.map(_.getLong(2)).forall(_ >= byR(12L).getLong(2)))
+    // S-curve columns replay the closed integer form
+    def micro(d: BigInt, n: BigInt, r: Int): Long =
+      (((d.pow(12) - (d.pow(r) - n.pow(r)).pow(12 / r)) * 1000000)
+        / d.pow(12)).toLong
+    rows.foreach { row =>
+      val r = row.getLong(1).toInt
+      assert(row.getLong(6) == micro(5, 4, r), s"p80 at r=$r")
+      assert(row.getLong(7) == micro(2, 1, r), s"p50 at r=$r")
+    }
+    // spot values: r=2 -> 1-(1-0.64)^6, r=12 -> 0.8^12
+    assert(byR(2L).getLong(6) == 997823L)
+    assert(byR(12L).getLong(6) == 68719L)
+  }
+
+  test("lshBandTuning refuses non-divisor and containment-breaking grids") {
+    val idx = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"),
+        explode(TextOps.wordNgrams(TextOps.words(col("text")), 3)).as("sh"))
+    intercept[IllegalArgumentException] {
+      TextOps.lshBandTuning(idx, 12, Seq(1, 2)) // r=1: quadratic buckets
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.lshBandTuning(idx, 12, Seq(5)) // 5 does not divide 12
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.lshBandTuning(idx, 17) // S-curve out of exact range
+    }
+  }
+
+  test("probeCalibration: cumulative confusion sweep is self-consistent") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and the dog ran around"),
+      (2L, "en", "a quick brown fox jumps over the lazy dog today"),
+      (3L, "en", "the sun rose over the hills and the day began"),
+      (4L, "de", "der hund lief schnell durch den park am morgen"),
+      (5L, "de", "die katze schlief den ganzen tag auf dem sofa"),
+      (6L, "de", "ein kurzer satz ohne viele verschiedene woerter hier")
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextOps.probeCalibration(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("thr_bucket").collect()
+    assert(rows.nonEmpty)
+    // per-bucket counts sum to the corpus; positives to the labels
+    assert(rows.map(_.getLong(1)).sum == 6L)
+    assert(rows.map(_.getLong(2)).sum == 3L)
+    // the lowest threshold keeps everything: full recall, base-rate
+    // precision; the cumulative columns of the top row equal its own
+    val lo = rows.head
+    assert(lo.getLong(3) == 6L && lo.getLong(4) == 3L)
+    assert(lo.getLong(8) == 1000000L)              // recall_micro
+    assert(lo.getLong(7) == 500000L)               // precision_micro
+    val hi = rows.last
+    assert(hi.getLong(3) == hi.getLong(1) && hi.getLong(4) == hi.getLong(2))
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4)) // fp
+      assert(r.getLong(6) == 3L - r.getLong(4))           // fn
+    }
+    // lowering the threshold only adds predictions/true positives
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) > b.getLong(3) && a.getLong(4) >= b.getLong(4))
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.probeCalibration(docs, "doc_id", "text",
+        col("lang") === "en", bucketMicros = 0)
+    }
+  }
+
+  test("prototypePrune: per-cluster quota, most-prototypical ranks first") {
+    // ids 0/1 seed two orthogonal clusters; 2..6 jitter around e1,
+    // 7..8 around e2 — cluster sizes 6 and 3, cap 3.
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(1, 0.1, 0, 0)), (3L, v(1, 0.2, 0, 0)), (4L, v(1, 0.3, 0, 0)),
+      (5L, v(1, 0.4, 0, 0)), (6L, v(1, 0.5, 0, 0)),
+      (7L, v(0.1, 1, 0, 0)), (8L, v(0.2, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.prototypePrune(vecs, "vec_id", "embedding",
+        nlist = 2, lloydIters = 1, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 9)
+    val byCell = out.groupBy(_._2)
+    assert(byCell.keySet == Set(0L, 1L))
+    assert(byCell(0L).map(_._1).toSet == Set(0L, 2L, 3L, 4L, 5L, 6L))
+    assert(byCell(1L).map(_._1).toSet == Set(1L, 7L, 8L))
+    byCell.foreach { case (_, rows) =>
+      // quota: min(|cell|, cap) kept, exactly the crk <= cap rows
+      assert(rows.count(_._5) == math.min(rows.length, 3))
+      rows.foreach(r => assert(r._5 == (r._4 <= 3L)))
+      // prototypicality: cos non-increasing along the rank
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length).map(_.toLong))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3)
+        case _ =>
+      }
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.prototypePrune(vecs, "vec_id", "embedding", 2, 1, cap = 0)
+    }
+  }
+
   test("ivfFilteredTopK pre-filters: a closer cross-attribute vector never surfaces") {
     // Vectors on a 2-D-ish layout inside 64 dims: queries are id%25==0.
     // id 0's nearest overall neighbour (id 1) carries the OTHER label;
