@@ -221,6 +221,40 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // Stale-index gate (te36): the reindex decision from the index's
+    // own persisted artifacts — the fitted (id, cell) assignment is
+    // written once, and after corpus churn (vec_id % 3 == 0 rows
+    // retired) each cell's fit-time vs live occupancy share is
+    // compared on that STORED frame alone; the top-4 shifted cells
+    // are the refit budget's worklist. A rank cut, not a share
+    // threshold: a budget stays non-vacuous at any corpus size.
+    "te36_stale_index_gate" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te36_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      VectorOps.staleIndexGate(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", store, _ % 3 =!= 0,
+          nlist = 16, lloydIters = 1, topK = 4)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("cell")
+    },
+
+    // Budgeted partial reindex (te37): te36's worklist executed — the
+    // 4 most-shifted cells' LIVE members split under the cell's two
+    // smallest live ids as sub-seeds, each member to its nearer seed
+    // by exact rounded cosine. Healthy cells are never read or
+    // rescored; refit cost follows the drifted slice, not the corpus.
+    "te37_partial_reindex" -> { (s, dir) =>
+      val store = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-te37_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      VectorOps.partialReindex(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", store, _ % 3 =!= 0,
+          nlist = 16, lloydIters = 1, topK = 4)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+
     // Cluster-quota diversity pruning (te35): te06's k-means fit put
     // to the data-pruning use — every vector ranked by cosine to its
     // OWN centroid (most prototypical first), at most 20 kept per
@@ -762,6 +796,33 @@ object SimilaritySuite extends QueryModule {
                 JOIN cn1 ON a1.cell = cn1.cell),
       cells1 AS (SELECT vec_id, cell FROM r1 WHERE crk = 1)"""
 
+  /** te36's occupancy-shift gate over the shared fit's assignment,
+    * factored so te37 flags from the same definition. Appends to
+    * [[kmeans1Cte]] (uses cells1).
+    */
+  private val staleGateCte = """assign AS (SELECT vec_id, cell FROM cells1),
+      fitc AS (SELECT cell, CAST(count(1) AS BIGINT) AS n_fit
+               FROM assign GROUP BY 1),
+      livec AS (SELECT cell, CAST(count(1) AS BIGINT) AS n_live
+                FROM assign WHERE vec_id % 3 <> 0 GROUP BY 1),
+      jc AS (SELECT f.cell, f.n_fit, coalesce(l.n_live, 0) AS n_live
+             FROM fitc f LEFT JOIN livec l ON l.cell = f.cell),
+      sh AS (SELECT cell, n_fit, n_live,
+               (n_fit * 1000000) // (SELECT sum(n_fit) FROM jc) AS fit_share_micro,
+               CASE WHEN (SELECT sum(n_live) FROM jc) > 0
+                 THEN (n_live * 1000000) // (SELECT sum(n_live) FROM jc)
+                 ELSE 0 END AS live_share_micro
+             FROM jc),
+      gate AS (
+        SELECT cell, n_fit, n_live,
+               CAST(fit_share_micro AS BIGINT) AS fit_share_micro,
+               CAST(live_share_micro AS BIGINT) AS live_share_micro,
+               CAST(abs(fit_share_micro - live_share_micro) AS BIGINT) AS shift_micro,
+               CAST(row_number() OVER (
+                 ORDER BY abs(fit_share_micro - live_share_micro) DESC, cell)
+                 AS BIGINT) AS reindex_rank
+        FROM sh)"""
+
   private val pqOracleSql = """
       WITH ex AS (
         SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
@@ -1059,6 +1120,53 @@ object SimilaritySuite extends QueryModule {
         FROM scored)
       WHERE rk <= 5
       ORDER BY query_id, rk""",
+
+    // The shared fit's assignment counted twice on the same frame
+    // (all rows = fit time, vec_id % 3 <> 0 = live), floor'd shares
+    // over the window totals, abs shift, rank cut at 4.
+    "te36_stale_index_gate" -> s"""
+      WITH $kmeans1Cte,
+      $staleGateCte
+      SELECT cell, n_fit, n_live, fit_share_micro, live_share_micro,
+             shift_micro, reindex_rank, reindex_rank <= 4 AS needs_reindex
+      FROM gate
+      ORDER BY cell""",
+
+    // te36's top-4 cells' live members scored against the cell's two
+    // smallest live ids with the engine's exact floor-scaled dot /
+    // rounded cosine; each member keeps its best (cos DESC, seed ASC).
+    "te37_partial_reindex" -> s"""
+      WITH $kmeans1Cte,
+      $staleGateCte,
+      flagged AS (SELECT cell FROM gate WHERE reindex_rank <= 4),
+      members AS (
+        SELECT a.vec_id, a.cell FROM assign a
+        JOIN flagged f ON f.cell = a.cell
+        WHERE a.vec_id % 3 <> 0),
+      seeds AS (
+        SELECT cell, vec_id AS seed_id FROM (
+          SELECT m.*, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id) AS srk FROM members m)
+        WHERE srk <= 2),
+      sdots AS (
+        SELECT m.vec_id, m.cell, s.seed_id,
+               CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM members m
+        JOIN seeds s ON s.cell = m.cell
+        JOIN ex a ON a.vec_id = m.vec_id
+        JOIN ex b ON b.vec_id = s.seed_id AND b.d = a.d
+        GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT d.vec_id, d.cell, d.seed_id,
+               round(d.dot / (na.vn * nb.vn), 6) AS subcos
+        FROM sdots d
+        JOIN norms na ON na.vec_id = d.vec_id
+        JOIN norms nb ON nb.vec_id = d.seed_id)
+      SELECT vec_id, cell, seed_id AS sub_seed, subcos FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY subcos DESC, seed_id) AS rk FROM sc)
+      WHERE rk = 1
+      ORDER BY vec_id""",
 
     // The shared fit's final assignment (crk=1 row of r1) re-ranked
     // within each cell by the exposed centroid cosine; kept = the

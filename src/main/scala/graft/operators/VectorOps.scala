@@ -470,18 +470,134 @@ object VectorOps {
                      nlist: Int, lloydIters: Int, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val (_, scored) = lloydFit(vecs, idCol, vecCol, nlist, lloydIters)
-    val best = scored
-      .groupBy(col("id"))
-      .agg(max(struct(col("cosc"), (-col("cell")).as("nc"))).as("best"))
-      .select(col("id"), (-col("best.nc")).as("cell"),
-        col("best.cosc").as("cos_centroid"))
     val w = Window.partitionBy(col("cell"))
       .orderBy(col("cos_centroid").desc, col("id"))
-    best
+    bestAssignment(scored)
+      .withColumnRenamed("cosc", "cos_centroid")
       .withColumn("crk", row_number().over(w).cast("long"))
       .withColumn("kept", col("crk") <= cap)
       .select(col("id"), col("cell"), col("cos_centroid"), col("crk"),
         col("kept"))
+  }
+
+  /** Final (id, cell, cosc) winner of [[lloydFit]]'s scored cross
+    * frame — argmax(cosc desc, cell asc) folded into a partial-
+    * aggregable max(struct), the same ordering as the oracle's
+    * row_number window. One definition for every consumer of the
+    * fitted assignment (prune, gate, reindex).
+    */
+  private def bestAssignment(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("id"))
+      .agg(max(struct(col("cosc"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("id"), (-col("best.nc")).as("cell"),
+        col("best.cosc").as("cosc"))
+
+  /** Stale-index gate (te36): the reindex DECISION for a serving IVF
+    * index, made from its own persisted artifacts. The fitted
+    * assignment (id → cell) is written ONCE at fit time — the
+    * persisted-index shape te17 serves from — and when the corpus
+    * churns (here: `isLive` marks the rows still in the corpus), the
+    * gate compares each cell's fit-time occupancy share against its
+    * live share and ranks cells by the shift: the top-`topK` are the
+    * refit budget's worklist ([[partialReindex]] executes it). Both
+    * counts come from the SAME stored frame — the gate never rescans
+    * or rescores the corpus, the td59/te34 persisted-baseline
+    * discipline applied to index maintenance.
+    *
+    * Scale anatomy: fit = [[lloydFit]]; the store write/read is one
+    * (id, cell) frame; the gate itself is two grouped counts on the
+    * store and a window over the ≤nlist-row rollup. needs_reindex is
+    * a RANK cut, not an absolute threshold — a refit budget holds at
+    * any corpus size, where a fixed share threshold goes vacuous as
+    * sampling noise shrinks.
+    */
+  def staleIndexGate(vecs: DataFrame, idCol: String, vecCol: String,
+                     store: String, isLive: Column => Column,
+                     nlist: Int, lloydIters: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val s = vecs.sparkSession
+    val (_, scored) = lloydFit(vecs, idCol, vecCol, nlist, lloydIters)
+    bestAssignment(scored).select(col("id"), col("cell"))
+      .write.mode("overwrite").parquet(store)
+    gateFromAssign(s.read.parquet(store), isLive, topK)
+  }
+
+  /** The occupancy-shift rollup of [[staleIndexGate]], factored so
+    * [[partialReindex]] gates from the same definition: per stored
+    * cell, fit-time vs live counts and shares (floor'd micros over
+    * the window totals of the ≤nlist-row frame), absolute shift, and
+    * the rank cut.
+    */
+  private def gateFromAssign(assign: DataFrame, isLive: Column => Column,
+                             topK: Int): DataFrame = {
+    val fitc = assign.groupBy(col("cell")).agg(count(lit(1)).as("n_fit"))
+    val livec = assign.where(isLive(col("id")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val wRank = Window.orderBy(col("shift_micro").desc, col("cell"))
+    fitc.join(livec, Seq("cell"), "left")
+      .withColumn("n_live", coalesce(col("n_live"), lit(0L)))
+      .withColumn("__tf", sum(col("n_fit")).over(wAll))
+      .withColumn("__tl", sum(col("n_live")).over(wAll))
+      .withColumn("fit_share_micro", expr("(n_fit * 1000000) DIV __tf"))
+      .withColumn("live_share_micro",
+        when(col("__tl") > 0L, expr("(n_live * 1000000) DIV __tl"))
+          .otherwise(0L))
+      .withColumn("shift_micro",
+        abs(col("fit_share_micro") - col("live_share_micro")))
+      .withColumn("reindex_rank", row_number().over(wRank).cast("long"))
+      .withColumn("needs_reindex", col("reindex_rank") <= topK)
+      .select(col("cell"), col("n_fit"), col("n_live"),
+        col("fit_share_micro"), col("live_share_micro"),
+        col("shift_micro"), col("reindex_rank"), col("needs_reindex"))
+  }
+
+  /** Budgeted partial reindex (te37): EXECUTE [[staleIndexGate]]'s
+    * worklist without touching the healthy cells — the top-`topK`
+    * drifted cells' LIVE members are split under two sub-seeds (the
+    * cell's two smallest live ids — deterministic, the PQ/IVF seeding
+    * convention), each member assigned to its nearer sub-seed by the
+    * engine's exact rounded cosine. The rest of the index is never
+    * read, rescored, or rewritten: refit cost is proportional to the
+    * drifted slice, not the corpus — the same never-rewrite-the-store
+    * economics as te30's tombstones, applied to refitting.
+    *
+    * Scale anatomy: gate as [[gateFromAssign]]; members = one
+    * broadcast semi-join of the stored assignment against the ≤topK
+    * flagged cells; scoring joins each member to ≤2 seed vectors
+    * (broadcast — topK×2 rows) for one codegen'd DotScaledLong each.
+    */
+  def partialReindex(vecs: DataFrame, idCol: String, vecCol: String,
+                     store: String, isLive: Column => Column,
+                     nlist: Int, lloydIters: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val s = vecs.sparkSession
+    val (varr, scored) = lloydFit(vecs, idCol, vecCol, nlist, lloydIters)
+    bestAssignment(scored).select(col("id"), col("cell"))
+      .write.mode("overwrite").parquet(store)
+    val assign = s.read.parquet(store)
+    val flagged = gateFromAssign(assign, isLive, topK)
+      .where(col("needs_reindex")).select(col("cell"))
+    val members = assign.where(isLive(col("id")))
+      .join(broadcast(flagged), Seq("cell"))
+    val wSeed = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val seeds = members
+      .withColumn("__srk", row_number().over(wSeed))
+      .where(col("__srk") <= 2)
+      .select(col("cell"), col("id").as("seed_id"))
+      .join(varr.select(col("id").as("seed_id"), col("arr").as("sv"),
+        col("vn").as("sn")), "seed_id")
+    members
+      .join(varr, "id")
+      .join(broadcast(seeds), "cell")
+      .withColumn("subcos", round(
+        scaledToDouble(dot_scaled(col("arr"), col("sv")))
+          / (col("vn") * col("sn")), 6))
+      .groupBy(col("id"), col("cell"))
+      .agg(max(struct(col("subcos"), (-col("seed_id")).as("ns"))).as("b"))
+      .select(col("id"), col("cell"), (-col("b.ns")).as("sub_seed"),
+        col("b.subcos").as("subcos"))
   }
 
   /** PQ (product quantization) ANN: split each vector into `dim/subDim`

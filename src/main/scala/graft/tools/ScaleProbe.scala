@@ -168,6 +168,19 @@ object ScaleProbe {
         VectorOps.prototypePrune(emb, "vec_id", "embedding",
           nlist = 16, lloydIters = 1, cap = 20),
         allowBroadcastCross = true)
+      // Index lifecycle: the gate is two grouped counts on the stored
+      // assignment; the refit touches only the flagged slice (members
+      // × ≤2 broadcast seeds).
+      run("te36 stale-index gate", k,
+        VectorOps.staleIndexGate(emb, "vec_id", "embedding",
+          s"${System.getProperty("java.io.tmpdir")}/graft-probe-te36-$k",
+          _ % 3 =!= 0, nlist = 16, lloydIters = 1, topK = 4),
+        allowBroadcastCross = true)
+      run("te37 partial reindex", k,
+        VectorOps.partialReindex(emb, "vec_id", "embedding",
+          s"${System.getProperty("java.io.tmpdir")}/graft-probe-te37-$k",
+          _ % 3 =!= 0, nlist = 16, lloydIters = 1, topK = 4),
+        allowBroadcastCross = true)
       // Eval contamination: eval held at a FIXED size (evalMod scales
       // with the corpus — a real benchmark doesn't grow with the
       // train set), broadcast; train side one linear pass. The BNL

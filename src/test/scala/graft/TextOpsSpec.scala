@@ -789,6 +789,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("staleIndexGate ranks occupancy shift; partialReindex splits only flagged cells") {
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    // cluster A = {0,2,3,4,5,6}, cluster B = {1,7,8}; churning out
+    // id % 3 == 0 retires {0,3,6} — all from A, so B's live share
+    // jumps from 1/3 to 1/2 (shift 166667) vs A's drop (166666)
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(1, 0.1, 0, 0)), (3L, v(1, 0.2, 0, 0)), (4L, v(1, 0.3, 0, 0)),
+      (5L, v(1, 0.4, 0, 0)), (6L, v(1, 0.5, 0, 0)),
+      (7L, v(0.1, 1, 0, 0)), (8L, v(0.2, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft-te36spec")
+      .toString
+    val gate = VectorOps.staleIndexGate(vecs, "vec_id", "embedding",
+        s"$store/g", _ % 3 =!= 0, nlist = 2, lloydIters = 1, topK = 1)
+      .orderBy("cell").collect()
+    assert(gate.length == 2)
+    val a = gate(0); val b = gate(1) // cells 0 (A) and 1 (B)
+    assert(a.getLong(1) == 6L && a.getLong(2) == 3L) // n_fit, n_live
+    assert(b.getLong(1) == 3L && b.getLong(2) == 3L)
+    assert(a.getLong(5) == 166666L && b.getLong(5) == 166667L) // shift
+    assert(!a.getBoolean(7) && b.getBoolean(7)) // only B flagged at topK=1
+    val re = VectorOps.partialReindex(vecs, "vec_id", "embedding",
+        s"$store/r", _ % 3 =!= 0, nlist = 2, lloydIters = 1, topK = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (id, sub_seed)
+    // only B's live members {1,7,8}; seeds {1,7}; 8 is nearer 7
+    assert(re.toSeq == Seq((1L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
   test("ivfFilteredTopK pre-filters: a closer cross-attribute vector never surfaces") {
     // Vectors on a 2-D-ish layout inside 64 dims: queries are id%25==0.
     // id 0's nearest overall neighbour (id 1) carries the OTHER label;
