@@ -221,6 +221,19 @@ object SimilaritySuite extends QueryModule {
         .orderBy("query_id", "rk")
     },
 
+    // IVF nlist sizing audit (te38): the tuner family's index-
+    // geometry leg — each candidate cell count fitted and reported
+    // with the serving cost model's real inputs: surviving cells,
+    // the mean/max balance factor (the per-cell skew exposure), and
+    // the worst-case probed fraction at nprobe=2 (two largest cells'
+    // share). One corpus × broadcast-centroid fit per candidate;
+    // every rollup is cell-frame-sized.
+    "te38_ivf_nlist_tuning" -> { (s, dir) =>
+      VectorOps.ivfNlistTuning(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", Seq(8, 16, 32), lloydIters = 1)
+        .orderBy("nlist")
+    },
+
     // Stale-index gate (te36): the reindex decision from the index's
     // own persisted artifacts — the fitted (id, cell) assignment is
     // written once, and after corpus churn (vec_id % 3 == 0 rows
@@ -745,56 +758,64 @@ object SimilaritySuite extends QueryModule {
     }
   )
 
-  /** One-Lloyd-iteration k-means replay shared by the te06 and te35
-    * oracles: seed cells = first 16 vectors, one exact-decimal mean
-    * update, final assignment r1 exposing BOTH the rank (crk) and the
-    * rounded centroid cosine (cosc) so te06 reads probes off crk and
-    * te35 reads prototypicality off the crk=1 row's cosc.
+  /** One-Lloyd-iteration k-means replay shared by the te06/te35/te36/
+    * te37/te38 oracles: seed cells = first `nlist` vectors, one
+    * exact-decimal mean update, final assignment r1 exposing BOTH the
+    * rank (crk) and the rounded centroid cosine (cosc). `sfx`
+    * suffixes every CTE name so te38 composes several fits in one
+    * statement.
     */
-  private val kmeans1Cte = """ex AS (
+  private def kmeansCte(nlist: Int, sfx: String = ""): String =
+    kmeans1CteTemplate
+      .replace("<N>", nlist.toString)
+      .replace("<S>", sfx)
+
+  private def kmeans1Cte: String = kmeansCte(16)
+
+  private val kmeans1CteTemplate = """ex<S> AS (
         SELECT vec_id, CAST(unnest(range(0, 64)) AS INT) AS d,
                unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
         FROM embeddings),
-      norms AS (
+      norms<S> AS (
         SELECT vec_id, sqrt(CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS vn
-        FROM ex GROUP BY vec_id),
-      cm0 AS (SELECT vec_id AS cell, d, x AS mx FROM ex WHERE vec_id < 16),
-      cn0 AS (
+        FROM ex<S> GROUP BY vec_id),
+      cm0<S> AS (SELECT vec_id AS cell, d, x AS mx FROM ex<S> WHERE vec_id < <N>),
+      cn0<S> AS (
         SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
-        FROM cm0 GROUP BY cell),
-      a0 AS (
-        SELECT e.vec_id, cm0.cell,
-               CAST(sum(CAST(floor((e.x * cm0.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM ex e JOIN cm0 ON e.d = cm0.d
+        FROM cm0<S> GROUP BY cell),
+      a0<S> AS (
+        SELECT e.vec_id, cm0<S>.cell,
+               CAST(sum(CAST(floor((e.x * cm0<S>.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex<S> e JOIN cm0<S> ON e.d = cm0<S>.d
         GROUP BY 1, 2),
-      r0 AS (
-        SELECT a0.vec_id AS vec_id, a0.cell AS cell,
-               row_number() OVER (PARTITION BY a0.vec_id
-                 ORDER BY round(dot / (nv.vn * cn0.cn), 6) DESC, a0.cell) AS crk
-        FROM a0 JOIN norms nv ON a0.vec_id = nv.vec_id
-                JOIN cn0 ON a0.cell = cn0.cell),
-      cells0 AS (SELECT vec_id, cell FROM r0 WHERE crk = 1),
-      cm1 AS (
+      r0<S> AS (
+        SELECT a0<S>.vec_id AS vec_id, a0<S>.cell AS cell,
+               row_number() OVER (PARTITION BY a0<S>.vec_id
+                 ORDER BY round(dot / (nv.vn * cn0<S>.cn), 6) DESC, a0<S>.cell) AS crk
+        FROM a0<S> JOIN norms<S> nv ON a0<S>.vec_id = nv.vec_id
+                JOIN cn0<S> ON a0<S>.cell = cn0<S>.cell),
+      cells0<S> AS (SELECT vec_id, cell FROM r0<S> WHERE crk = 1),
+      cm1<S> AS (
         SELECT cell, d,
                CAST(sum(CAST(e.x AS DECIMAL(25,6))) AS DOUBLE) / count(1) AS mx
-        FROM ex e JOIN cells0 c0 ON e.vec_id = c0.vec_id
+        FROM ex<S> e JOIN cells0<S> c0 ON e.vec_id = c0.vec_id
         GROUP BY cell, d),
-      cn1 AS (
+      cn1<S> AS (
         SELECT cell, sqrt(CAST(sum(CAST(floor((mx * mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
-        FROM cm1 GROUP BY cell),
-      a1 AS (
-        SELECT e.vec_id, cm1.cell,
-               CAST(sum(CAST(floor((e.x * cm1.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-        FROM ex e JOIN cm1 ON e.d = cm1.d
+        FROM cm1<S> GROUP BY cell),
+      a1<S> AS (
+        SELECT e.vec_id, cm1<S>.cell,
+               CAST(sum(CAST(floor((e.x * cm1<S>.mx) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+        FROM ex<S> e JOIN cm1<S> ON e.d = cm1<S>.d
         GROUP BY 1, 2),
-      r1 AS (
-        SELECT a1.vec_id AS vec_id, a1.cell AS cell,
-               round(dot / (nv.vn * cn1.cn), 6) AS cosc,
-               row_number() OVER (PARTITION BY a1.vec_id
-                 ORDER BY round(dot / (nv.vn * cn1.cn), 6) DESC, a1.cell) AS crk
-        FROM a1 JOIN norms nv ON a1.vec_id = nv.vec_id
-                JOIN cn1 ON a1.cell = cn1.cell),
-      cells1 AS (SELECT vec_id, cell FROM r1 WHERE crk = 1)"""
+      r1<S> AS (
+        SELECT a1<S>.vec_id AS vec_id, a1<S>.cell AS cell,
+               round(dot / (nv.vn * cn1<S>.cn), 6) AS cosc,
+               row_number() OVER (PARTITION BY a1<S>.vec_id
+                 ORDER BY round(dot / (nv.vn * cn1<S>.cn), 6) DESC, a1<S>.cell) AS crk
+        FROM a1<S> JOIN norms<S> nv ON a1<S>.vec_id = nv.vec_id
+                JOIN cn1<S> ON a1<S>.cell = cn1<S>.cell),
+      cells1<S> AS (SELECT vec_id, cell FROM r1<S> WHERE crk = 1)"""
 
   /** te36's occupancy-shift gate over the shared fit's assignment,
     * factored so te37 flags from the same definition. Appends to
@@ -1120,6 +1141,32 @@ object SimilaritySuite extends QueryModule {
         FROM scored)
       WHERE rk <= 5
       ORDER BY query_id, rk""",
+
+    // Three suffixed copies of the shared fit replay (nlist 8/16/32),
+    // each reduced to its cell-size frame and one audit row; top2 by
+    // ORDER BY n DESC LIMIT 2 (tie choice cannot change the sum).
+    "te38_ivf_nlist_tuning" -> s"""
+      WITH ${kmeansCte(8, "_8")},
+      ${kmeansCte(16, "_16")},
+      ${kmeansCte(32, "_32")},
+      ${Seq(8, 16, 32).map { nl =>
+        s"""pc_$nl AS (SELECT cell, CAST(count(1) AS BIGINT) AS n
+               FROM cells1_$nl GROUP BY 1),
+      ag_$nl AS (SELECT CAST($nl AS BIGINT) AS nlist,
+                CAST(count(1) AS BIGINT) AS n_cells,
+                CAST(sum(n) AS BIGINT) AS n_total,
+                CAST(max(n) AS BIGINT) AS max_cell,
+                CAST((SELECT sum(n) FROM
+                  (SELECT n FROM pc_$nl ORDER BY n DESC LIMIT 2))
+                  AS BIGINT) AS top2
+         FROM pc_$nl)"""
+      }.mkString(",\n      ")},
+      u AS (SELECT * FROM ag_8 UNION ALL SELECT * FROM ag_16
+            UNION ALL SELECT * FROM ag_32)
+      SELECT nlist, n_cells, n_total, max_cell,
+             (n_total * 1000000) // (n_cells * max_cell) AS balance_micro,
+             (top2 * 1000000) // n_total AS top2_share_micro
+      FROM u ORDER BY nlist""",
 
     // The shared fit's assignment counted twice on the same frame
     // (all rows = fit time, vec_id % 3 <> 0 = live), floor'd shares

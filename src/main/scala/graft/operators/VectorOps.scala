@@ -600,6 +600,45 @@ object VectorOps {
         col("b.subcos").as("subcos"))
   }
 
+  /** IVF nlist sizing audit (te38): the third leg of the pre-run
+    * tuner family (LSH banding → classifier threshold → index
+    * geometry) — BEFORE committing an IVF index's cell count for a
+    * corpus-scale serving deployment, fit each candidate `nlist` and
+    * report the numbers the serving cost model actually needs: how
+    * many cells survived the fit (empty cells drop out of Lloyd),
+    * the balance factor mean/max (a 1e6-micro load-balance score —
+    * the per-cell window/task skew exposure te35/te36 bound by nlist
+    * sizing is THIS number), and the worst-case probed fraction at
+    * nprobe=2 (the two largest cells' share — what an adversarial
+    * query pays). One row per candidate.
+    *
+    * Scale anatomy: one [[lloydFit]] per candidate (corpus ×
+    * broadcast-centroid scoring; candidates are a handful); each
+    * rollup reduces the fitted assignment to a ≤nlist-row cell-size
+    * frame and then to ONE row — the union of a handful of one-row
+    * plans, not a per-item driver loop.
+    */
+  def ivfNlistTuning(vecs: DataFrame, idCol: String, vecCol: String,
+                     nlists: Seq[Int], lloydIters: Int): DataFrame = {
+    require(nlists.nonEmpty && nlists.forall(_ >= 2),
+      s"nlists must be >= 2, got $nlists")
+    nlists.map { nl =>
+      val (_, scored) = lloydFit(vecs, idCol, vecCol, nl, lloydIters)
+      bestAssignment(scored)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_total"),
+          max(col("n")).as("max_cell"),
+          slice(sort_array(collect_list(col("n")), asc = false), 1, 2)
+            .as("__top2"))
+        .select(lit(nl.toLong).as("nlist"), col("n_cells"),
+          col("n_total"), col("max_cell"),
+          expr("(n_total * 1000000) DIV (n_cells * max_cell)")
+            .as("balance_micro"),
+          expr("(aggregate(__top2, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+            " * 1000000) DIV n_total").as("top2_share_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** PQ (product quantization) ANN: split each vector into `dim/subDim`
     * subvectors; per subspace, quantize to the nearest of `nCent`
     * centroids (first `nCent` vectors' subvectors — deterministic,

@@ -181,6 +181,12 @@ object ScaleProbe {
           s"${System.getProperty("java.io.tmpdir")}/graft-probe-te37-$k",
           _ % 3 =!= 0, nlist = 16, lloydIters = 1, topK = 4),
         allowBroadcastCross = true)
+      // Geometry tuner: one fit per candidate nlist, each rollup
+      // cell-frame-sized.
+      run("te38 nlist tuning", k,
+        VectorOps.ivfNlistTuning(emb, "vec_id", "embedding",
+          Seq(8, 16, 32), lloydIters = 1),
+        allowBroadcastCross = true)
       // Eval contamination: eval held at a FIXED size (evalMod scales
       // with the corpus — a real benchmark doesn't grow with the
       // train set), broadcast; train side one linear pass. The BNL

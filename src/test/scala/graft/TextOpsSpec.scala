@@ -817,6 +817,43 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))) // (id, sub_seed)
     // only B's live members {1,7,8}; seeds {1,7}; 8 is nearer 7
     assert(re.toSeq == Seq((1L, 1L), (7L, 7L), (8L, 7L)))
+    // plan pin: the gate frame reads ONLY the persisted assignment
+    // store — the corpus (a LocalTableScan here) must not appear; the
+    // reindex decision costs store-sized reads at any corpus size
+    val gatePlan = VectorOps.staleIndexGate(vecs, "vec_id", "embedding",
+        s"$store/g", _ % 3 =!= 0, nlist = 2, lloydIters = 1, topK = 1)
+      .queryExecution.executedPlan.toString
+    assert(!gatePlan.contains("LocalTableScan"),
+      s"gate plan rescans the corpus:\n$gatePlan")
+    assert(gatePlan.contains("graft-te36spec"),
+      "gate plan should scan the persisted store")
+  }
+
+  test("ivfNlistTuning audits cell balance per candidate geometry") {
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(1, 0.1, 0, 0)), (3L, v(1, 0.2, 0, 0)), (4L, v(1, 0.3, 0, 0)),
+      (5L, v(1, 0.4, 0, 0)), (6L, v(1, 0.5, 0, 0)),
+      (7L, v(0.1, 1, 0, 0)), (8L, v(0.2, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val rows = VectorOps.ivfNlistTuning(vecs, "vec_id", "embedding",
+        Seq(2, 4), lloydIters = 1)
+      .orderBy("nlist").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 9L)                      // n_total
+      assert(r.getLong(1) <= r.getLong(0))            // cells <= nlist
+      assert(r.getLong(4) <= 1000000L && r.getLong(4) >= 1L) // balance
+      assert(r.getLong(5) <= 1000000L)                // top2 share
+    }
+    // nlist=2 on the 6/3 split: balance = 9e6 DIV (2*6), top2 = all
+    val n2 = rows.head
+    assert(n2.getLong(1) == 2L && n2.getLong(3) == 6L)
+    assert(n2.getLong(4) == 750000L && n2.getLong(5) == 1000000L)
+    intercept[IllegalArgumentException] {
+      VectorOps.ivfNlistTuning(vecs, "vec_id", "embedding", Seq(1), 1)
+    }
   }
 
   test("ivfFilteredTopK pre-filters: a closer cross-attribute vector never surfaces") {
