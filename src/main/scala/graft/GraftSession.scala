@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Generated-class cache (STATIC conf, default 100 entries): an
+      // engine session re-runs whole query families — every streaming
+      // epoch re-plans the same shapes, and any benchmark/regression
+      // harness repeats each query — so at 100 entries the Janino
+      // cache thrashes and identical WholeStageCodegen units are
+      // recompiled (~20-100 ms each) on every repetition. 5000 entries
+      // keeps a full session's units resident for ~hundreds of MB of
+      // metaspace, the right trade on any long-lived driver.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // events.parquet carries TIMESTAMP(NANOS); read as long then convert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",

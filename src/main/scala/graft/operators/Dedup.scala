@@ -53,30 +53,35 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           smallGraphEdgeCap: Long = 1000000L): DataFrame = {
-    // Checkpoint BEFORE the symmetric union: materializing the union
-    // itself would execute the (possibly expensive — LSH mining) pair
-    // pipeline once per branch; checkpointing the directed pairs runs
-    // it once and both union branches read the blocks.
+    // Checkpoint BEFORE anything else: the probe below and (on the
+    // big-graph path) both symmetric-union branches would otherwise
+    // each re-execute the (possibly expensive — LSH mining) pair
+    // pipeline; checkpointing the directed pairs runs it once.
     val p = pairs.select(col("id_a"), col("id_b")).barrier()
-    val edges = p
-      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // Adaptive strategy pick, the broadcast-join-threshold pattern: a
     // near-dup pair graph is usually TINY relative to the corpus (it
-    // holds only the duplicated slice), so when the materialized edge
-    // list fits comfortably on the driver, a single union-find pass
-    // there beats rounds of distributed joins — same answer, one job.
-    // The probe stops at cap+1 rows (no full count), and graphs above
-    // the cap take the iterative label-propagation path below, which
-    // holds at any scale.
+    // holds only the duplicated slice), so when the edge list fits
+    // comfortably on the driver, a single union-find pass there beats
+    // rounds of distributed joins — same answer, one job. The probe IS
+    // the collect: ONE limit-bounded job over the checkpoint fetches
+    // up to cap/2+1 directed pairs — union-find is mirror-free
+    // (union(a,b) is symmetric), so this replaces the old mirrored
+    // probe-count + second collect pass, one fewer scheduled job per
+    // call on a path every dedup/cluster operator funnels through.
+    // Graphs above the cap take the iterative label-propagation path
+    // below, which holds at any scale.
     // Clamp before .toInt: a cap above Int.MaxValue would otherwise
     // overflow into a tiny (or negative) limit and silently shrink the
     // probe — over-Int caps just mean "probe as far as limit() can".
-    val capInt = math.min(smallGraphEdgeCap, (Int.MaxValue - 1).toLong).toInt
-    if (edges.limit(capInt + 1).count() <= capInt) {
-      val spark = pairs.sparkSession
+    // The returned frame is a LOCAL relation, so its exact size feeds
+    // every downstream join's broadcast decision for free.
+    val capInt = math.min(smallGraphEdgeCap / 2,
+      (Int.MaxValue - 2).toLong).toInt
+    val spark = pairs.sparkSession
+    val probe = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(capInt + 1).collect()
+    if (probe.length <= capInt) {
       import spark.implicits._
-      val es = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -85,7 +90,8 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
+      probe.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
@@ -96,6 +102,8 @@ object Dedup {
       val rows = parent.keysIterator.map(x => (x, find(x))).toSeq
       return spark.createDataset(rows).toDF("id", "label")
     }
+    val edges = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val nodes = edges.select(col("id_a").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id")).barrier()
     var changed = 1L

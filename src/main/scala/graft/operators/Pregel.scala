@@ -34,7 +34,7 @@ object Pregel {
     * per-stage re-planning off cut the iteration 4.2s→2.2s; at 100×
     * the formula exceeds the session default and defers to it.
     */
-  private def iterationPartitions(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def iterationPartitions(spark: org.apache.spark.sql.SparkSession,
                                   edgeRows: Long): Option[Int] = {
     val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(8L, edgeRows / 262144L)
@@ -49,7 +49,7 @@ object Pregel {
     * override, the returned frame's downstream consumers see the
     * session defaults again.
     */
-  private def withIterationConf[T](spark: org.apache.spark.sql.SparkSession,
+  private[graft] def withIterationConf[T](spark: org.apache.spark.sql.SparkSession,
                                    partitions: Option[Int])(body: => T): T =
     partitions match {
       case None => body

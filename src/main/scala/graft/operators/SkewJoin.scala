@@ -47,16 +47,27 @@ object SkewJoin {
   def saltedInnerHot(left: DataFrame, right: DataFrame, key: String,
                      leftUnique: Column, saltFactor: Int,
                      hotThreshold: Long): DataFrame = {
-    // Materialized once: the list feeds both tag joins, and it is at
-    // most |right| / hotThreshold rows.
-    val hot = right.groupBy(col(key)).agg(count(lit(1)).as("__hn"))
+    // ONE probe job: the hot-key list is at most |right| / hotThreshold
+    // rows (KB-scale for any real threshold — the same bound that made
+    // it broadcastable), so it is collected directly; the former
+    // barrier() + isEmpty() pair cost two scheduled jobs per call on
+    // the hottest operator path (every banded-LSH miner routes here),
+    // and the collected list re-enters the plan as a driver-local
+    // relation whose broadcast needs no extra job.
+    val spark = right.sparkSession
+    val hotRows = right.groupBy(col(key)).agg(count(lit(1)).as("__hn"))
       .where(col("__hn") > hotThreshold)
-      .select(col(key), lit(true).as("__hot"))
-      .barrier()
+      .select(col(key))
+      .collect()
     // Common case — no hot keys: return the PLAIN join so auto-wired
     // call sites (LSH/SRP bucket mining) pay only the probe aggregate,
     // not the tag joins + two-branch union of the salted plan shape.
-    if (hot.isEmpty) return left.join(right, Seq(key))
+    if (hotRows.isEmpty) return left.join(right, Seq(key))
+    val keyField = right.select(col(key)).schema.fields.head
+    val hot = spark.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(keyField)))
+      .withColumn("__hot", lit(true))
     val l = left.join(broadcast(hot), Seq(key), "left")
     val r = right.join(broadcast(hot), Seq(key), "left")
     val cold = l.where(col("__hot").isNull).drop("__hot")

@@ -511,6 +511,27 @@ object TextOps {
     val newBands = lshBands(minhashSignatureIdx(newMat, numPerms), "id",
         numPerms, rowsPerBand)
       .barrier() // probe side + union side + the hot probe
+    incrementalNearDupPre(newMat, newBands, storedBands, storedShingles,
+      threshold, hotBucketThreshold, saltFactor)
+  }
+
+  /** [[incrementalNearDupIdx]] for callers that ALREADY hold the new
+    * batch's materialized shingle index and band index (the td56/td58
+    * ingest pipeline checkpoints both to append them to its stores):
+    * skips the redundant re-checkpoint of the index AND the second
+    * minhash-signature aggregate over the batch — per epoch that was
+    * two extra materialization jobs plus a full numPerms-column
+    * signature recompute (the single most expensive per-batch
+    * expression), for frames the caller provably has on hand.
+    * `newMat` must be (id, sh) and `newBands` must be lshBands over
+    * minhashSignatureIdx(newMat) with matching numPerms/rowsPerBand —
+    * both eagerly materialized.
+    */
+  private[graft] def incrementalNearDupPre(newMat: DataFrame,
+                            newBands: DataFrame, storedBands: DataFrame,
+                            storedShingles: DataFrame, threshold: Double,
+                            hotBucketThreshold: Long = 4096L,
+                            saltFactor: Int = 16): DataFrame = {
     val a = newBands.select(struct(col("band"), col("bh")).as("__bk"),
       col("id").as("id_new"))
     val b = newBands.unionByName(

@@ -106,6 +106,49 @@ object IncrementalCuration {
   private def hadoopFs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Label the jobs `body` schedules (guide §1.5) — setJobDescription
+    * is thread-local, so concurrent phases stay correctly labeled.
+    */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(old)
+  }
+
+  /** Overlap INDEPENDENT epoch jobs from a driver thread pool (guide
+    * §2.6): Spark's scheduler runs concurrent jobs fine — actions are
+    * only sequential because the driver calls them sequentially, and a
+    * micro-batch epoch is a chain of many small materializations whose
+    * tails leave most executors idle. Each thunk must be independent
+    * of its siblings (enforced here by construction: every input frame
+    * is either already checkpointed or a store read strictly below the
+    * epoch). Failures propagate: the first thrown cause is rethrown
+    * after all thunks settle, so a failed guard still aborts the epoch
+    * before any dependent phase runs. FIFO scheduling keeps the
+    * back-fill behavior; job descriptions are thread-local, so labels
+    * stay correct per thunk.
+    */
+  private def concurrently(work: (() => Unit)*): Unit = {
+    if (work.size == 1) { work.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val futs = work.map(w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = w()
+        }))
+      var firstErr: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) firstErr = e.getCause
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally pool.shutdown()
+  }
+
   private def deltaDir(store: String, epoch: Long): Path =
     new Path(store, f"delta=$epoch%020d")
 
@@ -120,7 +163,9 @@ object IncrementalCuration {
     if (fs.exists(dir) && !fs.exists(new Path(dir, "_SUCCESS")))
       fs.delete(dir, true)
     if (!fs.exists(dir))
-      df.write.mode("errorifexists").parquet(dir.toString)
+      labeled(df.sparkSession, s"ic: append ${new Path(store).getName}") {
+        df.write.mode("errorifexists").parquet(dir.toString)
+      }
   }
 
   /** The delta dirs of `store` that are CURRENT — i.e. not covered by
@@ -223,16 +268,30 @@ object IncrementalCuration {
     val spark = newDocs.sparkSession
     if (epochCommitted(spark, base, epoch)) return
     // one narrow projection feeds every rule + the stats/shingle paths
-    val docs = newDocs
+    val docs = labeled(spark, "ic: docs") { newDocs
       .select(col(idCol).as("id"), col(textCol).as("text"),
         col(langCol).as("lang"))
-      .barrier()
+      .barrier() }
+    // NOTE (measured, guide §1): wrapping the epoch body in Pregel's
+    // iteration conf (small static shuffle sizing + AQE off) was tried
+    // and REVERTED — scheduled jobs dropped 245→115, but the epoch's
+    // joins probe checkpointed frames (LogicalRDD, no size stats), so
+    // without AQE's runtime re-planning every broadcast join degraded
+    // to sort-merge: tasks 675→1958, shuffle bytes +29%, wall time
+    // worse. AQE's per-exchange job latency is the cheaper tax here.
+    epochBody(spark, epoch, docs, base, lshThreshold, numPerms,
+      rowsPerBand)
+  }
 
+  private def epochBody(spark: SparkSession, epoch: Long, docs: DataFrame,
+                        base: String, lshThreshold: Double, numPerms: Int,
+                        rowsPerBand: Int): Unit = {
     // ---- exact-dup canonical RE-election (order-independent) -------
     // Barriered as a NARROW id/hash frame: three consumers (verdict
     // join, hashes append, retraction detection) would otherwise each
     // re-run the hash-store aggregate + join.
-    val dup = dupElection(docs, base, epoch).barrier()
+    val dup = labeled(spark, "ic: dup-election") {
+      dupElection(docs, base, epoch).barrier() }
     // keepers superseded by a strictly smaller id in this epoch; of
     // those, only previously-KEPT docs have any store/state presence
     val supersededKeepers = dup
@@ -243,32 +302,45 @@ object IncrementalCuration {
     val storedKeptRaw = readStore(spark, s"$base/kept", epoch,
       docs.select(col("id"), lit(0L).as("nt"), lit(0L).as("nchars"),
         col("lang")).limit(0))
-    val retracted = supersededKeepers
-      .join(storedKeptRaw.select(col("id")), Seq("id"), "left_semi")
-      .barrier() // feeds the dropped append, -D rows, index masking,
-                 // the touch graph, and the driver gate below
-    requireFreshIds(docs, base, epoch)
-    // Bounded driver check (≤ |epoch| hash groups can supersede): the
-    // extra PRE-retraction component pass below is paid only on
-    // epochs that actually retract a keeper — in-order ingestion
-    // never does.
-    val hasRetractions = !retracted.isEmpty
-
     // ---- verdict on the new batch (td46's three enforced rules) ----
     val c4 = TextOps.c4Clean(docs, "id", "text") // output key is "doc_id"
       .select(col("doc_id").as("id"), col("keep_doc").as("r_c4"))
     val lang = TextOps.langidAgreement(docs, "id", "text", "lang")
-    // materialized BEFORE any store append (an epoch must never see
-    // its own writes), and the id-only frame feeds three consumers
-    val keptIds = c4.join(lang, "id").join(dup.select(col("id"), col("r_dup")), "id")
-      .where(col("r_c4") && col("r_lang") && col("r_dup"))
-      .select(col("id"))
-      .barrier()
+    // Retraction detection, the re-ingest guard, and the verdict are
+    // mutually independent (each reads only `docs`/`dup` — both
+    // checkpointed — plus stores strictly below this epoch, and
+    // nothing is appended until all three finish), so they run
+    // OVERLAPPED (guide §2.6): the epoch is a chain of small
+    // materializations whose job tails would otherwise leave the
+    // cluster idle between driver-sequential actions. A failed guard
+    // still aborts the epoch before any append.
+    var retracted: DataFrame = null
+    var hasRetractions = false // the bounded driver gate: the extra
+    // PRE-retraction component pass below is paid only on epochs that
+    // actually supersede a keeper — in-order ingestion never does
+    var keptIds: DataFrame = null
+    concurrently(
+      () => {
+        retracted = labeled(spark, "ic: retraction-detect") {
+          supersededKeepers
+            .join(storedKeptRaw.select(col("id")), Seq("id"), "left_semi")
+            .barrier() } // feeds the dropped append, -D rows, index
+                         // masking, the touch graph, and the gate
+        hasRetractions =
+          labeled(spark, "ic: retraction-gate") { !retracted.isEmpty }
+      },
+      () => requireFreshIds(docs, base, epoch),
+      () => {
+        // materialized BEFORE any store append (an epoch must never
+        // see its own writes); the id-only frame feeds three consumers
+        keptIds = labeled(spark, "ic: verdict") {
+          c4.join(lang, "id")
+            .join(dup.select(col("id"), col("r_dup")), "id")
+            .where(col("r_c4") && col("r_lang") && col("r_dup"))
+            .select(col("id"))
+            .barrier() }
+      })
     val kept = docs.join(keptIds, "id")
-    val newKeptStats = kept.select(col("id"),
-        size(TextOps.words(col("text"))).cast("long").as("nt"),
-        length(col("text")).cast("long").as("nchars"), col("lang"))
-      .barrier() // feeds the kept-store append + stats joins below
 
     // every stored index is read MINUS the full retraction list —
     // including this epoch's, so a re-elected keeper's replacement
@@ -278,20 +350,46 @@ object IncrementalCuration {
       df.join(droppedAll, Seq("id"), "left_anti")
 
     // ---- incremental near-dup against the persisted LSH index ----
-    val newIdx = TextOps.shingleHashIndex(kept, "id", "text", 3)
-      .select(col("id"), col("sh")).barrier()
-    val newBands = TextOps.lshBands(
-        TextOps.minhashSignatureIdx(newIdx, numPerms), "id",
-        numPerms, rowsPerBand)
-      .barrier()
-    val storedBands = minusDropped(
-      readStore(spark, s"$base/bands", epoch, newBands.limit(0)))
-    val storedShingles = minusDropped(
-      readStore(spark, s"$base/shingles", epoch, newIdx.limit(0)))
-    val newPairs = TextOps.incrementalNearDupIdx(newIdx, storedBands,
-        storedShingles, lshThreshold, numPerms, rowsPerBand)
-      .select(col("id_a"), col("id_b"))
-      .barrier() // feeds the pair-store append + both graphs below
+    // The stats projection and the shingle→bands→pairs chain share no
+    // edge, so they overlap too (§2.6) — the signature aggregate is
+    // the epoch's most expensive expression and the stats pass rides
+    // its tail.
+    var newKeptStats: DataFrame = null
+    var newIdx: DataFrame = null
+    var newBands: DataFrame = null
+    var newPairs: DataFrame = null
+    concurrently(
+      () => {
+        newKeptStats = labeled(spark, "ic: kept-stats") {
+          kept.select(col("id"),
+              size(TextOps.words(col("text"))).cast("long").as("nt"),
+              length(col("text")).cast("long").as("nchars"), col("lang"))
+            .barrier() } // feeds the kept-store append + stats joins
+      },
+      () => {
+        newIdx = labeled(spark, "ic: shingle-idx") {
+          TextOps.shingleHashIndex(kept, "id", "text", 3)
+            .select(col("id"), col("sh")).barrier() }
+        newBands = labeled(spark, "ic: bands") {
+          TextOps.lshBands(
+              TextOps.minhashSignatureIdx(newIdx, numPerms), "id",
+              numPerms, rowsPerBand)
+            .barrier() }
+        val storedBands = minusDropped(
+          readStore(spark, s"$base/bands", epoch, newBands.limit(0)))
+        val storedShingles = minusDropped(
+          readStore(spark, s"$base/shingles", epoch, newIdx.limit(0)))
+        // the PRE-materialized entry: newIdx and newBands are already
+        // checkpointed above (they feed the store appends), so the
+        // miner must not re-checkpoint the index or re-run the minhash
+        // signature aggregate — that was a full second signature pass
+        // per epoch
+        newPairs = labeled(spark, "ic: new-pairs") {
+          TextOps.incrementalNearDupPre(newIdx, newBands, storedBands,
+              storedShingles, lshThreshold)
+            .select(col("id_a"), col("id_b"))
+            .barrier() } // feeds the pair-store append + both graphs
+      })
     val storedPairsRaw = readStore(spark, s"$base/pairs", epoch,
       newPairs.limit(0))
     def pairsMinus(dropped: DataFrame): DataFrame = storedPairsRaw
@@ -300,25 +398,38 @@ object IncrementalCuration {
       .select(col("id_a"), col("id_b"))
 
     // ---- append-only index maintenance (all epoch-keyed, idempotent)
+    // All seven appends read frames checkpointed above (or stores
+    // strictly below this epoch), and the component pass reads the
+    // checkpointed newPairs + the pair store — mutually independent,
+    // so the writes overlap each other AND the component pass (§2.6):
+    // store-write commit latency is per-directory fixed cost that
+    // serializing would sum. readStore's strictly-below-epoch bound
+    // keeps this epoch's concurrent appends invisible to its reads.
     // hashes: only IMPROVEMENTS (new hash, or a smaller id than the
     // stored keeper) — min-on-read stays correct and the store grows
     // by at most the epoch's distinct hashes
-    appendEpoch(dup
-      .where(col("r_dup"))
-      .select(col("h"), col("id")), s"$base/hashes", epoch)
-    appendEpoch(newIdx, s"$base/shingles", epoch)
-    appendEpoch(newBands, s"$base/bands", epoch)
-    appendEpoch(newPairs, s"$base/pairs", epoch)
-    appendEpoch(newKeptStats, s"$base/kept", epoch)
-    appendEpoch(retracted, s"$base/dropped", epoch)
-    appendEpoch(docs.select(col("id"))
-      .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch)
-
-    // ---- re-weight TOUCHED components, emit the epoch's upsert delta
-    // LIVE graph: pairs among currently-live docs — cluster sizes and
-    // membership come from here. Pair-store-sized, never corpus.
     val livePairs = pairsMinus(droppedAll).union(newPairs)
-    val compLive = Dedup.connectedComponents(livePairs).barrier()
+    var compLive: DataFrame = null
+    concurrently(
+      () => appendEpoch(dup
+        .where(col("r_dup"))
+        .select(col("h"), col("id")), s"$base/hashes", epoch),
+      () => appendEpoch(newIdx, s"$base/shingles", epoch),
+      () => appendEpoch(newBands, s"$base/bands", epoch),
+      () => appendEpoch(newPairs, s"$base/pairs", epoch),
+      () => appendEpoch(newKeptStats, s"$base/kept", epoch),
+      () => appendEpoch(retracted, s"$base/dropped", epoch),
+      () => appendEpoch(docs.select(col("id"))
+        .withColumn("epoch", lit(epoch)), s"$base/ledger", epoch),
+      // ---- re-weight TOUCHED components (the epoch's upsert delta)
+      // LIVE graph: pairs among currently-live docs — cluster sizes
+      // and membership come from here. Pair-store-sized, never corpus.
+      // No extra barrier: connectedComponents already returns a
+      // materialized frame on both paths (a size-known LOCAL relation
+      // below the edge cap — which lets every join against it
+      // broadcast — or the loop's own checkpointed labels above it).
+      () => compLive = labeled(spark, "ic: components") {
+        Dedup.connectedComponents(livePairs) })
     val sizes = compLive.groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
     // docs affected by a retraction: the retracted keeper's old
@@ -328,7 +439,7 @@ object IncrementalCuration {
     // never pays this pass.
     val retractionAffected =
       if (!hasRetractions) compLive.select(col("id")).limit(0)
-      else {
+      else labeled(spark, "ic: retraction-touch") {
         val touchGraph = pairsMinus(droppedBefore).union(newPairs)
         val compTouch = Dedup.connectedComponents(touchGraph)
         val retractedLabels = compTouch
@@ -457,9 +568,10 @@ object IncrementalCuration {
     val spark = docs.sparkSession
     val ledgerBefore = readStore(spark, s"$base/ledger", epoch,
       docs.select(col("id")).limit(0))
-    val reIngested = docs.select(col("id"))
-      .join(ledgerBefore.select(col("id")), Seq("id"), "left_semi")
-      .limit(1).collect()
+    val reIngested = labeled(spark, "ic: fresh-guard") {
+      docs.select(col("id"))
+        .join(ledgerBefore.select(col("id")), Seq("id"), "left_semi")
+        .limit(1).collect() }
     require(reIngested.isEmpty,
       s"epoch $epoch re-ingests doc id ${reIngested.head.get(0)}" +
         " which was already ingested — ids must be unique across" +
